@@ -1,0 +1,113 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.args.{ArgParsers, AvroSinkArgs, QueryArgs}
+import graft.schema.AvroSchemaGen
+import graft.sources.ParquetSource
+import graft.sql.QueryBuilder
+
+/** CLI entry point — the Spark-native analogue of the reference's
+  * `jobs/JdbcAvroJob.main` (`JdbcAvroJob.java:195-201`) for the file-source
+  * path. Same option names as the reference CLI where they apply.
+  *
+  * Usage:
+  * {{{
+  * runMain graft.jobs.ExportCli --input=/path/table.parquet --output=/path/out \
+  *   [--table=name] [--avroCodec=deflate6] [--limit=n] [--minRows=n] [--dataOnly] \
+  *   [--partitionColumn=c --partition=2026-08-01 [--partitionPeriod=P1D]] \
+  *   [--useAvroLogicalTypes] [--avroSchemaNamespace=ns] [--avroDoc=..]
+  * }}}
+  *
+  * Exits with the reference's exit codes (`ExceptionHandling.java:37-59`).
+  */
+object ExportCli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.filter(_.startsWith("--")).map { a =>
+      a.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+
+    try {
+      val input = opts.getOrElse("input", throw new IllegalArgumentException("--input is required"))
+      val output = opts.getOrElse("output", throw new IllegalArgumentException("--output is required"))
+      val table = opts.getOrElse("table",
+        input.split("/").last.stripSuffix(".parquet"))
+
+      val qArgs = QueryArgs(
+        base = QueryBuilder.fromTable(table),
+        limit = opts.get("limit").map(_.toLong),
+        partitionColumn = opts.get("partitionColumn"),
+        partition = opts.get("partition").map(ArgParsers.parseInstant),
+        partitionPeriod = opts.get("partitionPeriod").map(ArgParsers.parsePeriodOrDuration)
+          .getOrElse(java.time.Period.ofDays(1)))
+
+      ArgParsers.validatePartitionFreshness(
+        qArgs.partition, qArgs.partitionColumn, qArgs.partitionPeriod,
+        skipCheck = opts.contains("skipPartitionCheck"),
+        minPartitionPeriod = opts.get("minPartitionPeriod").map(ArgParsers.parseInstant))
+
+      val sinkArgs = AvroSinkArgs(
+        codec = opts.getOrElse("avroCodec", "deflate6"),
+        avroSchemaName = opts.get("avroSchemaName"),
+        avroSchemaNamespace = opts.getOrElse("avroSchemaNamespace", "dbeam_generated"),
+        avroDoc = opts.get("avroDoc"),
+        useAvroLogicalTypes = opts.contains("useAvroLogicalTypes"))
+
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+        .appName(s"dbeamspark-$table")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+
+      val source = ParquetSource(input, table, qArgs)
+      val schemaCfg = AvroSchemaGen.Config(
+        tableName = table,
+        schemaName = sinkArgs.avroSchemaName,
+        namespace = sinkArgs.avroSchemaNamespace,
+        doc = sinkArgs.avroDoc,
+        connectionUrl = s"parquet:$input",
+        useLogicalTypes = sinkArgs.useAvroLogicalTypes)
+
+      val result = ExportJob.run(
+        spark,
+        source.read(spark),
+        output,
+        sinkArgs = sinkArgs,
+        schemaCfg = schemaCfg,
+        queries = source.queries(spark),
+        minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
+        dataOnly = opts.contains("dataOnly"),
+        exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")))
+
+      println(ExportJob.metricsJson(result.metrics.toMap))
+      spark.stop()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"Export failed: ${t.getMessage}")
+        sys.exit(ExitCodes.forThrowable(t))
+    }
+  }
+}
+
+/** `avro-tools tojson` equivalent for spot-checking output (the reference's
+  * e2e harness does exactly this — `e2e/e2e.sh:98-99`).
+  */
+object AvroCat {
+  def main(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val limit = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(args(0)),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    reader.iterator().asScala.take(limit).foreach(println)
+    println(s"codec=${reader.getMetaString("avro.codec")} created_by=${reader.getMetaString("created_by")}")
+    reader.close()
+  }
+}

@@ -1,0 +1,170 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.time.{Duration, Instant}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.args.{AvroSinkArgs, QueryArgs}
+import graft.schema.AvroSchemaGen
+import graft.sink.AvroSink
+
+/** Failed `minRows` validation → exit code 50
+  * (reference `jobs/FailedValidationException.java`, `jobs/ExceptionHandling.java:37-59`).
+  */
+class FailedValidationException(msg: String) extends RuntimeException(msg)
+
+/** Replica-not-caught-up pre-flight failure → exit code 20
+  * (reference `jobs/NotReadyException.java`).
+  */
+class NotReadyException(msg: String) extends RuntimeException(msg)
+
+/** Process exit codes — reference `jobs/ExceptionHandling.java:37-59`. */
+object ExitCodes {
+  val Success = 0
+  val NotReady = 20
+  val IoError = 41
+  val SqlError = 43
+  val DriverClassError = 45
+  val IllegalArgument = 47
+  val Unknown = 49
+  val FailedValidation = 50
+
+  def forThrowable(t: Throwable): Int = t match {
+    case _: NotReadyException => NotReady
+    case _: FailedValidationException => FailedValidation
+    case _: java.io.IOException => IoError
+    case _: java.sql.SQLException => SqlError
+    case _: ClassNotFoundException => DriverClassError
+    case _: IllegalArgumentException => IllegalArgument
+    case _ => Unknown
+  }
+}
+
+/** Orchestrates one export run: schema gen → write → side outputs →
+  * validation. Mirrors the reference lifecycle
+  * (`jobs/JdbcAvroJob.java:117-193`): the source DataFrame plays the role of
+  * the generated-queries PCollection — its partitions are the parallel
+  * queries.
+  *
+  * The `queries` strings (for the `_queries/` side output) come from
+  * [[graft.args.QueryArgs.buildQueries]] in JDBC mode, or a descriptive
+  * pseudo-query in file-source mode.
+  */
+object ExportJob {
+
+  final case class Result(metrics: AvroSink.Metrics, outputDir: String)
+
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      outputDir: String,
+      sinkArgs: AvroSinkArgs = AvroSinkArgs(),
+      schemaCfg: AvroSchemaGen.Config = AvroSchemaGen.Config(),
+      queries: Seq[String] = Nil,
+      minRows: Long = -1,
+      dataOnly: Boolean = false,
+      exportTimeout: Duration = Duration.ofDays(7)): Result = {
+
+    val t0 = System.currentTimeMillis()
+    val avroSchema = AvroSchemaGen.generate(df.schema, schemaCfg)
+    val schemaElapsed = System.currentTimeMillis() - t0
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!dataOnly) {
+      // Side outputs BEFORE the data write, like the reference
+      // (`jobs/JdbcAvroJob.java:129-135`).
+      writeString(conf, s"$outputDir/_AVRO_SCHEMA.avsc", avroSchema.toString(true))
+      queries.zipWithIndex.foreach { case (q, i) =>
+        writeString(conf, s"$outputDir/_queries/query_$i.sql", q)
+      }
+    }
+
+    // Export timeout: cancel the job group after the deadline
+    // (reference `beam/BeamHelper.java:48-75`).
+    val groupId = s"graft-export-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(groupId, s"avro export to $outputDir", interruptOnCancel = true)
+    val watchdog = startTimeoutWatchdog(spark, groupId, exportTimeout)
+    val metrics =
+      try AvroSink.write(df, avroSchema, outputDir, sinkArgs.codec, schemaElapsed)
+      finally {
+        watchdog.interrupt()
+        spark.sparkContext.clearJobGroup()
+      }
+
+    if (!dataOnly) {
+      val json = metricsJson(metrics.toMap)
+      // Metrics write failures are logged, never fatal (`BeamHelper.java:91-104`).
+      try {
+        writeString(conf, s"$outputDir/_METRICS.json", json)
+        writeString(conf, s"$outputDir/_SERVICE_METRICS.json", json)
+      } catch { case e: Exception => System.err.println(s"Failed to save metrics: $e") }
+    }
+
+    // minRows gate (`jobs/JdbcAvroJob.java:170-182`).
+    if (minRows >= 0 && metrics.recordCount < minRows)
+      throw new FailedValidationException(
+        s"Exported ${metrics.recordCount} rows, expected at least $minRows")
+
+    Result(metrics, outputDir)
+  }
+
+  private def startTimeoutWatchdog(spark: SparkSession, groupId: String, timeout: Duration): Thread = {
+    val t = new Thread(() =>
+      try {
+        Thread.sleep(timeout.toMillis)
+        spark.sparkContext.cancelJobGroup(groupId)
+      } catch { case _: InterruptedException => () })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  def metricsJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  def writeString(conf: Configuration, pathStr: String, contents: String): Unit = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    fs.setWriteChecksum(false)
+    val out = fs.create(path, true)
+    try out.write(contents.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Reads a user SQL file (`--sqlFile`) — reference `beam/BeamHelper.java:106-110`. */
+  def readSqlFile(conf: Configuration, pathStr: String): String = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}
+
+/** Postgres replication-lag pre-flight — reference
+  * `jobs/PsqlReplicationCheck.java:38-123`: the export may only run once the
+  * replica has replayed past the end of the requested partition window.
+  * The JDBC execution needs a driver jar; the decision logic and SQL string
+  * are pure and unit-tested.
+  */
+object ReplicationCheck {
+
+  /** Reference `PsqlReplicationCheck.java:38-43`. */
+  val ReplicationQuery: String =
+    "SELECT EXTRACT(EPOCH FROM (now() - pg_last_xact_replay_timestamp())) * 1000 " +
+      "AS replication_delay, pg_last_xact_replay_timestamp() AS last_replay;"
+
+  /** True (not ready) iff `lastReplay < partition + partitionPeriod`
+    * (reference `PsqlReplicationCheck.java:69-104`).
+    */
+  def isReplicationDelayed(partition: Instant, lastReplay: Instant, partitionPeriod: java.time.temporal.TemporalAmount): Boolean =
+    lastReplay.isBefore(partition.plus(partitionPeriod))
+
+  def check(partition: Instant, lastReplay: Instant, partitionPeriod: java.time.temporal.TemporalAmount): Unit =
+    if (isReplicationDelayed(partition, lastReplay, partitionPeriod))
+      throw new NotReadyException(
+        s"Replication is not completed to partition $partition (last replay $lastReplay)")
+}

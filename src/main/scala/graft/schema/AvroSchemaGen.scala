@@ -1,0 +1,87 @@
+package graft.schema
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{JsonProperties, Schema}
+import org.apache.spark.sql.types._
+
+/** Builds the dbeam-shaped Avro record schema from a Spark `StructType`.
+  *
+  * Shape rules from
+  * `/root/reference/dbeam-core/src/main/java/com/spotify/dbeam/avro/JdbcAvroSchema.java:106-201`:
+  *   - record name = avroSchemaName or normalized table name, namespace =
+  *     avroSchemaNamespace (default `dbeam_generated`), doc string defaulted
+  *   - record props `tableName`, `connectionUrl`
+  *   - EVERY field is `union[null, T]` with null default — even NOT NULL
+  *     source columns (`JdbcAvroSchema.java:179-201`)
+  *   - field names normalized `[^A-Za-z0-9_] → _` (`JdbcAvroSchema.java:369-371`)
+  *   - field prop `columnName` carries the original name
+  *   - logical-type annotations (`timestamp-millis`, `uuid`) only when
+  *     `useAvroLogicalTypes` (`JdbcExportPipelineOptions.java:84-88`)
+  *
+  * Spark-type mapping mirrors the JDBC table in [[JdbcTypeMap]]: timestamps
+  * and dates → long epoch-millis, decimals → string, array items
+  * non-nullable unless `nullableArrayItems`.
+  */
+object AvroSchemaGen {
+
+  final case class Config(
+      tableName: String = "no_table_name",
+      schemaName: Option[String] = None,
+      namespace: String = "dbeam_generated",
+      doc: Option[String] = None,
+      connectionUrl: String = "",
+      useLogicalTypes: Boolean = false,
+      nullableArrayItems: Boolean = false
+  )
+
+  /** `[^A-Za-z0-9_] → _` — reference `JdbcAvroSchema.java:369-371`. */
+  def normalizeName(name: String): String = name.replaceAll("[^A-Za-z0-9_]", "_")
+
+  def generate(struct: StructType, cfg: Config): Schema = {
+    val name = normalizeName(cfg.schemaName.getOrElse(cfg.tableName))
+    val doc = cfg.doc.getOrElse(s"Generate schema from JDBC ResultSet from ${cfg.connectionUrl}")
+    val record = Schema.createRecord(name, doc, cfg.namespace, false)
+    record.addProp("tableName", cfg.tableName)
+    record.addProp("connectionUrl", cfg.connectionUrl)
+
+    val fields = struct.fields.toSeq.map { f =>
+      val valueSchema = fieldSchema(f.dataType, cfg)
+      val union = Schema.createUnion(List(Schema.create(Schema.Type.NULL), valueSchema).asJava)
+      val field = new Schema.Field(normalizeName(f.name), union, null, JsonProperties.NULL_VALUE)
+      field.addProp("columnName", f.name)
+      field.addProp("typeName", f.dataType.sql)
+      field
+    }
+    record.setFields(fields.asJava)
+    record
+  }
+
+  private def primitive(t: Schema.Type, logical: Option[String], cfg: Config): Schema = {
+    val s = Schema.create(t)
+    if (cfg.useLogicalTypes) logical.foreach(lt => s.addProp("logicalType", lt))
+    s
+  }
+
+  private def fieldSchema(dt: DataType, cfg: Config): Schema = dt match {
+    case LongType => primitive(Schema.Type.LONG, None, cfg)
+    case IntegerType | ShortType | ByteType => primitive(Schema.Type.INT, None, cfg)
+    case TimestampType | DateType | TimestampNTZType =>
+      primitive(Schema.Type.LONG, Some("timestamp-millis"), cfg)
+    case BooleanType => primitive(Schema.Type.BOOLEAN, None, cfg)
+    case BinaryType => primitive(Schema.Type.BYTES, None, cfg)
+    case DoubleType => primitive(Schema.Type.DOUBLE, None, cfg)
+    case FloatType => primitive(Schema.Type.FLOAT, None, cfg)
+    case _: DecimalType => primitive(Schema.Type.STRING, None, cfg) // decimal → string, JdbcAvroSchema.java:316-323
+    case StringType => primitive(Schema.Type.STRING, None, cfg)
+    case ArrayType(elem, _) =>
+      val item = fieldSchema(elem, cfg)
+      val itemSchema =
+        if (cfg.nullableArrayItems)
+          Schema.createUnion(List(Schema.create(Schema.Type.NULL), item).asJava)
+        else item
+      Schema.createArray(itemSchema)
+    case other =>
+      throw new RuntimeException(s"Unsupported column type for avro export: ${other.sql}")
+  }
+}

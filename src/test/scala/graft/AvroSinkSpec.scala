@@ -1,0 +1,180 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.args.AvroSinkArgs
+import graft.jobs.{ExportJob, FailedValidationException}
+import graft.schema.AvroSchemaGen
+import graft.sink.AvroSink
+
+/** Avro round-trip + output-contract tests, mirroring the reference's
+  * `avro/JdbcAvroRecordTest.java:187-249` (value equality through the file)
+  * and `jobs/JdbcAvroJobTest.java:101-140` (file-set contract).
+  */
+class AvroSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val coffeeSchema = StructType(Seq(
+    StructField("COF_NAME", StringType, nullable = false),
+    StructField("SUP_ID", IntegerType),
+    StructField("PRICE", DecimalType(21, 2)),
+    StructField("TEMPERATURE", FloatType),
+    StructField("SIZE", DoubleType),
+    StructField("IS_ARABIC", BooleanType),
+    StructField("TOTAL", LongType),
+    StructField("CREATED", TimestampType),
+    StructField("UPDATED", TimestampType),
+    StructField("INT_ARR", ArrayType(IntegerType, containsNull = false)),
+    StructField("TEXT_ARR", ArrayType(StringType, containsNull = false))
+  ))
+
+  // Golden row 1 from the reference fixture (`Coffee.java:136-163`).
+  private val created = Timestamp.from(java.time.Instant.parse("2017-02-28T16:35:33Z"))
+  private val rows = Seq(
+    Row("costa rica caffee", null, new java.math.BigDecimal("7.20"), 82.5f, 320.7, true,
+      200L, created, null, Seq(5, 7, 11), Seq("rock", "scissors", "paper")),
+    Row("colombian caffee", null, new java.math.BigDecimal("9.99"), 75.0f, 500.0, false,
+      401L, created, null, Seq(1, 2, 3), Seq("a", "b", "c"))
+  )
+
+  private def coffeeDf = spark.createDataFrame(rows.asJava, coffeeSchema).coalesce(1)
+
+  private def readAvro(dir: String): Seq[GenericRecord] = {
+    val files = new File(dir).listFiles().filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    files.flatMap { f =>
+      val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+      val out = r.iterator().asScala.toVector
+      r.close()
+      out
+    }.toSeq
+  }
+
+  test("round trip: values survive with dbeam conversion semantics") {
+    val dir = tmpDir("avro-rt")
+    val schema = AvroSchemaGen.generate(coffeeSchema, AvroSchemaGen.Config(tableName = "COFFEES"))
+    val m = AvroSink.write(coffeeDf, schema, dir, "deflate1")
+    assert(m.recordCount == 2)
+    assert(m.bytesWritten > 0)
+
+    val recs = readAvro(dir)
+    assert(recs.size == 2)
+    val r1 = recs.find(_.get("COF_NAME").toString == "costa rica caffee").get
+    assert(r1.get("SUP_ID") == null)
+    assert(r1.get("PRICE").toString == "7.20") // decimal -> string, scale preserved
+    assert(r1.get("TEMPERATURE") == 82.5f)
+    assert(r1.get("SIZE") == 320.7)
+    assert(r1.get("IS_ARABIC") == true)
+    assert(r1.get("TOTAL") == 200L)
+    assert(r1.get("CREATED") == 1488299733000L) // epoch millis, UTC
+    assert(r1.get("UPDATED") == null)
+    assert(r1.get("INT_ARR").asInstanceOf[java.util.List[_]].asScala.toList == List(5, 7, 11))
+    assert(r1.get("TEXT_ARR").asInstanceOf[java.util.List[_]].asScala.map(_.toString).toList ==
+      List("rock", "scissors", "paper"))
+  }
+
+  test("file metadata: codec, sync, created_by") {
+    val dir = tmpDir("avro-meta")
+    val schema = AvroSchemaGen.generate(coffeeSchema, AvroSchemaGen.Config(tableName = "COFFEES"))
+    AvroSink.write(coffeeDf, schema, dir, "deflate1")
+    val f = new File(dir).listFiles().find(_.getName.endsWith(".avro")).get
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    assert(r.getMetaString("avro.codec") == "deflate")
+    assert(r.getMetaString("created_by") == "dbeamspark")
+    r.close()
+  }
+
+  test("one part file per partition, named part-SSSSS-of-NNNNN.avro") {
+    val dir = tmpDir("avro-parts")
+    val df = spark.range(0, 1000).toDF("id").repartition(3)
+    val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "r"))
+    val m = AvroSink.write(df, schema, dir, "deflate1")
+    assert(m.recordCount == 1000)
+    val names = new File(dir).listFiles().map(_.getName).filter(_.endsWith(".avro")).sorted
+    assert(names.toSeq == Seq(
+      "part-00000-of-00003.avro", "part-00001-of-00003.avro", "part-00002-of-00003.avro"))
+    assert(readAvro(dir).map(_.get("id").asInstanceOf[Long]).sorted == (0L until 1000L))
+  }
+
+  test("codec validation") {
+    AvroSink.codecFactory("snappy")
+    AvroSink.codecFactory("deflate9")
+    AvroSink.codecFactory("zstandard3")
+    assertThrows[IllegalArgumentException](AvroSink.codecFactory("deflate0"))
+    assertThrows[IllegalArgumentException](AvroSink.codecFactory("lz4"))
+    assertThrows[IllegalArgumentException](AvroSinkArgs(codec = "gzip"))
+  }
+
+  test("ExportJob writes the full dbeam output contract") {
+    val dir = tmpDir("job-contract")
+    val res = ExportJob.run(
+      spark, coffeeDf, dir,
+      sinkArgs = AvroSinkArgs(codec = "deflate1"),
+      schemaCfg = AvroSchemaGen.Config(tableName = "COFFEES"),
+      queries = Seq("SELECT * FROM COFFEES WHERE 1=1"))
+    assert(res.metrics.recordCount == 2)
+    val entries = new File(dir).listFiles().map(_.getName).toSet
+    assert(entries == Set(
+      "part-00000-of-00001.avro", "_AVRO_SCHEMA.avsc", "_METRICS.json",
+      "_SERVICE_METRICS.json", "_queries"))
+    assert(new File(dir, "_queries").listFiles().map(_.getName).toSeq == Seq("query_0.sql"))
+    val schemaJson = Files.readString(new File(dir, "_AVRO_SCHEMA.avsc").toPath)
+    assert(new org.apache.avro.Schema.Parser().parse(schemaJson).getName == "COFFEES")
+    val metrics = Files.readString(new File(dir, "_METRICS.json").toPath)
+    for (k <- Seq("recordCount", "bytesWritten", "writeElapsedMs", "msPerMillionRows",
+        "rowsPerMinute", "KbWritePerSec", "executeQueryElapsedMs", "schemaElapsedTimeMs"))
+      assert(metrics.contains(k), s"missing metric $k")
+  }
+
+  test("dataOnly writes part files only") {
+    val dir = tmpDir("job-dataonly")
+    ExportJob.run(spark, coffeeDf, dir,
+      sinkArgs = AvroSinkArgs(codec = "deflate1"),
+      schemaCfg = AvroSchemaGen.Config(tableName = "COFFEES"),
+      queries = Seq("q"), dataOnly = true)
+    assert(new File(dir).listFiles().map(_.getName).toSet == Set("part-00000-of-00001.avro"))
+  }
+
+  test("minRows validation fails with FailedValidationException (exit 50)") {
+    val dir = tmpDir("job-minrows")
+    val e = intercept[FailedValidationException] {
+      ExportJob.run(spark, coffeeDf, dir,
+        sinkArgs = AvroSinkArgs(codec = "deflate1"),
+        schemaCfg = AvroSchemaGen.Config(tableName = "COFFEES"),
+        minRows = 100)
+    }
+    assert(graft.jobs.ExitCodes.forThrowable(e) == 50)
+  }
+
+  test("null array item without nullableArrayItems fails with targeted error") {
+    val dir = tmpDir("avro-nullitem")
+    val schema = StructType(Seq(StructField("arr", ArrayType(IntegerType, containsNull = true))))
+    val df = spark.createDataFrame(
+      Seq(Row(Seq[Any](1, null, 3))).asJava, schema).coalesce(1)
+    val avro = AvroSchemaGen.generate(schema, AvroSchemaGen.Config())
+    val e = intercept[Exception] {
+      AvroSink.write(df, avro, dir, "deflate1")
+    }
+    assert(e.getMessage.contains("nullableArrayItems") ||
+      Option(e.getCause).exists(_.getMessage.contains("nullableArrayItems")))
+
+    // and with the flag, the null item round-trips
+    val dir2 = tmpDir("avro-nullitem-ok")
+    val avro2 = AvroSchemaGen.generate(schema, AvroSchemaGen.Config(nullableArrayItems = true))
+    val m = AvroSink.write(df, avro2, dir2, "deflate1", nullableArrayItems = true)
+    assert(m.recordCount == 1)
+  }
+}
