@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sql.ParallelRanges
+
+/** Parity + relational query catalog. Each query has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]]; all aggregates on floating columns are
+  * rounded into integer cents so Spark and DuckDB agree bit-for-bit
+  * regardless of summation order.
+  *
+  * Scale notes (100 TB thinking):
+  *   - scans stay `SELECT *`-shaped so Catalyst prunes columns per query
+  *   - joins put the small side (customer/orders vs lineitem) on the
+  *     broadcast side explicitly
+  *   - the range-split union is a metadata-only union of disjoint
+  *     partition filters — no shuffle
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events table ships with parquet TIMESTAMP(NANOS) which Spark reads only
+    * as raw longs; normalize to a microsecond timestamp column `ts` plus the
+    * raw nanos. DuckDB performs the identical ns→µs truncation on read.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_nanos", col("ts"))
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** S1: full table scan (dbeam's `SELECT * FROM table WHERE 1=1`). */
+  def fullScan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+
+  /** S2: user-query wrap — the SQL string goes through the engine verbatim
+    * (dbeam `QueryBuilder.fromSqlQuery`).
+    */
+  def userQuery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      graft.sql.QueryBuilder
+        .fromSqlQuery("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0;")
+        .build)
+  }
+
+  /** F1 daily: partition window `[day, day+P1D)` on a timestamp column. */
+  def partitionDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-11-05").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-11-06").cast("timestamp"))
+
+  /** F1 monthly: `[month, month+P1M)`. */
+  def partitionMonthly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-11-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-12-01").cast("timestamp"))
+
+  /** F2/X1: dbeam's range split — union of the generated half-open ranges
+    * (last inclusive) must reproduce the full table exactly. The union of
+    * disjoint filters over one scan stays shuffle-free.
+    */
+  def rangeSplitUnion(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val bounds = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val ranges = ParallelRanges.generate(bounds.getLong(0), bounds.getLong(1), 8)
+    ranges.map { r =>
+      val hi = if (r.endInclusive) col("l_orderkey") <= r.end else col("l_orderkey") < r.end
+      li.filter(col("l_orderkey") >= r.start && hi)
+    }.reduce(_ unionAll _)
+  }
+
+  /** L1: deterministic limit (top-k by full key — dbeam's LIMIT is
+    * arbitrary-order; an ordered top-k is the verifiable equivalent).
+    */
+  def limitTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** S4/A1: MIN/MAX bounds probe (`SELECT MIN(sp) as min_s, MAX(sp) as max_s`). */
+  def minMaxBounds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(min("l_orderkey").as("min_s"), max("l_orderkey").as("max_s"))
+
+  /** P4/U1: the row→Avro type projection as SQL-visible semantics:
+    * timestamp → epoch millis (UTC), int widening, boolean derivation.
+    */
+  def typeProjection(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      // parquet ships TIMESTAMP_NTZ; session is UTC so the cast is lossless
+      unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+      col("l_linenumber").cast("bigint").as("line_long"),
+      (col("l_returnflag") === "R").as("is_return"))
+
+  /** A2/A5: record counting (the metrics/minRows gate). */
+  def countAll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** TPC-H Q1-shaped aggregation; money in integer cents for cross-engine
+    * determinism. Partial aggregation (map-side combine) keeps the single
+    * shuffle small at scale.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+          .as("sum_disc_price_cents"))
+
+  /** Q3-shaped 3-way join: lineitem (big) joined with orders and customer
+    * (small sides broadcast — at 100 TB lineitem never shuffles for these
+    * dims; verify in the plan).
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter(cust("c_mktsegment") === "BUILDING")
+      .groupBy(ord("o_orderkey").as("o_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Window function: top-3 orders per customer (deterministic tiebreak). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "rk")
+  }
+
+  /** Set operations: customers with any order EXCEPT customers with an open
+    * order (exercises distinct set semantics).
+    */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.select("o_custkey").except(
+      ord.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** F1 hourly on the events stream table (sub-daily `Duration` windows). */
+  def partitionHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-01T06:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-01T07:00:00").cast("timestamp"))
+      .select("event_id", "user_id", "event_type", "ts")
+
+  /** Hourly windowed aggregation over events — the batch-equivalent of the
+    * Structured Streaming query in [[graft.streaming.EventStream]].
+    */
+  def eventsHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <verifyOutDir> <sfDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the sf
+tables registered as views, loads the Spark result parquet from
+<verifyOutDir>/<name>/, canonicalizes both sides (columns sorted by name,
+rows sorted by all columns), and reports match/mismatch per query.
+"""
+import json
+import sys
+from glob import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable total ordering across dtypes
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql).df()
+            files = sorted(glob(f"{out_dir}/{name}/*.parquet"))
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                failures += 1
+                continue
+            got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            w, g = canon(want), canon(got)
+            if list(w.columns) != list(g.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                failures += 1
+                continue
+            if len(w) != len(g):
+                print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                failures += 1
+                continue
+            mismatch = None
+            for c in w.columns:
+                wa, ga = w[c], g[c]
+                if str(wa.dtype) != str(ga.dtype):
+                    # dtype mismatch may still hash-differ driver-side; flag it
+                    mismatch = f"dtype {c}: spark={ga.dtype} duck={wa.dtype}"
+                eq = (wa.astype(str) == ga.astype(str))
+                if not eq.all():
+                    i = eq.idxmin()
+                    mismatch = f"value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"
+                    break
+            if mismatch and mismatch.startswith("value"):
+                print(f"FAIL {name}: {mismatch}")
+                failures += 1
+            elif mismatch:
+                print(f"WARN {name}: rows match but {mismatch}")
+                print(f"PASS {name} ({len(g)} rows, dtype warning)")
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            failures += 1
+    print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
