@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -29,7 +30,19 @@ object SparkEntry {
     "q3_join_agg" -> (Relational.q3JoinAgg _),
     "w1_window_topk" -> (Relational.windowTopK _),
     "set_except" -> (Relational.setExcept _),
-    "events_hourly_agg" -> (Relational.eventsHourlyAgg _)
+    "events_hourly_agg" -> (Relational.eventsHourlyAgg _),
+    "events_sessionize" -> ((s, d) => EventStream.sessionizeBatch(s, d)),
+    "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "multimodal_meta" -> (Multimodal.binaryMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +89,136 @@ object SparkEntry {
     "events_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |y AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM x),
+        |z AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM y)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
+        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
+        | CAST(len(text) AS BIGINT) AS n_chars_measured
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], lower(t)))) AS BIGINT) AS n_stopwords,
+        | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+        | CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], lower(t)))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / len(text) AS alpha_ratio,
+        | CAST(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_en,
+        | CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS BIGINT) AS n_de,
+        | CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b')) AS BIGINT) AS n_es,
+        | CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|dans)\b')) AS BIGINT) AS n_fr,
+        | CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |      WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |      WHEN n_es >= n_fr THEN 'es'
+        |      ELSE 'fr' END AS lang_pred
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31,
+        | list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |   (acc, x) -> (acc * 37 + x) % 998244353) AS fp37,
+        | list_min(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+        |   i -> list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 5), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |     (acc, x) -> (acc * 31 + x) % 1000000007))) AS fp_min5gram
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+    "dedup_minhash" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3)
+        |SELECT * FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_simhash" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)]))) AS shingle
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+        |  + (list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) % 1073741824) AS hh
+        | FROM sh),
+        |bits AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hh >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM h, range(60) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings)
+        |SELECT * FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (q.q_norm * e.norm) AS cosine
+        | FROM e CROSS JOIN q WHERE e.vec_id != q.q_id)
+        |SELECT q_id, neighbor_id, rank FROM (
+        | SELECT q_id, vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        | FROM s)
+        |WHERE rank <= 10""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
+        | substr(text, 1, 1) AS head_char
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing / text primitives.
+  *
+  * Everything here is expressed in engine-neutral integer arithmetic so that
+  * the same value is computable in ANY SQL engine (the DuckDB oracles use the
+  * literal same formulas). For a training-data pipeline this is a feature,
+  * not a test convenience: fingerprints and near-dup decisions stay stable
+  * across engine migrations and versions, unlike engine-internal
+  * `hash()`/`xxhash64` (whose seeds are implementation details).
+  *
+  * All expressions are Catalyst built-ins (higher-order functions), so they
+  * stay inside whole-stage codegen — no UDFs, no serialization boundary.
+  */
+object Portable {
+
+  /** 1e9+7, the classic poly-hash modulus: keeps `acc*37+c` < 2^63. */
+  val P1: Long = 1000000007L
+  /** Second modulus for the 60-bit combined hash. */
+  val P2: Long = 998244353L
+
+  /** Left-fold polynomial hash of the characters of `col`:
+    * `h = (h*base + codepoint) mod m`, seed 0.
+    */
+  def polyHash(col: String, base: Int = 31, mod: Long = P1): Column =
+    expr(s"aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * $base + x) % $mod)")
+
+  /** 60-bit portable hash: two independent poly-hashes packed as
+    * `h31 * 2^30 + (h37 mod 2^30)`.
+    */
+  def polyHash60(col: String): Column =
+    expr(s"(aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 31 + x) % $P1) * 1073741824L) + " +
+      s"(aggregate(transform(split($col, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 37 + x) % $P2) % 1073741824L)")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(col: String): Column = expr(s"split(trim($col), '\\\\s+')")
+
+  /** Word n-gram shingles (space-joined), distinct. */
+  def wordShingles(tokensCol: String, n: Int = 3): Column =
+    expr(
+      s"array_distinct(transform(sequence(1, greatest(size($tokensCol) - ${n - 1}, 0)), " +
+        s"i -> ${(0 until n).map(k => s"element_at($tokensCol, i + $k)").mkString(" || ' ' || ")}))")
+
+  /** Minimum poly-hash over all character k-grams — a winnowing-style
+    * content fingerprint robust to small edits at the ends.
+    */
+  def minGramFingerprint(col: String, k: Int = 5): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length($col) - ${k - 1}, 1)), " +
+      s"i -> aggregate(transform(split(substring($col, i, $k), ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 31 + x) % $P1)))")
+
+  /** The i-th universal-family hash of a base hash value:
+    * `((2i+1) * h + i*i + 7) mod P1` — used for MinHash signatures.
+    */
+  def affineHash(h: Column, i: Int): Column =
+    (h * lit(2L * i + 1) + lit(i.toLong * i + 7)) % lit(P1)
+
+  /** Deterministic dot product: cast elements to double FIRST, then
+    * left-fold — bit-identical in any IEEE engine that folds left
+    * (the DuckDB oracle uses `list_reduce` with the same order).
+    */
+  def dotProduct(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+
+  def l2Norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+}

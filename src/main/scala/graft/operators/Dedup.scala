@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication suite over the `documents` table: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of each choice):
+  *   - Exact dedup is one hash-aggregate — Spark's map-side partial
+  *     aggregation makes the shuffle carry only distinct texts.
+  *   - MinHash signatures are ONE aggregation over exploded shingles
+  *     (128 `min()` columns), not 128 passes.
+  *   - LSH banding turns the O(n²) candidate search into an equi-join on
+  *     band keys: at 100 TB this is a shuffle join on a high-cardinality
+  *     key, no cross product ever materializes.
+  *   - Candidates are verified with an exact-Jaccard equi-join on shingles
+  *     (again no cross product), so LSH false positives never survive and
+  *     band parameters only affect recall. b=64/r=2 ⇒ miss probability at
+  *     s=0.6 is (1-0.36)^64 ≈ 4e-13 — effectively exact.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact dedup: one survivor (min doc_id) per identical text. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** (doc_id, shingle) pairs — distinct word-3-gram shingles per document. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(Portable.wordShingles("toks", 3)).as("shingle"))
+
+  val NumHashes = 128
+  val Bands = 64 // r = NumHashes / Bands = 2 rows per band
+
+  /** MinHash signatures: portable affine hashes of the shingle poly-hash,
+    * min-aggregated per doc in a single pass.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docShingles(spark, dir)
+      .withColumn("h0", Portable.polyHash("shingle", 31, Portable.P1))
+    val aggs = (0 until NumHashes).map(i => min(Portable.affineHash(col("h0"), i)).as(s"mh_$i"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band (r=2 consecutive
+    * minhashes). Self-equi-join on the band key — no cross product.
+    */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"), col(s"mh_${2 * j}").as("k1"), col(s"mh_${2 * j + 1}").as("k2"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact-verified near-dup pairs: LSH candidates whose TRUE word-3-gram
+    * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
+    */
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cand = candidatePairs(spark, dir)
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "sh_b")
+        .withColumnRenamed("sh_b", "sh_a"), Seq("id_b", "sh_a"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+  }
+
+  /** 60-bit SimHash per document from shingle hashes: bit j of the signature
+    * is the sign of `Σ_shingles (2·bit_j(h) − 1)`.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docShingles(spark, dir)
+      .withColumn("h", Portable.polyHash60("shingle"))
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$j"))
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60)
+      .map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
+    * 4×15-bit band LSH (pigeonhole: ≤3 differing bits ⇒ ≥1 identical
+    * 15-bit band), verified with an exact popcount.
+    */
+  def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(spark, dir).cache()
+    val bands = (0 until 4).map(j =>
+      struct(lit(j).as("band"), shiftright(col("simhash"), j * 15).bitwiseAND(lit((1L << 15) - 1)).as("key")))
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`. Brute-force n²
+    * scoring with the SMALL side broadcast; for the 100 TB path use
+    * [[Similarity.lshTopK]]-style bucketing instead.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Portable.l2Norm("embedding").as("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Portable.dotProduct("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

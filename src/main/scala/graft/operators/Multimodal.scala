@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata. The decode step is STUBBED (no image/audio libs in this
+  * container) with a deterministic fake parser; the Spark-side contract —
+  * schema, partition-preserving mapPartitions, batched iteration, typed
+  * Encoders — is real and tested (MultimodalSpec).
+  *
+  * Scale: decode runs per-partition with an iterator (constant memory),
+  * never collects, and keeps the input partitioning — at 100 TB the binary
+  * payloads stream through executors exactly once.
+  */
+object Multimodal {
+
+  /** A media row: payload is the raw bytes, `media_type` a format tag. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Typed decode output. */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** Builds a binary `payload` column from the documents table (stand-in for
+    * real image/audio bytes) plus SQL-computable metadata. Fully
+    * oracle-checkable: md5 and lengths are engine-independent.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("bigint").as("byte_len"),
+        md5(col("payload")).as("payload_md5"),
+        substring(col("text"), 1, 1).as("head_char"))
+
+  /** The stubbed decoder: a real implementation would parse image headers /
+    * sample frames here (e.g. via a JNI/image library). The fake is
+    * deterministic so tests can pin outputs. Decodes per-partition, batch
+    * iterator in, batch iterator out — the exact shape a vectorized decode
+    * would use.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        // STUB decode: width/height derived from payload bytes
+        // deterministically; checksum = sum of bytes mod P.
+        val len = m.payload.length
+        var sum = 0L
+        var i = 0
+        while (i < len) { sum = (sum + (m.payload(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaMeta(
+          doc_id = m.doc_id,
+          media_type = m.media_type,
+          byte_len = len.toLong,
+          width = 16 + (sum % 624).toInt,   // fake: bounded "resolution"
+          height = 16 + (sum % 464).toInt,
+          checksum = sum)
+      }
+    }
+  }
+
+  /** End-to-end stub pipeline: documents → binary payload → typed decode. */
+  def decodePipeline(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        lit("text/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    decodeMeta(media)
+  }
+}

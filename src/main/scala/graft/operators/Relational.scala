@@ -31,7 +31,8 @@ object Relational {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumn("ts_nanos", col("ts"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div — double division would lose precision above 2^53 ns
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** S1: full table scan (dbeam's `SELECT * FROM table WHERE 1=1`). */

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. All formulas are integer-count based (ratios as a
+  * single double division) so the DuckDB oracles match bit-for-bit.
+  *
+  * Scale: every operator is a narrow projection — no shuffle, no UDFs, all
+  * whole-stage-codegen `functions._`/HOF expressions, columns pruned at the
+  * parquet scan.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace + BPE-ish token counting. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(Portable.tokens("text")).cast("bigint").as("n_tokens"),
+      // BPE-ish proxy: word pieces after splitting on non-alphanumerics,
+      // counting 4-char chunks (ceil(len/4) per piece).
+      expr("aggregate(filter(split(lower(text), '[^a-z0-9]+'), p -> p != ''), 0L, " +
+        "(acc, p) -> acc + CAST(ceil(length(p) / 4.0) AS BIGINT))").as("n_subword_est"),
+      length(col("text")).cast("bigint").as("n_chars_measured"))
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at")
+
+  /** Quality scoring: length stats, stopword ratio, punctuation ratio,
+    * alpha ratio, mean word length.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        expr(s"size(filter(toks, t -> lower(t) IN ($sw)))").cast("bigint").as("n_stopwords"),
+        expr("regexp_count(text, '[.,;:!?]')").cast("bigint").as("n_punct"),
+        expr("regexp_count(text, '[a-zA-Z]')").cast("bigint").as("n_alpha"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+  }
+
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\\\b(the|and|of|to|in|is)\\\\b",
+    "de" -> "\\\\b(der|die|und|das|ist|nicht)\\\\b",
+    "es" -> "\\\\b(el|la|los|que|es|una)\\\\b",
+    "fr" -> "\\\\b(le|la|les|est|une|dans)\\\\b")
+
+  /** Language-ID heuristic: stopword-marker counts per language, argmax with
+    * a fixed preference order (en > de > es > fr on ties).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withCounts = LangMarkers.foldLeft(docs(spark, dir)) { case (df, (lang, re)) =>
+      df.withColumn(s"n_$lang", expr(s"regexp_count(lower(text), '$re')").cast("bigint"))
+    }
+    withCounts.select(
+      col("doc_id"),
+      col("n_en"), col("n_de"), col("n_es"), col("n_fr"),
+      expr(
+        """CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+          |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+          |     WHEN n_es >= n_fr THEN 'es'
+          |     ELSE 'fr' END""".stripMargin).as("lang_pred"))
+  }
+
+  /** Document fingerprinting: two independent rolling poly-hashes of the full
+    * text plus a winnowing-style min-5-gram hash (stable under head/tail
+    * edits). Portable across engines — see [[Portable]].
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      Portable.polyHash("text", 31, Portable.P1).as("fp31"),
+      Portable.polyHash("text", 37, Portable.P2).as("fp37"),
+      Portable.minGramFingerprint("text", 5).as("fp_min5gram"))
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table, each with a
+  * batch-equivalent twin so correctness is oracle-checkable (the streaming
+  * and batch versions are asserted equal in StreamingSpec).
+  *
+  * Scale: the hourly aggregation is watermarked so state is bounded; the
+  * sessionizer keeps one small state object per active user key and emits
+  * on gap timeout — the canonical `flatMapGroupsWithState` shape.
+  */
+object EventStream {
+
+  val SessionGapMinutes = 30
+
+  /** Batch twin of the streaming hourly aggregation — this is the
+    * `events_hourly_agg` oracle query (Relational.eventsHourlyAgg).
+    */
+  def hourlyAggBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.eventsHourlyAgg(spark, dir)
+
+  /** Streaming hourly aggregation: watermark + tumbling window. */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
+  }
+
+  /** Batch sessionization: sessions split on gaps > 30 min per user.
+    * Expressible in pure window functions, so it has a DuckDB oracle
+    * (`events_sessionize`).
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, lit(1L))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapMinutes * 60L * 1000000L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+  }
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, seq: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Streaming sessionization with explicit state: one `SessionState` per
+    * user, sessions emitted when the 30-min gap elapses (or at state
+    * timeout). Demonstrates `flatMapGroupsWithState` with the same output
+    * contract as [[sessionizeBatch]].
+    */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = SessionGapMinutes * 60L * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000L).toInt) // keep full µs precision
+      t
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          // Rows within one trigger arrive unordered; sort this batch.
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (st.start < 0) {
+              st = SessionState(t, t, st.seq + 1, 1L)
+            } else if (t - st.last > gapMicros) {
+              out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
+              st = SessionState(t, t, st.seq + 1, 1L)
+            } else {
+              st = st.copy(last = t, n = st.n + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+}
