@@ -1,24 +1,71 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.schema.AvroSchemaGen
+import graft.sink.AvroSink
+
+/** Benchmark main — runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line.
+  *
+  * The first entry is the engine's core capability (parquet→Avro export of
+  * the full lineitem table) reported with the reference's own metric names
+  * inside the `export` sub-object, so BENCH_r{N}.json is comparable with
+  * BASELINE.md run over run.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Headline set: core export + the heaviest representative operators.
+    val headline = Vector(
+      "q1_agg", "q3_join_agg", "w1_window_topk", "s1_full_scan",
+      "events_sessionize", "events_hourly_agg",
+      "text_fingerprint", "text_quality",
+      "dedup_minhash", "dedup_simhash", "dedup_exact",
+      "ann_topk", "ann_lsh", "multimodal_meta")
+
+    def time[A](body: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // 1. Avro export of the full bench table (dbeam's actual job).
+    val exportDir = Files.createTempDirectory("graft-bench-export").toString
+    var exportMetrics: AvroSink.Metrics = null
+    results("export_avro") = time {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
+      exportMetrics = AvroSink.write(df, schema, exportDir, "deflate1")
+    }
+
+    // 2. Catalog queries, count() as the action.
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      results(name) = time(fn(spark, sfDir).count())
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = f"${results.values.sum}%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,15 +43,20 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(Portable.wordShingles("toks", 3)).as("shingle"))
 
-  val NumHashes = 128
-  val Bands = 64 // r = NumHashes / Bands = 2 rows per band
+  // 32 bands × 2 rows: P(miss | jaccard=0.6) = (1-0.36)^32 ≈ 6e-7, and
+  // false positives are removed by exact verification — so halving the
+  // signature width vs the classic 128 costs nothing in output.
+  val NumHashes = 64
+  val Bands = 32 // r = NumHashes / Bands = 2 rows per band
 
   /** MinHash signatures: portable affine hashes of the shingle poly-hash,
     * min-aggregated per doc in a single pass.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = docShingles(spark, dir)
-      .withColumn("h0", Portable.polyHash("shingle", 31, Portable.P1))
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(docShingles(spark, dir))
+
+  private def signaturesFrom(shingles: DataFrame): DataFrame = {
+    val hashed = shingles.withColumn("h0", Portable.polyHash("shingle", 31, Portable.P1))
     val aggs = (0 until NumHashes).map(i => min(Portable.affineHash(col("h0"), i)).as(s"mh_$i"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -59,8 +64,10 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one band (r=2 consecutive
     * minhashes). Self-equi-join on the band key — no cross product.
     */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candidatesFrom(minhashSignatures(spark, dir))
+
+  private def candidatesFrom(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"), col(s"mh_${2 * j}").as("k1"), col(s"mh_${2 * j + 1}").as("k2"))
     }
@@ -80,9 +87,10 @@ object Dedup {
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    // One shingle pass feeds signatures, sizes, and verification.
     val sh = docShingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cand = candidatePairs(spark, dir)
+    val cand = candidatesFrom(signaturesFrom(sh))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "sh_b")

@@ -51,20 +51,33 @@ object Similarity {
     * setting is MORE bits (≈ log2(n_vectors) for O(1) bucket sizes) and
     * fewer tables — expose both as parameters when productionizing.
     */
-  val NumTables = 64
+  val NumTables = 32
   val BitsPerTable = 4
 
-  /** Bucket key of one LSH table: sign bits of `BitsPerTable` pseudo-random
-    * ±1 projections packed into a long. Plane components come from
-    * `xxhash64(dim, table, bit)` — seed-fixed, so runs are reproducible,
-    * and bits are independent across tables (a weak arithmetic mixer here
-    * caps recall: correlated planes make tables redundant).
+  /** Deterministic ±1 plane component for (table t, bit j, dim i): a
+    * splitmix64-style integer mix, evaluated once on the DRIVER — planes
+    * reach executors as literal arrays, so the per-row work is a plain
+    * codegen'd dot product (an earlier per-element-hash version re-hashed
+    * inside the fold and was 10× slower; a naive parity mixer correlates
+    * tables and caps recall).
     */
-  private def bucketKey(t: Int): Column =
+  private def planeSign(t: Int, j: Int, i: Int): Double = {
+    var z = i.toLong * 0x9E3779B97F4A7C15L + t.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Bucket key of one LSH table: sign bits of `BitsPerTable` projections
+    * onto literal ±1 planes, packed into a long.
+    */
+  private def bucketKey(t: Int, dims: Int): Column =
     (0 until BitsPerTable).map { j =>
+      val plane = (0 until dims).map(planeSign(t, j, _))
+      val planeSql = plane.mkString("array(", "D, ", "D)")
       val proj = expr(
-        s"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) -> " +
-          s"CAST(x AS DOUBLE) * (CASE WHEN (xxhash64(i, $t, $j) & 1) = 0 THEN 1.0 ELSE -1.0 END)), 0.0D, (acc, v) -> acc + v)")
+        s"aggregate(zip_with(embedding, $planeSql, (x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, v) -> acc + v)")
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
@@ -75,18 +88,26 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
-    val tables = (0 until NumTables).map(t => struct(lit(t).as("t"), bucketKey(t).as("key")))
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val tables = (0 until NumTables).map(t => struct(lit(t).as("t"), bucketKey(t, dims).as("key")))
+    // Buckets carry ONLY (vec_id, t, key): candidate generation and dedup
+    // never shuffle the embedding payloads.
     val bucketed = e
       .withColumn("b", explode(array(tables: _*)))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("b.t"), col("b.key"))
-    val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("t"), col("key"))
-    val candidates = bucketed.join(broadcast(q), Seq("t", "key"))
+      .select(col("vec_id"), col("b.t"), col("b.key"))
+    val qb = bucketed.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "q_id")
+    val pairs = bucketed.join(broadcast(qb), Seq("t", "key"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+      .select("q_id", "vec_id")
       .distinct()
+    // Score only the deduped candidate ids: join payloads back, queries
+    // broadcast.
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    candidates
+    pairs
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
