@@ -51,6 +51,10 @@ object Bench {
     val exportDir = Files.createTempDirectory("graft-bench-export").toString
     var exportMetrics: AvroSink.Metrics = null
     results("export_avro") = time {
+      // Measured: on this single-node disk, repartitioning the unsplittable
+      // 1-row-group input costs more (shuffle + writer contention) than the
+      // serial deflate encode — so export straight through. On a real
+      // multi-file 100 TB input the scan itself provides the parallelism.
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
       exportMetrics = AvroSink.write(df, schema, exportDir, "deflate1")

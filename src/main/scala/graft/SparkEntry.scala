@@ -42,7 +42,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
-    "multimodal_meta" -> (Multimodal.binaryMeta _)
+    "multimodal_meta" -> (Multimodal.binaryMeta _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "events_asof_purchase" -> (Relational.asofLastPurchase _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +221,16 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
         | substr(text, 1, 1) AS head_char
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "events_asof_purchase" ->
+      """SELECT event_id, user_id, ts,
+        | max(CASE WHEN event_type = 'purchase' THEN ts END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+        |FROM events""".stripMargin
   )
 }

@@ -75,9 +75,16 @@ object ExportCli {
         connectionUrl = s"parquet:$input",
         useLogicalTypes = sinkArgs.useAvroLogicalTypes)
 
+      // --queryParallelism=n: ensure at least n write partitions (dbeam X1
+      // analogue for unsplittable file layouts).
+      val df0 = source.read(spark)
+      val df = opts.get("queryParallelism")
+        .map(n => graft.sink.AvroSink.ensureWriteParallelism(df0, n.toInt))
+        .getOrElse(df0)
+
       val result = ExportJob.run(
         spark,
-        source.read(spark),
+        df,
         output,
         sinkArgs = sinkArgs,
         schemaCfg = schemaCfg,

@@ -162,6 +162,35 @@ object Relational {
         col("ts") < lit("2024-01-01T07:00:00").cast("timestamp"))
       .select("event_id", "user_id", "event_type", "ts")
 
+  /** ROLLUP aggregation (grouping-sets family — beyond the reference's
+    * operator set). Money in integer cents for cross-engine determinism.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("total_cents"))
+
+  /** As-of join expressed Spark-first: for every event, the most recent
+    * STRICTLY EARLIER 'purchase' event of the same user. Spark has no ASOF
+    * JOIN operator; instead of a range join (O(n·m) + inequality join), the
+    * self-as-of case composes as one window pass over the per-user
+    * timeline: `max(purchase_ts) OVER (user, ts rows to -1)` — a single
+    * shuffle on user_id, linear work, exactly the plan a custom ASOF
+    * SparkPlan would produce for self-joins at 100 TB.
+    */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("purchase_ts", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("last_purchase_ts", max("purchase_ts").over(w))
+      .select("event_id", "user_id", "ts", "last_purchase_ts")
+  }
+
   /** Hourly windowed aggregation over events — the batch-equivalent of the
     * Structured Streaming query in [[graft.streaming.EventStream]].
     */

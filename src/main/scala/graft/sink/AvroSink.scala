@@ -74,6 +74,17 @@ object AvroSink {
       s"Avro codec should be snappy or deflate1 to deflate9 or zstandard1 to zstandard9. Found $other")
   }
 
+  /** dbeam's `--queryParallelism` analogue for file sources whose physical
+    * layout can't be split (e.g. a single parquet row group): round-robin
+    * repartition up to `target` ONLY when the scan yields fewer partitions.
+    * On a well-laid-out 100 TB input (many files/row groups) this is a
+    * no-op — no shuffle is introduced when the source already parallelizes.
+    */
+  def ensureWriteParallelism(df: DataFrame, target: Int): DataFrame = {
+    val current = df.queryExecution.toRdd.getNumPartitions // plan-only probe
+    if (current >= target) df else df.repartition(target)
+  }
+
   /** Writes `df` as Avro container files under `outputDir` and returns
     * aggregate metrics. `schemaElapsedTimeMs` is supplied by the caller (time
     * spent inferring/loading the schema).
