@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hash/vector hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`, `transform`, `zip_with`)
+  * are `CodegenFallback` — they interpret their lambda per row. These
+  * expressions generate straight-line Java instead (whole-stage codegen),
+  * while computing EXACTLY the same values as the HOF formulations in
+  * [[Portable]] (same fold order, same integer arithmetic), so the DuckDB
+  * oracles remain bit-for-bit valid.
+  */
+
+/** `(fold over codepoints: acc = (acc * base + cp) % mod)`, seed 0 —
+  * identical to `aggregate(transform(split(s,''), ascii), 0L, ...)`.
+  */
+case class PolyHash(child: Expression, base: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * base + cp) % mod
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |String $str = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  $i += Character.charCount($cp);
+         |  $acc = ($acc * ${base}L + $cp) % ${mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Left-to-right dot product of two float/double arrays accumulated in
+  * double — identical to `aggregate(zip_with(a, b, (x,y) -> CAST(x AS
+  * DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc,v) -> acc + v)` for equal-length
+  * arrays without null items.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<float|double> arguments, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val leftIsFloat = elemType(left) == FloatType
+    val rightIsFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration. [[GraftExtensions]] is the production path
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`);
+  * [[GraftFunctions.register]] is the imperative equivalent for sessions
+  * already running.
+  */
+object GraftFunctions {
+
+  /** `graft_poly_hash(str, base, mod)` and `graft_dot(arr, arr)`. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_poly_hash", exprs => {
+      require(exprs.length == 3, "graft_poly_hash(str, base, mod)")
+      val base = exprs(1).eval().asInstanceOf[Number].intValue()
+      val mod = exprs(2).eval().asInstanceOf[Number].longValue()
+      PolyHash(exprs.head, base, mod)
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_dot", exprs => {
+      require(exprs.length == 2, "graft_dot(a, b)")
+      ArrayDotProduct(exprs(0), exprs(1))
+    }, "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` entry point registering the engine's native
+  * functions at session build time.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+  }
+}

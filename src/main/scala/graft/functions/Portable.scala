@@ -51,6 +51,20 @@ object Portable {
     expr(s"array_min(transform(sequence(1, greatest(length($col) - ${k - 1}, 1)), " +
       s"i -> aggregate(transform(split(substring($col, i, $k), ''), c -> CAST(ascii(c) AS BIGINT)), 0L, (acc, x) -> (acc * 31 + x) % $P1)))")
 
+  // --- Native (codegen) variants — same values as the HOF forms above,
+  // computed by the custom Catalyst expressions in Expressions.scala.
+  // Call GraftFunctions.register(spark) (or use GraftExtensions) first.
+
+  def polyHashNative(col: String, base: Int = 31, mod: Long = P1): Column =
+    expr(s"graft_poly_hash($col, $base, ${mod}L)")
+
+  def polyHash60Native(col: String): Column =
+    expr(s"(graft_poly_hash($col, 31, ${P1}L) * 1073741824L) + (graft_poly_hash($col, 37, ${P2}L) % 1073741824L)")
+
+  def dotProductNative(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+
+  def l2NormNative(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
+
   /** The i-th universal-family hash of a base hash value:
     * `((2i+1) * h + i*i + 7) mod P1` — used for MinHash signatures.
     */

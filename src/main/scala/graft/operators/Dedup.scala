@@ -56,7 +56,8 @@ object Dedup {
     signaturesFrom(docShingles(spark, dir))
 
   private def signaturesFrom(shingles: DataFrame): DataFrame = {
-    val hashed = shingles.withColumn("h0", Portable.polyHash("shingle", 31, Portable.P1))
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
+    val hashed = shingles.withColumn("h0", Portable.polyHashNative("shingle", 31, Portable.P1))
     val aggs = (0 until NumHashes).map(i => min(Portable.affineHash(col("h0"), i)).as(s"mh_$i"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -110,8 +111,9 @@ object Dedup {
     * is the sign of `Σ_shingles (2·bit_j(h) − 1)`.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val hashed = docShingles(spark, dir)
-      .withColumn("h", Portable.polyHash60("shingle"))
+      .withColumn("h", Portable.polyHash60Native("shingle"))
     val bitSums = (0 until 60).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$j"))
     val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -148,12 +150,13 @@ object Dedup {
     * [[Similarity.lshTopK]]-style bucketing instead.
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), Portable.l2Norm("embedding").as("norm"))
+      .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Portable.dotProduct("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .withColumn("cosine", Portable.dotProductNative("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

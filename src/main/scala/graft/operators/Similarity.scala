@@ -23,11 +23,13 @@ object Similarity {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"), Portable.l2Norm("embedding").as("norm"))
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
+  }
 
   private def cosine: Column =
-    Portable.dotProduct("q_emb", "embedding") / (col("q_norm") * col("norm"))
+    Portable.dotProductNative("q_emb", "embedding") / (col("q_norm") * col("norm"))
 
   /** Exact top-k neighbors (cosine) for each query vector (vec_id < nQueries),
     * excluding self. Output (q_id, neighbor_id, rank).
@@ -76,8 +78,7 @@ object Similarity {
     (0 until BitsPerTable).map { j =>
       val plane = (0 until dims).map(planeSign(t, j, _))
       val planeSql = plane.mkString("array(", "D, ", "D)")
-      val proj = expr(
-        s"aggregate(zip_with(embedding, $planeSql, (x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, v) -> acc + v)")
+      val proj = expr(s"graft_dot(embedding, $planeSql)")
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 

@@ -79,10 +79,14 @@ object TextAnalysis {
     * text plus a winnowing-style min-5-gram hash (stable under head/tail
     * edits). Portable across engines — see [[Portable]].
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docs(spark, dir).select(
       col("doc_id"),
-      Portable.polyHash("text", 31, Portable.P1).as("fp31"),
-      Portable.polyHash("text", 37, Portable.P2).as("fp37"),
-      Portable.minGramFingerprint("text", 5).as("fp_min5gram"))
+      Portable.polyHashNative("text", 31, Portable.P1).as("fp31"),
+      Portable.polyHashNative("text", 37, Portable.P2).as("fp37"),
+      // min over 5-gram poly-hashes; the native hash runs inside the HOF
+      expr(s"array_min(transform(sequence(1, greatest(length(text) - 4, 1)), " +
+        s"i -> graft_poly_hash(substring(text, i, 5), 31, ${Portable.P1}L)))").as("fp_min5gram"))
+  }
 }
