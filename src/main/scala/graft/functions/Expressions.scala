@@ -126,6 +126,126 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numHashes` MinHash components in ONE pass over a pre-hashed shingle
+  * array: `sig[i] = min over h of ((2i+1)*h + i*i + 7) mod P1` — identical
+  * values to per-row `min(affineHash(h0, i))` aggregation, without the
+  * 60×-amplified explode+shuffle.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < hs.numElements()) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = (h * (2L * i + 1) + i.toLong * i + 7) % Portable.P1
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ($h * (2L * $i + 1) + (long) $i * $i + 7) % ${Portable.P1}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash from a pre-hashed shingle array in one pass — identical to
+  * the per-bit sum/sign aggregation in the HOF/SQL formulation.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val sums = new Array[Long](60)
+    var j = 0
+    while (j < hs.numElements()) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 60) {
+        sums(b) += (((h >> b) & 1L) * 2L - 1L)
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sums = ctx.freshName("sums")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $sums = new long[60];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $sums[$b] += ((($h >> $b) & 1L) * 2L - 1L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($sums[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 /** Session registration. [[GraftExtensions]] is the production path
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`);
   * [[GraftFunctions.register]] is the imperative equivalent for sessions
@@ -145,6 +265,14 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_dot", exprs => {
       require(exprs.length == 2, "graft_dot(a, b)")
       ArrayDotProduct(exprs(0), exprs(1))
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_minhash", exprs => {
+      require(exprs.length == 2, "graft_minhash(hashes, numHashes)")
+      MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_simhash", exprs => {
+      require(exprs.length == 1, "graft_simhash(hashes)")
+      SimHash60(exprs.head)
     }, "scala_udf")
   }
 }

@@ -36,12 +36,21 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** (doc_id, shingle) pairs — distinct word-3-gram shingles per document. */
-  def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingles: array<string>) — distinct word-3-gram shingles per
+    * document, kept as an array so signature computation never explodes or
+    * shuffles.
+    */
+  def docShingleArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", Portable.tokens("text"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(Portable.wordShingles("toks", 3)).as("shingle"))
+      .select(col("doc_id"), Portable.wordShingles("toks", 3).as("shingles"))
+
+  /** (doc_id, shingle) pairs — the exploded form, used only by the exact
+    * Jaccard verification join.
+    */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docShingleArrays(spark, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   // 32 bands × 2 rows: P(miss | jaccard=0.6) = (1-0.36)^32 ≈ 6e-7, and
   // false positives are removed by exact verification — so halving the
@@ -52,14 +61,19 @@ object Dedup {
   /** MinHash signatures: portable affine hashes of the shingle poly-hash,
     * min-aggregated per doc in a single pass.
     */
+  /** MinHash signatures as ONE codegen pass per document over the shingle
+    * array (`graft_minhash`): no explode, no shuffle — at 100 TB the
+    * signature stage is a pure map. Returns (doc_id, sig: array<long>).
+    */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    signaturesFrom(docShingles(spark, dir))
+    signaturesFrom(docShingleArrays(spark, dir))
 
-  private def signaturesFrom(shingles: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(shingles.sparkSession)
-    val hashed = shingles.withColumn("h0", Portable.polyHashNative("shingle", 31, Portable.P1))
-    val aggs = (0 until NumHashes).map(i => min(Portable.affineHash(col("h0"), i)).as(s"mh_$i"))
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  private def signaturesFrom(shingleArrays: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(shingleArrays.sparkSession)
+    shingleArrays.select(
+      col("doc_id"),
+      expr(s"graft_minhash(transform(shingles, s -> graft_poly_hash(s, 31, ${Portable.P1}L)), $NumHashes)")
+        .as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing at least one band (r=2 consecutive
@@ -70,7 +84,9 @@ object Dedup {
 
   private def candidatesFrom(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"), col(s"mh_${2 * j}").as("k1"), col(s"mh_${2 * j + 1}").as("k2"))
+      struct(lit(j).as("band"),
+        element_at(col("sig"), 2 * j + 1).as("k1"),
+        element_at(col("sig"), 2 * j + 2).as("k2"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
@@ -89,9 +105,10 @@ object Dedup {
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     // One shingle pass feeds signatures, sizes, and verification.
-    val sh = docShingles(spark, dir).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cand = candidatesFrom(signaturesFrom(sh))
+    val arrays = docShingleArrays(spark, dir).cache()
+    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = arrays.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val cand = candidatesFrom(signaturesFrom(arrays))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "sh_b")
@@ -112,15 +129,12 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val hashed = docShingles(spark, dir)
-      .withColumn("h", Portable.polyHash60Native("shingle"))
-    val bitSums = (0 until 60).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$j"))
-    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 60)
-      .map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce[Column](_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+    // One codegen pass per doc over the shingle array — map-only.
+    docShingleArrays(spark, dir).select(
+      col("doc_id"),
+      expr(s"graft_simhash(transform(shingles, s -> " +
+        s"(graft_poly_hash(s, 31, ${Portable.P1}L) * 1073741824L) + (graft_poly_hash(s, 37, ${Portable.P2}L) % 1073741824L)))")
+        .as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
