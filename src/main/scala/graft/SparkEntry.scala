@@ -44,7 +44,9 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "multimodal_meta" -> (Multimodal.binaryMeta _),
     "q_rollup" -> (Relational.rollupAgg _),
-    "events_asof_purchase" -> (Relational.asofLastPurchase _)
+    "q_cube" -> (Relational.cubeAgg _),
+    "events_asof_purchase" -> (Relational.asofLastPurchase _),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,6 +228,10 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "events_asof_purchase" ->
       """SELECT event_id, user_id, ts,
         | max(CASE WHEN event_type = 'purchase' THEN ts END)

@@ -91,14 +91,26 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // Skew guard: a band key shared by a huge number of docs (boilerplate
+    // text at 100 TB) would generate a quadratic candidate set while
+    // carrying almost no signal — drop overcrowded buckets. True near-dups
+    // have 32 independent chances to meet in a sane bucket, so the recall
+    // cost is negligible (never triggered at test scale).
+    val crowded = banded.groupBy("band", "k1", "k2")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > MaxBucketSize)
+    val pruned = banded.join(broadcast(crowded), Seq("band", "k1", "k2"), "left_anti")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** Max docs per LSH bucket before the bucket is considered noise. */
+  val MaxBucketSize = 2000
 
   /** Exact-verified near-dup pairs: LSH candidates whose TRUE word-3-gram
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.

@@ -172,6 +172,14 @@ object Relational {
         count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("bigint")).as("total_cents"))
 
+  /** CUBE aggregation — all 4 grouping sets over (status, priority). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("total_cents"))
+
   /** As-of join expressed Spark-first: for every event, the most recent
     * STRICTLY EARLIER 'purchase' event of the same user. Spark has no ASOF
     * JOIN operator; instead of a range join (O(n·m) + inequality join), the

@@ -82,6 +82,54 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
+  val NumCentroids = 16
+  val NumProbes = 6
+
+  /** IVF-flat ANN: the corpus is partitioned into `NumCentroids` Voronoi
+    * cells (deterministic seed centroids — every (n/k)-th vector), queries
+    * probe the `NumProbes` nearest cells, and only those cells' vectors are
+    * exactly re-ranked. The coarse quantizer is evaluated as literal-array
+    * dot products (codegen, no shuffle); the only shuffle is the
+    * cell-id equi-join. At 100 TB: cells ≈ √n and probes tune the
+    * recall/cost frontier; centroids would come from a sampled k-means
+    * refinement instead of raw seeds.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val n = e.count()
+    val stride = math.max(1L, n / NumCentroids)
+    val centroids = e.filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(NumCentroids)
+      .select("vec_id", "embedding", "norm").collect()
+      .zipWithIndex.map { case (r, cid) =>
+        val v = r.getSeq[Float](1)
+        val norm = r.getDouble(2)
+        (cid, v.map(x => x.toDouble / norm))
+      }
+
+    // cell affinity = cosine vs each centroid, as literal-array dots
+    def cellScores = centroids.map { case (cid, cv) =>
+      val lit = cv.mkString("array(", "D, ", "D)")
+      struct((expr(s"graft_dot(embedding, $lit)") / col("norm")).as("score"), expr(s"$cid").as("c"))
+    }
+
+    val assigned = e.withColumn("cell", array_max(array(cellScores: _*)).getField("c"))
+    // top-NumProbes cells per query, by affinity (struct sort: score, then c)
+    val probeCells = slice(reverse(array_sort(array(cellScores: _*))), 1, NumProbes)
+    val q = e.filter(col("vec_id") < nQueries)
+      .withColumn("pc", explode(probeCells.getField("c")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("pc").as("cell"))
+
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** ANN top-k via LSH bucketing + exact re-rank of candidates. Recall is
     * data-dependent (verified ≥0.9 vs [[bruteForceTopK]] in AnnSpec); falls
     * short only for queries whose true neighbors share no bucket in any

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.schema.AvroSchemaGen
+import graft.sink.AvroSink
+import graft.sources.AvroSource
+
+/** Round trip: export parquet → Avro with the sink, read back with the
+  * source, values identical (modulo the documented wire conversions:
+  * timestamps → epoch millis).
+  */
+class AvroSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("avro round trip preserves lineitem content") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("avro-roundtrip").toString
+    val li = spark.read.parquet(s"${SparkSpec.testDataDir}/lineitem.parquet")
+    val schema = AvroSchemaGen.generate(li.schema, AvroSchemaGen.Config(tableName = "lineitem"))
+    AvroSink.write(li, schema, dir, "deflate1")
+
+    val back = AvroSource.read(spark, dir)
+    assert(back.count() == li.count())
+    // timestamps come back as epoch-millis longs (dbeam wire format)
+    val expected = li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("l_shipdate"))
+    val got = back.select("l_orderkey", "l_linenumber", "l_shipdate")
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+    // parallelism preserved: one read partition per container file
+    assert(back.rdd.getNumPartitions == li.rdd.getNumPartitions)
+  }
+
+  test("round trip preserves nulls and arrays") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("avro-rt2").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("arr", ArrayType(IntegerType, containsNull = false))))
+    val df = spark.createDataFrame(
+      Seq(Row(1L, null, Seq(1, 2)), Row(2L, "x", Seq.empty[Int])).asJava, schema).coalesce(1)
+    AvroSink.write(df, AvroSchemaGen.generate(schema, AvroSchemaGen.Config()), dir, "deflate1")
+    val back = AvroSource.read(spark, dir).collect().sortBy(_.getLong(0))
+    assert(back(0).isNullAt(1))
+    assert(back(0).getSeq[Int](2) == Seq(1, 2))
+    assert(back(1).getString(1) == "x")
+    assert(back(1).getSeq[Int](2).isEmpty)
+  }
+}
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("IVF recall vs brute force is reasonable for probe fraction") {
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall (probing ${Similarity.NumProbes}/${Similarity.NumCentroids} cells)")
+    // near-random vectors spread neighbors across cells; probing 6/16 cells
+    // must recover at least the probed fraction's worth
+    assert(recall >= 0.5, s"recall $recall unreasonably low")
+    // and every returned neighbor must rank correctly (1..10 per query)
+    val ranks = Similarity.ivfTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getInt(2)).sorted.toSeq)
+    assert(ranks.forall(r => r == (1 to r.size)))
+  }
+}

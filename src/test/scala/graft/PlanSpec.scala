@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan-shape guards — the properties that make these queries
+  * survive a 100×–1000× scale-up. A regression here (lost pushdown, a join
+  * degrading to sort-merge-with-full-shuffle, an extra exchange) fails CI
+  * even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("partition filters are pushed to the parquet scan (F1)") {
+    val plan = formatted("f1_partition_monthly")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_shipdate"), plan)
+  }
+
+  test("q3 join: dimension tables broadcast, fact side never shuffles before agg") {
+    val plan = executedPlan("q3_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one shuffle: the partial->final aggregation exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("q3 top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q3_join_agg")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("column pruning: type projection reads only required columns") {
+    val plan = formatted("p4_type_projection")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), s"pruning lost: $readSchema")
+    assert(!readSchema.contains("l_partkey"), s"pruning lost: $readSchema")
+  }
+
+  test("q1 agg has map-side partial aggregation") {
+    val plan = executedPlan("q1_agg")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("minhash signature stage is map-only (no shuffle before banding join)") {
+    val sigs = graft.operators.Dedup.minhashSignatures(spark, dir)
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage must not shuffle:\n$plan")
+  }
+
+  test("text operators are single-scan, shuffle-free projections") {
+    for (q <- Seq("text_token_count", "text_quality", "text_langid", "text_fingerprint", "multimodal_meta")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q should be map-only:\n$plan")
+    }
+  }
+
+  test("custom expressions appear in plans (codegen path, not HOF fallback)") {
+    val plan = executedPlan("text_fingerprint")
+    assert(plan.contains("polyhash") || plan.contains("PolyHash"), plan)
+  }
+}
