@@ -60,6 +60,15 @@ object Bench {
       exportMetrics = AvroSink.write(df, schema, exportDir, "deflate1")
     }
 
+    // 1b. Same export with zstandard1 — the reference's e2e codec matrix
+    // is {deflate1, zstandard1} (`e2e/e2e.sh:104-108`).
+    val exportDirZ = Files.createTempDirectory("graft-bench-export-zstd").toString
+    results("export_avro_zstd") = time {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
+      AvroSink.write(df, schema, exportDirZ, "zstandard1")
+    }
+
     // 2. Catalog queries, count() as the action.
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -37,19 +37,6 @@ object ExportCli {
       val table = opts.getOrElse("table",
         input.split("/").last.stripSuffix(".parquet"))
 
-      val qArgs = QueryArgs(
-        base = QueryBuilder.fromTable(table),
-        limit = opts.get("limit").map(_.toLong),
-        partitionColumn = opts.get("partitionColumn"),
-        partition = opts.get("partition").map(ArgParsers.parseInstant),
-        partitionPeriod = opts.get("partitionPeriod").map(ArgParsers.parsePeriodOrDuration)
-          .getOrElse(java.time.Period.ofDays(1)))
-
-      ArgParsers.validatePartitionFreshness(
-        qArgs.partition, qArgs.partitionColumn, qArgs.partitionPeriod,
-        skipCheck = opts.contains("skipPartitionCheck"),
-        minPartitionPeriod = opts.get("minPartitionPeriod").map(ArgParsers.parseInstant))
-
       val sinkArgs = AvroSinkArgs(
         codec = opts.getOrElse("avroCodec", "deflate6"),
         avroSchemaName = opts.get("avroSchemaName"),
@@ -66,6 +53,26 @@ object ExportCli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 
+      // --sqlFile: dbeam's user-query path (exactly one of --table /
+      // --sqlFile drives the base query, reference
+      // `JdbcExportArgsFactory.java:154-156`).
+      val userSql = opts.get("sqlFile")
+        .map(p => ExportJob.readSqlFile(spark.sparkContext.hadoopConfiguration, p))
+      val base = userSql.map(QueryBuilder.fromSqlQuery).getOrElse(QueryBuilder.fromTable(table))
+
+      val qArgs = QueryArgs(
+        base = base,
+        limit = opts.get("limit").map(_.toLong),
+        partitionColumn = opts.get("partitionColumn"),
+        partition = opts.get("partition").map(ArgParsers.parseInstant),
+        partitionPeriod = opts.get("partitionPeriod").map(ArgParsers.parsePeriodOrDuration)
+          .getOrElse(java.time.Period.ofDays(1)))
+
+      ArgParsers.validatePartitionFreshness(
+        qArgs.partition, qArgs.partitionColumn, qArgs.partitionPeriod,
+        skipCheck = opts.contains("skipPartitionCheck"),
+        minPartitionPeriod = opts.get("minPartitionPeriod").map(ArgParsers.parseInstant))
+
       val source = ParquetSource(input, table, qArgs)
       val schemaCfg = AvroSchemaGen.Config(
         tableName = table,
@@ -75,9 +82,24 @@ object ExportCli {
         connectionUrl = s"parquet:$input",
         useLogicalTypes = sinkArgs.useAvroLogicalTypes)
 
+      val df0 = userSql match {
+        case Some(sql) =>
+          // run the wrapped user query over the input registered as a view,
+          // then apply partition filter / limit like the table path
+          spark.read.parquet(input).createOrReplaceTempView(table)
+          val wrapped = spark.sql(QueryBuilder.fromSqlQuery(sql).build)
+          val filtered = (qArgs.partitionColumn, qArgs.partition) match {
+            case (Some(c), Some(p)) =>
+              val (start, end) = graft.args.QueryArgs.partitionWindow(p, qArgs.partitionPeriod)
+              import org.apache.spark.sql.functions.{col, lit}
+              wrapped.filter(col(c) >= lit(start).cast("timestamp") && col(c) < lit(end).cast("timestamp"))
+            case _ => wrapped
+          }
+          qArgs.limit.map(n => filtered.limit(n.toInt)).getOrElse(filtered)
+        case None => source.read(spark)
+      }
       // --queryParallelism=n: ensure at least n write partitions (dbeam X1
       // analogue for unsplittable file layouts).
-      val df0 = source.read(spark)
       val df = opts.get("queryParallelism")
         .map(n => graft.sink.AvroSink.ensureWriteParallelism(df0, n.toInt))
         .getOrElse(df0)
@@ -88,7 +110,7 @@ object ExportCli {
         output,
         sinkArgs = sinkArgs,
         schemaCfg = schemaCfg,
-        queries = source.queries(spark),
+        queries = qArgs.buildQueries(_ => (0L, 0L)),
         minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
         dataOnly = opts.contains("dataOnly"),
         exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")))
