@@ -80,7 +80,8 @@ object ExportCli {
         namespace = sinkArgs.avroSchemaNamespace,
         doc = sinkArgs.avroDoc,
         connectionUrl = s"parquet:$input",
-        useLogicalTypes = sinkArgs.useAvroLogicalTypes)
+        useLogicalTypes = sinkArgs.useAvroLogicalTypes,
+        nullableArrayItems = opts.contains("nullableArrayItems"))
 
       val df0 = userSql match {
         case Some(sql) =>

@@ -88,7 +88,8 @@ object ExportJob {
     spark.sparkContext.setJobGroup(groupId, s"avro export to $outputDir", interruptOnCancel = true)
     val watchdog = startTimeoutWatchdog(spark, groupId, exportTimeout)
     val metrics =
-      try AvroSink.write(df, avroSchema, outputDir, sinkArgs.codec, schemaElapsed)
+      try AvroSink.write(df, avroSchema, outputDir, sinkArgs.codec, schemaElapsed,
+        nullableArrayItems = schemaCfg.nullableArrayItems)
       finally {
         watchdog.interrupt()
         spark.sparkContext.clearJobGroup()

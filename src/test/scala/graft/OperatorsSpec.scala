@@ -100,6 +100,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("watermark drops late events in append mode (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: events in hour 1 and hour 2 -> watermark advances to 01:30
+    mem.addData((ts(1, 0), "a", 1.0), (ts(1, 30), "a", 1.0), (ts(2, 30), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for hour 0 (before watermark 01:30) must be
+    // dropped; an on-time event for hour 2 is kept
+    mem.addData((ts(0, 15), "a", 1.0), (ts(2, 45), "a", 1.0), (ts(4, 0), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: push watermark far ahead so all open windows close
+    mem.addData((ts(10, 0), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    assert(rows.get("2024-01-01 01:00:00.0").contains(2L)) // hour-1 window closed with both events
+    assert(rows.get("2024-01-01 02:00:00.0").contains(2L)) // late-but-in-window 02:45 kept
+    assert(!rows.contains("2024-01-01 00:00:00.0"), s"late event should be dropped: $rows") // hour-0 dropped
+  }
+
   test("streaming sessionization equals batch (closed sessions)") {
     import spark.implicits._
     val events = graft.operators.Relational.events(spark, dir)
