@@ -38,6 +38,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -171,6 +172,27 @@ object SparkEntry {
         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "dedup_simhash" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

@@ -136,6 +136,35 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "jaccard")
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified near-dup
+    * pair graph, labeled by the component's min doc_id. Iterative min-label
+    * propagation — each round is one equi-join + min-aggregate, converging
+    * in O(component diameter) rounds (near-dup clusters are shallow).
+    * At 100 TB this is the standard BSP connected-components shape; a
+    * large-star/small-star variant would cut rounds on deep graphs.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(spark, dir, threshold).select("id_a", "id_b").cache()
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature
     * is the sign of `Σ_shingles (2·bit_j(h) − 1)`.
     */
