@@ -36,6 +36,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_pii" -> (TextAnalysis.piiFilter _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -156,6 +157,15 @@ object SparkEntry {
         | list_min(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
         |   i -> list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 5), ''), c -> CAST(ascii(c) AS BIGINT)),
         |     (acc, x) -> (acc * 31 + x) % 1000000007))) AS fp_min5gram
+        |FROM documents""".stripMargin,
+    "text_pii" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]+\b')) AS BIGINT) AS n_number_tokens,
+        | CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+\b')) AS BIGINT) AS n_capitalized,
+        | regexp_replace(text, 'spark', '[TERM]', 'g') AS redacted,
+        | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) = 0 AS pii_clean
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",

@@ -75,6 +75,21 @@ object TextAnalysis {
           |     ELSE 'fr' END""".stripMargin).as("lang_pred"))
   }
 
+  /** PII / content filtering: pattern counts (emails, URLs, numeric and
+    * capitalized tokens) plus denylist redaction — the
+    * scrub-before-training step of a data pipeline. Pure regex projections,
+    * map-only.
+    */
+  def piiFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr("regexp_count(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}')").cast("bigint").as("n_emails"),
+      expr("regexp_count(text, 'https?://[^\\\\s]+')").cast("bigint").as("n_urls"),
+      expr("regexp_count(text, '\\\\b[0-9]+\\\\b')").cast("bigint").as("n_number_tokens"),
+      expr("regexp_count(text, '\\\\b[A-Z][a-z]+\\\\b')").cast("bigint").as("n_capitalized"),
+      expr("regexp_replace(text, 'spark', '[TERM]')").as("redacted"),
+      (expr("regexp_count(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}')") === 0).as("pii_clean"))
+
   /** Document fingerprinting: two independent rolling poly-hashes of the full
     * text plus a winnowing-style min-5-gram hash (stable under head/tail
     * edits). Portable across engines — see [[Portable]].
