@@ -64,6 +64,22 @@ object EventStream {
         max("ts").as("session_end"))
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within 1 hour AFTER the click. Both sides watermarked so
+    * Spark can bound the join state (state for a side is dropped once the
+    * other side's watermark passes the interval). Works identically on
+    * batch DataFrames — StreamingSpec asserts stream == batch.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(start: Long, last: Long, seq: Long, n: Long)
   final case class SessionOut(

@@ -135,6 +135,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains("2024-01-01 00:00:00.0"), s"late event should be dropped: $rows") // hour-0 dropped
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.operators.Relational.events(spark, dir).cache()
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+
+    val batch = EventStream.clickPurchaseJoin(clicks, purchases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture should produce click->purchase pairs")
+
+    // same join as a genuine stream-stream join over file sources
+    val schema = ev.schema
+    def stream(tpe: String) = {
+      spark.readStream.schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+    }
+    val q = EventStream.clickPurchaseJoin(stream("click"), stream("purchase"))
+      .writeStream.outputMode("append").format("memory").queryName("ss_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization equals batch (closed sessions)") {
     import spark.implicits._
     val events = graft.operators.Relational.events(spark, dir)
