@@ -88,9 +88,13 @@ object Dedup {
         element_at(col("sig"), 2 * j + 1).as("k1"),
         element_at(col("sig"), 2 * j + 2).as("k2"))
     }
+    // (doc_id, band, k1, k2) — 32 small rows per doc; cached because it
+    // feeds the crowded-bucket agg, the anti-join, AND both self-join
+    // sides (uncached it recomputes the signature pipeline 4×).
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
+      .cache()
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
     // carrying almost no signal — drop overcrowded buckets. True near-dups

@@ -136,14 +136,15 @@ object Similarity {
     * table.
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
+    val e = withNorm(embeddings(spark, dir)).cache() // reused by buckets, queries, re-rank
     val dims = e.select(size(col("embedding"))).head().getInt(0)
     val tables = (0 until NumTables).map(t => struct(lit(t).as("t"), bucketKey(t, dims).as("key")))
     // Buckets carry ONLY (vec_id, t, key): candidate generation and dedup
-    // never shuffle the embedding payloads.
+    // never shuffle the embedding payloads. Cached — feeds both join sides.
     val bucketed = e
       .withColumn("b", explode(array(tables: _*)))
       .select(col("vec_id"), col("b.t"), col("b.key"))
+      .cache()
     val qb = bucketed.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "q_id")
     val pairs = bucketed.join(broadcast(qb), Seq("t", "key"))
       .filter(col("vec_id") =!= col("q_id"))
