@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -169,6 +170,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+    "dedup_exact_hash" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies, fp31, fp37 FROM (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37
+        | FROM documents)
+        |GROUP BY fp31, fp37""".stripMargin,
     "dedup_minhash" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

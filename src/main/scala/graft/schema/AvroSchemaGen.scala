@@ -35,6 +35,27 @@ object AvroSchemaGen {
       nullableArrayItems: Boolean = false
   )
 
+  /** `typed_first_row` array-mode probe parity: the reference infers array
+    * item types from the FIRST row and throws when that row's array is NULL
+    * (`JdbcAvroSchema.java:277-281`). On columnar sources item types are
+    * statically known, but parity mode preserves the failure contract so
+    * migrating users see identical behavior.
+    */
+  def probeFirstRowArrays(df: org.apache.spark.sql.DataFrame): Unit = {
+    val arrayCols = df.schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    if (arrayCols.nonEmpty) {
+      df.select(arrayCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        .limit(1).collect().headOption.foreach { row =>
+          arrayCols.zipWithIndex.foreach { case (name, i) =>
+            if (row.isNullAt(i))
+              throw new RuntimeException(
+                s"Array value is null in the first row of column $name; " +
+                  "use a different arrayMode or ensure a non-null first row")
+          }
+        }
+    }
+  }
+
   /** `[^A-Za-z0-9_] → _` — reference `JdbcAvroSchema.java:369-371`. */
   def normalizeName(name: String): String = name.replaceAll("[^A-Za-z0-9_]", "_")
 

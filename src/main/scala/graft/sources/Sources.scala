@@ -111,6 +111,39 @@ final case class ParquetSource(path: String, tableName: String, args: QueryArgs)
     }
   }
 
+  /** STRICT-PARITY read: reproduces the reference's split semantics exactly
+    * — ranges from [[ParallelRanges]] with the inclusive last bound, and the
+    * divided `LIMIT limit/k` applied PER SPLIT (`QueryBuilderArgs.java:133-137`),
+    * so the total may undershoot `limit` just like dbeam. Engine-native
+    * mode ([[read]]) gives the exact limit instead.
+    */
+  def readParityMode(spark: SparkSession): DataFrame = {
+    import graft.args.SplitColumn
+    val base = spark.read.parquet(path)
+    val filtered = partitionFilter.map(base.filter).getOrElse(base)
+    (args.queryParallelism, args.splitColumn) match {
+      case (Some(k), Some(sp)) =>
+        SplitColumn.validate(base, sp)
+        val bounds = filtered.agg(min(col(sp)), max(col(sp))).head()
+        val ranges = ParallelRanges.generate(
+          toLong(bounds.get(0)), toLong(bounds.get(1)), k)
+        val perSplitLimit = args.limit.map(n => (n / k).toInt)
+        ranges.map { r =>
+          val hi = if (r.endInclusive) col(sp) <= r.end else col(sp) < r.end
+          val slice = filtered.filter(col(sp) >= r.start && hi)
+          perSplitLimit.map(slice.limit).getOrElse(slice)
+        }.reduce(_ unionAll _)
+      case _ => read(spark)
+    }
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case other => throw new IllegalArgumentException(s"non-integral split bound: $other")
+  }
+
   override def queries(spark: SparkSession): Seq[String] = {
     args.buildQueries { sp =>
       val row = read(spark).agg(min(col(sp)), max(col(sp))).head()
