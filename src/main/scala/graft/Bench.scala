@@ -45,6 +45,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Warm the JVM (codegen paths, parquet footers, FS cache) before any
+    // timed section — standard bench hygiene so run 1 isn't a JIT sample.
+    Seq("lineitem", "documents", "embeddings", "events")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // 1. Avro export of the full bench table (dbeam's actual job).

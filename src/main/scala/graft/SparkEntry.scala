@@ -49,7 +49,15 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
-    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // approximate → no SQL oracle (engine-specific estimates); accuracy is
+    // spec-checked against exact counts in HllSpec
+    "sketch_distinct" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("graft_li")
+      s.sql("SELECT l_returnflag, graft_hll_distinct(l_partkey) AS approx_parts, " +
+        "graft_hll_distinct(l_orderkey) AS approx_orders FROM graft_li GROUP BY l_returnflag")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -274,6 +274,10 @@ object GraftFunctions {
       require(exprs.length == 1, "graft_simhash(hashes)")
       SimHash60(exprs.head)
     }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_hll_distinct", exprs => {
+      val lgK = if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 12
+      HllDistinct(exprs.head, lgK).toAggregateExpression()
+    }, "scala_udf")
   }
 }
 

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Approximate distinct-count aggregate backed by a DataSketches HLL sketch
+  * — the engine's custom-aggregate extension point
+  * (`TypedImperativeAggregate`: object buffer per group, serialized only at
+  * shuffle boundaries, so the map side updates a live sketch per group).
+  *
+  * Differences vs Spark's built-in `approx_count_distinct` (HLL++):
+  * DataSketches HLL sketches are MERGEABLE ACROSS SYSTEMS — the serialized
+  * sketch bytes can be handed to any DataSketches-speaking engine (Druid,
+  * Hive, PostgreSQL extension), which is what a training-data pipeline
+  * needs for incremental corpus statistics.
+  *
+  * `lgK` = log2 of the number of HLL buckets (12 → ±1.6% at 1σ).
+  */
+case class HllDistinct(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType | DoubleType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_distinct does not support ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): HllSketch = new HllSketch(lgK, TgtHllType.HLL_8)
+
+  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      child.dataType match {
+        case LongType => buffer.update(v.asInstanceOf[Long])
+        case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
+        case DoubleType => buffer.update(v.asInstanceOf[Double])
+        case StringType => buffer.update(v.asInstanceOf[UTF8String].getBytes)
+        case BinaryType => buffer.update(v.asInstanceOf[Array[Byte]])
+        case other => throw new IllegalStateException(s"unsupported $other")
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: HllSketch, input: HllSketch): HllSketch = {
+    val u = new Union(lgK)
+    u.update(buffer)
+    u.update(input)
+    u.getResult(TgtHllType.HLL_8)
+  }
+
+  override def eval(buffer: HllSketch): Any = Math.round(buffer.getEstimate)
+
+  override def serialize(buffer: HllSketch): Array[Byte] = buffer.toCompactByteArray
+
+  override def deserialize(bytes: Array[Byte]): HllSketch =
+    HllSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllDistinct =
+    copy(child = newChildren.head)
+}
