@@ -48,6 +48,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.binaryMeta _),
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
+    "q_percentile_disc" -> (Relational.percentileDisc _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
@@ -282,6 +283,17 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_percentile_disc" ->
+      """SELECT l_returnflag,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50_qty,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN l_quantity END) AS p95_qty,
+        | CAST(max(n) AS BIGINT) AS n
+        |FROM (
+        | SELECT l_returnflag, l_quantity,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
     "events_asof_purchase" ->
       """SELECT event_id, user_id, ts,
         | max(CASE WHEN event_type = 'purchase' THEN ts END)

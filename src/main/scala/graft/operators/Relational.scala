@@ -172,6 +172,24 @@ object Relational {
         count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("bigint")).as("total_cents"))
 
+  /** Exact discrete percentiles (p50/p95) per group, computed by rank —
+    * fully deterministic across engines (unlike interpolated or
+    * sketch-based quantiles, whose arithmetic is engine-specific). One
+    * window pass + one aggregation.
+    */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(byFlag).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("bigint"), col("l_quantity"))).as("p50_qty"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("bigint"), col("l_quantity"))).as("p95_qty"),
+        max("n").cast("bigint").as("n"))
+  }
+
   /** CUBE aggregation — all 4 grouping sets over (status, priority). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
