@@ -49,6 +49,8 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_percentile_disc" -> (Relational.percentileDisc _),
+    "q_pivot" -> (Relational.pivotAgg _),
+    "events_json_extract" -> (Relational.jsonExtractAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
@@ -283,6 +285,16 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS cents_F,
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS cents_O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_percentile_disc" ->
       """SELECT l_returnflag,
         | max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50_qty,

@@ -172,6 +172,30 @@ object Relational {
         count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("bigint")).as("total_cents"))
 
+  /** Pivot: revenue cents per return flag pivoted by line status. Explicit
+    * pivot values keep the output schema deterministic (inferred pivot
+    * values depend on data order).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")))
+      .withColumnRenamed("F", "cents_F")
+      .withColumnRenamed("O", "cents_O")
+
+  /** JSON column processing: extract a typed field from the `props` JSON
+    * string per event and aggregate it — the semi-structured column path.
+    */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"))
+
   /** Exact discrete percentiles (p50/p95) per group, computed by rank —
     * fully deterministic across engines (unlike interpolated or
     * sketch-based quantiles, whose arithmetic is engine-specific). One
