@@ -37,6 +37,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii" -> (TextAnalysis.piiFilter _),
+    "sample_split" -> (TextAnalysis.sampleSplit _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
@@ -170,6 +171,15 @@ object SparkEntry {
         |   i -> list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 5), ''), c -> CAST(ascii(c) AS BIGINT)),
         |     (acc, x) -> (acc * 31 + x) % 1000000007))) AS fp_min5gram
         |FROM documents""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, lang, bucket,
+        | CASE WHEN bucket < 10 THEN 'test' WHEN bucket < 20 THEN 'valid' ELSE 'train' END AS split,
+        | bucket % 5 = 0 AS in_stratified_20pct
+        |FROM (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 41 + x) % 999999937) % 100 AS bucket
+        | FROM documents)""".stripMargin,
     "text_pii" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,

@@ -75,6 +75,24 @@ object TextAnalysis {
           |     ELSE 'fr' END""".stripMargin).as("lang_pred"))
   }
 
+  /** Deterministic train/test splitting + stratified sampling by portable
+    * hash: the assignment depends only on the document text (not row order,
+    * partitioning, or engine), so the split is reproducible anywhere —
+    * the property RAND()-based sampling can never give a pipeline.
+    * Buckets come from a second-hash (decorrelated from dedup/fingerprint
+    * uses of base 31/37).
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        (graft.functions.Portable.polyHashNative("text", 41, 999999937L) % 100).as("bucket"))
+      .withColumn("split",
+        expr("CASE WHEN bucket < 10 THEN 'test' WHEN bucket < 20 THEN 'valid' ELSE 'train' END"))
+      .withColumn("in_stratified_20pct", col("bucket") % 5 === 0)
+  }
+
   /** PII / content filtering: pattern counts (emails, URLs, numeric and
     * capitalized tokens) plus denylist redaction — the
     * scrub-before-training step of a data pipeline. Pure regex projections,
