@@ -86,43 +86,57 @@ object EventStream {
       user_id: Long, session_seq: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
+  private def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt) // keep full µs precision
+    t
+  }
+
   /** Streaming sessionization with explicit state: one `SessionState` per
-    * user, sessions emitted when the 30-min gap elapses (or at state
-    * timeout). Demonstrates `flatMapGroupsWithState` with the same output
-    * contract as [[sessionizeBatch]].
+    * user, a session emitted when the 30-min gap elapses within a batch OR
+    * when the EVENT-TIME TIMEOUT fires (the watermark passed last+gap), so
+    * final sessions are not held in state forever — the production
+    * `flatMapGroupsWithState` shape. Same output contract as
+    * [[sessionizeBatch]].
+    *
+    * On a batch Dataset, Spark runs the function once per key with no
+    * timeouts — open sessions stay in state (asserted in StreamingSpec).
     */
   def sessionizeStream(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = SessionGapMinutes * 60L * 1000000L
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    def toTs(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000)
-      t.setNanos(((us % 1000000L) * 1000L).toInt) // keep full µs precision
-      t
-    }
-
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          // Rows within one trigger arrive unordered; sort this batch.
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = micros(e.ts)
-            if (st.start < 0) {
-              st = SessionState(t, t, st.seq + 1, 1L)
-            } else if (t - st.last > gapMicros) {
-              out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
-              st = SessionState(t, t, st.seq + 1, 1L)
-            } else {
-              st = st.copy(last = t, n = st.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is closed for good
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last)))
+          } else {
+            // Rows within one trigger arrive unordered; sort this batch.
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (st.start < 0) {
+                st = SessionState(t, t, st.seq + 1, 1L)
+              } else if (t - st.last > gapMicros) {
+                out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
+                st = SessionState(t, t, st.seq + 1, 1L)
+              } else {
+                st = st.copy(last = t, n = st.n + 1)
+              }
             }
+            state.update(st)
+            // close the session once event time moves past last + gap
+            if (st.start >= 0) state.setTimeoutTimestamp((st.last + gapMicros) / 1000L + 1L)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
         })
   }
 }

@@ -162,6 +162,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionizer emits via event-time timeout when the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionizeStream(
+      mem.toDS().withWatermark("ts", "1 minute").as[EventStream.Event])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // user 7: two events 5 min apart -> one open session in state
+    mem.addData(EventStream.Event(7L, 1L, ts(1, 0)), EventStream.Event(7L, 2L, ts(1, 5)))
+    q.processAllAvailable()
+    assert(spark.table("sess_timeout").count() == 0) // still open, nothing emitted
+    // another user's much later event advances the watermark past 01:35+gap
+    mem.addData(EventStream.Event(9L, 3L, ts(5, 0)))
+    q.processAllAvailable()
+    // one more empty-ish trigger lets the timeout fire
+    mem.addData(EventStream.Event(9L, 4L, ts(5, 1)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_timeout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.contains((7L, 1L, 2L)), s"user 7 session not closed by timeout: ${rows.toSeq}")
+  }
+
   test("streaming sessionization equals batch (closed sessions)") {
     import spark.implicits._
     val events = graft.operators.Relational.events(spark, dir)
