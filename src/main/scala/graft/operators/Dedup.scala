@@ -23,6 +23,20 @@ import graft.functions.Portable
   */
 object Dedup {
 
+  /** Materializes `result` (eager localCheckpoint — one job, lineage
+    * truncated) and THEN unpersists the listed intermediate caches, so
+    * repeated catalog invocations in a long-lived session don't accumulate
+    * cached blocks (checkpoint blocks are GC-cleaned by the ContextCleaner).
+    * Only used where the result is orders of magnitude smaller than the
+    * corpus (near-dup pairs, cluster labels, top-k lists), so the
+    * materialization is cheap at any scale.
+    */
+  private[operators] def materializeAndRelease(caches: Seq[DataFrame], result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -96,10 +110,15 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one band (r=2 consecutive
     * minhashes). Self-equi-join on the band key — no cross product.
     */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candidatesFrom(minhashSignatures(spark, dir))
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, banded) = candidatesFrom(minhashSignatures(spark, dir))
+    materializeAndRelease(Seq(banded), cand)
+  }
 
-  private def candidatesFrom(sigs: DataFrame): DataFrame = {
+  /** Returns (candidates, the cached banded intermediate) — the caller
+    * unpersists the cache once the candidates are materialized.
+    */
+  private def candidatesFrom(sigs: DataFrame): (DataFrame, DataFrame) = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         element_at(col("sig"), 2 * j + 1).as("k1"),
@@ -123,11 +142,12 @@ object Dedup {
     val pruned = banded.join(broadcast(crowded), Seq("band", "k1", "k2"), "left_anti")
     val a = pruned.as("a")
     val b = pruned.as("b")
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    (cand, banded)
   }
 
   /** Max docs per LSH bucket before the bucket is considered noise. */
@@ -141,20 +161,21 @@ object Dedup {
     val arrays = docShingleArrays(spark, dir).cache()
     val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sizes = arrays.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-    val cand = candidatesFrom(signaturesFrom(arrays))
+    val (cand, banded) = candidatesFrom(signaturesFrom(arrays))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "sh_b")
         .withColumnRenamed("sh_b", "sh_a"), Seq("id_b", "sh_a"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val verified = inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
+    materializeAndRelease(Seq(arrays, banded), verified)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
@@ -183,7 +204,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    materializeAndRelease(
+      Seq(pairs, edges, labels),
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature
@@ -205,13 +228,14 @@ object Dedup {
     */
   def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val sig = simhash(spark, dir).cache()
+    // (sig cache released via materializeAndRelease at the end)
     val bands = (0 until 4).map(j =>
       struct(lit(j).as("band"), shiftright(col("simhash"), j * 15).bitwiseAND(lit((1L << 15) - 1)).as("key")))
     val banded = sig.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.key"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    val out = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
@@ -219,6 +243,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    materializeAndRelease(Seq(sig), out)
   }
 
   /** Embedding-cosine near-dup pairs above `threshold`. Brute-force n²

@@ -122,12 +122,13 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("pc").as("cell"))
 
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    assigned.join(broadcast(q), Seq("cell"))
+    val out = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    Dedup.materializeAndRelease(Seq(e), out)
   }
 
   /** ANN top-k via LSH bucketing + exact re-rank of candidates. Recall is
@@ -155,12 +156,13 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    pairs
+    val out = pairs
       .join(e, "vec_id")
       .join(broadcast(q), "q_id")
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    Dedup.materializeAndRelease(Seq(e, bucketed), out)
   }
 }

@@ -119,7 +119,11 @@ object AvroSink {
       val conf = new Configuration()
       conf.set("fs.defaultFS", fsDefault)
       val finalPath = new Path(outputDir, f"part-$idx%05d-of-$numPartitions%05d.avro")
-      val tmpPath = new Path(outputDir, f".tmp-part-$idx%05d-of-$numPartitions%05d.avro")
+      // The temp name carries the task attempt id so concurrent speculative /
+      // zombie attempts for the same partition never write the same file —
+      // each attempt races only on the final atomic rename.
+      val attemptId = Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      val tmpPath = new Path(outputDir, f".tmp-part-$idx%05d-of-$numPartitions%05d-attempt-$attemptId.avro")
       val fs = finalPath.getFileSystem(conf)
       fs.setWriteChecksum(false) // no .crc sidecars on the local FS
       val out = fs.create(tmpPath, true)
@@ -147,9 +151,14 @@ object AvroSink {
       writer.flush()
       writer.close()
       val written = fs.getFileStatus(tmpPath).getLen
+      // A retry after a successful-but-unacknowledged attempt finds the final
+      // file already present: treat that as success (delete-then-rename), so
+      // task retries really are idempotent.
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
       if (!fs.rename(tmpPath, finalPath)) {
         fs.delete(tmpPath, false)
-        throw new java.io.IOException(s"Failed to rename $tmpPath to $finalPath")
+        if (!fs.exists(finalPath)) // lost the race AND nobody produced the file
+          throw new java.io.IOException(s"Failed to rename $tmpPath to $finalPath")
       }
       recordCount.add(n)
       bytesWritten.add(written)

@@ -112,9 +112,13 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
-            // watermark passed last+gap: the open session is closed for good
+            // Watermark passed last+gap: the open session is closed for good.
+            // Keep the seq counter (start = -1 sentinel, no open session) so
+            // the user's NEXT session continues numbering — removing state
+            // here would restart at seq=1 and duplicate (user_id, session_seq)
+            // keys vs the sessionizeBatch/oracle contract.
             val st = state.get
-            state.remove()
+            state.update(SessionState(-1L, -1L, st.seq, 0L))
             Iterator.single(SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last)))
           } else {
             // Rows within one trigger arrive unordered; sort this batch.

@@ -28,6 +28,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(edge.getLong(1) == 'a'.toLong)
   }
 
+  test("graft_poly_hash non-BMP chars: code-point semantics, matches DuckDB") {
+    GraftFunctions.register(spark)
+    // 'a😀b' = code points [97, 128512, 98]; DuckDB
+    // list_reduce over string_split(s,'')/ord gives 4077187 (verified
+    // against duckdb directly) — code points are the canonical semantics,
+    // and the native expression implements them.
+    val r = spark.sql(
+      s"SELECT graft_poly_hash('a😀b', 31, ${Portable.P1}L) AS native").head()
+    assert(r.getLong(0) == 4077187L, "native must fold Unicode code points like DuckDB ord()")
+    // the HOF formulation must agree on non-BMP too (split('')/ascii are
+    // code-point aware in Spark) — pin it so a regression is caught
+    val hof = spark.range(1).select(lit("a😀b").as("s"))
+      .select(Portable.polyHash("s", 31, Portable.P1).as("hof")).head()
+    assert(hof.getLong(0) == 4077187L,
+      s"HOF poly hash diverges from code-point semantics on non-BMP: ${hof.getLong(0)}")
+  }
+
   test("graft_dot == HOF dot product on embeddings") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"${SparkSpec.testDataDir}/embeddings.parquet")

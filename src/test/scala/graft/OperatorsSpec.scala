@@ -185,10 +185,24 @@ class StreamingSpec extends AnyFunSuite {
     // one more empty-ish trigger lets the timeout fire
     mem.addData(EventStream.Event(9L, 4L, ts(5, 1)))
     q.processAllAvailable()
-    q.stop()
-    val rows = spark.table("sess_timeout").collect()
+    val rows1 = spark.table("sess_timeout").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(rows.contains((7L, 1L, 2L)), s"user 7 session not closed by timeout: ${rows.toSeq}")
+    assert(rows1.contains((7L, 1L, 2L)), s"user 7 session not closed by timeout: ${rows1.toSeq}")
+
+    // user 7 returns AFTER the timeout closed session 1: the next session
+    // must continue numbering at seq=2 (state keeps the counter), matching
+    // the batch/oracle (user_id, session_seq) contract
+    mem.addData(EventStream.Event(7L, 5L, ts(6, 0)))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(9L, 6L, ts(12, 0))) // advance watermark past 06:00+gap
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(9L, 7L, ts(12, 1))) // trigger so the timeout fires
+    q.processAllAvailable()
+    q.stop()
+    val rows2 = spark.table("sess_timeout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows2.contains((7L, 2L, 1L)),
+      s"user 7 post-timeout session must continue numbering at seq=2: ${rows2.toSeq}")
   }
 
   test("streaming sessionization equals batch (closed sessions)") {
