@@ -246,6 +246,96 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All sign-random-projection LSH bucket keys in ONE pass over the
+  * embedding: `key[t] = Σ_j [proj(t,j) >= 0] << j` where `proj(t,j) =
+  * Σ_i sign(t,j,i)·x[i]` and `sign` is a splitmix64-style mix of
+  * `(dim, table, bit)` — bit-identical to evaluating
+  * `graft_dot(embedding, <literal ±1 plane>)` per (table, bit), but one
+  * tight loop instead of `tables × bits` giant literal-array expressions
+  * (the literal form compiled ~100 KB of generated Java per operator).
+  */
+case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires array<float|double>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val keys = new Array[Long](numTables)
+    val f = isFloat
+    var t = 0
+    while (t < numTables) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        var acc = 0.0
+        var i = 0
+        while (i < dims) {
+          var z = i.toLong * 0x9E3779B97F4A7C15L + t.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          val sign = if ((z & 1L) == 0L) 1.0 else -1.0
+          val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
+          acc += sign * x
+          i += 1
+        }
+        if (acc >= 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    ArrayData.toArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val dims = ctx.freshName("dims")
+      val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      val acc = ctx.freshName("acc")
+      val key = ctx.freshName("key")
+      val getX = if (isFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+      s"""
+         |int $dims = $c.numElements();
+         |long[] $keys = new long[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      long $z = (long) $i * 0x9E3779B97F4A7C15L + (long) $t * 0xBF58476D1CE4E5B9L + (long) $j * 0x94D049BB133111EBL;
+         |      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |      $z = $z ^ ($z >>> 31);
+         |      $acc += ((($z & 1L) == 0L) ? 1.0 : -1.0) * $getX;
+         |    }
+         |    if ($acc >= 0) $key |= (1L << $j);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** Session registration. [[GraftExtensions]] is the production path
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`);
   * [[GraftFunctions.register]] is the imperative equivalent for sessions
@@ -273,6 +363,12 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_simhash", exprs => {
       require(exprs.length == 1, "graft_simhash(hashes)")
       SimHash60(exprs.head)
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_lsh_buckets", exprs => {
+      require(exprs.length == 3, "graft_lsh_buckets(embedding, numTables, bitsPerTable)")
+      LshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
     }, "scala_udf")
     registry.createOrReplaceTempFunction("graft_hll_distinct", exprs => {
       val lgK = if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 12

@@ -157,22 +157,22 @@ object Dedup {
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    // One shingle pass feeds signatures, sizes, and verification.
+    // One shingle pass feeds signatures and verification.
     val arrays = docShingleArrays(spark, dir).cache()
-    val sh = arrays.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = arrays.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val (cand, banded) = candidatesFrom(signaturesFrom(arrays))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "sh_b")
-        .withColumnRenamed("sh_b", "sh_a"), Seq("id_b", "sh_a"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    val verified = inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+    // Exact verification joins each candidate pair back to its two shingle
+    // ARRAYS and intersects them in one codegen'd expression — the work is
+    // proportional to the (LSH-pruned) candidate set, not the corpus, and
+    // the corpus-side shuffle carries one array per doc instead of an
+    // exploded row per shingle. Shingle arrays are distinct, so
+    // |array_intersect| is the true intersection count.
+    val verified = cand
+      .join(arrays.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(arrays.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
     materializeAndRelease(Seq(arrays, banded), verified)

@@ -56,31 +56,9 @@ object Similarity {
   val NumTables = 32
   val BitsPerTable = 4
 
-  /** Deterministic ±1 plane component for (table t, bit j, dim i): a
-    * splitmix64-style integer mix, evaluated once on the DRIVER — planes
-    * reach executors as literal arrays, so the per-row work is a plain
-    * codegen'd dot product (an earlier per-element-hash version re-hashed
-    * inside the fold and was 10× slower; a naive parity mixer correlates
-    * tables and caps recall).
-    */
-  private def planeSign(t: Int, j: Int, i: Int): Double = {
-    var z = i.toLong * 0x9E3779B97F4A7C15L + t.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** Bucket key of one LSH table: sign bits of `BitsPerTable` projections
-    * onto literal ±1 planes, packed into a long.
-    */
-  private def bucketKey(t: Int, dims: Int): Column =
-    (0 until BitsPerTable).map { j =>
-      val plane = (0 until dims).map(planeSign(t, j, _))
-      val planeSql = plane.mkString("array(", "D, ", "D)")
-      val proj = expr(s"graft_dot(embedding, $planeSql)")
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce[Column](_ + _)
+  // Plane signs are a splitmix64-style mix of (dim, table, bit), evaluated
+  // inside the single-pass `graft_lsh_buckets` expression (Expressions.scala)
+  // — a naive parity mixer correlates tables and caps recall (~0.6 observed).
 
   val NumCentroids = 16
   val NumProbes = 6
@@ -138,13 +116,14 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).cache() // reused by buckets, queries, re-rank
-    val dims = e.select(size(col("embedding"))).head().getInt(0)
-    val tables = (0 until NumTables).map(t => struct(lit(t).as("t"), bucketKey(t, dims).as("key")))
     // Buckets carry ONLY (vec_id, t, key): candidate generation and dedup
-    // never shuffle the embedding payloads. Cached — feeds both join sides.
+    // never shuffle the embedding payloads. All 32 keys come from ONE
+    // codegen pass (`graft_lsh_buckets`) — bit-identical to the per-plane
+    // literal-dot form, ~100× less generated code. Cached — feeds both
+    // join sides.
     val bucketed = e
-      .withColumn("b", explode(array(tables: _*)))
-      .select(col("vec_id"), col("b.t"), col("b.key"))
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_lsh_buckets(embedding, $NumTables, $BitsPerTable)")).as(Seq("t", "key")))
       .cache()
     val qb = bucketed.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "q_id")
     val pairs = bucketed.join(broadcast(qb), Seq("t", "key"))
