@@ -54,6 +54,16 @@ object SparkEntry {
     "events_json_extract" -> (Relational.jsonExtractAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q_count_distinct" -> (Relational.countDistinctAgg _),
+    "w2_running_sum" -> (Relational.runningSum _),
+    "q5_multi_join" -> (Relational.q5MultiJoin _),
+    "events_range_join" -> (Relational.rangeJoinDensity _),
+    "q_grouping_sets" -> (Relational.groupingSets _),
+    // approximate → no SQL oracle; accuracy spec-checked in KllSpec
+    "sketch_quantiles" -> (Relational.sketchQuantiles _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -321,6 +331,54 @@ object SparkEntry {
         | max(CASE WHEN event_type = 'purchase' THEN ts END)
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 *
+        |   (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        | > 3 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_sum3
+        |FROM orders""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "events_range_join" ->
+      """SELECT e1.event_id, CAST(count(e2.event_id) AS BIGINT) AS n_prior_5min
+        |FROM events e1 LEFT JOIN events e2
+        | ON e2.ts >= e1.ts - INTERVAL 5 MINUTE AND e2.ts < e1.ts
+        |GROUP BY e1.event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
   )
 }

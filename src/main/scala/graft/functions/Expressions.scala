@@ -374,6 +374,13 @@ object GraftFunctions {
       val lgK = if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 12
       HllDistinct(exprs.head, lgK).toAggregateExpression()
     }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_kll_quantiles", exprs => {
+      require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")
+      val ranks = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      val k = if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else 200
+      KllQuantiles(exprs.head, ranks, k).toAggregateExpression()
+    }, "scala_udf")
   }
 }
 

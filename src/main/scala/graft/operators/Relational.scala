@@ -250,4 +250,141 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+
+  /** LEFT SEMI join: customers having at least one order above 200k.
+    * The probe side (orders, filtered) can be broadcast; at 100 TB a semi
+    * join ships only the distinct keys of the filtered side — never the
+    * payload — which Catalyst derives from the semi-join shape by itself.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").filter(col("o_totalprice") > 200000.0)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** LEFT ANTI join: customers with no OPEN order (NOT EXISTS). The status
+    * filter keeps the result non-empty at every SF, so the oracle check is
+    * not vacuous.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val open = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Correlated scalar subqueries, decorrelated by Catalyst into joins:
+    * orders more than 1.5× their customer's average order value. All
+    * arithmetic in integer cents (`2·cents·n > 3·Σcents` ⇔ `o > 1.5·avg`)
+    * so the comparison is exact on both engines — a floating-point `avg`
+    * could flip rows whose value sits on the threshold.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        |FROM graft_orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 *
+        |   (SELECT count(*) FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
+        | > 3 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        FROM graft_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** Multiple COUNT(DISTINCT) in one aggregation — Catalyst plans this via
+    * Expand (one pass, no per-distinct re-scan).
+    */
+  def countDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n"))
+
+  /** Sliding window FRAME: per customer, the running sum over the current
+    * and two previous orders by date — a rows-frame window aggregate
+    * (complement of the rank-style windows in [[windowTopK]]).
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).over(w).as("cents_sum3"))
+  }
+
+  /** TPC-H Q5-shaped 6-way join: revenue per nation for one region, with
+    * the local-supplier condition (c_nationkey = s_nationkey). All four
+    * dimension sides broadcast — the only shuffle is lineitem⋈orders on
+    * orderkey, which at 100 TB is the unavoidable fact-fact exchange
+    * (co-bucketing both on orderkey would remove even that).
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    val reg = t(spark, dir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .filter(reg("r_name") === "ASIA")
+      .groupBy(nat("n_name").as("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
+        .as("revenue_cents"))
+  }
+
+  /** Range join WITHOUT an equi key, made scalable by time-bucketing: for
+    * every event, the number of events (any user) in the preceding 5
+    * minutes. Each build row lands in one 300 s bucket; each probe row
+    * checks its own and the previous bucket — the O(n²) inequality join
+    * becomes an equi join on bucket with a residual time filter, the
+    * standard bucketized-range-join rewrite (Spark has no IEJoin).
+    */
+  def rangeJoinDensity(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 300L * 1000000L // 5 minutes in µs
+    val ev = events(spark, dir).select(col("event_id"), col("ts"))
+    val bkt = (unix_micros(col("ts")) / windowUs).cast("bigint")
+    val build = ev.select(col("ts").as("ts2"), bkt.as("bkt"))
+    val probe = ev.select(col("event_id"), col("ts"),
+      explode(array(bkt - 1, bkt)).as("bkt"))
+    probe.join(build,
+        probe("bkt") === build("bkt") &&
+          build("ts2") >= probe("ts") - expr("INTERVAL 5 MINUTES") &&
+          build("ts2") < probe("ts"),
+        "left_outer")
+      .groupBy("event_id")
+      .agg(count(col("ts2")).as("n_prior_5min"))
+  }
+
+  /** GROUPING SETS — the explicit form (rollup/cube are the shorthands). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** KLL quantile sketch per group — mergeable approximate percentiles
+    * ([[graft.functions.KllQuantiles]]); rows-only driver check, accuracy
+    * is spec-checked against exact rank quantiles in KllSpec.
+    */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_li")
+    spark.sql(
+      """SELECT l_returnflag,
+        | graft_kll_quantiles(l_quantity, array(0.5D, 0.95D, 0.99D)) AS qty_q,
+        | graft_kll_quantiles(l_extendedprice, array(0.5D, 0.95D, 0.99D)) AS price_q
+        |FROM graft_li GROUP BY l_returnflag""".stripMargin)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KLL quantile sketch: estimates must land within the sketch's rank-error
+  * envelope of the exact quantiles, and merging partial sketches
+  * (repartitioned input) must not change that.
+  */
+class KllSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private lazy val dir = SparkSpec.testDataDir
+
+  private def exactQuantile(values: Array[Double], rank: Double): Double = {
+    val sorted = values.sorted
+    sorted(math.min(sorted.length - 1, math.max(0, math.ceil(rank * sorted.length).toInt - 1)))
+  }
+
+  test("kll quantiles within rank-error envelope of exact quantiles") {
+    graft.functions.GraftFunctions.register(spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.select(col("l_quantity").cast("double")).collect().map(_.getDouble(0))
+    val est = graft.operators.Relational.sketchQuantiles(spark, dir)
+      .select(explode(col("qty_q")))
+      .collect().map(_.getDouble(0))
+    // per-group sketches; check every estimate sits between the exact
+    // global rank-eps bounds for SOME rank in {0.5, 0.95, 0.99} of its
+    // group — simpler: re-run ungrouped and compare directly
+    li.createOrReplaceTempView("kll_li")
+    val global = spark.sql(
+      "SELECT graft_kll_quantiles(l_quantity, array(0.5D, 0.95D, 0.99D), 200) AS q FROM kll_li")
+      .head().getSeq[Double](0)
+    val eps = 0.02 // k=200 → ~1.7% rank error at high confidence
+    Seq(0.5, 0.95, 0.99).zip(global).foreach { case (r, v) =>
+      val lo = exactQuantile(exact, math.max(0.0, r - eps))
+      val hi = exactQuantile(exact, math.min(1.0, r + eps))
+      assert(v >= lo && v <= hi, s"rank $r: estimate $v outside exact [$lo, $hi]")
+    }
+    assert(est.nonEmpty)
+  }
+
+  test("kll estimate is repartition-invariant in distribution (merge path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.select(col("l_quantity").cast("double")).collect().map(_.getDouble(0))
+    li.repartition(13).createOrReplaceTempView("kll_li13")
+    val merged = spark.sql(
+      "SELECT graft_kll_quantiles(l_quantity, array(0.5D), 200) AS q FROM kll_li13")
+      .head().getSeq[Double](0).head
+    val lo = exactQuantile(exact, 0.48)
+    val hi = exactQuantile(exact, 0.52)
+    assert(merged >= lo && merged <= hi, s"merged median $merged outside [$lo, $hi]")
+  }
+}

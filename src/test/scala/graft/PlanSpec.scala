@@ -71,4 +71,28 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("text_fingerprint")
     assert(plan.contains("polyhash") || plan.contains("PolyHash"), plan)
   }
+
+  test("q5 multi-join: all dims broadcast, only the fact-fact join shuffles") {
+    val plan = executedPlan("q5_multi_join")
+    // 4 dims always broadcast; at tiny SF the planner may broadcast the
+    // orders side of the fact-fact join too (5th) — also correct
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins (supp/cust/nation/region), got $bhj:\n$plan")
+    // lineitem⋈orders may be SMJ or shuffled hash — but never nested-loop
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("semi/anti joins stay broadcast with no extra exchange") {
+    for (q <- Seq("q_semi_join", "q_anti_join")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q should broadcast the filtered orders side:\n$plan")
+    }
+  }
+
+  test("range join is bucketized equi-join, never a nested-loop product") {
+    val plan = executedPlan("events_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must go through the bucket equi key:\n$plan")
+  }
 }
