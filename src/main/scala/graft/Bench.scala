@@ -33,8 +33,8 @@ object Bench {
 
     // Headline set: core export + the heaviest representative operators.
     val headline = Vector(
-      "q1_agg", "q3_join_agg", "w1_window_topk", "s1_full_scan",
-      "events_sessionize", "events_hourly_agg",
+      "q1_agg", "q3_join_agg", "q5_multi_join", "w1_window_topk", "s1_full_scan",
+      "events_sessionize", "events_hourly_agg", "events_range_join",
       "text_fingerprint", "text_quality",
       "dedup_minhash", "dedup_simhash", "dedup_exact",
       "ann_topk", "ann_lsh", "multimodal_meta")

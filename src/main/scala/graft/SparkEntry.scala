@@ -62,6 +62,8 @@ object SparkEntry {
     "q5_multi_join" -> (Relational.q5MultiJoin _),
     "events_range_join" -> (Relational.rangeJoinDensity _),
     "q_grouping_sets" -> (Relational.groupingSets _),
+    "dedup_ngram" -> ((s, d) => Dedup.ngramNearDups(s, d)),
+    "multimodal_frames" -> (Multimodal.frameSample _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
@@ -379,6 +381,25 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "dedup_ngram" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+        |   i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+        | FROM documents)
+        |SELECT * FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, n_frames, frame_idx,
+        | md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |FROM (
+        | SELECT doc_id, text, CAST((len(text) + 63) // 64 AS BIGINT) AS n_frames,
+        |  unnest(range(0, CAST((len(text) + 63) // 64 AS BIGINT), 10)) AS frame_idx
+        | FROM documents)""".stripMargin
   )
 }

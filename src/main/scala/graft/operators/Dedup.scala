@@ -156,9 +156,30 @@ object Dedup {
   /** Exact-verified near-dup pairs: LSH candidates whose TRUE word-3-gram
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
     */
-  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    nearDupsFromArrays(docShingleArrays(spark, dir), threshold)
+
+  /** Character 5-gram Jaccard near-dups — the n-GRAM dedup family. Same
+    * MinHash-LSH candidate generation and exact verification as the word
+    * shingle path; only the shingling unit differs (robust to word-boundary
+    * edits, heavier per doc: ~len shingles vs ~len/5 words).
+    */
+  def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    nearDupsFromArrays(charShingleArrays(spark, dir), threshold)
+
+  /** (doc_id, shingles) with distinct character 5-grams (length < 5 →
+    * one shingle: the whole text), mirroring `minGramFingerprint`'s
+    * window convention.
+    */
+  def charShingleArrays(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+        .as("shingles"))
+
+  private def nearDupsFromArrays(shingleArrays: DataFrame, threshold: Double): DataFrame = {
     // One shingle pass feeds signatures and verification.
-    val arrays = docShingleArrays(spark, dir).cache()
+    val arrays = shingleArrays.cache()
     val (cand, banded) = candidatesFrom(signaturesFrom(arrays))
     // Exact verification joins each candidate pair back to its two shingle
     // ARRAYS and intersects them in one codegen'd expression — the work is

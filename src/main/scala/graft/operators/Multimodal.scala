@@ -67,6 +67,24 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over a "video" payload: the payload is treated as
+    * ceil(len/64) fixed-size frames and every 10th frame is materialized
+    * with its digest — the uniform-stride frame-sample shape (one output
+    * row per sampled frame via a generator, no shuffle, partitioning
+    * preserved). A real decoder would seek keyframes instead of byte
+    * offsets; the slicing/fan-out plumbing is what scales.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_frames", expr("CAST((length(text) + 63) DIV 64 AS BIGINT)"))
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("text"),
+        explode(expr("sequence(0L, n_frames - 1, 10L)")).as("frame_idx"))
+      .withColumn("frame_md5", md5(encode(expr("substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)"), "UTF-8")))
+      .drop("text")
+
   /** End-to-end stub pipeline: documents → binary payload → typed decode. */
   def decodePipeline(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._

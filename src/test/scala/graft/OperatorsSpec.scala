@@ -205,6 +205,30 @@ class StreamingSpec extends AnyFunSuite {
       s"user 7 post-timeout session must continue numbering at seq=2: ${rows2.toSeq}")
   }
 
+  test("streaming dedup within watermark drops re-deliveries, keeps distinct keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // the streaming twin of Dedup.exact for append-only feeds: state holds
+    // each key only until the watermark passes its event time + delay
+    val deduped = mem.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, ts(1, 0)), (2L, ts(1, 1)), (1L, ts(1, 2))) // dup of 1 in-batch
+    q.processAllAvailable()
+    mem.addData((1L, ts(1, 3)), (3L, ts(1, 4))) // dup of 1 across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("stream_dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"expected one row per key: ${ids.toSeq}")
+  }
+
   test("streaming sessionization equals batch (closed sessions)") {
     import spark.implicits._
     val events = graft.operators.Relational.events(spark, dir)
