@@ -64,6 +64,9 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets _),
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDups(s, d)),
     "multimodal_frames" -> (Multimodal.frameSample _),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "text_term_stats" -> (TextAnalysis.termStats _),
+    "embedding_centroid" -> (Similarity.labelCentroids _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
@@ -400,6 +403,38 @@ object SparkEntry {
         |FROM (
         | SELECT doc_id, text, CAST((len(text) + 63) // 64 AS BIGINT) AS n_frames,
         |  unnest(range(0, CAST((len(text) + 63) // 64 AS BIGINT), 10)) AS frame_idx
-        | FROM documents)""".stripMargin
+        | FROM documents)""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6)
+        |SELECT id_a, id_b,
+        | CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM pairs
+        | JOIN documents da ON da.doc_id = id_a
+        | JOIN documents db ON db.doc_id = id_b""".stripMargin,
+    "text_term_stats" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "embedding_centroid" ->
+      """SELECT label, dim,
+        | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        | SELECT label,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  unnest(list_transform(range(0, len(embedding)), i -> embedding[CAST(i + 1 AS INTEGER)])) AS x
+        | FROM embeddings)
+        |GROUP BY label, dim""".stripMargin
   )
 }

@@ -267,6 +267,22 @@ object Dedup {
     materializeAndRelease(Seq(sig), out)
   }
 
+  /** Edit-distance scoring of verified near-dup pairs: LSH candidates →
+    * exact Jaccard filter → `levenshtein` on the raw texts. Levenshtein is
+    * O(len²) per pair, so it runs ONLY on the near-dup pairs (LSH-pruned,
+    * Jaccard-verified), never corpus-wide — the order-of-operations that
+    * keeps character-level scoring affordable at 100 TB.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(spark, dir, threshold).select("id_a", "id_b")
+    val d = docs(spark, dir)
+    pairs
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("bigint").as("edit_dist"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`. Brute-force n²
     * scoring with the SMALL side broadcast; for the 100 TB path use
     * [[Similarity.lshTopK]]-style bucketing instead.

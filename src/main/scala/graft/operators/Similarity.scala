@@ -109,6 +109,22 @@ object Similarity {
     Dedup.materializeAndRelease(Seq(e), out)
   }
 
+  /** Per-label embedding centroids as EXACT integer sums: each dimension's
+    * contributions are rounded to micros and summed as bigints, so the
+    * result is order-independent and engine-exact (a float mean would
+    * differ in the last ulp between engines). `centroid[dim] =
+    * sum_micros / n / 1e6` is derivable downstream. The explode fans out
+    * dims×n rows but carries only (label, dim, micros) through the
+    * shuffle — the class-prototype aggregation of a training pipeline.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+      .agg(
+        sum(round(col("x").cast("double") * 1000000).cast("bigint")).as("sum_micros"),
+        count(lit(1)).as("n"))
+
   /** ANN top-k via LSH bucketing + exact re-rank of candidates. Recall is
     * data-dependent (verified ≥0.9 vs [[bruteForceTopK]] in AnnSpec); falls
     * short only for queries whose true neighbors share no bucket in any

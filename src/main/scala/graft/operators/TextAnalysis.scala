@@ -122,4 +122,20 @@ object TextAnalysis {
       expr(s"array_min(transform(sequence(1, greatest(length(text) - 4, 1)), " +
         s"i -> graft_poly_hash(substring(text, i, 5), 31, ${Portable.P1}L)))").as("fp_min5gram"))
   }
+
+  /** Corpus term statistics — the inverted-index / TF-IDF building block:
+    * document frequency and total term frequency of the 20 most widespread
+    * tokens. One explode + one aggregation; at 100 TB the shuffle carries
+    * (token, doc_id) pairs and partial counts only, and the final top-k is
+    * a TakeOrdered, not a global sort.
+    */
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokens("text")).as("token"))
+      .groupBy("token")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"))
+      .orderBy(desc("df"), col("token"))
+      .limit(20)
 }
