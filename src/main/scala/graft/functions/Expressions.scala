@@ -246,6 +246,145 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Element-wise poly hash of a string array: `out[j] = polyhash(in[j])`
+  * — identical values to `transform(arr, s -> graft_poly_hash(s, base,
+  * mod))`, but codegen instead of the HOF's interpreted lambda-per-element
+  * (Spark HOFs are CodegenFallback).
+  */
+case class PolyHashArray(child: Expression, base: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash_array requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * base + cp) % mod
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      out(j) = hash(arr.getUTF8String(j).toString)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  String $s = $c.getUTF8String($j).toString();
+         |  long $acc = 0L;
+         |  int $i = 0;
+         |  while ($i < $s.length()) {
+         |    int $cp = $s.codePointAt($i);
+         |    $i += Character.charCount($cp);
+         |    $acc = ($acc * ${base}L + $cp) % ${mod}L;
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashArray =
+    copy(child = newChild)
+}
+
+/** Element-wise packed 60-bit hash of a string array:
+  * `h31(s)·2^30 + (h37(s) mod 2^30)` per element — the SimHash input,
+  * identical to the HOF `transform` form in `Dedup.simhash` but codegen.
+  */
+case class Hash60Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash60_array requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j).toString
+      var h31 = 0L
+      var h37 = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        h31 = (h31 * 31 + cp) % Portable.P1
+        h37 = (h37 * 37 + cp) % Portable.P2
+      }
+      out(j) = h31 * 1073741824L + (h37 % 1073741824L)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val h31 = ctx.freshName("h31")
+      val h37 = ctx.freshName("h37")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  String $s = $c.getUTF8String($j).toString();
+         |  long $h31 = 0L; long $h37 = 0L;
+         |  int $i = 0;
+         |  while ($i < $s.length()) {
+         |    int $cp = $s.codePointAt($i);
+         |    $i += Character.charCount($cp);
+         |    $h31 = ($h31 * 31L + $cp) % ${Portable.P1}L;
+         |    $h37 = ($h37 * 37L + $cp) % ${Portable.P2}L;
+         |  }
+         |  $out[$j] = $h31 * 1073741824L + ($h37 % 1073741824L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
 /** All sign-random-projection LSH bucket keys in ONE pass over the
   * embedding: `key[t] = Σ_j [proj(t,j) >= 0] << j` where `proj(t,j) =
   * Σ_i sign(t,j,i)·x[i]` and `sign` is a splitmix64-style mix of
@@ -363,6 +502,16 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_simhash", exprs => {
       require(exprs.length == 1, "graft_simhash(hashes)")
       SimHash60(exprs.head)
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_poly_hash_array", exprs => {
+      require(exprs.length == 3, "graft_poly_hash_array(arr, base, mod)")
+      PolyHashArray(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue())
+    }, "scala_udf")
+    registry.createOrReplaceTempFunction("graft_hash60_array", exprs => {
+      require(exprs.length == 1, "graft_hash60_array(arr)")
+      Hash60Array(exprs.head)
     }, "scala_udf")
     registry.createOrReplaceTempFunction("graft_lsh_buckets", exprs => {
       require(exprs.length == 3, "graft_lsh_buckets(embedding, numTables, bitsPerTable)")

@@ -101,9 +101,12 @@ object Dedup {
 
   private def signaturesFrom(shingleArrays: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(shingleArrays.sparkSession)
+    // shingle hashing + minhash are both native codegen — the HOF
+    // `transform(shingles, s -> graft_poly_hash(...))` form computes the
+    // same values but interprets the lambda per element
     shingleArrays.select(
       col("doc_id"),
-      expr(s"graft_minhash(transform(shingles, s -> graft_poly_hash(s, 31, ${Portable.P1}L)), $NumHashes)")
+      expr(s"graft_minhash(graft_poly_hash_array(shingles, 31, ${Portable.P1}L), $NumHashes)")
         .as("sig"))
   }
 
@@ -235,12 +238,11 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // One codegen pass per doc over the shingle array — map-only.
+    // One codegen pass per doc over the shingle array — map-only, both the
+    // per-element packed hash and the bit-vote fold are native expressions.
     docShingleArrays(spark, dir).select(
       col("doc_id"),
-      expr(s"graft_simhash(transform(shingles, s -> " +
-        s"(graft_poly_hash(s, 31, ${Portable.P1}L) * 1073741824L) + (graft_poly_hash(s, 37, ${Portable.P2}L) % 1073741824L)))")
-        .as("simhash"))
+      expr("graft_simhash(graft_hash60_array(shingles))").as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via

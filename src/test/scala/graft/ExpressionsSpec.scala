@@ -45,6 +45,23 @@ class ExpressionsSpec extends AnyFunSuite {
       s"HOF poly hash diverges from code-point semantics on non-BMP: ${hof.getLong(0)}")
   }
 
+  test("graft_poly_hash_array / graft_hash60_array == HOF transform forms") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"${SparkSpec.testDataDir}/documents.parquet")
+      .createOrReplaceTempView("expr_docs")
+    val diff = spark.sql(
+      s"""SELECT * FROM (
+         |SELECT
+         | graft_poly_hash_array(sh, 31, ${Portable.P1}L) AS native_ph,
+         | transform(sh, s -> graft_poly_hash(s, 31, ${Portable.P1}L)) AS hof_ph,
+         | graft_hash60_array(sh) AS native_h60,
+         | transform(sh, s -> (graft_poly_hash(s, 31, ${Portable.P1}L) * 1073741824L)
+         |                  + (graft_poly_hash(s, 37, ${Portable.P2}L) % 1073741824L)) AS hof_h60
+         |FROM (SELECT split(trim(text), '\\\\s+') AS sh FROM expr_docs)
+         |) WHERE native_ph != hof_ph OR native_h60 != hof_h60""".stripMargin)
+    assert(diff.count() == 0)
+  }
+
   test("graft_dot == HOF dot product on embeddings") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"${SparkSpec.testDataDir}/embeddings.parquet")
