@@ -482,54 +482,60 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
   */
 object GraftFunctions {
 
-  /** `graft_poly_hash(str, base, mod)` and `graft_dot(arr, arr)`. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_poly_hash", exprs => {
+  private def num(e: Expression): Number = e.eval().asInstanceOf[Number]
+
+  /** The single source of truth for the engine's SQL function surface —
+    * consumed by BOTH registration paths ([[register]] for live sessions,
+    * [[GraftExtensions]] for `spark.sql.extensions`), so the two can never
+    * drift apart.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> { exprs =>
       require(exprs.length == 3, "graft_poly_hash(str, base, mod)")
-      val base = exprs(1).eval().asInstanceOf[Number].intValue()
-      val mod = exprs(2).eval().asInstanceOf[Number].longValue()
-      PolyHash(exprs.head, base, mod)
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_dot", exprs => {
+      PolyHash(exprs.head, num(exprs(1)).intValue(), num(exprs(2)).longValue())
+    },
+    "graft_dot" -> { exprs =>
       require(exprs.length == 2, "graft_dot(a, b)")
       ArrayDotProduct(exprs(0), exprs(1))
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_minhash", exprs => {
+    },
+    "graft_minhash" -> { exprs =>
       require(exprs.length == 2, "graft_minhash(hashes, numHashes)")
-      MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_simhash", exprs => {
+      MinHashSignature(exprs.head, num(exprs(1)).intValue())
+    },
+    "graft_simhash" -> { exprs =>
       require(exprs.length == 1, "graft_simhash(hashes)")
       SimHash60(exprs.head)
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_poly_hash_array", exprs => {
+    },
+    "graft_poly_hash_array" -> { exprs =>
       require(exprs.length == 3, "graft_poly_hash_array(arr, base, mod)")
-      PolyHashArray(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue())
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_hash60_array", exprs => {
+      PolyHashArray(exprs.head, num(exprs(1)).intValue(), num(exprs(2)).longValue())
+    },
+    "graft_hash60_array" -> { exprs =>
       require(exprs.length == 1, "graft_hash60_array(arr)")
       Hash60Array(exprs.head)
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_lsh_buckets", exprs => {
+    },
+    "graft_lsh_buckets" -> { exprs =>
       require(exprs.length == 3, "graft_lsh_buckets(embedding, numTables, bitsPerTable)")
-      LshBuckets(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_hll_distinct", exprs => {
-      val lgK = if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 12
+      LshBuckets(exprs.head, num(exprs(1)).intValue(), num(exprs(2)).intValue())
+    },
+    "graft_hll_distinct" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       HllDistinct(exprs.head, lgK).toAggregateExpression()
-    }, "scala_udf")
-    registry.createOrReplaceTempFunction("graft_kll_quantiles", exprs => {
+    },
+    "graft_kll_quantiles" -> { exprs =>
       require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")
       val ranks = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray().toSeq
-      val k = if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue() else 200
+      val k = if (exprs.length > 2) num(exprs(2)).intValue() else 200
       KllQuantiles(exprs.head, ranks, k).toAggregateExpression()
-    }, "scala_udf")
+    })
+
+  /** Imperative registration for an already-running session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b(_), "scala_udf")
+    }
   }
 }
 
@@ -540,17 +546,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      (exprs: Seq[Expression]) => PolyHash(
-        exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue())))
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => b(exprs)))
+    }
 }

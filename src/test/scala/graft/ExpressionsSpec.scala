@@ -82,5 +82,16 @@ class ExpressionsSpec extends AnyFunSuite {
     GraftFunctions.register(s2)
     assert(s2.sql(s"SELECT graft_poly_hash('abc', 31, ${Portable.P1}L)").head().getLong(0) ==
       (('a'.toLong * 31 + 'b') * 31 + 'c') % Portable.P1)
+    // both paths share GraftFunctions.builders — every engine function must
+    // be present and resolvable after registration
+    val expected = Set("graft_poly_hash", "graft_dot", "graft_minhash", "graft_simhash",
+      "graft_poly_hash_array", "graft_hash60_array", "graft_lsh_buckets",
+      "graft_hll_distinct", "graft_kll_quantiles")
+    assert(GraftFunctions.builders.map(_._1).toSet == expected)
+    val registry = s2.sessionState.functionRegistry
+    expected.foreach { name =>
+      assert(registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not registered")
+    }
   }
 }
