@@ -62,6 +62,7 @@ object SparkEntry {
     "q5_multi_join" -> (Relational.q5MultiJoin _),
     "events_range_join" -> (Relational.rangeJoinDensity _),
     "q_grouping_sets" -> (Relational.groupingSets _),
+    "set_intersect" -> (Relational.setIntersect _),
     "dedup_ngram" -> ((s, d) => Dedup.ngramNearDups(s, d)),
     "multimodal_frames" -> (Multimodal.frameSample _),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
@@ -404,6 +405,10 @@ object SparkEntry {
         | SELECT doc_id, text, CAST((len(text) + 63) // 64 AS BIGINT) AS n_frames,
         |  unnest(range(0, CAST((len(text) + 63) // 64 AS BIGINT), 10)) AS frame_idx
         | FROM documents)""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "dedup_edit_distance" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

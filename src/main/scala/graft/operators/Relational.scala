@@ -374,6 +374,29 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Set INTERSECT: customers that placed BOTH an open and a finished
+    * order (distinct set semantics, the complement of [[setExcept]]).
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(ord.filter(col("o_orderstatus") === "F").select("o_custkey"))
+  }
+
+  /** Salted join for skewed keys: the big side's hot keys are sharded into
+    * `salt` sub-keys and the small side is replicated `salt`× so each
+    * shard joins against its own copy — turning one straggler partition
+    * into `salt` even ones. AQE's skew-join split handles sort-merge
+    * stragglers automatically, but salting is the explicit form that also
+    * works for hash-partitioned aggregations downstream. Semantics are
+    * identical to the plain join (spec-checked in OperatorsSpec).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val replicated = small.withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** KLL quantile sketch per group — mergeable approximate percentiles
     * ([[graft.functions.KllQuantiles]]); rows-only driver check, accuracy
     * is spec-checked against exact rank quantiles in KllSpec.

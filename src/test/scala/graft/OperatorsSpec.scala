@@ -9,6 +9,39 @@ import graft.streaming.EventStream
 /** Specs for operators whose contract is not (fully) DuckDB-oracle-checkable:
   * ANN recall, the multimodal decode stub, streaming/batch equivalence.
   */
+class SaltedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("salted join result equals the plain join (row multiset)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_orderkey", "l_extendedprice", "o_orderstatus")
+      .collect().map(_.toString).sorted.toSeq
+    val plain = canon(li.join(ord, Seq("o_orderkey")))
+    val salted = canon(graft.operators.Relational.saltedJoin(li, ord, "o_orderkey", 8))
+    assert(salted == plain)
+  }
+
+  test("salting spreads a hot key across all salt shards") {
+    import spark.implicits._
+    // one pathological key repeated 1000x — the straggler scenario
+    val big = Seq.fill(1000)((42L, "x")).toDF("k", "payload")
+    val small = Seq((42L, "dim")).toDF("k", "dim_val")
+    val salted = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(8)))
+    val shards = salted.groupBy("_salt").count().collect().map(_.getLong(1))
+    assert(shards.length == 8, s"expected the hot key split over 8 shards, got ${shards.length}")
+    assert(shards.max < 1000, "no shard should hold the whole hot key")
+    // and the join itself stays correct
+    val joined = graft.operators.Relational.saltedJoin(big, small, "k", 8)
+    assert(joined.count() == 1000)
+  }
+}
+
 class AnnSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
