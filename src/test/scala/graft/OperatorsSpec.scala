@@ -262,6 +262,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"expected one row per key: ${ids.toSeq}")
   }
 
+  test("sketch aggregates run inside streaming aggregation (HLL, complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val mem = MemoryStream[(String, Long)]
+    val agg = mem.toDF().toDF("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(expr("graft_hll_distinct(user_id)").as("approx_users"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hll")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1 to 500).map(i => ("click", (i % 100).toLong)): _*)
+    q.processAllAvailable()
+    mem.addData((1 to 500).map(i => ("click", (100 + i % 50).toLong)): _*) // 50 new users
+    q.processAllAvailable()
+    q.stop()
+    val est = spark.table("stream_hll").collect().head.getLong(1)
+    // exact distinct = 150; HLL(lgK=12) is within ~2% there — and the
+    // streaming state carried the sketch across triggers (merge path)
+    assert(math.abs(est - 150L) <= 8, s"streaming HLL estimate $est far from 150")
+  }
+
   test("streaming sessionization equals batch (closed sessions)") {
     import spark.implicits._
     val events = graft.operators.Relational.events(spark, dir)
