@@ -70,6 +70,8 @@ object SparkEntry {
     "embedding_centroid" -> (Similarity.labelCentroids _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
+    // approximate → no SQL oracle; accuracy spec-checked in FreqSpec
+    "sketch_topk_terms" -> (TextAnalysis.topkTermsSketch _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {

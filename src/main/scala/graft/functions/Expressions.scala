@@ -522,6 +522,11 @@ object GraftFunctions {
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       HllDistinct(exprs.head, lgK).toAggregateExpression()
     },
+    "graft_freq_items" -> { exprs =>
+      val k = if (exprs.length > 1) num(exprs(1)).intValue() else 10
+      val maxMapSize = if (exprs.length > 2) num(exprs(2)).intValue() else 256
+      FreqItems(exprs.head, k, maxMapSize).toAggregateExpression()
+    },
     "graft_kll_quantiles" -> { exprs =>
       require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")
       val ranks = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

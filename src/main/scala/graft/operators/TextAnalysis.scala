@@ -138,4 +138,20 @@ object TextAnalysis {
         count(lit(1)).as("tf"))
       .orderBy(desc("df"), col("token"))
       .limit(20)
+
+  /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
+    * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
+    * sketches merge into one, no (token → count) shuffle. The way to find
+    * corpus boilerplate at 100 TB. Rows-only driver check; accuracy
+    * (no-false-negative guarantee, error bound) is spec-checked in FreqSpec.
+    */
+  def topkTermsSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(explode(Portable.tokens("text")).as("token"))
+      .createOrReplaceTempView("graft_tokens")
+    spark.sql(
+      """SELECT inline(graft_freq_items(token, 10, 256)) FROM graft_tokens""")
+      .toDF("token", "estimate")
+  }
 }
