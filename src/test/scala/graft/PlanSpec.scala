@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Automated plan-shape guards — the properties that make these queries
@@ -94,5 +95,35 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan("events_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must go through the bucket equi key:\n$plan")
+  }
+
+  test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
+    // the DESIGN.md claim behind q5: bucketing both facts on the join key
+    // removes the one remaining shuffle. Prove it with Spark's bucketed
+    // tables: identical bucketing on both sides → SortMergeJoin reads
+    // bucket-aligned, zero Exchange in the join subtree.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == spark.read.parquet(s"$dir/lineitem.parquet").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
   }
 }
