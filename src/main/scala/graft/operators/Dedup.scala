@@ -212,8 +212,11 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val pairs = minhashNearDups(spark, dir, threshold).select("id_a", "id_b").cache()
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst").cache()
+    // localCheckpoint per round: each iteration references the previous
+    // labels twice (union + convergence join), so an uncut lineage grows
+    // exponentially with rounds
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -221,16 +224,81 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .select(col("src").as("id"), col("label"))
       val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label")).cache()
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
     materializeAndRelease(
-      Seq(pairs, edges, labels),
+      Seq(pairs, edges),
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log n) rounds on ANY graph shape, vs O(diameter) for the min-label
+    * BSP in [[nearDupClusters]]. The 100 TB choice when components can be
+    * deep (chained near-dup templates). Input: undirected edges (src, dst);
+    * output: (node, component min-label). Each round is two
+    * groupBy-aggregate passes over the edge list.
+    *
+    *   - large-star: every node links its LARGER neighbors to its
+    *     neighborhood minimum (keeps edges to smaller nodes intact)
+    *   - small-star: every node links its smaller-or-equal neighbors to
+    *     the neighborhood minimum
+    */
+  def connectedComponentsStar(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    // canonical undirected edge list, self-loops dropped
+    // Each round references the previous round's plan several times (the
+    // union'd neighbor view + the convergence except), so the lineage would
+    // grow EXPONENTIALLY across rounds — localCheckpoint truncates it to
+    // the materialized blocks every iteration (the loop analogue of
+    // materializeAndRelease; blocks are GC-cleaned).
+    var edges = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      // large-star: m(c) = min(Γ(c) ∪ {c}); link strictly larger
+      // neighbors to m. Aggregate-then-join — never materializes a
+      // neighborhood in one row (a collect_set would OOM on the root of a
+      // large component).
+      val nbrs = edges.select(col("u").as("c"), col("v").as("n"))
+        .union(edges.select(col("v").as("c"), col("u").as("n")))
+      val lsMin = nbrs.groupBy("c").agg(min(least(col("c"), col("n"))).as("m"))
+      val ls = nbrs.join(lsMin, "c")
+        .filter(col("n") > col("c"))
+        .select(least(col("n"), col("m")).as("u"), greatest(col("n"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star over the larger→smaller edges: link every smaller
+      // neighbor AND the center to the neighborhood minimum
+      val sn = ls.select(col("v").as("c"), col("u").as("n")) // n <= c by construction
+      val ssMin = sn.groupBy("c").agg(min(col("n")).as("m"))
+      val ss = sn.join(ssMin, "c")
+        .select(col("m"), col("n")).union(ssMin.select(col("m"), col("c").as("n")))
+        .filter(col("m") =!= col("n"))
+        .select(col("m").as("u"), col("n").as("v")) // m = min ⇒ already canonical
+        .distinct()
+        .localCheckpoint(true)
+      // converged when the edge set is a fixed point (all stars: v -> root)
+      val changed = ss.count() != edges.count() ||
+        ss.except(edges).limit(1).count() > 0
+      edges = ss
+      converged = !changed
+      rounds += 1
+    }
+    // stars point every node at its component min; the roots themselves
+    // get their own id
+    val members = edges.select(col("v").as("node"), col("u").as("label"))
+    val roots = edges.select(col("u").as("node")).distinct()
+      .join(members.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    materializeAndRelease(Nil, members.union(roots))
   }
 
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature

@@ -77,6 +77,28 @@ class DedupSpec extends AnyFunSuite {
     info(s"near-dup pairs at 0.6: ${nearDups.length}")
   }
 
+  test("large-star/small-star CC equals the BSP min-label clusters") {
+    val pairs = Dedup.minhashNearDups(spark, dir, 0.6)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bsp = Dedup.nearDupClusters(spark, dir, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // BSP output includes roots labeling themselves; star's members+roots
+    // cover the same node set with the same component minima
+    assert(star == bsp, s"star: ${star.toSeq.sorted.take(10)}... bsp: ${bsp.toSeq.sorted.take(10)}...")
+  }
+
+  test("star CC handles a deep chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 64-node path: worst case for O(diameter) BSP, easy for star rounds
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 64, s"expected all 64 nodes labeled, got ${labels.size}")
+    assert((0L to 63L).forall(labels(_) == 0L), "all chain nodes must label to component min 0")
+  }
+
   test("simhash near-dups: hamming<=3 pairs overlap jaccard near-dups") {
     val sim = Dedup.simhashNearDups(spark, dir, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
