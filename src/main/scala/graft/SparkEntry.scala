@@ -72,6 +72,8 @@ object SparkEntry {
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
     // approximate → no SQL oracle; accuracy spec-checked in FreqSpec
     "sketch_topk_terms" -> (TextAnalysis.topkTermsSketch _),
+    // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
+    "sketch_theta_overlap" -> (Relational.thetaOverlap _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {

@@ -522,6 +522,18 @@ object GraftFunctions {
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       HllDistinct(exprs.head, lgK).toAggregateExpression()
     },
+    "graft_theta_sketch" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      ThetaSketchAgg(exprs.head, lgK).toAggregateExpression()
+    },
+    "graft_theta_union_est" -> { exprs =>
+      require(exprs.length == 2, "graft_theta_union_est(sketch, sketch)")
+      ThetaSetEstimate(exprs(0), exprs(1), "union")
+    },
+    "graft_theta_intersect_est" -> { exprs =>
+      require(exprs.length == 2, "graft_theta_intersect_est(sketch, sketch)")
+      ThetaSetEstimate(exprs(0), exprs(1), "intersect")
+    },
     "graft_freq_items" -> { exprs =>
       val k = if (exprs.length > 1) num(exprs(1)).intValue() else 10
       val maxMapSize = if (exprs.length > 2) num(exprs(2)).intValue() else 256

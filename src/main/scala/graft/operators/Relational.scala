@@ -397,6 +397,25 @@ object Relational {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Audience overlap via theta sketches: one pass builds a per-event-type
+    * sketch of distinct users, then set algebra on the (tiny) sketch rows
+    * answers every pairwise union/intersection distinct-count — no
+    * pairwise distinct joins over the fact table. Rows-only driver check;
+    * accuracy is spec-checked in ThetaSpec.
+    */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """WITH sk AS (
+        | SELECT event_type, graft_theta_sketch(user_id) AS sk
+        | FROM graft_events GROUP BY event_type)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | graft_theta_intersect_est(a.sk, b.sk) AS both_users_est,
+        | graft_theta_union_est(a.sk, b.sk) AS either_users_est
+        |FROM sk a JOIN sk b ON a.event_type < b.event_type""".stripMargin)
+  }
+
   /** KLL quantile sketch per group — mergeable approximate percentiles
     * ([[graft.functions.KllQuantiles]]); rows-only driver check, accuracy
     * is spec-checked against exact rank quantiles in KllSpec.
