@@ -74,6 +74,7 @@ object SparkEntry {
     "sketch_topk_terms" -> (TextAnalysis.topkTermsSketch _),
     // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
     "sketch_theta_overlap" -> (Relational.thetaOverlap _),
+    "events_salted_join" -> (Relational.eventsSaltedJoin _),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -435,6 +436,11 @@ object SparkEntry {
       """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "events_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "embedding_centroid" ->
       """SELECT label, dim,
         | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,

@@ -534,6 +534,10 @@ object GraftFunctions {
       require(exprs.length == 2, "graft_theta_intersect_est(sketch, sketch)")
       ThetaSetEstimate(exprs(0), exprs(1), "intersect")
     },
+    "graft_theta_diff_est" -> { exprs =>
+      require(exprs.length == 2, "graft_theta_diff_est(sketchA, sketchB)")
+      ThetaSetEstimate(exprs(0), exprs(1), "diff")
+    },
     "graft_freq_items" -> { exprs =>
       val k = if (exprs.length > 1) num(exprs(1)).intValue() else 10
       val maxMapSize = if (exprs.length > 2) num(exprs(2)).intValue() else 256

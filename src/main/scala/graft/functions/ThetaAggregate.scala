@@ -84,16 +84,16 @@ case class ThetaSketchAgg(
 }
 
 /** Scalar set-operation estimates over two serialized compact theta
-  * sketches: `op` ∈ {union, intersect}. Returns the rounded estimate.
-  * Runs on sketch rows (cohort counts, not data rows) — CodegenFallback
-  * is fine at that cardinality.
+  * sketches: `op` ∈ {union, intersect, diff} (diff = A\B). Returns the
+  * rounded estimate. Runs on sketch rows (cohort counts, not data rows) —
+  * CodegenFallback is fine at that cardinality.
   */
 case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType &&
-        (op == "union" || op == "intersect")) TypeCheckResult.TypeCheckSuccess
+        (op == "union" || op == "intersect" || op == "diff")) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_theta_$op requires two binary sketch arguments")
   override def dataType: DataType = LongType
@@ -111,6 +111,8 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
         val i: Intersection = SetOperation.builder().buildIntersection()
         i.intersect(a); i.intersect(b)
         i.getResult(true, null)
+      case "diff" =>
+        SetOperation.builder().buildANotB().aNotB(a, b)
     }
     Math.round(result.getEstimate)
   }

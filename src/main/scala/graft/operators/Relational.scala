@@ -412,8 +412,25 @@ object Relational {
         | FROM graft_events GROUP BY event_type)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
         | graft_theta_intersect_est(a.sk, b.sk) AS both_users_est,
-        | graft_theta_union_est(a.sk, b.sk) AS either_users_est
+        | graft_theta_union_est(a.sk, b.sk) AS either_users_est,
+        | graft_theta_diff_est(a.sk, b.sk) AS only_a_users_est
         |FROM sk a JOIN sk b ON a.event_type < b.event_type""".stripMargin)
+  }
+
+  /** The salted-join utility exercised as a catalog query: events (big,
+    * user-keyed) joined to customer (dim) through [[saltedJoin]] with 8
+    * shards, then aggregated per market segment. Result is
+    * oracle-identical to the plain join — salting changes the partition
+    * layout, never the semantics.
+    */
+  def eventsSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id").as("c_custkey"), col("value"))
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    saltedJoin(ev, cust, "c_custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
   }
 
   /** KLL quantile sketch per group — mergeable approximate percentiles

@@ -39,6 +39,28 @@ class KllSpec extends AnyFunSuite {
     assert(est.nonEmpty)
   }
 
+  test("kll quantiles run inside streaming aggregation (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val mem = MemoryStream[Double]
+    val agg = mem.toDF().toDF("v")
+      .agg(expr("graft_kll_quantiles(v, array(0.5D), 200)").as("q"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_kll")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1 to 500).map(_.toDouble): _*)
+    q.processAllAvailable()
+    mem.addData((501 to 1000).map(_.toDouble): _*) // state must carry batch 1
+    q.processAllAvailable()
+    q.stop()
+    val median = spark.table("stream_kll").collect().head.getSeq[Double](0).head
+    assert(median >= 480 && median <= 520,
+      s"streaming median $median should be ~500 over both batches")
+  }
+
   test("kll estimate is repartition-invariant in distribution (merge path)") {
     graft.functions.GraftFunctions.register(spark)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -17,7 +17,7 @@ class ThetaSpec extends AnyFunSuite {
       .select("event_type", "user_id").cache()
     val est = graft.operators.Relational.thetaOverlap(spark, dir)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(est.size == 10, s"5 event types -> 10 pairs, got ${est.size}")
 
     val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
@@ -26,11 +26,14 @@ class ThetaSpec extends AnyFunSuite {
       val usersB = ev.filter(col("event_type") === b).select("user_id").distinct()
       val exactBoth = usersA.intersect(usersB).count()
       val exactEither = usersA.union(usersB).distinct().count()
-      val (estBoth, estEither) = est((a, b))
+      val exactOnlyA = usersA.except(usersB).count()
+      val (estBoth, estEither, estOnlyA) = est((a, b))
       assert(math.abs(estBoth - exactBoth) <= math.max(2, exactBoth / 20),
         s"($a,$b) intersect est $estBoth vs exact $exactBoth")
       assert(math.abs(estEither - exactEither) <= math.max(2, exactEither / 20),
         s"($a,$b) union est $estEither vs exact $exactEither")
+      assert(math.abs(estOnlyA - exactOnlyA) <= math.max(2, exactOnlyA / 20),
+        s"($a,$b) a-not-b est $estOnlyA vs exact $exactOnlyA")
     }
     ev.unpersist()
   }
