@@ -85,6 +85,36 @@ object Multimodal {
       .withColumn("frame_md5", md5(encode(expr("substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)"), "UTF-8")))
       .drop("text")
 
+  /** Resized media row: the payload after a (stubbed) resize to target
+    * dimensions.
+    */
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stub: a real implementation would decode, scale, re-encode via
+    * an image library; the fake deterministically downsamples the payload
+    * bytes to `targetW × targetH` samples (stride sampling — the same
+    * data-movement shape as a real thumbnailer). Runs per-partition with
+    * constant memory; output partitioning == input partitioning, so a
+    * 100 TB corpus resizes in one pass with zero shuffle.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int = 16, targetH: Int = 16): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = targetW * targetH
+        val out = new Array[Byte](n)
+        val len = math.max(1, m.payload.length)
+        var i = 0
+        while (i < n) {
+          out(i) = m.payload((i.toLong * len / n).toInt) // nearest-neighbor stub
+          i += 1
+        }
+        ResizedMedia(m.doc_id, targetW, targetH, out)
+      }
+    }
+  }
+
   /** End-to-end stub pipeline: documents → binary payload → typed decode. */
   def decodePipeline(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._

@@ -115,6 +115,23 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
 
+  test("resize stub: fixed output dims, deterministic, partition-preserving") {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit("image/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resize(media, 8, 8)
+    assert(out.rdd.getNumPartitions == media.rdd.getNumPartitions, "resize must not shuffle")
+    val rows = out.collect()
+    assert(rows.length == media.count().toInt)
+    assert(rows.forall(r => r.payload.length == 64 && r.width == 8 && r.height == 8))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(media, 8, 8).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(rows.forall(r => again(r.doc_id) == r.payload.toSeq))
+  }
+
   test("decode pipeline: typed output, one row per doc, deterministic stub values") {
     val out = Multimodal.decodePipeline(spark, dir)
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
