@@ -134,6 +134,7 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
       .cache()
+    banded.count() // fill the cache before AQE fans out its 4 consumers
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
     // carrying almost no signal — drop overcrowded buckets. True near-dups
@@ -181,8 +182,13 @@ object Dedup {
         .as("shingles"))
 
   private def nearDupsFromArrays(shingleArrays: DataFrame, threshold: Double): DataFrame = {
-    // One shingle pass feeds signatures and verification.
+    // One shingle pass feeds signatures and verification. Materialize the
+    // cache EAGERLY: AQE submits the independent downstream stages (band
+    // agg, anti-join, both self-join sides, verification) concurrently,
+    // and an unfilled cache makes each of them recompute the whole shingle
+    // pipeline in parallel (measured: 4× ~1 s duplicate jobs at sf0.1).
     val arrays = shingleArrays.cache()
+    arrays.count()
     val (cand, banded) = candidatesFrom(signaturesFrom(arrays))
     // Exact verification joins each candidate pair back to its two shingle
     // ARRAYS and intersects them in one codegen'd expression — the work is
