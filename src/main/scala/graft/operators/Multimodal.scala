@@ -81,7 +81,11 @@ object Multimodal {
         col("doc_id"),
         col("n_frames"),
         col("text"),
-        explode(expr("sequence(0L, n_frames - 1, 10L)")).as("frame_idx"))
+        // empty documents (n_frames = 0) produce zero sampled frames; an
+        // unguarded sequence(0, -1, 10) would throw instead
+        explode(expr(
+          "CASE WHEN n_frames > 0 THEN sequence(0L, n_frames - 1, 10L) " +
+            "ELSE CAST(array() AS array<bigint>) END")).as("frame_idx"))
       .withColumn("frame_md5", md5(encode(expr("substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)"), "UTF-8")))
       .drop("text")
 
@@ -103,10 +107,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { m =>
         val n = targetW * targetH
-        val out = new Array[Byte](n)
-        val len = math.max(1, m.payload.length)
+        val out = new Array[Byte](n) // empty payload → all-zero thumbnail
+        val len = m.payload.length
         var i = 0
-        while (i < n) {
+        while (i < n && len > 0) {
           out(i) = m.payload((i.toLong * len / n).toInt) // nearest-neighbor stub
           i += 1
         }
@@ -125,5 +129,30 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
     decodeMeta(media)
+  }
+
+  /** [[decodePipeline]] as a catalog query: every output column of the stub
+    * decoder (byte_len, width, height, checksum) is deterministically
+    * derivable from the text bytes, so the mapPartitions dataflow gets a
+    * hard DuckDB-oracle row, not just specs.
+    */
+  def decodePipelineQuery(spark: SparkSession, dir: String): DataFrame =
+    decodePipeline(spark, dir).toDF()
+
+  /** [[resize]] as a catalog query: (doc_id, width, height, md5 of the
+    * stride-sampled thumbnail bytes). The sampled byte at position i is
+    * text byte floor(i·len/256) — reproducible in SQL on the ASCII corpus,
+    * so the resize plumbing is oracle-checked end to end.
+    */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        lit("text/fake").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    resize(media, 16, 16).toDF()
+      .select(col("doc_id"), col("width"), col("height"), md5(col("payload")).as("thumb_md5"))
   }
 }

@@ -434,16 +434,24 @@ object Relational {
   }
 
   /** KLL quantile sketch per group — mergeable approximate percentiles
-    * ([[graft.functions.KllQuantiles]]); rows-only driver check, accuracy
-    * is spec-checked against exact rank quantiles in KllSpec.
+    * ([[graft.functions.KllQuantiles]]); rows-only driver check (scalar
+    * doubles, so the harness can sort/hash them), accuracy is spec-checked
+    * against exact rank quantiles in KllSpec.
     */
   def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     t(spark, dir, "lineitem").createOrReplaceTempView("graft_li")
     spark.sql(
-      """SELECT l_returnflag,
-        | graft_kll_quantiles(l_quantity, array(0.5D, 0.95D, 0.99D)) AS qty_q,
-        | graft_kll_quantiles(l_extendedprice, array(0.5D, 0.95D, 0.99D)) AS price_q
-        |FROM graft_li GROUP BY l_returnflag""".stripMargin)
+      """WITH q AS (
+        | SELECT l_returnflag,
+        |  graft_kll_quantiles(l_quantity, array(0.5D, 0.95D, 0.99D)) AS qty_q,
+        |  graft_kll_quantiles(l_extendedprice, array(0.5D, 0.95D, 0.99D)) AS price_q
+        | FROM graft_li GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | element_at(qty_q, 1) AS qty_q50, element_at(qty_q, 2) AS qty_q95,
+        | element_at(qty_q, 3) AS qty_q99,
+        | element_at(price_q, 1) AS price_q50, element_at(price_q, 2) AS price_q95,
+        | element_at(price_q, 3) AS price_q99
+        |FROM q""".stripMargin)
   }
 }

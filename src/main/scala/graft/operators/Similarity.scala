@@ -130,7 +130,8 @@ object Similarity {
     * short only for queries whose true neighbors share no bucket in any
     * table.
     */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      tables: Int = NumTables, bits: Int = BitsPerTable): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).cache() // reused by buckets, queries, re-rank
     // Buckets carry ONLY (vec_id, t, key): candidate generation and dedup
     // never shuffle the embedding payloads. All 32 keys come from ONE
@@ -139,7 +140,7 @@ object Similarity {
     // join sides.
     val bucketed = e
       .select(col("vec_id"),
-        posexplode(expr(s"graft_lsh_buckets(embedding, $NumTables, $BitsPerTable)")).as(Seq("t", "key")))
+        posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
       .cache()
     val qb = bucketed.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "q_id")
     val pairs = bucketed.join(broadcast(qb), Seq("t", "key"))
@@ -159,5 +160,20 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
     Dedup.materializeAndRelease(Seq(e, bucketed), out)
+  }
+
+  /** Driver-checkable ANN recall: per query, the number of the TRUE top-k
+    * (from [[bruteForceTopK]]) that [[lshTopK]] also returned. The DuckDB
+    * oracle computes the exact top-k in SQL and asserts `n_hits = k` — so a
+    * green row is a hard proof that the LSH path achieved recall 1.0 on
+    * this corpus, not just a spec-side claim. Both sides are deterministic
+    * (fixed hyperplanes), so the check is stable across runs.
+    */
+  def lshRecallTable(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = lshTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hits"))
   }
 }

@@ -151,10 +151,11 @@ object AvroSink {
       writer.flush()
       writer.close()
       val written = fs.getFileStatus(tmpPath).getLen
-      // A retry after a successful-but-unacknowledged attempt finds the final
-      // file already present: treat that as success (delete-then-rename), so
-      // task retries really are idempotent.
-      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      // NEVER delete finalPath: it only ever appears via an atomic rename, so
+      // it can't be partial, and deleting it would let a zombie attempt
+      // un-commit data another attempt already published (then die before its
+      // own rename). Attempt the rename; if it fails and finalPath exists,
+      // another attempt won the race — that's success, just drop our tmp.
       if (!fs.rename(tmpPath, finalPath)) {
         fs.delete(tmpPath, false)
         if (!fs.exists(finalPath)) // lost the race AND nobody produced the file

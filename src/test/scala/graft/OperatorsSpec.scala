@@ -93,10 +93,12 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     // a 64-node path: worst case for O(diameter) BSP, easy for star rounds
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val labels = Dedup.connectedComponentsStar(chain).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (df, rounds) = Dedup.connectedComponentsStarWithRounds(chain)
+    val labels = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels.size == 64, s"expected all 64 nodes labeled, got ${labels.size}")
     assert((0L to 63L).forall(labels(_) == 0L), "all chain nodes must label to component min 0")
+    // O(log n) rounds on a diameter-63 path (min-label BSP would need ~63)
+    assert(rounds <= 12, s"star CC took $rounds rounds on a 64-chain — not logarithmic")
   }
 
   test("simhash near-dups: hamming<=3 pairs overlap jaccard near-dups") {
@@ -108,6 +110,49 @@ class DedupSpec extends AnyFunSuite {
     // simhash(h<=3 of 60 bits) is a much stricter near-dup notion; every
     // simhash pair should be a true jaccard near-dup
     assert(sim.subsetOf(jac))
+  }
+
+  test("blocked exact embedding dedup equals the all-pairs result for any block count") {
+    // ground truth: the straightforward all-pairs form, computed inline
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Portable.l2NormNative("embedding").as("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.Portable.dotProductNative("emb_a", "emb_b") /
+        (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Dedup.embeddingNearDups(spark, dir, 0.4, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth, s"blocks=$blocks: blocked grid join must own each pair exactly once")
+    }
+  }
+
+  test("LSH embedding dedup: recall 1.0 on planted near-dups, zero false positives") {
+    import spark.implicits._
+    // 200 deterministic pseudo-random unit-ish vectors + 20 planted near-dup
+    // partners (original with one coordinate nudged → cosine ≈ 0.99)
+    def vec(seed: Long): Array[Float] = Array.tabulate(64) { d =>
+      val x = (seed * 6364136223846793005L + d * 1442695040888963407L + 11L)
+      (((x >>> 33).toInt % 1000) / 500.0f) - 1.0f
+    }
+    val base = (0L until 200L).map(i => (i, vec(i)))
+    val planted = (0L until 20L).map { i =>
+      val v = vec(i).clone(); v(0) = v(0) + 0.3f; (1000L + i, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsLsh(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // planted pairs all found...
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val expected = (0L until 20L).map(i => (i, 1000L + i)).toSet
+    assert(expected.subsetOf(gotPairs),
+      s"missed planted pairs: ${expected -- gotPairs}")
+    // ...and nothing below the threshold survives the exact verification
+    assert(got.forall(_._3 >= 0.9), s"false positive above threshold: ${got.filter(_._3 < 0.9).toSeq}")
   }
 }
 

@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding dedup is a grid equi-join, never a nested-loop product") {
+    val plan = executedPlan("dedup_embedding")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"exact embedding dedup must distribute via the block grid key:\n$plan")
+  }
+
+  test("LSH embedding dedup plan has no nested-loop product either") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val plan = graft.operators.Dedup.embeddingNearDupsLsh(vecs, 0.9, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("range join is bucketized equi-join, never a nested-loop product") {
     val plan = executedPlan("events_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
