@@ -34,9 +34,13 @@ object Bench {
     // Headline set: core export + the heaviest representative operators.
     val headline = Vector(
       "q1_agg", "q3_join_agg", "q5_multi_join", "w1_window_topk", "s1_full_scan",
+      "q_scalar_subquery", // correlated-subquery plan (broadcast dim agg)
       "events_sessionize", "events_hourly_agg", "events_range_join",
       "text_fingerprint", "text_quality",
+      "text_term_stats", // Expand-heavy inverted-index plan
       "dedup_minhash", "dedup_simhash", "dedup_exact",
+      "dedup_clusters", // iterative large-star/small-star CC
+      "dedup_embedding", // blocked grid self-join (exact threshold)
       "ann_topk", "ann_lsh", "multimodal_meta")
 
     def time[A](body: => A): Double = {

@@ -69,7 +69,8 @@ case class PolyHash(child: Expression, base: Int, mod: Long)
 /** Left-to-right dot product of two float/double arrays accumulated in
   * double — identical to `aggregate(zip_with(a, b, (x,y) -> CAST(x AS
   * DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc,v) -> acc + v)` for equal-length
-  * arrays without null items.
+  * arrays without null items. Null items contribute 0 (user-registerable
+  * SQL function — must not read undefined slots).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -97,9 +98,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+      }
       i += 1
     }
     acc
@@ -116,7 +119,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getA * $getB;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) $acc += $getA * $getB;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -147,12 +150,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < hs.numElements()) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val v = (h * (2L * i + 1) + i.toLong * i + 7) % Portable.P1
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      if (!hs.isNullAt(j)) { // null shingle hashes contribute nothing
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v = (h * (2L * i + 1) + i.toLong * i + 7) % Portable.P1
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -170,6 +175,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |long[] $sig = new long[$numHashes];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  long $h = $c.getLong($j);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $v = ($h * (2L * $i + 1) + (long) $i * $i + 7) % ${Portable.P1}L;
@@ -202,11 +208,13 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     val sums = new Array[Long](60)
     var j = 0
     while (j < hs.numElements()) {
-      val h = hs.getLong(j)
-      var b = 0
-      while (b < 60) {
-        sums(b) += (((h >> b) & 1L) * 2L - 1L)
-        b += 1
+      if (!hs.isNullAt(j)) { // null shingle hashes contribute nothing
+        val h = hs.getLong(j)
+        var b = 0
+        while (b < 60) {
+          sums(b) += (((h >> b) & 1L) * 2L - 1L)
+          b += 1
+        }
       }
       j += 1
     }
@@ -229,6 +237,7 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       s"""
          |long[] $sums = new long[60];
          |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  if ($c.isNullAt($j)) continue;
          |  long $h = $c.getLong($j);
          |  for (int $b = 0; $b < 60; $b++) {
          |    $sums[$b] += ((($h >> $b) & 1L) * 2L - 1L);
@@ -249,7 +258,9 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 /** Element-wise poly hash of a string array: `out[j] = polyhash(in[j])`
   * — identical values to `transform(arr, s -> graft_poly_hash(s, base,
   * mod))`, but codegen instead of the HOF's interpreted lambda-per-element
-  * (Spark HOFs are CodegenFallback).
+  * (Spark HOFs are CodegenFallback). Like the HOF form, a null element maps
+  * to a null element (the internal shingle pipelines never produce null
+  * elements, so they stay on the primitive-array fast path).
   */
 case class PolyHashArray(child: Expression, base: Int, mod: Long)
     extends UnaryExpression {
@@ -259,7 +270,8 @@ case class PolyHashArray(child: Expression, base: Int, mod: Long)
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_poly_hash_array requires array<string>, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
   override def nullIntolerant: Boolean = true
 
   private def hash(s: String): Long = {
@@ -277,18 +289,31 @@ case class PolyHashArray(child: Expression, base: Int, mod: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Long](n)
+    var nulls: Array[Boolean] = null
     var j = 0
     while (j < n) {
-      out(j) = hash(arr.getUTF8String(j).toString)
+      if (arr.isNullAt(j)) {
+        if (nulls == null) nulls = new Array[Boolean](n)
+        nulls(j) = true
+      } else out(j) = hash(arr.getUTF8String(j).toString)
       j += 1
     }
-    ArrayData.toArrayData(out)
+    if (nulls == null) ArrayData.toArrayData(out)
+    else {
+      val boxed = new Array[Any](n)
+      var k = 0
+      while (k < n) { boxed(k) = if (nulls(k)) null else out(k); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val boxed = ctx.freshName("boxed")
+      val k = ctx.freshName("k")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
@@ -297,7 +322,13 @@ case class PolyHashArray(child: Expression, base: Int, mod: Long)
       s"""
          |int $n = $c.numElements();
          |long[] $out = new long[$n];
+         |boolean[] $nulls = null;
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($c.isNullAt($j)) {
+         |    if ($nulls == null) $nulls = new boolean[$n];
+         |    $nulls[$j] = true;
+         |    continue;
+         |  }
          |  String $s = $c.getUTF8String($j).toString();
          |  long $acc = 0L;
          |  int $i = 0;
@@ -308,7 +339,13 @@ case class PolyHashArray(child: Expression, base: Int, mod: Long)
          |  }
          |  $out[$j] = $acc;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |if ($nulls == null) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |} else {
+         |  Object[] $boxed = new Object[$n];
+         |  for (int $k = 0; $k < $n; $k++) $boxed[$k] = $nulls[$k] ? null : (Object) java.lang.Long.valueOf($out[$k]);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+         |}
        """.stripMargin
     })
 
@@ -319,6 +356,7 @@ case class PolyHashArray(child: Expression, base: Int, mod: Long)
 /** Element-wise packed 60-bit hash of a string array:
   * `h31(s)·2^30 + (h37(s) mod 2^30)` per element — the SimHash input,
   * identical to the HOF `transform` form in `Dedup.simhash` but codegen.
+  * Like the HOF form, a null element maps to a null element.
   */
 case class Hash60Array(child: Expression) extends UnaryExpression {
 
@@ -327,35 +365,51 @@ case class Hash60Array(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hash60_array requires array<string>, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Long](n)
+    var nulls: Array[Boolean] = null
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j).toString
-      var h31 = 0L
-      var h37 = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        i += Character.charCount(cp)
-        h31 = (h31 * 31 + cp) % Portable.P1
-        h37 = (h37 * 37 + cp) % Portable.P2
+      if (arr.isNullAt(j)) {
+        if (nulls == null) nulls = new Array[Boolean](n)
+        nulls(j) = true
+      } else {
+        val s = arr.getUTF8String(j).toString
+        var h31 = 0L
+        var h37 = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          i += Character.charCount(cp)
+          h31 = (h31 * 31 + cp) % Portable.P1
+          h37 = (h37 * 37 + cp) % Portable.P2
+        }
+        out(j) = h31 * 1073741824L + (h37 % 1073741824L)
       }
-      out(j) = h31 * 1073741824L + (h37 % 1073741824L)
       j += 1
     }
-    ArrayData.toArrayData(out)
+    if (nulls == null) ArrayData.toArrayData(out)
+    else {
+      val boxed = new Array[Any](n)
+      var k = 0
+      while (k < n) { boxed(k) = if (nulls(k)) null else out(k); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val boxed = ctx.freshName("boxed")
+      val k = ctx.freshName("k")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
@@ -365,7 +419,13 @@ case class Hash60Array(child: Expression) extends UnaryExpression {
       s"""
          |int $n = $c.numElements();
          |long[] $out = new long[$n];
+         |boolean[] $nulls = null;
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($c.isNullAt($j)) {
+         |    if ($nulls == null) $nulls = new boolean[$n];
+         |    $nulls[$j] = true;
+         |    continue;
+         |  }
          |  String $s = $c.getUTF8String($j).toString();
          |  long $h31 = 0L; long $h37 = 0L;
          |  int $i = 0;
@@ -377,7 +437,13 @@ case class Hash60Array(child: Expression) extends UnaryExpression {
          |  }
          |  $out[$j] = $h31 * 1073741824L + ($h37 % 1073741824L);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |if ($nulls == null) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |} else {
+         |  Object[] $boxed = new Object[$n];
+         |  for (int $k = 0; $k < $n; $k++) $boxed[$k] = $nulls[$k] ? null : (Object) java.lang.Long.valueOf($out[$k]);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+         |}
        """.stripMargin
     })
 
@@ -425,7 +491,8 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
           z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
           z = z ^ (z >>> 31)
           val sign = if ((z & 1L) == 0L) 1.0 else -1.0
-          val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
+          // null dims contribute 0 — never read an undefined slot
+          val x = if (arr.isNullAt(i)) 0.0 else if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
           acc += sign * x
           i += 1
         }
@@ -461,7 +528,7 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
          |      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
          |      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
          |      $z = $z ^ ($z >>> 31);
-         |      $acc += ((($z & 1L) == 0L) ? 1.0 : -1.0) * $getX;
+         |      $acc += ((($z & 1L) == 0L) ? 1.0 : -1.0) * ($c.isNullAt($i) ? 0.0 : $getX);
          |    }
          |    if ($acc >= 0) $key |= (1L << $j);
          |  }

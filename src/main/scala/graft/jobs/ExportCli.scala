@@ -17,6 +17,7 @@ import graft.sql.QueryBuilder
   *   [--table=name] [--avroCodec=deflate6] [--limit=n] [--minRows=n] [--dataOnly] \
   *   [--partitionColumn=c --partition=2026-08-01 [--partitionPeriod=P1D]] \
   *   [--useAvroLogicalTypes] [--avroSchemaNamespace=ns] [--avroDoc=..]
+  *   [--avroSchemaFilePath=/path/schema.avsc]
   * }}}
   *
   * Exits with the reference's exit codes (`ExceptionHandling.java:37-59`).
@@ -105,6 +106,11 @@ object ExportCli {
         .map(n => graft.sink.AvroSink.ensureWriteParallelism(df0, n.toInt))
         .getOrElse(df0)
 
+      // --avroSchemaFilePath: pin the output schema to a user .avsc instead
+      // of inferring (reference `README.md:138-148`).
+      val userSchema = opts.get("avroSchemaFilePath")
+        .map(p => AvroSchemaGen.parseInputAvroSchemaFile(spark.sparkContext.hadoopConfiguration, p))
+
       val result = ExportJob.run(
         spark,
         df,
@@ -114,7 +120,8 @@ object ExportCli {
         queries = qArgs.buildQueries(_ => (0L, 0L)),
         minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
         dataOnly = opts.contains("dataOnly"),
-        exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")))
+        exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")),
+        userSchema = userSchema)
 
       println(ExportJob.metricsJson(result.metrics.toMap))
       spark.stop()

@@ -66,10 +66,18 @@ object ExportJob {
       queries: Seq[String] = Nil,
       minRows: Long = -1,
       dataOnly: Boolean = false,
-      exportTimeout: Duration = Duration.ofDays(7)): Result = {
+      exportTimeout: Duration = Duration.ofDays(7),
+      userSchema: Option[org.apache.avro.Schema] = None): Result = {
 
     val t0 = System.currentTimeMillis()
-    val avroSchema = AvroSchemaGen.generate(df.schema, schemaCfg)
+    // --avroSchemaFilePath replaces inference entirely (reference
+    // `jobs/JdbcAvroJob.java:146-152`), after a wire-compatibility gate.
+    val avroSchema = userSchema match {
+      case Some(s) =>
+        AvroSchemaGen.validateUserSchema(s, df.schema, schemaCfg.nullableArrayItems)
+        s
+      case None => AvroSchemaGen.generate(df.schema, schemaCfg)
+    }
     val schemaElapsed = System.currentTimeMillis() - t0
 
     val conf = spark.sparkContext.hadoopConfiguration

@@ -59,6 +59,75 @@ object AvroSchemaGen {
   /** `[^A-Za-z0-9_] → _` — reference `JdbcAvroSchema.java:369-371`. */
   def normalizeName(name: String): String = name.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Loads a user-provided `.avsc` (`--avroSchemaFilePath`) — reference
+    * `avro/BeamJdbcAvroSchema.java:98-113`: the user schema replaces
+    * inference entirely, so `record.doc`, namespace, and per-field docs
+    * propagate from the file (reference `README.md:138-148`).
+    */
+  def parseInputAvroSchemaFile(conf: org.apache.hadoop.conf.Configuration, pathStr: String): Schema = {
+    val path = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try new Schema.Parser().parse(in)
+    finally in.close()
+  }
+
+  /** Wire-compatibility gate for a user schema. The row bytes are encoded
+    * from the SPARK schema ([[graft.sink.RowBinaryEncoder]] always writes
+    * `union[null, T]` per field), so the user header must decode exactly
+    * that — same field count and, per field, a 2-branch `[null, T]` union
+    * whose value branch matches the encoder's wire type. The reference
+    * trusts the user here; failing fast (exit 47) beats writing files whose
+    * bytes don't match their own header.
+    */
+  def validateUserSchema(user: Schema, struct: StructType, nullableArrayItems: Boolean = false): Unit = {
+    require(user.getType == Schema.Type.RECORD,
+      s"--avroSchemaFilePath must contain a record schema, got ${user.getType}")
+    val fields = user.getFields.asScala
+    require(fields.size == struct.fields.length,
+      s"user Avro schema has ${fields.size} fields but the query returns ${struct.fields.length} columns")
+    fields.zip(struct.fields).foreach { case (af, sf) =>
+      val u = af.schema()
+      require(u.getType == Schema.Type.UNION && u.getTypes.size == 2 &&
+        u.getTypes.get(0).getType == Schema.Type.NULL,
+        s"field ${af.name}: rows are encoded as union[null, T]; user schema has ${u}")
+      val value = u.getTypes.get(1)
+      sf.dataType match {
+        case ArrayType(elem, _) =>
+          require(value.getType == Schema.Type.ARRAY,
+            s"field ${af.name}: column ${sf.name} is ${sf.dataType.sql}, user schema has ${value.getType}")
+          val item = value.getElementType
+          val itemValue =
+            if (nullableArrayItems) {
+              require(item.getType == Schema.Type.UNION && item.getTypes.size == 2 &&
+                item.getTypes.get(0).getType == Schema.Type.NULL,
+                s"field ${af.name}: nullableArrayItems writes union[null, item] items; user schema has $item")
+              item.getTypes.get(1)
+            } else item
+          require(itemValue.getType == wireType(elem),
+            s"field ${af.name}: array items of ${sf.name} encode as ${wireType(elem)}, user schema has ${itemValue.getType}")
+        case dt =>
+          require(value.getType == wireType(dt),
+            s"field ${af.name}: column ${sf.name} (${dt.sql}) encodes as ${wireType(dt)}, user schema has ${value.getType}")
+      }
+    }
+  }
+
+  /** The Avro wire type [[graft.sink.RowBinaryEncoder]] emits for a Spark
+    * column type (must stay in lockstep with its `fieldEncoder`).
+    */
+  private def wireType(dt: DataType): Schema.Type = dt match {
+    case LongType | TimestampType | TimestampNTZType | DateType => Schema.Type.LONG
+    case IntegerType | ShortType | ByteType => Schema.Type.INT
+    case BooleanType => Schema.Type.BOOLEAN
+    case BinaryType => Schema.Type.BYTES
+    case DoubleType => Schema.Type.DOUBLE
+    case FloatType => Schema.Type.FLOAT
+    case _: DecimalType | StringType => Schema.Type.STRING
+    case other => throw new IllegalArgumentException(
+      s"Unsupported column type for avro export: ${other.sql}")
+  }
+
   def generate(struct: StructType, cfg: Config): Schema = {
     val name = normalizeName(cfg.schemaName.getOrElse(cfg.tableName))
     val doc = cfg.doc.getOrElse(s"Generate schema from JDBC ResultSet from ${cfg.connectionUrl}")

@@ -159,6 +159,64 @@ class AvroSinkSpec extends AnyFunSuite {
     assert(graft.jobs.ExitCodes.forThrowable(e) == 50)
   }
 
+  test("user-provided Avro schema replaces inference, docs/namespace propagate") {
+    // mirrors the reference's input-schema path (`jobs/JdbcAvroJob.java:146-152`,
+    // `options/InputAvroSchemaTest.java`): record doc, namespace and field
+    // docs come from the user .avsc, values still round-trip
+    val userJson =
+      """{
+        |  "name": "UserCoffee", "namespace": "v2", "type": "record",
+        |  "doc": "Record description",
+        |  "fields": [
+        |    {"name": "name", "type": ["null", "string"], "doc": "Field1 description", "default": null},
+        |    {"name": "total", "type": ["null", "long"], "doc": "Field2 description", "default": null}
+        |  ]
+        |}""".stripMargin
+    val avscPath = Files.createTempFile("user-schema", ".avsc")
+    Files.write(avscPath, userJson.getBytes("UTF-8"))
+    val user = AvroSchemaGen.parseInputAvroSchemaFile(
+      spark.sparkContext.hadoopConfiguration, avscPath.toString)
+
+    val df = coffeeDf.selectExpr("COF_NAME", "TOTAL")
+    val dir = tmpDir("avro-user-schema")
+    val res = ExportJob.run(spark, df, dir, userSchema = Some(user))
+    assert(res.metrics.recordCount == 2)
+
+    // the side-output schema IS the user schema
+    val sideSchema = new org.apache.avro.Schema.Parser().parse(
+      new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "_AVRO_SCHEMA.avsc")), "UTF-8"))
+    assert(sideSchema.getDoc == "Record description")
+    assert(sideSchema.getNamespace == "v2")
+    assert(sideSchema.getField("name").doc() == "Field1 description")
+
+    // data files decode with the user header, values intact under user names
+    val recs = readAvro(dir)
+    assert(recs.map(_.get("name").toString).toSet == Set("costa rica caffee", "colombian caffee"))
+    assert(recs.map(_.get("total")).toSet == Set(200L, 401L))
+    assert(recs.head.getSchema.getNamespace == "v2")
+  }
+
+  test("wire-incompatible user schema fails fast (exit 47), not corrupt files") {
+    val badJson =
+      """{
+        |  "name": "Bad", "type": "record",
+        |  "fields": [
+        |    {"name": "name", "type": ["null", "int"], "default": null},
+        |    {"name": "total", "type": ["null", "long"], "default": null}
+        |  ]
+        |}""".stripMargin
+    val bad = new org.apache.avro.Schema.Parser().parse(badJson)
+    val df = coffeeDf.selectExpr("COF_NAME", "TOTAL")
+    val e = intercept[IllegalArgumentException] {
+      ExportJob.run(spark, df, tmpDir("avro-bad-user-schema"), userSchema = Some(bad))
+    }
+    assert(e.getMessage.contains("name"))
+    // field-count mismatch is also caught before any write
+    intercept[IllegalArgumentException] {
+      ExportJob.run(spark, coffeeDf, tmpDir("avro-bad-user-schema2"), userSchema = Some(bad))
+    }
+  }
+
   test("null array item without nullableArrayItems fails with targeted error") {
     val dir = tmpDir("avro-nullitem")
     val schema = StructType(Seq(StructField("arr", ArrayType(IntegerType, containsNull = true))))

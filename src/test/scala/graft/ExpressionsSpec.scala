@@ -62,6 +62,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("null array elements: hash arrays propagate, numeric loops skip") {
+    GraftFunctions.register(spark)
+    // user-registerable SQL functions must survive arrays WITH null elements
+    // (the HOF transform forms they replace returned null per element)
+    val r = spark.sql(
+      s"""SELECT
+         | graft_poly_hash_array(array('a', CAST(NULL AS STRING), 'b'), 31, ${Portable.P1}L) AS ph,
+         | graft_hash60_array(array('a', CAST(NULL AS STRING), 'b')) AS h60,
+         | graft_dot(array(1.0D, CAST(NULL AS DOUBLE), 3.0D), array(2.0D, 5.0D, 4.0D)) AS dot,
+         | graft_minhash(array(7L, CAST(NULL AS BIGINT)), 4) AS mh,
+         | graft_simhash(array(7L, CAST(NULL AS BIGINT))) AS sh,
+         | graft_lsh_buckets(array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT)), 2, 4) AS lsh
+         |""".stripMargin).head()
+    val ph = r.getSeq[Any](0)
+    assert(ph(0) == 'a'.toLong && ph(1) == null && ph(2) == 'b'.toLong,
+      s"poly hash array must propagate null elements, got $ph")
+    assert(r.getSeq[Any](1)(1) == null, "hash60 array must propagate null elements")
+    assert(r.getDouble(2) == 1.0 * 2.0 + 3.0 * 4.0, "dot must skip null items")
+    // null shingles contribute nothing: same as the array without them
+    val base = spark.sql(
+      "SELECT graft_minhash(array(7L), 4) AS mh, graft_simhash(array(7L)) AS sh, " +
+        "graft_lsh_buckets(array(CAST(1.5 AS FLOAT), CAST(0.0 AS FLOAT)), 2, 4) AS lsh").head()
+    assert(r.getSeq[Long](3) == base.getSeq[Long](0), "minhash must skip null elements")
+    assert(r.getLong(4) == base.getLong(1), "simhash must skip null elements")
+    assert(r.getSeq[Long](5) == base.getSeq[Long](2), "lsh must treat null dims as 0")
+    // the literal forms above are constant-folded (interpreted eval); a
+    // non-foldable input exercises the generated Java too
+    val cg = spark.range(1).selectExpr(
+      s"graft_poly_hash_array(array(CAST(id + 97 AS STRING), IF(id = 0, NULL, 'x')), 31, ${Portable.P1}L) AS ph",
+      "graft_hash60_array(array(CAST(id AS STRING), IF(id = 0, NULL, 'x'))) AS h60",
+      "graft_lsh_buckets(array(CAST(id + 1.5 AS FLOAT), IF(id = 0, CAST(NULL AS FLOAT), CAST(0.0 AS FLOAT))), 2, 4) AS lsh")
+      .head()
+    val cgPh = cg.getSeq[Any](0)
+    assert(cgPh(1) == null && cgPh(0) != null, s"codegen path must propagate nulls, got $cgPh")
+    assert(cg.getSeq[Any](1)(1) == null, "codegen hash60 must propagate nulls")
+    assert(cg.getSeq[Long](2) == base.getSeq[Long](2), "codegen lsh must treat null dims as 0")
+  }
+
   test("graft_dot == HOF dot product on embeddings") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"${SparkSpec.testDataDir}/embeddings.parquet")

@@ -39,6 +39,29 @@ class MiscSpec extends AnyFunSuite {
     assert(PasswordReader.read(None, None, Some(f.toString), Some(rot13)).contains("terces"))
   }
 
+  test("KMS decrypter: envelope round-trip, key naming, whitespace tolerance (U9)") {
+    import graft.args.KmsDecrypter
+    val backend = new KmsDecrypter.LocalAesKms("master-key-material".getBytes("UTF-8"))
+    val d = KmsDecrypter(backend, location = "global", keyring = "dbeam",
+      key = "default", project = Some("proj1"))
+    // reference key naming (`KmsDecrypter.java:126-131`)
+    assert(d.keyName == "projects/proj1/locations/global/keyRings/dbeam/cryptoKeys/default")
+
+    val cipherB64 = backend.encrypt(d.keyName, "s3cr3t-pw\n")
+    // the encrypted password FILE path: whitespace in the base64 is stripped
+    // (`CharMatcher.whitespace().removeFrom`), result is trimmed
+    val f = Files.createTempFile("pw-kms", ".enc")
+    Files.writeString(f, cipherB64.grouped(16).mkString("\n") + "\n")
+    assert(PasswordReader.read(None, None, Some(f.toString), Some(d)).contains("s3cr3t-pw"))
+
+    // a different key name must fail authentication, not return garbage
+    val wrongKey = d.copy(key = "other")
+    assertThrows[Exception](wrongKey.decrypt(cipherB64))
+    // no project → the reference would fall back to gcloud detection; offline
+    // that is an explicit failure
+    assertThrows[IllegalStateException](d.copy(project = None).keyName)
+  }
+
   test("replication check decision table (PsqlReplicationCheck truth table)") {
     val partition = Instant.parse("2027-07-31T00:00:00Z")
     val daily = Period.ofDays(1)
