@@ -38,6 +38,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii" -> (TextAnalysis.piiFilter _),
     "sample_split" -> (TextAnalysis.sampleSplit _),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     // routed through the O(log n) large-star/small-star CC (spec-proven
@@ -45,6 +47,8 @@ object SparkEntry {
     // Dedup.nearDupClusters)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
+    // end-to-end dedup: drop near-dups, keep min-id representative per group
+    "dedup_canonical" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -264,6 +268,62 @@ object SparkEntry {
         | UNION
         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |reps AS (
+        | SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+        | FROM clusters GROUP BY cluster_id)
+        |SELECT doc_id, group_size FROM reps
+        |UNION ALL
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS group_size
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL""".stripMargin,
+    "text_decontaminate" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)]
+        |      || ' ' || w[CAST(i+3 AS INTEGER)] || ' ' || w[CAST(i+4 AS INTEGER)] || ' ' || w[CAST(i+5 AS INTEGER)]
+        |      || ' ' || w[CAST(i+6 AS INTEGER)] || ' ' || w[CAST(i+7 AS INTEGER)])) AS grams
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 8),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |hits AS (
+        | SELECT t.doc_id, count(*) AS n
+        | FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) t
+        | JOIN eg USING (gram) GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+        | COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      """SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens, start_offset,
+        | start_offset // 1024 AS bin_id
+        |FROM (
+        | SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        | FROM (SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents))""".stripMargin,
     "dedup_simhash" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

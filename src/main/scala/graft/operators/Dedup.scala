@@ -325,6 +325,27 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end corpus dedup — what the cluster machinery is FOR: group
+    * near-duplicates ([[nearDupClustersStar]]), keep the smallest doc_id of
+    * each group as its canonical representative, pass unique docs through.
+    * Output: every surviving (doc_id, group_size) — group_size 1 for unique
+    * docs, >1 for a representative that absorbed duplicates.
+    *
+    * Scale: the clusters frame is proportional to the DUPLICATE count (tiny
+    * vs the corpus); the pass-through side is a left-anti join on doc ids
+    * only — no text moves.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val clusters = nearDupClustersStar(spark, dir, threshold)
+    val reps = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select("doc_id", "group_size")
+    val singletons = docs(spark, dir).select(col("doc_id"))
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("group_size", lit(1L))
+    reps.union(singletons)
+  }
+
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature
     * is the sign of `Σ_shingles (2·bit_j(h) − 1)`.
     */

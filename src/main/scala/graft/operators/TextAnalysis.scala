@@ -139,6 +139,60 @@ object TextAnalysis {
       .orderBy(desc("df"), col("token"))
       .limit(20)
 
+  /** Benchmark decontamination: distinct word `n`-gram overlap between every
+    * training document and the eval/benchmark set (docs with `doc_id <
+    * evalDocs` stand in for the benchmark). Output per train doc: how many
+    * distinct n-grams it shares with ANY eval doc, plus a contamination flag.
+    *
+    * Scale design: benchmark sets are tiny (KBs–MBs) while the corpus is the
+    * 100 TB side — so the distinct eval-gram set BROADCASTS, and the train
+    * side is explode → broadcast hash join → partial-count agg. The corpus
+    * never shuffles text: only (doc_id, matched-gram) survivors of the
+    * broadcast join reach the aggregation, and the final left join restores
+    * clean docs with a 0 count.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8, evalDocs: Long = 20): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      // < n tokens → no grams (mirrors the oracle's len(w) >= n guard)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), Portable.wordShingles("toks", n).as("grams"))
+    val evalGrams = d.filter(col("doc_id") < evalDocs)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val hits = d.filter(col("doc_id") >= evalDocs)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs(spark, dir).filter(col("doc_id") >= evalDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Sequence packing for training: documents are laid out in deterministic
+    * (shard, doc_id) order into a concatenated token stream, and each doc is
+    * stamped with its start offset and the fixed-capacity context window
+    * (`bin_id`) it starts in — GPT-style concat-then-chunk packing.
+    *
+    * Packing is per shard (`doc_id % shards`): one running-sum window per
+    * shard runs in parallel, whereas a single global packing order would be
+    * a one-partition global sort — the version of this that still works on
+    * a 100 TB corpus. All outputs are exact integers (`div`, not fp).
+    */
+  def packSequences(spark: SparkSession, dir: String, capacity: Long = 1024, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
+        size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"start_offset div ${capacity}L"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find
