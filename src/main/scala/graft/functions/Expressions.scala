@@ -624,6 +624,9 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       registry.createOrReplaceTempFunction(name, b(_), "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NativeHashRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NativeHashRewrite
   }
 }
 
@@ -634,11 +637,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (exprs: Seq[Expression]) => b(exprs)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
+  }
 }

@@ -91,6 +91,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rule collapses the poly-hash HOF into the codegen array expression") {
+    graft.functions.GraftFunctions.register(spark)
+    val P1 = graft.functions.Portable.P1
+    val hof = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(s"doc_id", s"transform(split(trim(text), '\\\\s+'), s -> graft_poly_hash(s, 31, ${P1}L)) AS h")
+    // the optimized plan must contain PolyHashArray, not an interpreted lambda
+    val optimized = hof.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[graft.functions.PolyHashArray])),
+      s"NativeHashRewrite did not fire:\n$optimized")
+    // and the rewrite must be value-preserving vs the explicit native call
+    val native = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", s"graft_poly_hash_array(split(trim(text), '\\\\s+'), 31, ${P1}L) AS h")
+    assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+  }
+
+  test("decontamination: eval grams broadcast, corpus side never shuffles text") {
+    val plan = executedPlan("text_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), s"eval gram set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sequence packing windows are per-shard, never a single global partition") {
+    val df = SparkEntry.queries("text_pack_sequences")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"packing must parallelize by shard, not one global sort partition:\n$plan")
+  }
+
   test("embedding dedup is a grid equi-join, never a nested-loop product") {
     val plan = executedPlan("dedup_embedding")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
