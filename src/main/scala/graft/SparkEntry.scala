@@ -40,6 +40,9 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_domain_mix" -> (TextAnalysis.domainMix _),
+    "q_window_lead_lag" -> (Relational.eventLeadLag _),
+    "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     // routed through the O(log n) large-star/small-star CC (spec-proven
@@ -324,6 +327,28 @@ object SparkEntry {
         | FROM (SELECT doc_id,
         |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents))""".stripMargin,
+    "text_domain_mix" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 1000000007) AS h
+        | FROM documents),
+        |cap AS (SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
+        | FROM d)
+        |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin,
+    "q_window_lead_lag" ->
+      """SELECT user_id, event_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        | lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment, cents,
+        | CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS decile
+        |FROM (SELECT c_custkey, c_mktsegment,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)""".stripMargin,
     "dedup_simhash" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),

@@ -433,6 +433,32 @@ object Relational {
         sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
   }
 
+  /** LEAD/LAG inter-event gaps per user — the windowed stream-gap operator
+    * (time-since-last-event, what-comes-next). Deterministic tie-break on
+    * (ts, event_id); integer microsecond gaps so the oracle matches exactly.
+    * Scale: one window per user partition, shuffled once on user_id.
+    */
+  def eventLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
+  /** NTILE deciles of customer balance within each market segment (integer
+    * cents). Per-segment windows parallelize across the cluster — no global
+    * single-partition sort.
+    */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("cents"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+  }
+
   /** KLL quantile sketch per group — mergeable approximate percentiles
     * ([[graft.functions.KllQuantiles]]); rows-only driver check (scalar
     * doubles, so the harness can sort/hash them), accuracy is spec-checked

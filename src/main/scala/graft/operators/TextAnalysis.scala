@@ -193,6 +193,32 @@ object TextAnalysis {
       .withColumn("bin_id", expr(s"start_offset div ${capacity}L"))
   }
 
+  /** Data mixing: stratified per-language downsampling to a uniform mix —
+    * every language keeps exactly `cap = min(per-lang count)` documents,
+    * chosen by deterministic portable-hash order (reproducible on any
+    * engine and under any partitioning, which RAND() sampling never is).
+    * Output: (doc_id, lang, mix_rank, kept).
+    *
+    * Scale: the per-lang counts aggregate is tiny and broadcast back; the
+    * ranking is one window per language, parallel across languages. At
+    * 100 TB with few languages the per-lang sort becomes the bottleneck —
+    * swap the exact rank for a hash THRESHOLD (keep if h < cap/n_lang
+    * scaled) to get the same mixture without sorting; the exact-rank form
+    * is the oracle-checkable contract.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      Portable.polyHashNative("text", 43, Portable.P1).as("h"))
+    val cap = d.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("cap"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.withColumn("mix_rank", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(cap))
+      .select(col("doc_id"), col("lang"), col("mix_rank"),
+        (col("mix_rank") <= col("cap")).as("kept"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find
