@@ -4,16 +4,76 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata. The decode step is STUBBED (no image/audio libs in this
-  * container) with a deterministic fake parser; the Spark-side contract —
-  * schema, partition-preserving mapPartitions, batched iteration, typed
-  * Encoders — is real and tested (MultimodalSpec).
+  * metadata. Header decoding is REAL for formats parseable from raw bytes
+  * (PPM, BMP, WAV — no codec libraries needed); pixel/sample decode of
+  * compressed formats (JPEG etc.) is STUBBED with a deterministic fake (no
+  * image/audio libs in this container). The Spark-side contract — schema,
+  * partition-preserving mapPartitions, batched iteration, typed Encoders —
+  * is real and tested (MultimodalSpec).
   *
   * Scale: decode runs per-partition with an iterator (constant memory),
   * never collects, and keeps the input partitioning — at 100 TB the binary
   * payloads stream through executors exactly once.
   */
 object Multimodal {
+
+  /** `(width, height)` from a binary PPM (`P6`) header: ASCII tokens
+    * `P6 <w> <h> <maxval>` separated by whitespace, `#` comments allowed.
+    * None if the payload is not a well-formed PPM.
+    */
+  def ppmDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    val nums = new Array[Int](2)
+    var found = 0
+    while (found < 2 && i < payload.length) {
+      val c = payload(i) & 0xff
+      if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+      else if (Character.isWhitespace(c)) i += 1
+      else if (c >= '0' && c <= '9') {
+        var v = 0L
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1
+        }
+        if (v > Int.MaxValue) return None
+        nums(found) = v.toInt
+        found += 1
+      } else return None
+    }
+    if (found == 2 && nums(0) > 0 && nums(1) > 0) Some((nums(0), nums(1))) else None
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** `(width, height)` from a BMP `BITMAPINFOHEADER` (offsets 18/22,
+    * little-endian; height may be negative for top-down rows).
+    */
+  def bmpDims(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M')
+      Some((le32(payload, 18), math.abs(le32(payload, 22))))
+    else None
+
+  /** `(sampleRate, channels)` from a RIFF/WAVE `fmt ` chunk (walked
+    * chunk-by-chunk, not assumed at a fixed offset).
+    */
+  def wavFormat(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 36) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')) return None
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val isFmt = payload(i) == 'f' && payload(i + 1) == 'm' && payload(i + 2) == 't' && payload(i + 3) == ' '
+      val size = le32(payload, i + 4)
+      if (isFmt && i + 8 + 16 <= payload.length)
+        return Some((le32(payload, i + 12), le16(payload, i + 10)))
+      if (size < 0) return None
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
 
   /** A media row: payload is the raw bytes, `media_type` a format tag. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
@@ -40,9 +100,12 @@ object Multimodal {
         md5(col("payload")).as("payload_md5"),
         substring(col("text"), 1, 1).as("head_char"))
 
-  /** The stubbed decoder: a real implementation would parse image headers /
-    * sample frames here (e.g. via a JNI/image library). The fake is
-    * deterministic so tests can pin outputs. Decodes per-partition, batch
+  /** The decoder: REAL header parsing for `image/ppm`, `image/bmp`, and
+    * `audio/wav` (for audio, width = sample rate, height = channels);
+    * anything else — compressed formats needing codec libs — falls to the
+    * deterministic stub (width/height derived from the byte checksum), as
+    * does a malformed payload of a claimed format (a 100 TB job must
+    * quarantine bad rows, not die on them). Decodes per-partition, batch
     * iterator in, batch iterator out — the exact shape a vectorized decode
     * would use.
     */
@@ -50,18 +113,23 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        // STUB decode: width/height derived from payload bytes
-        // deterministically; checksum = sum of bytes mod P.
         val len = m.payload.length
         var sum = 0L
         var i = 0
         while (i < len) { sum = (sum + (m.payload(i) & 0xff)) % 1000000007L; i += 1 }
+        val parsed = m.media_type match {
+          case "image/ppm" => ppmDims(m.payload)
+          case "image/bmp" => bmpDims(m.payload)
+          case "audio/wav" => wavFormat(m.payload)
+          case _ => None
+        }
+        val (w, h) = parsed.getOrElse((16 + (sum % 624).toInt, 16 + (sum % 464).toInt))
         MediaMeta(
           doc_id = m.doc_id,
           media_type = m.media_type,
           byte_len = len.toLong,
-          width = 16 + (sum % 624).toInt,   // fake: bounded "resolution"
-          height = 16 + (sum % 464).toInt,
+          width = w,
+          height = h,
           checksum = sum)
       }
     }

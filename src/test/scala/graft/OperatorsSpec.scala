@@ -160,6 +160,38 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
 
+  test("real header decode: PPM, BMP, WAV parsed from raw bytes; junk falls to stub") {
+    import spark.implicits._
+    // PPM P6 with a comment line: 640x480
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.ppmDims(ppm).contains((640, 480)))
+    // BMP header: 'BM' + 16 bytes + le32 width @18, le32 height @22 (top-down negative)
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x20; bmp(19) = 0x03 // 800
+    bmp(22) = (-600 & 0xff).toByte; bmp(23) = ((-600 >> 8) & 0xff).toByte
+    bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
+    assert(Multimodal.bmpDims(bmp).contains((800, 600)))
+    // WAV: RIFF/WAVE with a junk chunk BEFORE fmt (walker must skip it)
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val wav = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(4) ++ Array[Byte](0, 0, 0, 0) ++
+      "fmt ".getBytes ++ le32b(16) ++ Array[Byte](1, 0, 2, 0) ++ le32b(44100) ++ new Array[Byte](8)
+    assert(Multimodal.wavFormat(wav).contains((44100, 2)))
+    // through the typed decode path: real dims for real formats, stub for junk
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/ppm", ppm),
+      Multimodal.MediaRow(2L, "image/bmp", bmp),
+      Multimodal.MediaRow(3L, "audio/wav", wav),
+      Multimodal.MediaRow(4L, "image/ppm", "nonsense".getBytes), // claimed-but-malformed → stub
+      Multimodal.MediaRow(5L, "application/octet-stream", Array[Byte](9, 9))).toDS()
+    val out = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(out(1L) == ((640, 480)))
+    assert(out(2L) == ((800, 600)))
+    assert(out(3L) == ((44100, 2)))
+    assert(out(4L)._1 >= 16 && out(5L)._1 >= 16, "unparseable payloads must quarantine to the stub, not crash")
+  }
+
   test("resize stub: fixed output dims, deterministic, partition-preserving") {
     import spark.implicits._
     val media = spark.read.parquet(s"$dir/documents.parquet")
