@@ -80,6 +80,22 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Stream-static enrichment join: a stream of events joined to a static
+    * dimension (customer) — the most common production streaming pattern.
+    * The static side is re-read per micro-batch by Spark and broadcast
+    * (small dim), so the stream side needs no state and no watermark: the
+    * join is stateless row-at-a-time enrichment. Works identically on a
+    * batch events frame — StreamingSpec asserts stream == batch.
+    */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .join(broadcast(customers.select(
+        col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("c_mktsegment"), col("c_nationkey"))
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(start: Long, last: Long, seq: Long, n: Long)
   final case class SessionOut(

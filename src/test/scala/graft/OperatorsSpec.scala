@@ -284,6 +284,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains("2024-01-01 00:00:00.0"), s"late event should be dropped: $rows") // hour-0 dropped
   }
 
+  test("stream-static enrichment join equals the batch join, dim broadcast per micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+    val evBatch = graft.operators.Relational.events(spark, dir)
+    val batch = EventStream.enrichStream(evBatch, customers).collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+
+    val evStream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.enrichStream(evStream, customers)
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2.isDefined), "fixture should enrich at least some events")
+  }
+
   test("stream-stream interval join equals the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = graft.operators.Relational.events(spark, dir).cache()
