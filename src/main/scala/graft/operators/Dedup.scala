@@ -275,6 +275,7 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
+    var edgeCount = edges.count()
     while (!converged && rounds < 25) {
       // large-star: m(c) = min(Γ(c) ∪ {c}); link strictly larger
       // neighbors to m. Aggregate-then-join — never materializes a
@@ -297,10 +298,14 @@ object Dedup {
         .select(col("m").as("u"), col("n").as("v")) // m = min ⇒ already canonical
         .distinct()
         .localCheckpoint(true)
-      // converged when the edge set is a fixed point (all stars: v -> root)
-      val changed = ss.count() != edges.count() ||
-        ss.except(edges).limit(1).count() > 0
+      // converged when the edge set is a fixed point (all stars: v -> root).
+      // || short-circuits: the except (a shuffle) only runs when the counts
+      // are equal; the count is carried across rounds so each iteration
+      // costs one checkpoint job + one count + (rarely) the except.
+      val ssCount = ss.count()
+      val changed = ssCount != edgeCount || ss.except(edges).limit(1).count() > 0
       edges = ss
+      edgeCount = ssCount
       converged = !changed
       rounds += 1
     }

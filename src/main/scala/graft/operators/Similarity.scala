@@ -64,33 +64,57 @@ object Similarity {
   val NumProbes = 6
 
   /** IVF-flat ANN: the corpus is partitioned into `NumCentroids` Voronoi
-    * cells (deterministic seed centroids — every (n/k)-th vector), queries
-    * probe the `NumProbes` nearest cells, and only those cells' vectors are
-    * exactly re-ranked. The coarse quantizer is evaluated as literal-array
-    * dot products (codegen, no shuffle); the only shuffle is the
-    * cell-id equi-join. At 100 TB: cells ≈ √n and probes tune the
-    * recall/cost frontier; centroids would come from a sampled k-means
-    * refinement instead of raw seeds.
+    * cells (deterministic seed centroids — every (n/k)-th vector — refined
+    * by `refineIters` Lloyd/k-means steps), queries probe the `NumProbes`
+    * nearest cells, and only those cells' vectors are exactly re-ranked.
+    * The coarse quantizer is evaluated as literal-array dot products
+    * (codegen, no shuffle); the only shuffles are the per-iteration mean
+    * aggregation and the cell-id equi-join. Each Lloyd step is a
+    * distributed (cell, dim) mean — only NumCentroids × dims values ever
+    * reach the driver. At 100 TB: cells ≈ √n, probes tune the recall/cost
+    * frontier, and the refinement would run on a sample.
     */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      refineIters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
     val n = e.count()
     val stride = math.max(1L, n / NumCentroids)
-    val centroids = e.filter(col("vec_id") % stride === 0)
+    var centroids: Array[(Int, Seq[Double])] = e.filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").limit(NumCentroids)
       .select("vec_id", "embedding", "norm").collect()
       .zipWithIndex.map { case (r, cid) =>
         val v = r.getSeq[Float](1)
         val norm = r.getDouble(2)
-        (cid, v.map(x => x.toDouble / norm))
+        (cid, v.map(x => x.toDouble / norm).toSeq)
       }
 
     // cell affinity = cosine vs each centroid, as literal-array dots
-    def cellScores = centroids.map { case (cid, cv) =>
+    def cellScoresFor(cents: Array[(Int, Seq[Double])]) = cents.map { case (cid, cv) =>
       val lit = cv.mkString("array(", "D, ", "D)")
       struct((expr(s"graft_dot(embedding, $lit)") / col("norm")).as("score"), expr(s"$cid").as("c"))
     }
+
+    // Lloyd refinement: each cell's centroid becomes the (re-normalized)
+    // mean of its members. Deterministic (seeds + exact assignment), so
+    // results stay reproducible. Empty cells keep their previous centroid.
+    for (_ <- 0 until refineIters) {
+      val assigned = e.withColumn("cell",
+        array_max(array(cellScoresFor(centroids): _*)).getField("c"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          cid -> (if (nrm > 0) v.map(_ / nrm) else v)
+        }
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+
+    def cellScores = cellScoresFor(centroids)
 
     val assigned = e.withColumn("cell", array_max(array(cellScores: _*)).getField("c"))
     // top-NumProbes cells per query, by affinity (struct sort: score, then c)
