@@ -41,6 +41,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
+    "text_repetition" -> (TextAnalysis.repetition _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
     "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -338,6 +339,17 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
         | FROM d)
         |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        | CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+        | CASE WHEN len(g) > 0
+        |   THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+        |   ELSE 0.0 END AS dup_ratio
+        |FROM (
+        | SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])
+        |  ELSE CAST([] AS VARCHAR[]) END AS g
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))""".stripMargin,
     "q_window_lead_lag" ->
       """SELECT user_id, event_id,
         | epoch_us(ts) - lag(epoch_us(ts), 1)

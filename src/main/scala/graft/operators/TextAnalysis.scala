@@ -193,6 +193,28 @@ object TextAnalysis {
       .withColumn("bin_id", expr(s"start_offset div ${capacity}L"))
   }
 
+  /** Within-document repetition (a Gopher-style quality filter): the
+    * fraction of word 3-grams that are repeats of an earlier gram in the
+    * same document. High ratios flag boilerplate/spam for removal before
+    * training. Map-only projection — counts are exact integers, the ratio
+    * a single double division, so the oracle matches bit-for-bit.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .withColumn("g", expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+          "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1) || ' ' || element_at(toks, i + 2)) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("g"))).cast("bigint").as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+
   /** Data mixing: stratified per-language downsampling to a uniform mix —
     * every language keeps exactly `cap = min(per-lang count)` documents,
     * chosen by deterministic portable-hash order (reproducible on any
