@@ -99,6 +99,78 @@ object SparkEntry {
       s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("graft_li")
       s.sql("SELECT l_returnflag, graft_hll_distinct(l_partkey) AS approx_parts, " +
         "graft_hll_distinct(l_orderkey) AS approx_orders FROM graft_li GROUP BY l_returnflag")
+    }),
+    // sketch ACCURACY as oracle rows (the ann_recall pattern): the booleans
+    // are computed from sketch-vs-exact inside Spark; the DuckDB oracle
+    // computes the exact values and asserts TRUE — a sketch drifting out of
+    // bound hash-mismatches the driver row.
+    "sketch_distinct_check" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("graft_li")
+      s.sql(
+        """WITH g AS (
+          | SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS exact_parts,
+          |  count(DISTINCT l_orderkey) AS exact_orders,
+          |  graft_hll_distinct(l_partkey) AS est_parts,
+          |  graft_hll_distinct(l_orderkey) AS est_orders
+          | FROM graft_li GROUP BY l_returnflag)
+          |SELECT l_returnflag,
+          | CAST(exact_parts AS BIGINT) AS exact_parts,
+          | CAST(exact_orders AS BIGINT) AS exact_orders,
+          | abs(est_parts - exact_parts) <= 0.05 * exact_parts AS parts_within_5pct,
+          | abs(est_orders - exact_orders) <= 0.05 * exact_orders AS orders_within_5pct
+          |FROM g""".stripMargin)
+    }),
+    "sketch_theta_check" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.operators.Relational.events(s, d).createOrReplaceTempView("graft_events")
+      s.sql(
+        """WITH sk AS (
+          | SELECT event_type, graft_theta_sketch(user_id) AS sk
+          | FROM graft_events GROUP BY event_type),
+          |est AS (
+          | SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |  graft_theta_intersect_est(a.sk, b.sk) AS est_both,
+          |  graft_theta_union_est(a.sk, b.sk) AS est_either
+          | FROM sk a JOIN sk b ON a.event_type < b.event_type),
+          |du AS (SELECT DISTINCT event_type, user_id FROM graft_events),
+          |cnt AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+          |ex AS (
+          | SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS exact_both
+          | FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+          | GROUP BY x.event_type, y.event_type)
+          |SELECT e.type_a, e.type_b,
+          | CAST(ex.exact_both AS BIGINT) AS exact_both,
+          | CAST(ca.n + cb.n - ex.exact_both AS BIGINT) AS exact_either,
+          | abs(e.est_both - ex.exact_both) <= 0.05 * ex.exact_both + 1.0 AS both_within_5pct,
+          | abs(e.est_either - (ca.n + cb.n - ex.exact_both)) <= 0.05 * (ca.n + cb.n - ex.exact_both) + 1.0 AS either_within_5pct
+          |FROM est e
+          | JOIN ex ON e.type_a = ex.type_a AND e.type_b = ex.type_b
+          | JOIN cnt ca ON ca.event_type = e.type_a
+          | JOIN cnt cb ON cb.event_type = e.type_b""".stripMargin)
+    }),
+    "sketch_quantile_check" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("graft_li")
+      s.sql(
+        """WITH q AS (
+          | SELECT l_returnflag,
+          |  element_at(graft_kll_quantiles(l_quantity, array(0.5D)), 1) AS q50
+          | FROM graft_li GROUP BY l_returnflag),
+          |r AS (
+          | SELECT l_returnflag, l_quantity,
+          |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+          |  count(*) OVER (PARTITION BY l_returnflag) AS n
+          | FROM graft_li),
+          |b AS (
+          | SELECT l_returnflag,
+          |  max(CASE WHEN rn = CAST(ceil(n * 0.45) AS BIGINT) THEN l_quantity END) AS lo,
+          |  max(CASE WHEN rn = CAST(ceil(n * 0.55) AS BIGINT) THEN l_quantity END) AS hi
+          | FROM r GROUP BY l_returnflag)
+          |SELECT q.l_returnflag, b.lo, b.hi,
+          | q.q50 >= b.lo AND q.q50 <= b.hi AS q50_within_rank_bounds
+          |FROM q JOIN b ON q.l_returnflag = b.l_returnflag""".stripMargin)
     })
   )
 
@@ -339,6 +411,37 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
         | FROM d)
         |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin,
+    "sketch_distinct_check" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sketch_theta_check" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+        |ex AS (
+        | SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS exact_both
+        | FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        | GROUP BY x.event_type, y.event_type)
+        |SELECT ex.type_a, ex.type_b,
+        | CAST(ex.exact_both AS BIGINT) AS exact_both,
+        | CAST(ca.n + cb.n - ex.exact_both AS BIGINT) AS exact_either,
+        | TRUE AS both_within_5pct, TRUE AS either_within_5pct
+        |FROM ex
+        | JOIN cnt ca ON ca.event_type = ex.type_a
+        | JOIN cnt cb ON cb.event_type = ex.type_b""".stripMargin,
+    "sketch_quantile_check" ->
+      """WITH r AS (
+        | SELECT l_returnflag, l_quantity,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.45) AS BIGINT) THEN l_quantity END) AS lo,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.55) AS BIGINT) THEN l_quantity END) AS hi,
+        | TRUE AS q50_within_rank_bounds
+        |FROM r GROUP BY l_returnflag""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
         | CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
