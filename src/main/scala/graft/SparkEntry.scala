@@ -30,6 +30,7 @@ object SparkEntry {
     "q3_join_agg" -> (Relational.q3JoinAgg _),
     "w1_window_topk" -> (Relational.windowTopK _),
     "set_except" -> (Relational.setExcept _),
+    "set_union" -> (Relational.setUnion _),
     "events_hourly_agg" -> (Relational.eventsHourlyAgg _),
     "events_sessionize" -> ((s, d) => EventStream.sessionizeBatch(s, d)),
     "text_token_count" -> (TextAnalysis.tokenCount _),
@@ -215,6 +216,8 @@ object SparkEntry {
         | FROM orders) WHERE rk <= 3""".stripMargin,
     "set_except" ->
       "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+    "set_union" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0",
     "events_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -383,6 +383,16 @@ object Relational {
       .intersect(ord.filter(col("o_orderstatus") === "F").select("o_custkey"))
   }
 
+  /** UNION (distinct) — completes the set-op family with except/intersect:
+    * customers with an open order or an above-average-value one.
+    */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .union(ord.filter(col("o_totalprice") > 200000.0).select("o_custkey"))
+      .distinct()
+  }
+
   /** Salted join for skewed keys: the big side's hot keys are sharded into
     * `salt` sub-keys and the small side is replicated `salt`× so each
     * shard joins against its own copy — turning one straggler partition
