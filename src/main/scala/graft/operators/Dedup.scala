@@ -318,15 +318,61 @@ object Dedup {
     (materializeAndRelease(Nil, members.union(roots)), rounds)
   }
 
-  /** Near-dup clusters routed through the O(log n)-round large-star /
-    * small-star algorithm — the catalog's cluster query (spec-proven equal
-    * to the min-label BSP in [[nearDupClusters]], but round count scales
-    * with log(component size) instead of diameter).
+  /** Edge graphs at or below this size are solved with driver union-find
+    * instead of the iterative star rounds. The edge list is proportional to
+    * the DUPLICATE-PAIR count (LSH-verified pairs), not the corpus — 2^17
+    * pairs ≈ 2 MB on the driver, the same order as the IVF centroid seed
+    * collect. Above the bound the distributed star loop runs unchanged.
+    */
+  val SmallGraphEdges: Long = 1L << 17
+
+  /** Size-adaptive connected components: driver union-find for small edge
+    * graphs (each star round costs a fixed number of jobs + a checkpoint —
+    * pure scheduling overhead when the graph is a few thousand edges),
+    * [[connectedComponentsStar]] otherwise. Labels are the component
+    * minimum in both paths, so results are identical (spec-asserted).
+    */
+  def connectedComponentsAdaptive(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val canonical = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (canonical.count() > SmallGraphEdges) {
+      connectedComponentsStar(canonical.select(col("u").as("src"), col("v").as("dst")))
+    } else {
+      val edges = canonical.as[(Long, Long)].collect() // bounded by SmallGraphEdges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val next = parent(c); parent(c) = r; c = next }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root so labels match the star/BSP contract
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    }
+  }
+
+  /** Near-dup clusters — the catalog's cluster query: LSH-verified pairs →
+    * size-adaptive connected components (driver union-find below
+    * [[SmallGraphEdges]], O(log n)-round large-star/small-star above; both
+    * label by component min, spec-proven equal to the min-label BSP in
+    * [[nearDupClusters]]).
     */
   def nearDupClustersStar(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val pairs = minhashNearDups(spark, dir, threshold)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    connectedComponentsStar(pairs)
+    connectedComponentsAdaptive(pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

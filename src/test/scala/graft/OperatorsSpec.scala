@@ -101,6 +101,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 12, s"star CC took $rounds rounds on a 64-chain — not logarithmic")
   }
 
+  test("adaptive CC (driver union-find path) equals the distributed star labels") {
+    import spark.implicits._
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (5L, 5L), (30L, 12L)).toDF("src", "dst")
+    val adaptive = Dedup.connectedComponentsAdaptive(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(adaptive == star, s"adaptive $adaptive != star $star")
+    assert(adaptive(3L) == 1L && adaptive(30L) == 10L && adaptive(21L) == 20L)
+  }
+
   test("simhash near-dups: hamming<=3 pairs overlap jaccard near-dups") {
     val sim = Dedup.simhashNearDups(spark, dir, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
