@@ -38,6 +38,8 @@ object Bench {
       "events_sessionize", "events_hourly_agg", "events_range_join",
       "text_fingerprint", "text_quality",
       "text_term_stats", // Expand-heavy inverted-index plan
+      "text_decontaminate", // broadcast eval-gram join
+      "text_pack_sequences", // per-shard packing windows
       "dedup_minhash", "dedup_simhash", "dedup_exact",
       "dedup_clusters", // iterative large-star/small-star CC
       "dedup_embedding", // blocked grid self-join (exact threshold)
