@@ -473,9 +473,14 @@ object Dedup {
     * while per-task work drops as (n/blocks)².
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      blocks: Int = 8): DataFrame =
+    embeddingNearDupsGrid(embeddings(spark, dir), threshold, blocks)
+
+  /** [[embeddingNearDups]] over any (vec_id, embedding) frame. */
+  def embeddingNearDupsGrid(vectors: DataFrame, threshold: Double = 0.4,
       blocks: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = embeddings(spark, dir)
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"),
         pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
     // replicate each vector to every grid cell its block participates in:
