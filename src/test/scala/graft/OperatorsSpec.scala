@@ -172,6 +172,16 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
 
+  test("frame sampling: empty documents produce zero frames, not an error") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm-empty").toString
+    Seq((1L, ""), (2L, "x" * 200)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byDoc = Multimodal.frameSample(spark, tmp).collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(1L), "empty doc must yield no frames (and no sequence error)")
+    assert(byDoc(2L).map(_.getLong(2)).sorted.toSeq == Seq(0L), "200 chars = 4 frames, stride 10 samples frame 0")
+  }
+
   test("real header decode: PPM, BMP, WAV parsed from raw bytes; junk falls to stub") {
     import spark.implicits._
     // PPM P6 with a comment line: 640x480
