@@ -43,6 +43,8 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    // the operators composed end to end under a single oracle
+    "pipeline_summary" -> (TextAnalysis.pipelineSummary _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
     "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -415,6 +417,42 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
         | FROM d)
         |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin,
+    "pipeline_summary" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |survivors AS (
+        | SELECT min(doc_id) AS doc_id FROM clusters GROUP BY cluster_id
+        | UNION ALL
+        | SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        | WHERE c.doc_id IS NULL),
+        |q AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents
+        | WHERE 2 * len(regexp_extract_all(text, '[a-zA-Z]')) >= len(text))
+        |SELECT q.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+        | (CAST(sum(q.n_tokens) AS BIGINT) + 1023) // 1024 AS n_bins
+        |FROM q JOIN survivors s ON q.doc_id = s.doc_id
+        |GROUP BY q.lang""".stripMargin,
     "sketch_distinct_check" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -241,6 +241,32 @@ object TextAnalysis {
         (col("mix_rank") <= col("cap")).as("kept"))
   }
 
+  /** The engine's operators composed as ONE end-to-end training-data
+    * pipeline: quality-filter the corpus (integer-exact `2·n_alpha ≥
+    * n_chars`), drop near-duplicates keeping each group's canonical
+    * representative ([[graft.operators.Dedup.canonicalDocs]]), then
+    * summarize per language what would be packed: surviving doc count,
+    * total tokens, and the number of 1024-token context windows they fill.
+    * One oracle over the whole chain is the strongest composability check
+    * the driver can run.
+    *
+    * Scale: the dedup survivor set joins on doc ids only; everything else
+    * is the same map-only projections + single-exchange agg as the
+    * constituent operators.
+    */
+  def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Dedup.canonicalDocs(spark, dir).select("doc_id")
+    docs(spark, dir)
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .withColumn("n_alpha", expr("CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT)"))
+      .withColumn("n_tokens", size(Portable.tokens("text")).cast("bigint"))
+      .filter(col("n_alpha") * 2 >= col("n_chars"))
+      .join(kept, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("total_tokens"))
+      .withColumn("n_bins", expr("CAST((total_tokens + 1023) DIV 1024 AS BIGINT)"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find
