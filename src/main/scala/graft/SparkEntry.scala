@@ -31,6 +31,8 @@ object SparkEntry {
     "w1_window_topk" -> (Relational.windowTopK _),
     "set_except" -> (Relational.setExcept _),
     "set_union" -> (Relational.setUnion _),
+    "set_intersect_all" -> (Relational.setIntersectAll _),
+    "set_except_all" -> (Relational.setExceptAll _),
     "events_hourly_agg" -> (Relational.eventsHourlyAgg _),
     "events_sessionize" -> ((s, d) => EventStream.sessionizeBatch(s, d)),
     "text_token_count" -> (TextAnalysis.tokenCount _),
@@ -221,6 +223,10 @@ object SparkEntry {
       "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
     "set_union" ->
       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0",
+    "set_intersect_all" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "set_except_all" ->
+      "SELECT o_custkey FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
     "events_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

@@ -393,6 +393,23 @@ object Relational {
       .distinct()
   }
 
+  /** INTERSECT ALL — multiset semantics: each customer key appears
+    * min(#open, #finished) times, not once. Spark plans this as an
+    * aggregate carrying two counts, not a join per duplicate.
+    */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .intersectAll(ord.filter(col("o_orderstatus") === "F").select("o_custkey"))
+  }
+
+  /** EXCEPT ALL — multiset semantics: #all − #open occurrences survive. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.select("o_custkey")
+      .exceptAll(ord.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
   /** Salted join for skewed keys: the big side's hot keys are sharded into
     * `salt` sub-keys and the small side is replicated `salt`× so each
     * shard joins against its own copy — turning one straggler partition
