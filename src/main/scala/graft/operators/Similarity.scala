@@ -96,18 +96,26 @@ object Similarity {
     }
 
     // Lloyd refinement: each cell's centroid becomes the (re-normalized)
-    // mean of its members. Deterministic (seeds + exact assignment), so
-    // results stay reproducible. Empty cells keep their previous centroid.
+    // mean of its members. The mean is computed as EXACT integer-micros
+    // sums (the [[labelCentroids]] recipe): bigint addition commutes, so
+    // the result is identical across any partitioning/parallelism — a
+    // float avg() would drift in the last ulp with summation order and
+    // break cross-configuration reproducibility. Empty cells keep their
+    // previous centroid.
     for (_ <- 0 until refineIters) {
       val assigned = e.withColumn("cell",
         array_max(array(cellScoresFor(centroids): _*)).getField("c"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell", "dim")
+        .agg(
+          sum(round(col("x").cast("double") * 1000000).cast("bigint")).as("sum_micros"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val v = rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6).toSeq
           val nrm = math.sqrt(v.map(x => x * x).sum)
           cid -> (if (nrm > 0) v.map(_ / nrm) else v)
         }

@@ -187,9 +187,10 @@ class MultimodalSpec extends AnyFunSuite {
     // PPM P6 with a comment line: 640x480
     val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
     assert(Multimodal.ppmDims(ppm).contains((640, 480)))
-    // BMP header: 'BM' + 16 bytes + le32 width @18, le32 height @22 (top-down negative)
+    // BMP header: 'BM' + DIB size @14 + le32 width @18, le32 height @22 (top-down negative)
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40 // BITMAPINFOHEADER
     bmp(18) = 0x20; bmp(19) = 0x03 // 800
     bmp(22) = (-600 & 0xff).toByte; bmp(23) = ((-600 >> 8) & 0xff).toByte
     bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
@@ -212,6 +213,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((800, 600)))
     assert(out(3L) == ((44100, 2)))
     assert(out(4L)._1 >= 16 && out(5L)._1 >= 16, "unparseable payloads must quarantine to the stub, not crash")
+  }
+
+  test("corrupt headers quarantine instead of crashing or lying") {
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // RIFF chunk claiming 0x7FFFFFFF bytes: the cursor arithmetic must not
+    // overflow into a negative index (would throw AIOOBE and kill the task)
+    val hugeChunk = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(0x7fffffff) ++ new Array[Byte](32)
+    assert(Multimodal.wavFormat(hugeChunk).isEmpty)
+    // chunk size larger than the remaining payload: malformed, not an fmt hit
+    val overrun = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(1000) ++ new Array[Byte](8)
+    assert(Multimodal.wavFormat(overrun).isEmpty)
+    // negative (0xFFFFFFFF streaming-style) chunk size: rejected
+    val negChunk = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(-1) ++ new Array[Byte](32)
+    assert(Multimodal.wavFormat(negChunk).isEmpty)
+    // "BM" + garbage: zero width / bogus DIB header size must not parse
+    val junkBm = new Array[Byte](30)
+    junkBm(0) = 'B'; junkBm(1) = 'M' // all other fields zero
+    assert(Multimodal.bmpDims(junkBm).isEmpty, "zero-width BM junk must fall to the stub")
+    val negW = new Array[Byte](30)
+    negW(0) = 'B'; negW(1) = 'M'; negW(14) = 40
+    negW(21) = 0x80.toByte // width = le32 0x80000000 < 0
+    assert(Multimodal.bmpDims(negW).isEmpty, "negative width must fall to the stub")
+  }
+
+  test("resizeQuery: empty documents are excluded (resize-of-nothing has no canonical answer)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm-resize-empty").toString
+    Seq((1L, ""), (2L, "hello world")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids = Multimodal.resizeQuery(spark, tmp).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L), "empty doc must be filtered on BOTH the Spark and oracle side")
   }
 
   test("resize stub: fixed output dims, deterministic, partition-preserving") {
