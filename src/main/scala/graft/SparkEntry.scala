@@ -35,6 +35,9 @@ object SparkEntry {
     "set_except_all" -> (Relational.setExceptAll _),
     "events_hourly_agg" -> (Relational.eventsHourlyAgg _),
     "events_sessionize" -> ((s, d) => EventStream.sessionizeBatch(s, d)),
+    // the NATIVE session_window operator (same state-store expression runs
+    // in streaming) — distinct from the window-function chain above
+    "events_session_window" -> ((s, d) => EventStream.sessionWindowBatch(s, d)),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -45,6 +48,8 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    // C4-style corpus-level line (word-segment) dedup
+    "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     // the operators composed end to end under a single oracle
     "pipeline_summary" -> (TextAnalysis.pipelineSummary _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
@@ -249,6 +254,28 @@ object SparkEntry {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         | CAST(count(*) AS BIGINT) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
+    // native session_window semantics: merge while gap <= 30 min (probed:
+    // an event exactly gap-after MERGES), session_end = last event + gap
+    "events_session_window" ->
+      """WITH x AS (
+        | SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |y AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM x),
+        |z AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM y)
+        |SELECT user_id,
+        | min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events
         |FROM z GROUP BY user_id, session_seq""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
@@ -501,6 +528,30 @@ object SparkEntry {
         |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])
         |  ELSE CAST([] AS VARCHAR[]) END AS g
         | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))""".stripMargin,
+    // C4-style line dedup: "lines" are aligned 10-word segments; a segment
+    // in >= 2 distinct docs is boilerplate and removed everywhere
+    "text_line_dedup" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_segments
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id, CAST(k AS BIGINT) AS pos,
+        |  array_to_string(list_slice(w, CAST(k * 10 + 1 AS BIGINT), CAST(k * 10 + 10 AS BIGINT)), ' ') AS seg
+        | FROM (SELECT doc_id, w, unnest(range(n_segments)) AS k FROM base)),
+        |boiler AS (
+        | SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        | SELECT segs.doc_id, segs.pos, segs.seg FROM segs ANTI JOIN boiler USING (seg)),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_segments,
+        | COALESCE(a.n_kept, 0) AS n_kept,
+        | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
+        | md5(COALESCE(a.clean_text, '')) AS clean_md5
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_window_lead_lag" ->
       """SELECT user_id, event_id,
         | epoch_us(ts) - lag(epoch_us(ts), 1)

@@ -267,6 +267,58 @@ object TextAnalysis {
       .withColumn("n_bins", expr("CAST((total_tokens + 1023) DIV 1024 AS BIGINT)"))
   }
 
+  /** Corpus-level LINE dedup (the C4/RefinedWeb boilerplate-removal pass):
+    * any "line" that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate and is removed from every document; what survives is
+    * re-assembled in original order. The synthetic corpus has no newlines,
+    * so a "line" is an aligned `segWords`-word segment (segment k = words
+    * [k·W, (k+1)·W)) — swap the segmenter for `split(text, '\n')` on a real
+    * corpus; everything downstream is unchanged.
+    *
+    * Output per document: total/kept/removed segment counts plus the md5 of
+    * the cleaned text (docs whose every segment was boilerplate keep a row
+    * with `n_kept = 0` and `md5('')`).
+    *
+    * Scale design: the frequent-segment list is SMALL by construction
+    * (each entry repeats ≥ minDocs times, so it is at most 1/minDocs of the
+    * corpus and in practice tiny boilerplate) — it broadcasts, and the
+    * corpus side is explode → broadcast ANTI join → one reassembly
+    * aggregation. The frequency count itself is one hash-aggregate whose
+    * map-side partials carry (segment, doc-distinct partial) — at 100 TB,
+    * group on a 16-byte segment hash instead of the string so the shuffle
+    * never moves text (exact-string form kept here for the oracle).
+    */
+  def lineDedup(spark: SparkSession, dir: String, segWords: Int = 10, minDocs: Long = 2): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_segments", expr(s"CAST(ceil(size(w) / $segWords.0) AS BIGINT)"))
+    val segs = base
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(n_segments AS INT) - 1), " +
+            s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("seg")
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // order is restored agg-side from the carried positions — no
+        // global sort, one shuffle of surviving segments
+        expr("array_join(transform(array_sort(collect_list(struct(pos, seg))), s -> s.seg), ' ')")
+          .as("clean_text"))
+    base.select("doc_id", "n_segments")
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find

@@ -64,6 +64,35 @@ object EventStream {
         max("ts").as("session_end"))
   }
 
+  /** Declarative sessionization via the NATIVE `session_window` function —
+    * the Catalyst-planned alternative to the hand-rolled state machine in
+    * [[sessionizeStream]] and the window-function chain in
+    * [[sessionizeBatch]]. In batch, sessions are merged inside a single
+    * aggregation (no window-function sort chain); in streaming the same
+    * expression runs against the session-window state store with watermark
+    * eviction — one query shape for both. Boundary convention (probed, and
+    * pinned by the oracle): an event exactly `gap` after the previous one
+    * MERGES into the session (a new session starts only when the gap is
+    * strictly exceeded) and `session_end = last event + gap`.
+    *
+    * Scale: one shuffle on user_id, sessions merged agg-side — no
+    * per-user global sort; the natural 100 TB sessionizer.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** [[sessionWindowAgg]] over the events table — the catalog query. */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.operators.Relational.events(spark, dir)
+      .select(col("user_id"), col("ts")))
+
   /** Stream-stream interval join: each click joined to the same user's
     * purchases within 1 hour AFTER the click. Both sides watermarked so
     * Spark can bound the join state (state for a side is dropped once the

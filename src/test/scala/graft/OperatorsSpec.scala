@@ -341,6 +341,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains("2024-01-01 00:00:00.0"), s"late event should be dropped: $rows") // hour-0 dropped
   }
 
+  test("native session_window batch equals the window-function sessionizer") {
+    // same gap convention (probed: exactly-gap-apart events merge), so the
+    // two independent formulations must produce identical sessions
+    val viaWindowFns = EventStream.sessionizeBatch(spark, dir).collect()
+      .map { r =>
+        val end = r.getTimestamp(4)
+        val plusGap = new java.sql.Timestamp(end.getTime + 30 * 60 * 1000L)
+        plusGap.setNanos(end.getNanos) // keep µs precision (+30 min leaves the sub-second part intact)
+        (r.getLong(0), r.getTimestamp(3), plusGap, r.getLong(2))
+      }.toSet
+    val viaSessionWindow = EventStream.sessionWindowBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(viaSessionWindow == viaWindowFns)
+  }
+
+  test("streaming session_window closes sessions via watermark, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val data = Seq(
+      (7L, ts(1, 0)), (7L, ts(1, 10)), (7L, ts(2, 30)), // user 7: two sessions
+      (8L, ts(1, 5)))
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = EventStream.sessionWindowAgg(
+      mem.toDF().toDF("user_id", "ts").withWatermark("ts", "1 minute"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts(12, 0))) // advance the watermark so all sessions close
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batch = EventStream.sessionWindowAgg(data.toDF("user_id", "ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(batch.subsetOf(streamed), s"closed sessions missing from stream: ${batch -- streamed}")
+  }
+
   test("stream-static enrichment join equals the batch join, dim broadcast per micro-batch") {
     import org.apache.spark.sql.streaming.Trigger
     val customers = spark.read.parquet(s"$dir/customer.parquet")
@@ -498,6 +540,52 @@ class StreamingSpec extends AnyFunSuite {
     val users = batchAll.groupBy(_._1)
     val expectedClosed = users.values.flatMap(ss => ss.toSeq.sortBy(_._2).dropRight(1)).toSet
     assert(streamed == expectedClosed)
+  }
+}
+
+class LineDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("corpus line dedup removes cross-doc boilerplate segments, keeps unique text in order") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one aligned 10-word segment
+    val u1 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 10).map(i => s"v$i").mkString(" ")
+    val short3 = "x1 x2 x3" // < 10 words → one short segment, unique
+    val tmp = java.nio.file.Files.createTempDirectory("line-dedup").toString
+    Seq(
+      (1L, s"$boiler $u1"), // boiler + unique
+      (2L, s"$boiler $u2"), // boiler + different unique
+      (3L, short3), // fully unique, kept whole
+      (4L, boiler) // ENTIRELY boilerplate → empty after cleaning
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.lineDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, md5hex(u1))))
+    assert(out(2L) == ((2L, 1L, 1L, md5hex(u2))))
+    assert(out(3L) == ((1L, 1L, 0L, md5hex(short3))))
+    assert(out(4L) == ((1L, 0L, 1L, md5hex(""))), "all-boilerplate doc keeps a row with empty clean text")
+  }
+
+  test("segment order is restored after the anti-join (multi-segment survivors)") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"bb$i").mkString(" ")
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"c$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("line-dedup-ord").toString
+    Seq(
+      (1L, s"$segA $boiler $segB"), // boiler in the MIDDLE
+      (2L, boiler)
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r1 = graft.operators.TextAnalysis.lineDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(r1(1L) == md5hex(s"$segA $segB"), "survivors must rejoin in original positional order")
   }
 }
 
