@@ -36,6 +36,8 @@ object Bench {
       "q1_agg", "q3_join_agg", "q5_multi_join", "w1_window_topk", "s1_full_scan",
       "q_scalar_subquery", // correlated-subquery plan (broadcast dim agg)
       "events_sessionize", "events_hourly_agg", "events_range_join",
+      "events_session_window", // native session_window aggregation
+      "text_line_dedup", // corpus boilerplate removal (broadcast anti-join)
       "text_fingerprint", "text_quality",
       "text_term_stats", // Expand-heavy inverted-index plan
       "text_decontaminate", // broadcast eval-gram join

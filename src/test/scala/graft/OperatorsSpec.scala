@@ -543,6 +543,35 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StreamExportSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("streaming Avro export writes per-batch container files readable by AvroSource") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream-export").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData((1L, "a", 1.5), (2L, "b", 2.5))
+    val q = graft.streaming.StreamExport.start(
+      mem.toDF().toDF("id", "tag", "score"), out, "deflate1",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    mem.addData((3L, "c", 3.5)) // second micro-batch -> second directory
+    q.processAllAvailable()
+    q.stop()
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).map(_.toString).sorted
+    assert(batchDirs.length == 2, s"expected two batch dirs: ${batchDirs.toSeq}")
+    val back = batchDirs.map(d => graft.sources.AvroSource.read(spark, d))
+      .reduce(_ union _)
+    assert(back.count() == 3)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // layout contract: one shared schema sidecar at the export root
+    assert(new java.io.File(s"$out/_AVRO_SCHEMA.avsc").exists())
+  }
+}
+
 class LineDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
