@@ -61,6 +61,8 @@ object SparkEntry {
     // Dedup.nearDupClusters)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
+    // daily-increment dedup: new docs vs existing corpus, never corpus²
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
     // end-to-end dedup: drop near-dups, keep min-id representative per group
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -361,6 +363,20 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6""".stripMargin,
+    // exact ground truth for the incremental path: every new×corpus pair
+    "dedup_incremental" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3)
+        |SELECT * FROM (
+        | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
+        | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
         |WHERE jaccard >= 0.6""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (

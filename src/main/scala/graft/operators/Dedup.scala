@@ -208,6 +208,55 @@ object Dedup {
     materializeAndRelease(Seq(arrays, banded), verified)
   }
 
+  /** INCREMENTAL near-dup detection — the daily-increment shape of a
+    * production pipeline: NEW documents (`doc_id >= splitId`) are checked
+    * against the EXISTING corpus (`doc_id < splitId`); corpus×corpus pairs
+    * are never generated. Output: (id_new, id_corpus, n_inter, jaccard)
+    * for every new doc whose word-3-gram Jaccard vs a corpus doc is at or
+    * above `threshold` — the set a pipeline would drop (or route to
+    * clustering) before appending the increment.
+    *
+    * Scale: the corpus side's banded signatures are exactly what a real
+    * deployment would PERSIST between increments (they are 32 longs per
+    * doc — recomputing them here only because the catalog query is
+    * self-contained). The candidate join is new-bands × corpus-bands on
+    * the band key: with a daily increment ≪ corpus, the new side
+    * broadcasts and the corpus side streams through unshuffled; exact
+    * verification touches candidates only, as in [[minhashNearDups]].
+    */
+  def incrementalNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      splitId: Long = 400): DataFrame = {
+    val arrays = docShingleArrays(spark, dir).cache()
+    arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        element_at(col("sig"), 2 * j + 1).as("k1"),
+        element_at(col("sig"), 2 * j + 2).as("k2"))
+    }
+    val banded = signaturesFrom(arrays)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
+      .cache()
+    banded.count()
+    val newB = banded.filter(col("doc_id") >= splitId)
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
+    val corpusB = banded.filter(col("doc_id") < splitId)
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
+    val cand = corpusB.join(broadcast(newB), Seq("band", "k1", "k2"))
+      .select("id_new", "id_corpus")
+      .distinct()
+    val verified = cand
+      .join(arrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
+      .join(arrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
+      .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corpus", "n_inter", "jaccard")
+    materializeAndRelease(Seq(arrays, banded), verified)
+  }
+
   /** Near-dup CLUSTERS: connected components over the verified near-dup
     * pair graph, labeled by the component's min doc_id. Iterative min-label
     * propagation — each round is one equi-join + min-aggregate, converging

@@ -77,6 +77,30 @@ class DedupSpec extends AnyFunSuite {
     info(s"near-dup pairs at 0.6: ${nearDups.length}")
   }
 
+  test("incremental dedup finds new-vs-corpus pairs only, with exact jaccard") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tweak = (1 to 60).map(i => if (i % 20 == 0) s"z$i" else s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("inc-dedup").toString
+    Seq(
+      (10L, base), // corpus
+      (11L, base), // corpus dup of 10 — must NOT be reported (corpus×corpus)
+      (12L, other), // corpus, unrelated
+      (400L, tweak), // new, near-dup of the corpus base
+      (401L, other), // new, exact dup of corpus doc 12
+      (402L, (1 to 60).map(i => s"y$i").mkString(" ")) // new, unique
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.incrementalNearDups(spark, tmp, 0.6, splitId = 400L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((400L, 10L)) && got.contains((400L, 11L)), s"near-dup of corpus base missed: $got")
+    assert(got.contains((401L, 12L)), s"exact dup of corpus doc missed: $got")
+    assert(got.forall { case (n, c) => n >= 400L && c < 400L },
+      s"only new-vs-corpus pairs may be reported: $got")
+    assert(!got.exists(_._1 == 402L), s"unique new doc must not match: $got")
+  }
+
   test("large-star/small-star CC equals the BSP min-label clusters") {
     val pairs = Dedup.minhashNearDups(spark, dir, 0.6)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
