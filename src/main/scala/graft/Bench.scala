@@ -43,6 +43,7 @@ object Bench {
       "text_decontaminate", // broadcast eval-gram join
       "text_pack_sequences", // per-shard packing windows
       "dedup_minhash", "dedup_simhash", "dedup_exact",
+      "dedup_incremental", // new-vs-corpus broadcast banding
       "dedup_clusters", // iterative large-star/small-star CC
       "dedup_embedding", // blocked grid self-join (exact threshold)
       "ann_topk", "ann_lsh", "multimodal_meta")

@@ -225,9 +225,9 @@ object Dedup {
     * verification touches candidates only, as in [[minhashNearDups]].
     */
   def incrementalNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      splitId: Long = 400): DataFrame = {
+      splitId: Long = 400, materialize: Boolean = true): DataFrame = {
     val arrays = docShingleArrays(spark, dir).cache()
-    arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
+    if (materialize) arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         element_at(col("sig"), 2 * j + 1).as("k1"),
@@ -237,7 +237,7 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
       .cache()
-    banded.count()
+    if (materialize) banded.count()
     val newB = banded.filter(col("doc_id") >= splitId)
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val corpusB = banded.filter(col("doc_id") < splitId)
@@ -254,7 +254,8 @@ object Dedup {
           (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_corpus", "n_inter", "jaccard")
-    materializeAndRelease(Seq(arrays, banded), verified)
+    if (materialize) materializeAndRelease(Seq(arrays, banded), verified)
+    else { arrays.unpersist(false); banded.unpersist(false); verified } // plan-inspection path (PlanSpec)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup

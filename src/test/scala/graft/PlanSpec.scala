@@ -138,6 +138,29 @@ class PlanSpec extends AnyFunSuite {
       s"range join must go through the bucket equi key:\n$plan")
   }
 
+  test("line dedup: frequent-segment set broadcasts; no nested-loop anywhere") {
+    val plan = executedPlan("text_line_dedup")
+    // the anti-join against boilerplate segments must be a broadcast join
+    // (the frequent set is <= 1/minDocs of the corpus by construction)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("incremental dedup: the new-increment side broadcasts against the corpus") {
+    val plan = graft.operators.Dedup.incrementalNearDups(spark, dir, 0.6, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"new-side bands must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("session_window aggregation is one shuffle on the session key") {
+    val plan = executedPlan("events_session_window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle (user_id), got $exchanges:\n$plan")
+    assert(!plan.contains("Window "), s"native session_window must not fall back to window functions:\n$plan")
+  }
+
   test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
     // the DESIGN.md claim behind q5: bucketing both facts on the join key
     // removes the one remaining shuffle. Prove it with Spark's bucketed
