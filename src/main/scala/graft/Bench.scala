@@ -34,6 +34,7 @@ object Bench {
     // Headline set: core export + the heaviest representative operators.
     val headline = Vector(
       "q1_agg", "q3_join_agg", "q5_multi_join", "w1_window_topk", "s1_full_scan",
+      "q_grouped_topk", // heap-aggregate top-k vs w1's window form
       "q_scalar_subquery", // correlated-subquery plan (broadcast dim agg)
       "events_sessionize", "events_hourly_agg", "events_range_join",
       "events_session_window", // native session_window aggregation

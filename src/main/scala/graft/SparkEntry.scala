@@ -29,6 +29,8 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join_agg" -> (Relational.q3JoinAgg _),
     "w1_window_topk" -> (Relational.windowTopK _),
+    // same contract via the bounded-heap aggregate (map-side partial top-k)
+    "q_grouped_topk" -> (Relational.groupedTopK _),
     "set_except" -> (Relational.setExcept _),
     "set_union" -> (Relational.setUnion _),
     "set_intersect_all" -> (Relational.setIntersectAll _),
@@ -222,6 +224,13 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
     "w1_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    // identical ground truth as w1 — the heap aggregate must reproduce the
+    // window-function ranks exactly (score desc, id asc tiebreak)
+    "q_grouped_topk" ->
       """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
         | SELECT o_custkey, o_orderkey,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk

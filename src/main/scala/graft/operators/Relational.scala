@@ -146,6 +146,26 @@ object Relational {
       .select("o_custkey", "o_orderkey", "rk")
   }
 
+  /** Per-group top-k via the bounded-heap AGGREGATE (`graft_topk`) instead
+    * of the [[windowTopK]] rank-filter pattern. Same contract (top 3 orders
+    * per customer by price, id tiebreak), radically different plan: the
+    * window form shuffles and sorts EVERY order row; the aggregate form is
+    * a partial/merge hash aggregate, so each map task forwards at most k
+    * rows per customer to the exchange and nothing is ever sorted but the
+    * k-element output arrays. The 100 TB per-key-top-k.
+    */
+  def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(expr("graft_topk(o_orderkey, o_totalprice, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("o_custkey"),
+        col("t.id").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Set operations: customers with any order EXCEPT customers with an open
     * order (exercises distinct set semantics).
     */

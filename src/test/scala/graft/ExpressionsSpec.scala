@@ -126,7 +126,7 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_poly_hash_array", "graft_hash60_array", "graft_lsh_buckets",
       "graft_hll_distinct", "graft_kll_quantiles", "graft_freq_items",
       "graft_theta_sketch", "graft_theta_union_est", "graft_theta_intersect_est",
-      "graft_theta_diff_est")
+      "graft_theta_diff_est", "graft_topk")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>

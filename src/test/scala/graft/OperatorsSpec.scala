@@ -567,6 +567,49 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("heap aggregate equals the window-function top-k exactly") {
+    val agg = graft.operators.Relational.groupedTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val win = graft.operators.Relational.windowTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == win, s"heap/window disagree: ${(agg -- win).take(5)} / ${(win -- agg).take(5)}")
+  }
+
+  test("result is invariant under repartitioning (merge path is exact)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("o_custkey").agg(expr("graft_topk(o_orderkey, o_totalprice, 3)").as("top"))
+      .select(col("o_custkey"), expr("transform(top, t -> t.id)").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(run(df) == run(df.repartition(37)), "top-k must not depend on partition layout")
+  }
+
+  test("score ties break deterministically by smaller id") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0), (9L, 7.0))
+      .toDF("id", "score").withColumn("g", lit("x"))
+    val got = rows.groupBy("g")
+      .agg(expr("graft_topk(id, score, 3)").as("top"))
+      .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
+    assert(got == Seq(9L, 1L, 2L), s"expected (7.0,9),(5.0,1),(5.0,2) — got $got")
+  }
+
+  test("plan is a partial/merge hash aggregate, not a window sort") {
+    val plan = graft.operators.Relational.groupedTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk") || plan.contains("partial_topk") ||
+      plan.contains("ObjectHashAggregate"), s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("Window "), s"must not fall back to window functions:\n$plan")
+  }
+}
+
 class StreamExportSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
