@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operators over the `events` table, each with a
   * batch-equivalent twin so correctness is oracle-checkable (the streaming
@@ -131,11 +131,31 @@ object EventStream {
       user_id: Long, session_seq: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
-  private def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-  private def toTs(us: Long): Timestamp = {
+  private[streaming] def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private[streaming] def toTs(us: Long): Timestamp = {
     val t = new Timestamp(us / 1000)
     t.setNanos(((us % 1000000L) * 1000L).toInt) // keep full µs precision
     t
+  }
+
+  /** Sessionization on `transformWithState` — Spark 4's production
+    * stateful-processing API (RocksDB-backed typed `ValueState` + explicit
+    * event-time TIMERS, replacing `flatMapGroupsWithState`'s single
+    * per-key timeout). Identical output contract to [[sessionizeStream]]:
+    * sessions emitted on in-batch gap or when the watermark passes
+    * last+gap, seq counters retained across closed sessions. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    *
+    * Scale: state is one small row per ACTIVE user in a native RocksDB
+    * instance per partition (no JVM-heap state map, incremental
+    * checkpointing via changelog), exactly one live timer per key — the
+    * shape that holds at hundreds of millions of concurrent sessions.
+    */
+  def sessionizeTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming sessionization with explicit state: one `SessionState` per
@@ -187,5 +207,58 @@ object EventStream {
             out.result().iterator
           }
         })
+  }
+}
+
+/** The [[EventStream.sessionizeTws]] state machine: same transitions as the
+  * `flatMapGroupsWithState` sessionizer, expressed against typed
+  * `ValueState` + explicit timers. One live timer per key — re-armed at
+  * last+gap on every batch, stale timers deleted (an expired stale timer
+  * would close a session that newer events had extended).
+  */
+class SessionProcessor
+    extends StatefulProcessor[Long, EventStream.Event, EventStream.SessionOut] {
+  import EventStream.{micros, toTs, Event, SessionOut, SessionState}
+
+  @transient private var state: ValueState[SessionState] = _
+  private val gapMicros = EventStream.SessionGapMinutes * 60L * 1000000L
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var st = if (state.exists()) state.get() else SessionState(-1L, -1L, 0L, 0L)
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      if (st.start < 0) {
+        st = SessionState(t, t, st.seq + 1, 1L)
+      } else if (t - st.last > gapMicros) {
+        out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
+        st = SessionState(t, t, st.seq + 1, 1L)
+      } else {
+        st = st.copy(last = t, n = st.n + 1)
+      }
+    }
+    state.update(st)
+    if (st.start >= 0) {
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer((st.last + gapMicros) / 1000L + 1L)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    val st = if (state.exists()) state.get() else null
+    if (st != null && st.start >= 0) {
+      // keep the seq counter (start = -1 sentinel) so the user's next
+      // session continues numbering — the sessionizeStream contract
+      state.update(SessionState(-1L, -1L, st.seq, 0L))
+      Iterator.single(SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last)))
+    } else Iterator.empty
   }
 }

@@ -498,6 +498,55 @@ class StreamingSpec extends AnyFunSuite {
       s"user 7 post-timeout session must continue numbering at seq=2: ${rows2.toSeq}")
   }
 
+  test("transformWithState sessionizer: RocksDB state + event-time timers, same contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStream.Event]
+      val sessions = EventStream.sessionizeTws(
+        mem.toDS().withWatermark("ts", "1 minute").as[EventStream.Event])
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName("tws_sess")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // user 7: in-batch gap closes session 1 immediately; session 2 stays open
+      mem.addData(EventStream.Event(7L, 1L, ts(1, 0)), EventStream.Event(7L, 2L, ts(1, 5)),
+        EventStream.Event(7L, 3L, ts(3, 0)))
+      q.processAllAvailable()
+      val inBatch = spark.table("tws_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(inBatch.contains((7L, 1L, 2L)), s"in-batch gap must close session 1: ${inBatch.toSeq}")
+      // advance the watermark past 03:00+gap -> the TIMER closes session 2
+      mem.addData(EventStream.Event(9L, 4L, ts(8, 0)))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(9L, 5L, ts(8, 1))) // extra trigger to fire timers
+      q.processAllAvailable()
+      val rows = spark.table("tws_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((7L, 2L, 1L)), s"timer must close the open session: ${rows.toSeq}")
+      // user 7 returns: numbering continues at seq 3 (state kept the counter)
+      mem.addData(EventStream.Event(7L, 6L, ts(9, 0)))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(9L, 7L, ts(15, 0)))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(9L, 8L, ts(15, 1)))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("tws_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(all.contains((7L, 3L, 1L)),
+        s"post-timeout session must continue numbering at seq=3: ${all.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming dedup within watermark drops re-deliveries, keeps distinct keys") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
