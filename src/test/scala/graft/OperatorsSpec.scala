@@ -686,6 +686,35 @@ class StreamExportSpec extends AnyFunSuite {
     // layout contract: one shared schema sidecar at the export root
     assert(new java.io.File(s"$out/_AVRO_SCHEMA.avsc").exists())
   }
+
+  test("restarted export resumes from the checkpoint — committed batches are not re-exported") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("stream-export-src").toString
+    val out = java.nio.file.Files.createTempDirectory("stream-export-restart").toString
+    // the file-stream source needs leaf FILES: unwrap the part file
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("se-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    writeFile(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), "f1.parquet")
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamExport.start(
+        spark.readStream.schema(schema).parquet(src), out)
+      q.awaitTermination(120000)
+    }
+    runOnce() // first run exports f1
+    val after1 = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).map(_.getName).sorted
+    writeFile(Seq((3L, "c")).toDF("id", "tag"), "f2.parquet")
+    runOnce() // NEW query, same checkpoint: must export ONLY f2
+    val after2 = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).map(_.getName).sorted
+    assert(after1.length == 1 && after2.length == 2, s"run1=$after1 run2=$after2")
+    val all = after2.map(d => graft.sources.AvroSource.read(spark, s"$out/$d")).reduce(_ union _)
+    assert(all.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "each row exported exactly once across the restart")
+  }
 }
 
 class LineDedupSpec extends AnyFunSuite {
