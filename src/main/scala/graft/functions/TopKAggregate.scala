@@ -51,6 +51,10 @@ case class TopK(
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
+  // Null scores are SKIPPED — standard SQL aggregate semantics (like
+  // sum/avg ignoring nulls). NOTE this differs from the row_number window
+  // form, which ranks null scores last under DESC: a null score cannot
+  // hold a top-k slot here. Pinned by TopKSpec.
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val idV = idExpr.eval(input)
     val sV = scoreExpr.eval(input)
@@ -59,7 +63,11 @@ case class TopK(
         case i: Integer => i.longValue()
         case l: java.lang.Long => l.longValue()
       }
-      buffer.offer(id, sV.asInstanceOf[Number].doubleValue())
+      val score = sV match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+      }
+      buffer.offer(id, score)
     }
     buffer
   }
@@ -94,9 +102,16 @@ final class TopKHeap(val k: Int) {
   private var ids = new Array[Long](math.min(k, 16))
   private var scores = new Array[Double](math.min(k, 16))
 
-  /** true if (id1, s1) ranks WORSE than (id2, s2) in the output order. */
-  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && id1 > id2)
+  /** true if (id1, s1) ranks WORSE than (id2, s2) in the output order.
+    * `Double.compare` gives a TOTAL order — NaN sorts above +Inf, exactly
+    * Spark's SQL ordering (so NaN scores rank FIRST under desc, matching
+    * the row_number window form) and never wedges the heap the way raw
+    * `<`/`==` would (both false for any NaN comparison).
+    */
+  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && id1 > id2)
+  }
 
   private def grow(): Unit = if (n == ids.length && n < k) {
     val cap = math.min(k, ids.length * 2)
@@ -104,7 +119,10 @@ final class TopKHeap(val k: Int) {
     scores = java.util.Arrays.copyOf(scores, cap)
   }
 
-  def offer(id: Long, score: Double): Unit = {
+  def offer(id: Long, score0: Double): Unit = {
+    // -0.0 == 0.0 in SQL comparisons (tie broken by id), but Double.compare
+    // separates them — normalize so the total order agrees with SQL
+    val score = if (score0 == 0.0d) 0.0d else score0
     if (n < k) {
       grow()
       ids(n) = id; scores(n) = score
@@ -137,10 +155,15 @@ final class TopKHeap(val k: Int) {
     while (i < n) { f(ids(i), scores(i)); i += 1 }
   }
 
-  /** (id, score) pairs, best first: (score desc, id asc). */
+  /** (id, score) pairs, best first: (score desc, id asc) under the same
+    * NaN-safe total order as [[worse]].
+    */
   def sortedDescending: Array[(Long, Double)] =
     (0 until n).map(i => (ids(i), scores(i))).toArray
-      .sortWith { case ((id1, s1), (id2, s2)) => s1 > s2 || (s1 == s2 && id1 < id2) }
+      .sortWith { case ((id1, s1), (id2, s2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && id1 < id2)
+      }
 
   def toBytes: Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 16 * n)

@@ -288,35 +288,42 @@ object TextAnalysis {
     * group on a 16-byte segment hash instead of the string so the shuffle
     * never moves text (exact-string form kept here for the oracle).
     */
-  def lineDedup(spark: SparkSession, dir: String, segWords: Int = 10, minDocs: Long = 2): DataFrame = {
-    val base = docs(spark, dir)
+  def lineDedup(spark: SparkSession, dir: String, segWords: Int = 10, minDocs: Long = 2,
+      materialize: Boolean = true): DataFrame = {
+    // ONE segment pass feeds both the frequency count and the reassembly
+    // (cached — at 100 TB this spills to disk or is recomputed; either way
+    // no third scan: the doc-level totals come out of the same aggregate).
+    val segs = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n_segments", expr(s"CAST(ceil(size(w) / $segWords.0) AS BIGINT)"))
-    val segs = base
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, CAST(n_segments AS INT) - 1), " +
+          s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +
             s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
+      .cache()
+    if (materialize) segs.count() // eager fill before AQE fans out the two consumers
     val boiler = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("seg")
-    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
-    val reassembled = kept.groupBy("doc_id")
+      .select(col("seg"), lit(true).as("is_boiler"))
+    // mark-then-aggregate: one broadcast join + ONE groupBy yields totals,
+    // kept counts, and the order-restored reassembly together (collect_list
+    // skips the nulled-out boilerplate rows; no global sort)
+    val out = segs.join(broadcast(boiler), Seq("seg"), "left")
+      .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_kept"),
-        // order is restored agg-side from the carried positions — no
-        // global sort, one shuffle of surviving segments
-        expr("array_join(transform(array_sort(collect_list(struct(pos, seg))), s -> s.seg), ' ')")
+        count(lit(1)).as("n_segments"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN is_boiler IS NULL THEN struct(pos, seg) END)), s -> s.seg), ' ')")
           .as("clean_text"))
-    base.select("doc_id", "n_segments")
-      .join(reassembled, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_segments"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        col("n_kept"),
+        (col("n_segments") - col("n_kept")).as("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+    if (materialize) Dedup.materializeAndRelease(Seq(segs), out)
+    else { segs.unpersist(false); out } // plan-inspection path (PlanSpec)
   }
 
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the

@@ -133,23 +133,33 @@ object AvroSink {
       writer.setMeta("created_by", "dbeamspark")
       writer.create(schema, out)
 
-      val encoderFns = RowBinaryEncoder.compile(sparkSchema, nullableArrayItems)
-      val buf = new RowBinaryEncoder.ExposedByteArrayOutputStream()
-      val binaryEncoder = EncoderFactory.get.directBinaryEncoder(buf, null)
       var n = 0L
       var queryElapsed = 0L
-      val tFirst = System.currentTimeMillis()
-      while (rows.hasNext) {
-        val row = rows.next() // pulling from the iterator IS the "query execution"
-        if (n == 0) queryElapsed = System.currentTimeMillis() - tFirst
-        buf.reset()
-        RowBinaryEncoder.encodeRow(row, encoderFns, binaryEncoder)
-        binaryEncoder.flush()
-        writer.appendEncoded(ByteBuffer.wrap(buf.rawBuffer, 0, buf.size()))
-        n += 1
+      // If encoding/upstream fails mid-write, delete our temp before
+      // rethrowing: readers skip dot-files anyway, but a retried task must
+      // not leave partial containers accumulating next to committed parts.
+      try {
+        val encoderFns = RowBinaryEncoder.compile(sparkSchema, nullableArrayItems)
+        val buf = new RowBinaryEncoder.ExposedByteArrayOutputStream()
+        val binaryEncoder = EncoderFactory.get.directBinaryEncoder(buf, null)
+        val tFirst = System.currentTimeMillis()
+        while (rows.hasNext) {
+          val row = rows.next() // pulling from the iterator IS the "query execution"
+          if (n == 0) queryElapsed = System.currentTimeMillis() - tFirst
+          buf.reset()
+          RowBinaryEncoder.encodeRow(row, encoderFns, binaryEncoder)
+          binaryEncoder.flush()
+          writer.appendEncoded(ByteBuffer.wrap(buf.rawBuffer, 0, buf.size()))
+          n += 1
+        }
+        writer.flush()
+        writer.close()
+      } catch {
+        case e: Throwable =>
+          try { writer.close() } catch { case _: Throwable => () }
+          try { fs.delete(tmpPath, false) } catch { case _: Throwable => () }
+          throw e
       }
-      writer.flush()
-      writer.close()
       val written = fs.getFileStatus(tmpPath).getLen
       // NEVER delete finalPath: it only ever appears via an atomic rename, so
       // it can't be partial, and deleting it would let a zombie attempt

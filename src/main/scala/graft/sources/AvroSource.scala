@@ -30,7 +30,14 @@ object AvroSource {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     val files = fs.listStatus(base)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .filter { s =>
+        val name = s.getPath.getName
+        // skip hidden/temp files (".tmp-part-...-attempt-N.avro" left by a
+        // failed task attempt, "_" sidecars) — the Hadoop hidden-file
+        // convention; only atomically-renamed committed parts are data
+        s.isFile && name.endsWith(".avro") &&
+          !name.startsWith(".") && !name.startsWith("_")
+      }
       .map(_.getPath.toString)
       .sorted
     require(files.nonEmpty, s"no .avro files under $dir")

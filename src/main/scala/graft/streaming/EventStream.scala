@@ -132,6 +132,34 @@ object EventStream {
       session_start: Timestamp, session_end: Timestamp)
 
   private[streaming] def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** THE session state machine, shared by both stateful sessionizers
+    * ([[sessionizeStream]] and [[SessionProcessor]]) so the contract can
+    * never drift between APIs: folds one batch of events (sorted by
+    * (ts, event_id)) into the running state, emitting a session whenever an
+    * in-batch gap exceeds the threshold. Returns (new state, closed
+    * sessions).
+    */
+  private[streaming] def foldSession(
+      userId: Long, events: Iterator[Event],
+      st0: SessionState): (SessionState, Seq[SessionOut]) = {
+    val gapMicros = SessionGapMinutes * 60L * 1000000L
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var st = st0
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      if (st.start < 0) {
+        st = SessionState(t, t, st.seq + 1, 1L)
+      } else if (t - st.last > gapMicros) {
+        out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
+        st = SessionState(t, t, st.seq + 1, 1L)
+      } else {
+        st = st.copy(last = t, n = st.n + 1)
+      }
+    }
+    (st, out.result())
+  }
   private[streaming] def toTs(us: Long): Timestamp = {
     val t = new Timestamp(us / 1000)
     t.setNanos(((us % 1000000L) * 1000L).toInt) // keep full µs precision
@@ -186,25 +214,13 @@ object EventStream {
             state.update(SessionState(-1L, -1L, st.seq, 0L))
             Iterator.single(SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last)))
           } else {
-            // Rows within one trigger arrive unordered; sort this batch.
-            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L))
-            val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              if (st.start < 0) {
-                st = SessionState(t, t, st.seq + 1, 1L)
-              } else if (t - st.last > gapMicros) {
-                out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
-                st = SessionState(t, t, st.seq + 1, 1L)
-              } else {
-                st = st.copy(last = t, n = st.n + 1)
-              }
-            }
+            // Rows within one trigger arrive unordered; foldSession sorts.
+            val (st, out) = foldSession(userId, rows,
+              state.getOption.getOrElse(SessionState(-1L, -1L, 0L, 0L)))
             state.update(st)
             // close the session once event time moves past last + gap
             if (st.start >= 0) state.setTimeoutTimestamp((st.last + gapMicros) / 1000L + 1L)
-            out.result().iterator
+            out.iterator
           }
         })
   }
@@ -218,7 +234,7 @@ object EventStream {
   */
 class SessionProcessor
     extends StatefulProcessor[Long, EventStream.Event, EventStream.SessionOut] {
-  import EventStream.{micros, toTs, Event, SessionOut, SessionState}
+  import EventStream.{toTs, Event, SessionOut, SessionState}
 
   @transient private var state: ValueState[SessionState] = _
   private val gapMicros = EventStream.SessionGapMinutes * 60L * 1000000L
@@ -229,26 +245,14 @@ class SessionProcessor
 
   override def handleInputRows(userId: Long, rows: Iterator[Event],
       timerValues: TimerValues): Iterator[SessionOut] = {
-    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-    var st = if (state.exists()) state.get() else SessionState(-1L, -1L, 0L, 0L)
-    val out = Seq.newBuilder[SessionOut]
-    sorted.foreach { e =>
-      val t = micros(e.ts)
-      if (st.start < 0) {
-        st = SessionState(t, t, st.seq + 1, 1L)
-      } else if (t - st.last > gapMicros) {
-        out += SessionOut(userId, st.seq, st.n, toTs(st.start), toTs(st.last))
-        st = SessionState(t, t, st.seq + 1, 1L)
-      } else {
-        st = st.copy(last = t, n = st.n + 1)
-      }
-    }
+    val (st, out) = EventStream.foldSession(userId, rows,
+      if (state.exists()) state.get() else SessionState(-1L, -1L, 0L, 0L))
     state.update(st)
     if (st.start >= 0) {
       getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
       getHandle.registerTimer((st.last + gapMicros) / 1000L + 1L)
     }
-    out.result().iterator
+    out.iterator
   }
 
   override def handleExpiredTimer(userId: Long, timerValues: TimerValues,

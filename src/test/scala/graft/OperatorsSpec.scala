@@ -650,6 +650,36 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Seq(9L, 1L, 2L), s"expected (7.0,9),(5.0,1),(5.0,2) — got $got")
   }
 
+  test("edge scores: NaN ranks first (Spark desc order), nulls are skipped, decimals work") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // NaN: Spark's SQL ordering puts NaN above +Inf; the heap must agree
+    // with the row_number window form instead of wedging on NaN compares
+    val nan = Seq((1L, 1.0), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("id", "score").withColumn("g", lit("x"))
+    val gotNan = nan.groupBy("g").agg(expr("graft_topk(id, score, 2)").as("top"))
+      .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
+    assert(gotNan == Seq(2L, 3L), s"NaN must rank first like ORDER BY score DESC: $gotNan")
+    // null scores are skipped — SQL aggregate semantics (differs from the
+    // window form, which ranks nulls last; pinned here as the contract)
+    val withNull = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "score").withColumn("g", lit("x"))
+    val gotNull = withNull.groupBy("g").agg(expr("graft_topk(id, score, 3)").as("top"))
+      .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
+    assert(gotNull == Seq(1L, 3L), s"null score must not hold a slot: $gotNull")
+    // decimal scores: converted, not ClassCastException
+    val dec = Seq((1L, BigDecimal("2.50")), (2L, BigDecimal("7.25")))
+      .toDF("id", "score").withColumn("g", lit("x"))
+    val gotDec = dec.groupBy("g").agg(expr("graft_topk(id, score, 1)").as("top"))
+      .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
+    assert(gotDec == Seq(2L), s"decimal scores must work: $gotDec")
+    // -0.0 ties 0.0 and breaks by id, as SQL comparison would
+    val zeros = Seq((5L, -0.0), (4L, 0.0)).toDF("id", "score").withColumn("g", lit("x"))
+    val gotZero = zeros.groupBy("g").agg(expr("graft_topk(id, score, 2)").as("top"))
+      .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
+    assert(gotZero == Seq(4L, 5L), s"-0.0 must tie 0.0 (id tiebreak): $gotZero")
+  }
+
   test("plan is a partial/merge hash aggregate, not a window sort") {
     val plan = graft.operators.Relational.groupedTopK(spark, dir)
       .queryExecution.executedPlan.toString

@@ -139,10 +139,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("line dedup: frequent-segment set broadcasts; no nested-loop anywhere") {
-    val plan = executedPlan("text_line_dedup")
-    // the anti-join against boilerplate segments must be a broadcast join
+    val plan = graft.operators.TextAnalysis.lineDedup(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    // the mark join against boilerplate segments must be a broadcast join
     // (the frequent set is <= 1/minDocs of the corpus by construction)
-    assert(plan.contains("LeftAnti"), plan)
     assert(plan.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
