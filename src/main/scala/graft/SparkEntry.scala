@@ -52,6 +52,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     // C4-style corpus-level line (word-segment) dedup
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    // hashing-trick vectorization (sparse signed token counts per bucket)
+    "text_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
     // the operators composed end to end under a single oracle
     "pipeline_summary" -> (TextAnalysis.pipelineSummary _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
@@ -577,6 +579,19 @@ object SparkEntry {
         | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
         | md5(COALESCE(a.clean_text, '')) AS clean_md5
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the hashing trick is exact integer arithmetic — reproducible in SQL
+    "text_hash_embedding" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+        | FROM tok WHERE token != '')
+        |SELECT doc_id, hv % 16 AS dim_idx,
+        | CAST(sum(CASE WHEN (hv // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |FROM h GROUP BY doc_id, hv % 16""".stripMargin,
     "q_window_lead_lag" ->
       """SELECT user_id, event_id,
         | epoch_us(ts) - lag(epoch_us(ts), 1)

@@ -326,6 +326,31 @@ object TextAnalysis {
     else { segs.unpersist(false); out } // plan-inspection path (PlanSpec)
   }
 
+  /** Feature-hashing text embedding (the hashing trick): each token's
+    * portable poly-hash picks a bucket (`h mod dim`) and a sign
+    * (`(h div dim) mod 2`), and the document's embedding is the signed
+    * token-count per bucket — a deterministic, engine-portable,
+    * vocabulary-free vectorization that bridges the text operators to the
+    * vector operators (the output feeds [[graft.operators.Dedup.embeddingNearDupsGrid]]
+    * or ANN directly after a cast). Exact integer weights, so the DuckDB
+    * oracle matches bit-for-bit — the property a learned embedding can
+    * never give the correctness gate.
+    *
+    * Output is the SPARSE form (doc_id, dim_idx, weight), one row per
+    * occupied bucket: one explode + one aggregation, the shuffle carries
+    * (doc_id, bucket, partial sum) — at 100 TB the map-side combine makes
+    * the exchange ∝ docs × occupied buckets, not tokens.
+    */
+  def hashEmbedding(spark: SparkSession, dir: String, dim: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokens("text")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), Portable.polyHashNative("token", 31, Portable.P1).as("h"))
+      .groupBy(col("doc_id"), pmod(col("h"), lit(dim)).cast("bigint").as("dim_idx"))
+      .agg(sum(when(pmod(expr(s"h div $dim"), lit(2)) === 1, 1L).otherwise(-1L)).as("weight"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find

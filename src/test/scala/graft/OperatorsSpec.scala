@@ -793,6 +793,35 @@ class LineDedupSpec extends AnyFunSuite {
   }
 }
 
+class HashEmbeddingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("identical texts get identical vectors; the sparse form feeds the grid dedup") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hash-emb").toString
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sparse = graft.operators.TextAnalysis.hashEmbedding(spark, tmp, dim = 8)
+    val byDoc = sparse.collect().groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq }
+    assert(byDoc(1L) == byDoc(2L), "same text must hash to the same vector")
+    assert(byDoc(1L) != byDoc(3L), "different text should differ")
+    // densify and run the exact grid dedup over the hashed vectors: the
+    // duplicate pair must come out with cosine 1.0
+    val dense = sparse.groupBy("doc_id")
+      .agg(expr("transform(sequence(0, 7), d -> CAST(coalesce(" +
+        "element_at(map_from_arrays(collect_list(dim_idx), collect_list(weight)), CAST(d AS BIGINT)), 0) AS FLOAT))")
+        .as("embedding"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val pairs = graft.operators.Dedup.embeddingNearDupsGrid(dense, 0.99, blocks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"hashed vectors must surface the planted dup: $pairs")
+  }
+}
+
 class EntryContractSpec extends AnyFunSuite {
   test("every oracle key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
