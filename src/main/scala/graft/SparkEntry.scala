@@ -67,6 +67,8 @@ object SparkEntry {
     "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
     // daily-increment dedup: new docs vs existing corpus, never corpus²
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
+    // same contract through a persisted parquet signature store round trip
+    "dedup_incremental_store" -> ((s, d) => Dedup.incrementalNearDupsViaStore(s, d)),
     // end-to-end dedup: drop near-dups, keep min-id representative per group
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -377,6 +379,20 @@ object SparkEntry {
         |WHERE jaccard >= 0.6""".stripMargin,
     // exact ground truth for the incremental path: every new×corpus pair
     "dedup_incremental" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3)
+        |SELECT * FROM (
+        | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
+        | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
+        |WHERE jaccard >= 0.6""".stripMargin,
+    // the store round trip must be lossless: SAME ground truth as above
+    "dedup_incremental_store" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
         |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s

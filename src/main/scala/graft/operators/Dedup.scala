@@ -228,15 +228,7 @@ object Dedup {
       splitId: Long = 400, materialize: Boolean = true): DataFrame = {
     val arrays = docShingleArrays(spark, dir).cache()
     if (materialize) arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        element_at(col("sig"), 2 * j + 1).as("k1"),
-        element_at(col("sig"), 2 * j + 2).as("k2"))
-    }
-    val banded = signaturesFrom(arrays)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-      .cache()
+    val banded = bandedSignatures(signaturesFrom(arrays)).cache()
     if (materialize) banded.count()
     val newB = banded.filter(col("doc_id") >= splitId)
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
@@ -256,6 +248,66 @@ object Dedup {
       .select("id_new", "id_corpus", "n_inter", "jaccard")
     if (materialize) materializeAndRelease(Seq(arrays, banded), verified)
     else { arrays.unpersist(false); banded.unpersist(false); verified } // plan-inspection path (PlanSpec)
+  }
+
+  /** The deployment form of [[incrementalNearDups]]: the corpus's banded
+    * MinHash signatures are PERSISTED (32 longs per doc — written once,
+    * reused by every nightly increment) and the increment join runs
+    * against the store instead of recomputing corpus signatures. The
+    * verification step still needs the corpus shingle arrays for exact
+    * Jaccard — a deployment would persist those alongside (they are the
+    * tokenized corpus, typically already materialized by the pipeline).
+    *
+    * This catalog query exercises the full round trip: build store →
+    * write parquet → read back → increment join → exact verify. Its
+    * output contract (and oracle) is identical to [[incrementalNearDups]],
+    * so a green row proves the store round-trip is lossless.
+    */
+  def incrementalNearDupsViaStore(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      splitId: Long = 400): DataFrame = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sig-store").toString
+    writeSignatureStore(spark, dir, storeDir, splitId)
+    val corpusB = spark.read.parquet(s"$storeDir/bands.parquet")
+    val arrays = docShingleArrays(spark, dir).cache()
+    arrays.count()
+    val newB = bandedSignatures(signaturesFrom(arrays.filter(col("doc_id") >= splitId)))
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
+    val cand = corpusB
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
+      .join(broadcast(newB), Seq("band", "k1", "k2"))
+      .select("id_new", "id_corpus")
+      .distinct()
+    val verified = cand
+      .join(arrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
+      .join(arrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
+      .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corpus", "n_inter", "jaccard")
+    materializeAndRelease(Seq(arrays), verified)
+  }
+
+  /** Writes the corpus side's banded signatures (doc_id < splitId) as the
+    * parquet signature store the nightly increment joins against.
+    */
+  def writeSignatureStore(spark: SparkSession, dir: String, storeDir: String,
+      splitId: Long = 400): Unit =
+    bandedSignatures(signaturesFrom(docShingleArrays(spark, dir).filter(col("doc_id") < splitId)))
+      .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
+
+  /** (doc_id, band, k1, k2) rows from (doc_id, sig) signatures — the
+    * banding used by every LSH consumer (self-join, incremental, store).
+    */
+  private def bandedSignatures(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        element_at(col("sig"), 2 * j + 1).as("k1"),
+        element_at(col("sig"), 2 * j + 2).as("k2"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup
