@@ -196,6 +196,23 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Exact all-pairs new-vs-corpus ground truth, shared verbatim by
+    * `dedup_incremental` and `dedup_incremental_store`.
+    */
+  private val IncrementalDedupOracle: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      | WHERE len(w) >= 3)
+      |SELECT * FROM (
+      | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+      |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+      |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
+      | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
+      |WHERE jaccard >= 0.6""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
     "s2_user_query" ->
@@ -378,33 +395,10 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.6""".stripMargin,
     // exact ground truth for the incremental path: every new×corpus pair
-    "dedup_incremental" ->
-      """WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3)
-        |SELECT * FROM (
-        | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
-        |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
-        |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
-        | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
-        |WHERE jaccard >= 0.6""".stripMargin,
-    // the store round trip must be lossless: SAME ground truth as above
-    "dedup_incremental_store" ->
-      """WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3)
-        |SELECT * FROM (
-        | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
-        |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
-        |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
-        | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
-        |WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_incremental" -> IncrementalDedupOracle,
+    // the store round trip must be lossless: the SAME ground-truth value,
+    // bound once so the two oracles can never drift apart
+    "dedup_incremental_store" -> IncrementalDedupOracle,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -575,8 +569,8 @@ object SparkEntry {
     // in >= 2 distinct docs is boilerplate and removed everywhere
     "text_line_dedup" ->
       """WITH base AS (
-        | SELECT doc_id, string_split(text, ' ') AS w,
-        |  CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_segments
+        | SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+        |  CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
         | FROM documents),
         |segs AS (
         | SELECT doc_id, CAST(k AS BIGINT) AS pos,

@@ -122,18 +122,10 @@ object Dedup {
     * unpersists the cache once the candidates are materialized.
     */
   private def candidatesFrom(sigs: DataFrame): (DataFrame, DataFrame) = {
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        element_at(col("sig"), 2 * j + 1).as("k1"),
-        element_at(col("sig"), 2 * j + 2).as("k2"))
-    }
     // (doc_id, band, k1, k2) — 32 small rows per doc; cached because it
     // feeds the crowded-bucket agg, the anti-join, AND both self-join
     // sides (uncached it recomputes the signature pipeline 4×).
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
-      .cache()
+    val banded = bandedSignatures(sigs).cache()
     banded.count() // fill the cache before AQE fans out its 4 consumers
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
@@ -237,7 +229,18 @@ object Dedup {
     val cand = corpusB.join(broadcast(newB), Seq("band", "k1", "k2"))
       .select("id_new", "id_corpus")
       .distinct()
-    val verified = cand
+    val verified = verifyIncrementalPairs(arrays, cand, threshold)
+    if (materialize) materializeAndRelease(Seq(arrays, banded), verified)
+    else { arrays.unpersist(false); banded.unpersist(false); verified } // plan-inspection path (PlanSpec)
+  }
+
+  /** Exact-Jaccard verification of (id_new, id_corpus) candidate pairs
+    * against the shingle arrays — THE verification semantics, shared by the
+    * direct and store-backed incremental paths so they cannot drift.
+    */
+  private def verifyIncrementalPairs(arrays: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame =
+    cand
       .join(arrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
       .join(arrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
       .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("long"))
@@ -246,9 +249,6 @@ object Dedup {
           (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_corpus", "n_inter", "jaccard")
-    if (materialize) materializeAndRelease(Seq(arrays, banded), verified)
-    else { arrays.unpersist(false); banded.unpersist(false); verified } // plan-inspection path (PlanSpec)
-  }
 
   /** The deployment form of [[incrementalNearDups]]: the corpus's banded
     * MinHash signatures are PERSISTED (32 longs per doc — written once,
@@ -262,14 +262,20 @@ object Dedup {
     * write parquet → read back → increment join → exact verify. Its
     * output contract (and oracle) is identical to [[incrementalNearDups]],
     * so a green row proves the store round-trip is lossless.
+    *
+    * `storeDir`: where the store lives. In a deployment this is a SHARED
+    * filesystem path (written once, read by every increment); when omitted,
+    * a local temp dir is used and deleted once the result materializes —
+    * appropriate only for the self-contained catalog-query form.
     */
   def incrementalNearDupsViaStore(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      splitId: Long = 400): DataFrame = {
-    val storeDir = java.nio.file.Files.createTempDirectory("graft-sig-store").toString
-    writeSignatureStore(spark, dir, storeDir, splitId)
-    val corpusB = spark.read.parquet(s"$storeDir/bands.parquet")
+      splitId: Long = 400, storeDir: Option[String] = None): DataFrame = {
+    val store = storeDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-sig-store").toString)
     val arrays = docShingleArrays(spark, dir).cache()
     arrays.count()
+    writeSignatureStore(arrays, store, splitId) // one corpus pass: reuses the cache
+    val corpusB = spark.read.parquet(s"$store/bands.parquet")
     val newB = bandedSignatures(signaturesFrom(arrays.filter(col("doc_id") >= splitId)))
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val cand = corpusB
@@ -277,24 +283,22 @@ object Dedup {
       .join(broadcast(newB), Seq("band", "k1", "k2"))
       .select("id_new", "id_corpus")
       .distinct()
-    val verified = cand
-      .join(arrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
-      .join(arrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
-      .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_new", "id_corpus", "n_inter", "jaccard")
-    materializeAndRelease(Seq(arrays), verified)
+    val out = materializeAndRelease(Seq(arrays),
+      verifyIncrementalPairs(arrays, cand, threshold))
+    if (storeDir.isEmpty) { // result is checkpointed — the temp store can go
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+    out
   }
 
-  /** Writes the corpus side's banded signatures (doc_id < splitId) as the
-    * parquet signature store the nightly increment joins against.
+  /** Writes the corpus side's banded signatures (doc_id < splitId) from a
+    * (doc_id, shingles) frame as the parquet signature store the nightly
+    * increment joins against.
     */
-  def writeSignatureStore(spark: SparkSession, dir: String, storeDir: String,
+  def writeSignatureStore(shingleArrays: DataFrame, storeDir: String,
       splitId: Long = 400): Unit =
-    bandedSignatures(signaturesFrom(docShingleArrays(spark, dir).filter(col("doc_id") < splitId)))
+    bandedSignatures(signaturesFrom(shingleArrays.filter(col("doc_id") < splitId)))
       .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
 
   /** (doc_id, band, k1, k2) rows from (doc_id, sig) signatures — the

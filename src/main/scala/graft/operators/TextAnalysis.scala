@@ -293,8 +293,10 @@ object TextAnalysis {
     // ONE segment pass feeds both the frequency count and the reassembly
     // (cached — at 100 TB this spills to disk or is recomputed; either way
     // no third scan: the doc-level totals come out of the same aggregate).
+    // NULL text is treated as '' (both here AND in the oracle): every doc
+    // keeps its output row — a null would otherwise drop out of the explode
     val segs = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +

@@ -126,19 +126,21 @@ object AvroSink {
       val tmpPath = new Path(outputDir, f".tmp-part-$idx%05d-of-$numPartitions%05d-attempt-$attemptId.avro")
       val fs = finalPath.getFileSystem(conf)
       fs.setWriteChecksum(false) // no .crc sidecars on the local FS
-      val out = fs.create(tmpPath, true)
-      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-      writer.setCodec(codecFactory(codec))
-      writer.setSyncInterval(1 << 20) // 1 MiB, JdbcAvroIO.java:135
-      writer.setMeta("created_by", "dbeamspark")
-      writer.create(schema, out)
-
       var n = 0L
       var queryElapsed = 0L
-      // If encoding/upstream fails mid-write, delete our temp before
-      // rethrowing: readers skip dot-files anyway, but a retried task must
-      // not leave partial containers accumulating next to committed parts.
+      var writer: DataFileWriter[GenericRecord] = null
+      // If ANYTHING from stream creation through the final flush fails,
+      // delete our temp before rethrowing: readers skip dot-files anyway,
+      // but a retried task must not leave partial containers accumulating
+      // next to committed parts.
       try {
+        val out = fs.create(tmpPath, true)
+        writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        writer.setCodec(codecFactory(codec))
+        writer.setSyncInterval(1 << 20) // 1 MiB, JdbcAvroIO.java:135
+        writer.setMeta("created_by", "dbeamspark")
+        writer.create(schema, out)
+
         val encoderFns = RowBinaryEncoder.compile(sparkSchema, nullableArrayItems)
         val buf = new RowBinaryEncoder.ExposedByteArrayOutputStream()
         val binaryEncoder = EncoderFactory.get.directBinaryEncoder(buf, null)
@@ -156,7 +158,7 @@ object AvroSink {
         writer.close()
       } catch {
         case e: Throwable =>
-          try { writer.close() } catch { case _: Throwable => () }
+          if (writer != null) { try { writer.close() } catch { case _: Throwable => () } }
           try { fs.delete(tmpPath, false) } catch { case _: Throwable => () }
           throw e
       }

@@ -53,6 +53,8 @@ object TextScaleProbe {
         graft.operators.Dedup.incrementalNearDups(spark, tmp, splitId = (k - 1) * 1000000L).count()
       }
       println(f"[probe] n=$n%7d (x$k) line_dedup=${line}%6.2fs incremental=${inc}%6.2fs")
+      // don't leave K corpus copies in /tmp
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
       k *= 2
     }
     spark.stop()

@@ -673,8 +673,10 @@ class TopKSpec extends AnyFunSuite {
     val gotDec = dec.groupBy("g").agg(expr("graft_topk(id, score, 1)").as("top"))
       .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
     assert(gotDec == Seq(2L), s"decimal scores must work: $gotDec")
-    // -0.0 ties 0.0 and breaks by id, as SQL comparison would
-    val zeros = Seq((5L, -0.0), (4L, 0.0)).toDF("id", "score").withColumn("g", lit("x"))
+    // -0.0 ties 0.0 and breaks by id, as SQL comparison would. The
+    // discriminating arrangement puts -0.0 on the SMALLER id: without
+    // normalization Double.compare ranks (5, 0.0) above (4, -0.0)
+    val zeros = Seq((4L, -0.0), (5L, 0.0)).toDF("id", "score").withColumn("g", lit("x"))
     val gotZero = zeros.groupBy("g").agg(expr("graft_topk(id, score, 2)").as("top"))
       .select(expr("transform(top, t -> t.id)")).collect().head.getSeq[Long](0)
     assert(gotZero == Seq(4L, 5L), s"-0.0 must tie 0.0 (id tiebreak): $gotZero")
