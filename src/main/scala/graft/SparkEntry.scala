@@ -56,6 +56,8 @@ object SparkEntry {
     "text_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
     // the operators composed end to end under a single oracle
     "pipeline_summary" -> (TextAnalysis.pipelineSummary _),
+    // round-4 chain: line dedup -> hashing-trick vectorization -> rollup
+    "pipeline_vectorize" -> (TextAnalysis.pipelineVectorize _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
     "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -523,6 +525,43 @@ object SparkEntry {
         | (CAST(sum(q.n_tokens) AS BIGINT) + 1023) // 1024 AS n_bins
         |FROM q JOIN survivors s ON q.doc_id = s.doc_id
         |GROUP BY q.lang""".stripMargin,
+    // round-4 composition: boilerplate-intact docs -> hashing-trick
+    // vectors -> per-lang L1/dimension rollup
+    "pipeline_vectorize" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+        |  CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id, CAST(k AS BIGINT) AS pos,
+        |  array_to_string(list_slice(w, CAST(k * 10 + 1 AS BIGINT), CAST(k * 10 + 10 AS BIGINT)), ' ') AS seg
+        | FROM (SELECT doc_id, w, unnest(range(n_segments)) AS k FROM base)),
+        |boiler AS (
+        | SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+        |intact AS (
+        | SELECT doc_id FROM base WHERE doc_id NOT IN (
+        |  SELECT DISTINCT doc_id FROM segs WHERE seg IN (SELECT seg FROM boiler))),
+        |tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hv
+        | FROM tok WHERE token != ''),
+        |emb AS (
+        | SELECT doc_id, hv % 16 AS dim_idx,
+        |  CAST(sum(CASE WHEN (hv // 16) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        | FROM h GROUP BY doc_id, hv % 16),
+        |l1 AS (
+        | SELECT doc_id, CAST(sum(abs(weight)) AS BIGINT) AS l1,
+        |  CAST(count(*) AS BIGINT) AS n_dims
+        | FROM emb GROUP BY doc_id)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(coalesce(l1.l1, 0)) AS BIGINT) AS total_l1,
+        | CAST(sum(coalesce(l1.n_dims, 0)) AS BIGINT) AS total_dims
+        |FROM documents d JOIN intact USING (doc_id) LEFT JOIN l1 USING (doc_id)
+        |GROUP BY d.lang""".stripMargin,
     "sketch_distinct_check" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -353,6 +353,32 @@ object TextAnalysis {
       .agg(sum(when(pmod(expr(s"h div $dim"), lit(2)) === 1, 1L).otherwise(-1L)).as("weight"))
   }
 
+  /** Round-4 operators composed end to end — the vectorization side of a
+    * training pipeline: keep only documents the corpus-level
+    * [[lineDedup]] left INTACT (no boilerplate segments), vectorize them
+    * with [[hashEmbedding]], and summarize per language (doc count, total
+    * L1 mass, total occupied dimensions). One oracle over the whole chain,
+    * complementing [[pipelineSummary]]'s quality→dedup→pack chain.
+    *
+    * Scale: inherits each constituent's shape — broadcast mark join,
+    * map-side-combined embedding aggregation, id-only joins between
+    * stages; the final per-lang rollup is a tiny exchange.
+    */
+  def pipelineVectorize(spark: SparkSession, dir: String): DataFrame = {
+    val intact = lineDedup(spark, dir).filter(col("n_removed") === 0).select("doc_id")
+    val l1 = hashEmbedding(spark, dir)
+      .groupBy("doc_id")
+      .agg(sum(abs(col("weight"))).as("l1"), count(lit(1)).as("n_dims"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(intact, Seq("doc_id"))
+      .join(l1, Seq("doc_id"), "left") // a whitespace-only doc has no buckets
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("l1"), lit(0L))).as("total_l1"),
+        sum(coalesce(col("n_dims"), lit(0L))).as("total_dims"))
+  }
+
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the
     * bounded-memory form of [[termStats]]'s exact aggregation: per-partition
     * sketches merge into one, no (token → count) shuffle. The way to find
