@@ -39,6 +39,8 @@ object Bench {
       "events_sessionize", "events_hourly_agg", "events_range_join",
       "events_session_window", // native session_window aggregation
       "text_line_dedup", // corpus boilerplate removal (broadcast anti-join)
+      "text_hash_embedding", // hashing-trick vectorization
+      "pipeline_vectorize", // composed: line dedup -> vectors -> rollup
       "text_fingerprint", "text_quality",
       "text_term_stats", // Expand-heavy inverted-index plan
       "text_decontaminate", // broadcast eval-gram join
