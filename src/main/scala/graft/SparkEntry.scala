@@ -32,6 +32,8 @@ object SparkEntry {
     // same contract via the bounded-heap aggregate (map-side partial top-k)
     "q_grouped_topk" -> (Relational.groupedTopK _),
     "set_except" -> (Relational.setExcept _),
+    "q_full_outer" -> (Relational.fullOuterJoin _),
+    "q_unpivot" -> (Relational.unpivotMetrics _),
     "set_union" -> (Relational.setUnion _),
     "set_intersect_all" -> (Relational.setIntersectAll _),
     "set_except_all" -> (Relational.setExceptAll _),
@@ -260,6 +262,26 @@ object SparkEntry {
         | FROM orders) WHERE rk <= 3""".stripMargin,
     "set_except" ->
       "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+    "q_full_outer" ->
+      """WITH c AS (
+        | SELECT c_nationkey AS nk_c, CAST(count(*) AS BIGINT) AS n_rich_cust
+        | FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+        |s AS (
+        | SELECT s_nationkey AS nk_s, CAST(count(*) AS BIGINT) AS n_supp
+        | FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        | coalesce(n_rich_cust, 0) AS n_rich_cust,
+        | coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty_centi' AS metric, qty_centi AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w""".stripMargin,
     "set_union" ->
       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0",
     "set_intersect_all" ->

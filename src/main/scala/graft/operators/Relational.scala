@@ -166,6 +166,41 @@ object Relational {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** FULL OUTER join with both null sides exercised: nations' high-balance
+    * customer counts vs supplier counts — some nations have no rich
+    * customers (left-null side) and the join must keep both. Aggregates
+    * are pushed BELOW the join, so the outer join runs on two tiny
+    * per-nation frames rather than raw tables — the 100 TB form of a
+    * reconciliation join.
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_rich_cust"))
+    val s = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** UNPIVOT (wide → long) via `stack`: per-returnflag aggregates unpivoted
+    * into (flag, metric, value) rows — the inverse of [[pivotByStatus]]'s
+    * reshaping. `stack` is a generator projection over the tiny aggregated
+    * frame, so the reshape itself is shuffle-free.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("bigint")).as("qty_centi"),
+        count(lit(1)).as("n_rows"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'qty_centi', qty_centi, 'n_rows', n_rows) AS (metric, value)")
+
   /** Set operations: customers with any order EXCEPT customers with an open
     * order (exercises distinct set semantics).
     */
