@@ -109,6 +109,24 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickPurchaseJoin]]
+    * but clicks with NO purchase inside the interval are still emitted
+    * (null purchase columns). In streaming, the null row for an unmatched
+    * click can only be produced once the purchase-side WATERMARK has
+    * passed the end of the click's interval — Spark holds the click in
+    * state until then, which is exactly the state-bounding the watermark
+    * exists for. Batch produces the same rows immediately.
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"), "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Stream-static enrichment join: a stream of events joined to a static
     * dimension (customer) — the most common production streaming pattern.
     * The static side is re-read per micro-batch by Spark and broadcast

@@ -498,6 +498,42 @@ class StreamingSpec extends AnyFunSuite {
       s"user 7 post-timeout session must continue numbering at seq=2: ${rows2.toSeq}")
   }
 
+  test("stream-stream LEFT OUTER interval join emits null rows after the watermark closes the interval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStream.clickPurchaseLeftJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_left_join")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // user 1 clicks and purchases within the hour; user 2 clicks, never buys
+    clicks.addData((1L, 10L, ts(1, 0)), (2L, 20L, ts(1, 5)))
+    purchases.addData((1L, 11L, ts(1, 30)))
+    q.processAllAvailable()
+    val early = spark.table("ss_left_join").collect()
+    assert(!early.exists(r => r.getLong(1) == 20L && r.isNullAt(2)),
+      "the null row must NOT appear before the watermark closes click 20's interval")
+    // advance BOTH watermarks far past 01:05 + 1h (+2h delay)
+    clicks.addData((9L, 90L, ts(12, 0)))
+    purchases.addData((9L, 91L, ts(12, 0)))
+    q.processAllAvailable()
+    clicks.addData((9L, 92L, ts(12, 1))) // extra trigger to flush outer-join state
+    purchases.addData((9L, 93L, ts(12, 1)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_left_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((1L, 10L, 11L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, 20L, -1L)),
+      s"unmatched click must surface with null purchase after the watermark: $rows")
+  }
+
   test("transformWithState sessionizer: RocksDB state + event-time timers, same contract") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
