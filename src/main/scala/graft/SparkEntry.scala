@@ -555,7 +555,7 @@ object SparkEntry {
         |  CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
         | FROM documents),
         |segs AS (
-        | SELECT doc_id, CAST(k AS BIGINT) AS pos,
+        | SELECT doc_id,
         |  array_to_string(list_slice(w, CAST(k * 10 + 1 AS BIGINT), CAST(k * 10 + 10 AS BIGINT)), ' ') AS seg
         | FROM (SELECT doc_id, w, unnest(range(n_segments)) AS k FROM base)),
         |boiler AS (

@@ -293,15 +293,7 @@ object TextAnalysis {
     // ONE segment pass feeds both the frequency count and the reassembly
     // (cached — at 100 TB this spills to disk or is recomputed; either way
     // no third scan: the doc-level totals come out of the same aggregate).
-    // NULL text is treated as '' (both here AND in the oracle): every doc
-    // keeps its output row — a null would otherwise drop out of the explode
-    val segs = docs(spark, dir)
-      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +
-            s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
-      .cache()
+    val segs = segments(spark, dir, segWords).cache()
     if (materialize) segs.count() // eager fill before AQE fans out the two consumers
     val boiler = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -327,6 +319,19 @@ object TextAnalysis {
     if (materialize) Dedup.materializeAndRelease(Seq(segs), out)
     else { segs.unpersist(false); out } // plan-inspection path (PlanSpec)
   }
+
+  /** (doc_id, pos, seg) aligned `segWords`-word segments — the shared
+    * segmenter behind [[lineDedup]] and [[pipelineVectorize]]. NULL text is
+    * treated as '' (matching the oracles): every doc keeps ≥ 1 segment —
+    * a null would otherwise drop out of the explode.
+    */
+  private def segments(spark: SparkSession, dir: String, segWords: Int): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +
+            s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
 
   /** Feature-hashing text embedding (the hashing trick): each token's
     * portable poly-hash picks a bucket (`h mod dim`) and a sign
@@ -365,11 +370,23 @@ object TextAnalysis {
     * stages; the final per-lang rollup is a tiny exchange.
     */
   def pipelineVectorize(spark: SparkSession, dir: String): DataFrame = {
-    val intact = lineDedup(spark, dir).filter(col("n_removed") === 0).select("doc_id")
+    // intact = docs with NO boilerplate segment — derived from the shared
+    // segmenter directly (a full lineDedup call would also reassemble and
+    // md5 every clean text, eagerly, just to read one flag)
+    val segs = segments(spark, dir, 10).cache()
+    segs.count()
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("seg")
+    val contaminated = segs.join(broadcast(boiler), Seq("seg"), "left_semi")
+      .select("doc_id").distinct()
+    val intact = docs(spark, dir).select("doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val l1 = hashEmbedding(spark, dir)
       .groupBy("doc_id")
       .agg(sum(abs(col("weight"))).as("l1"), count(lit(1)).as("n_dims"))
-    docs(spark, dir).select(col("doc_id"), col("lang"))
+    val out = docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(intact, Seq("doc_id"))
       .join(l1, Seq("doc_id"), "left") // a whitespace-only doc has no buckets
       .groupBy("lang")
@@ -377,6 +394,7 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(coalesce(col("l1"), lit(0L))).as("total_l1"),
         sum(coalesce(col("n_dims"), lit(0L))).as("total_dims"))
+    Dedup.materializeAndRelease(Seq(segs), out)
   }
 
   /** Heavy-hitter tokens via the mergeable frequent-items sketch — the

@@ -99,15 +99,8 @@ object EventStream {
     * other side's watermark passes the interval). Works identically on
     * batch DataFrames — StreamingSpec asserts stream == batch.
     */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "2 hours")
-    val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
-    c.join(p, expr(
-      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
-      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
-  }
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    intervalJoin(clicks, purchases, "inner")
 
   /** Stream-stream LEFT OUTER interval join: like [[clickPurchaseJoin]]
     * but clicks with NO purchase inside the interval are still emitted
@@ -117,13 +110,19 @@ object EventStream {
     * state until then, which is exactly the state-bounding the watermark
     * exists for. Batch produces the same rows immediately.
     */
-  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    intervalJoin(clicks, purchases, "left_outer")
+
+  /** ONE definition of the click→purchase interval join (watermarks,
+    * interval, projection) so the inner and outer variants cannot drift.
+    */
+  private def intervalJoin(clicks: DataFrame, purchases: DataFrame, joinType: String): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
     val p = purchases.select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     c.join(p, expr(
-      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"), "left_outer")
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"), joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
   }
 

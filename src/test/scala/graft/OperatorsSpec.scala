@@ -532,6 +532,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 10L, 11L)), s"matched pair missing: $rows")
     assert(rows.contains((2L, 20L, -1L)),
       s"unmatched click must surface with null purchase after the watermark: $rows")
+    // batch twin: the same operator over the full batch data gives the
+    // same rows for every CLOSED click (ids 10/20); open clicks may still
+    // be holding their null rows in state
+    val allClicks = Seq((1L, 10L, ts(1, 0)), (2L, 20L, ts(1, 5)), (9L, 90L, ts(12, 0)), (9L, 92L, ts(12, 1)))
+      .toDF("user_id", "event_id", "ts")
+    val allPurch = Seq((1L, 11L, ts(1, 30)), (9L, 91L, ts(12, 0)), (9L, 93L, ts(12, 1)))
+      .toDF("user_id", "event_id", "ts")
+    val batch = EventStream.clickPurchaseLeftJoin(allClicks, allPurch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val closed = Set(10L, 20L)
+    assert(rows.filter(r => closed(r._2)) == batch.filter(r => closed(r._2)),
+      s"stream must equal batch on closed clicks: stream=$rows batch=$batch")
   }
 
   test("transformWithState sessionizer: RocksDB state + event-time timers, same contract") {
