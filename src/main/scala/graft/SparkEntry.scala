@@ -61,6 +61,8 @@ object SparkEntry {
     // round-4 chain: line dedup -> hashing-trick vectorization -> rollup
     "pipeline_vectorize" -> (TextAnalysis.pipelineVectorize _),
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
+    // time-based RANGE frame (trailing 1-hour per-user aggregates)
+    "q_range_frame" -> (Relational.rangeFrameTrailing _),
     "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
@@ -669,6 +671,15 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
         | lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
         |FROM events""".stripMargin,
+    // RANGE frame on epoch-µs so both engines use the identical value
+    // offset (an INTERVAL frame on a ns timestamp would differ in unit)
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_ntile" ->
       """SELECT c_custkey, c_mktsegment, cents,
         | CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS decile

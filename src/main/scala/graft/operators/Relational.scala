@@ -371,6 +371,26 @@ object Relational {
         sum(round(col("o_totalprice") * 100).cast("bigint")).over(w).as("cents_sum3"))
   }
 
+  /** TIME-based RANGE window frame: per-user trailing 1-hour event count
+    * and value sum at every event — the rate/velocity feature of a
+    * streaming-adjacent pipeline, and a genuinely different frame engine
+    * from [[runningSum]]'s ROWS frame (RANGE bounds are value offsets on
+    * the ordering key and include ties). Single exchange on user_id; the
+    * frame is evaluated with a sliding aggregate inside the sorted
+    * partition, never a self-join.
+    */
+  def rangeFrameTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow) // [ts − 1 h, ts], µs
+    events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(round(col("value") * 100).cast("bigint")).over(w).as("cents_trailing_1h"))
+  }
+
   /** TPC-H Q5-shaped 6-way join: revenue per nation for one region, with
     * the local-supplier condition (c_nationkey = s_nationkey). All four
     * dimension sides broadcast — the only shuffle is lineitem⋈orders on
