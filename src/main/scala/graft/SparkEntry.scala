@@ -117,6 +117,9 @@ object SparkEntry {
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
+    // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
+    // route) recovers every planted near-dup pair the exact grid finds
+    "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -909,6 +912,27 @@ object SparkEntry {
     "ann_ivf_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // recomputes the exact near-dup pairs of the planted-copy corpus and
+    // asserts the LSH path found each one (recall 1.0, per-pair)
+    "dedup_embedding_lsh_check" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+        | FROM base WHERE vec_id < 20),
+        |aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM aug)
+        |SELECT id_a, id_b, TRUE AS lsh_found FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.7""".stripMargin,
     "embedding_centroid" ->
       """SELECT label, dim,
         | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,

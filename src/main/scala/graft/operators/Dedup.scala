@@ -651,4 +651,39 @@ object Dedup {
     if (materialize) materializeAndRelease(Seq(e), verified)
     else { e.unpersist(false); verified } // plan-inspection path (PlanSpec)
   }
+
+  /** Driver-checkable recall gate for [[embeddingNearDupsLsh]] — the 100 TB
+    * embedding-dedup path. The natural test corpus has NO pairs above
+    * cosine 0.7 (it tops out ≈0.51), so genuine near-duplicates are planted
+    * deterministically: for every `vec_id < nPlanted`, a copy at
+    * `vec_id + PlantedIdOffset` with the first dimension zeroed — a real
+    * perturbation (cosine ≈0.94–0.99 to its original, verified to create no
+    * other pair ≥ 0.7) reproducible bit-for-bit in SQL, so the DuckDB
+    * oracle recomputes the exact pair set of the augmented corpus and
+    * asserts `lsh_found = TRUE` per pair. A green row is therefore a hard
+    * proof that the sign-LSH path recovers every true near-dup pair on this
+    * corpus — the [[Similarity.lshRecallTable]] pattern applied to dedup.
+    *
+    * The exact grid ([[embeddingNearDupsGrid]]) supplies the ground truth;
+    * it remains the exact-contract form (quadratic by construction), while
+    * this gate certifies the sub-quadratic route a 100 TB corpus must take.
+    */
+  def embeddingLshRecall(spark: SparkSession, dir: String, threshold: Double = 0.7,
+      nPlanted: Int = 20): DataFrame = {
+    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
+        concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding) - 1)"))
+          .as("embedding"))
+    val aug = base.unionByName(planted)
+    val exact = embeddingNearDupsGrid(aug, threshold).select("id_a", "id_b")
+    val lsh = embeddingNearDupsLsh(aug, threshold).select("id_a", "id_b")
+    exact.join(lsh.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"), coalesce(col("f"), lit(false)).as("lsh_found"))
+  }
+
+  /** Planted-copy id offset for [[embeddingLshRecall]] (mirrored in its
+    * DuckDB oracle SQL).
+    */
+  val PlantedIdOffset: Long = 100000L
 }
