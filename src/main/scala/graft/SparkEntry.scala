@@ -105,8 +105,13 @@ object SparkEntry {
     "embedding_centroid" -> (Similarity.labelCentroids _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
-    // approximate → no SQL oracle; accuracy spec-checked in FreqSpec
+    // approximate → no SQL oracle; accuracy spec-checked in FreqSpec AND
+    // oracle-gated by the paired sketch_freq_check rows below
     "sketch_topk_terms" -> (TextAnalysis.topkTermsSketch _),
+    // a green row == the freq sketch honored its no-false-negative and
+    // error-bound guarantees on every heavy token (DuckDB recomputes the
+    // exact counts and asserts the booleans TRUE)
+    "sketch_freq_check" -> (TextAnalysis.freqSketchCheck _),
     // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
     "sketch_theta_overlap" -> (Relational.thetaOverlap _),
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
@@ -595,6 +600,19 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sketch_freq_check" ->
+      """WITH tok AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents),
+        |hh AS (SELECT 'hh_' || CAST(i % 4 AS VARCHAR) AS token FROM range(16000) t(i)),
+        |allt AS (SELECT token FROM tok UNION ALL SELECT token FROM hh),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM allt),
+        |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+        |          FROM allt GROUP BY token)
+        |SELECT e.token, e.true_cnt, n.n AS stream_len,
+        | TRUE AS present_in_sketch, TRUE AS bounds_hold,
+        | TRUE AS error_within_threshold
+        |FROM exact e CROSS JOIN n WHERE e.true_cnt * 16 > n.n""".stripMargin,
     "sketch_theta_check" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |cnt AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),

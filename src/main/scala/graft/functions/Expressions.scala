@@ -610,6 +610,10 @@ object GraftFunctions {
       val maxMapSize = if (exprs.length > 2) num(exprs(2)).intValue() else 256
       FreqItems(exprs.head, k, maxMapSize).toAggregateExpression()
     },
+    "graft_freq_check" -> { exprs =>
+      val maxMapSize = if (exprs.length > 1) num(exprs(1)).intValue() else 256
+      FreqItemsCheck(exprs.head, maxMapSize).toAggregateExpression()
+    },
     "graft_topk" -> { exprs =>
       require(exprs.length == 3, "graft_topk(id, score, k)")
       TopK(exprs(0), exprs(1), num(exprs(2)).intValue()).toAggregateExpression()

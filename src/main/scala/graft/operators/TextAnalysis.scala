@@ -412,4 +412,53 @@ object TextAnalysis {
       """SELECT inline(graft_freq_items(token, 10, 256)) FROM graft_tokens""")
       .toDF("token", "estimate")
   }
+
+  /** Driver-checkable accuracy gate for the frequent-items sketch (pairs
+    * with [[topkTermsSketch]] the way `sketch_theta_check` pairs with
+    * `sketch_theta_overlap`): for every token whose TRUE count exceeds
+    * n/16, emit booleans the DuckDB oracle asserts TRUE —
+    *
+    *   - `present_in_sketch`: the no-false-negatives guarantee (any item
+    *     with true count > the sketch's max error is in the cut);
+    *   - `bounds_hold`: the per-item guarantee `lb <= true count <= ub`;
+    *   - `error_within_threshold`: the sketch's data-dependent max error
+    *     stayed below the n/16 heaviness threshold, which is what makes
+    *     the presence guarantee apply to exactly this row set.
+    *
+    * The natural test vocabulary is 31 tokens at ~n/30 each — NEAR-UNIFORM,
+    * i.e. it has no heavy hitters at all (and at maxMapSize 256 it fits in
+    * the map, making every estimate trivially exact). So, like the planted
+    * near-dups of `dedup_embedding_lsh_check`, genuine heavy hitters are
+    * planted deterministically: 4 tokens `hh_0..hh_3` × 4000 occurrences
+    * from a `sequence()` both engines generate identically. The sketch runs
+    * at `maxMapSize = 32` — smaller than the 35-token augmented vocabulary,
+    * so the uniform background churns the map and the planted heavies must
+    * survive real purges for the gate to go green. True counts and the
+    * threshold are exact aggregations both engines compute identically.
+    */
+  def freqSketchCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(explode(Portable.tokens("text")).as("token"))
+      .createOrReplaceTempView("graft_tokens")
+    spark.sql(
+      """WITH hh AS (
+        | SELECT concat('hh_', CAST(i % 4 AS STRING)) AS token
+        | FROM (SELECT explode(sequence(0, 15999)) AS i)),
+        |allt AS (
+        | SELECT token FROM graft_tokens UNION ALL SELECT token FROM hh),
+        |sk AS (SELECT graft_freq_check(token, 32) AS c FROM allt),
+        |items AS (SELECT inline(c.items) FROM sk),
+        |err AS (SELECT c.max_error AS max_error, c.stream_len AS n FROM sk),
+        |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+        |          FROM allt GROUP BY token),
+        |heavy AS (
+        | SELECT e.token, e.true_cnt, r.max_error, r.n
+        | FROM exact e CROSS JOIN err r WHERE e.true_cnt * 16 > r.n)
+        |SELECT h.token, h.true_cnt, h.n AS stream_len,
+        | i.item IS NOT NULL AS present_in_sketch,
+        | i.lb <= h.true_cnt AND i.ub >= h.true_cnt AS bounds_hold,
+        | h.max_error * 16 <= h.n AS error_within_threshold
+        |FROM heavy h LEFT JOIN items i ON i.item = h.token""".stripMargin)
+  }
 }
