@@ -119,6 +119,9 @@ object SparkEntry {
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
     "multimodal_resize" -> (Multimodal.resizeQuery _),
+    // real JPEG/PNG/GIF header parsing round-tripped against planted
+    // payloads, with corrupt rows proving the quarantine path
+    "multimodal_headers" -> (Multimodal.plantedHeaderQuery _),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
@@ -903,6 +906,19 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
         |    % 1000000007 AS cs
         | FROM documents)""".stripMargin,
+    // width/height are pure doc_id arithmetic; every 7th row is corrupt by
+    // construction and must come back quarantined (-1 dims, parsed=false)
+    "multimodal_headers" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INTEGER)
+        |  WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' ELSE 'image/gif'
+        | END AS media_type,
+        | CASE WHEN doc_id % 7 = 0 THEN -1
+        |  ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 7 = 0 THEN -1
+        |  ELSE CAST(16 + doc_id % 464 AS INTEGER) END AS height,
+        | doc_id % 7 <> 0 AS parsed
+        |FROM documents""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         | md5(array_to_string(list_transform(range(0, 256),

@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata. Header decoding is REAL for formats parseable from raw bytes
-  * (PPM, BMP, WAV — no codec libraries needed); pixel/sample decode of
-  * compressed formats (JPEG etc.) is STUBBED with a deterministic fake (no
-  * image/audio libs in this container). The Spark-side contract — schema,
-  * partition-preserving mapPartitions, batched iteration, typed Encoders —
-  * is real and tested (MultimodalSpec).
+  * metadata. Header decoding is REAL for every format whose metadata is
+  * parseable from raw bytes without a codec — PPM, BMP, WAV, and (since
+  * round 5) JPEG (SOFn marker walk), PNG (IHDR), GIF (logical screen
+  * descriptor). Only PIXEL/SAMPLE decode of compressed payloads is STUBBED
+  * with a deterministic fake (no image/audio libs in this container). The
+  * Spark-side contract — schema, partition-preserving mapPartitions,
+  * batched iteration, typed Encoders — is real and tested (MultimodalSpec),
+  * and the compressed-format parsers are oracle-gated end to end by the
+  * `multimodal_headers` catalog query.
   *
   * Scale: decode runs per-partition with an iterator (constant memory),
   * never collects, and keeps the input partitioning — at 100 TB the binary
@@ -87,6 +90,79 @@ object Multimodal {
     None
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** `(width, height)` from a JPEG stream via the SOFn marker walk — no
+    * codec needed, dimensions live in the frame header. After the FFD8 SOI,
+    * segments are `FF <marker> <len16 BE incl itself> <payload>`; fill
+    * bytes (repeated FF) and the standalone markers (TEM 0x01, RST D0-D7)
+    * carry no length. The frame dimensions are in any SOFn marker C0-CF
+    * EXCEPT C4 (DHT), C8 (JPG extension), CC (DAC): payload = precision(1),
+    * height(2 BE), width(2 BE). A walk that runs past the buffer, meets a
+    * zero-dimension SOF, or hits a corrupt segment length returns None so
+    * the row quarantines to the stub.
+    */
+  def jpegDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return None // segments must start FF
+      var m = payload(i + 1) & 0xff
+      while (m == 0xff && i + 2 < payload.length) { i += 1; m = payload(i + 1) & 0xff } // fill bytes
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { i += 2 } // standalone, no length
+      else if (m == 0xd9) return None // EOI before any SOF
+      else {
+        if (i + 4 > payload.length) return None
+        val len = be16(payload, i + 2)
+        if (len < 2 || i + 2 + len > payload.length) return None // corrupt length
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7) return None // needs precision + height + width
+          val h = be16(payload, i + 5)
+          val w = be16(payload, i + 7)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** `(width, height)` from a PNG IHDR. The 8-byte signature is followed by
+    * chunks `<len32 BE> <type> <data> <crc>`; IHDR MUST be first (PNG spec
+    * §5.6) with length 13: width(4 BE), height(4 BE), then bit depth etc.
+    * CRC is deliberately not verified — dimensions are header facts, and a
+    * 100 TB scan shouldn't pay CRC32 per row for metadata extraction.
+    */
+  def pngDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 24) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var k = 0
+    while (k < 8) { if ((payload(k) & 0xff) != sig(k)) return None; k += 1 }
+    if (be32(payload, 8) != 13) return None // IHDR length is always 13
+    if (!(payload(12) == 'I' && payload(13) == 'H' && payload(14) == 'D' && payload(15) == 'R')) return None
+    val w = be32(payload, 16)
+    val h = be32(payload, 20)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** `(width, height)` from a GIF logical screen descriptor: magic
+    * `GIF87a`/`GIF89a`, then canvas width and height as LITTLE-endian
+    * 16-bit at offsets 6 and 8.
+    */
+  def gifDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 10) return None
+    val magicOk = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
+    if (!magicOk) return None
+    val w = le16(payload, 6)
+    val h = le16(payload, 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
   /** A media row: payload is the raw bytes, `media_type` a format tag. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -132,6 +208,9 @@ object Multimodal {
         val parsed = m.media_type match {
           case "image/ppm" => ppmDims(m.payload)
           case "image/bmp" => bmpDims(m.payload)
+          case "image/jpeg" => jpegDims(m.payload)
+          case "image/png" => pngDims(m.payload)
+          case "image/gif" => gifDims(m.payload)
           case "audio/wav" => wavFormat(m.payload)
           case _ => None
         }
@@ -197,6 +276,84 @@ object Multimodal {
         ResizedMedia(m.doc_id, targetW, targetH, out)
       }
     }
+  }
+
+  /** Minimal valid JPEG with the given dimensions: SOI, a COM segment (so
+    * the marker walk is exercised, not just the first segment), SOF0, EOI.
+    */
+  private[graft] def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xfe, 0x00, 0x04, 'g', 't', // COM segment, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff, 0x01, 0x11, 0x00, // SOF0
+      0xff, 0xd9 // EOI
+    ).map(_.toByte)
+
+  /** Minimal valid PNG: signature + IHDR with the given dimensions. */
+  private[graft] def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      w >>> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff,
+      8, 2, 0, 0, 0, // bit depth, color type, compression, filter, interlace
+      0, 0, 0, 0 // CRC (not verified by the header parser)
+    ).map(_.toByte)
+
+  /** Minimal valid GIF: magic + logical screen descriptor (LE dims). */
+  private[graft] def gifBytes(w: Int, h: Int): Array[Byte] =
+    Array[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      w & 0xff, (w >> 8) & 0xff, h & 0xff, (h >> 8) & 0xff
+    ).map(_.toByte)
+
+  /** One parsed planted-header row ([[plantedHeaderQuery]]). */
+  final case class HeaderProbe(
+      doc_id: Long, media_type: String, width: Int, height: Int, parsed: Boolean)
+
+  /** Oracle gate for the compressed-format header parsers: per doc_id, a
+    * REAL JPEG/PNG/GIF payload (format = doc_id mod 3) is built with
+    * dimensions derived arithmetically from doc_id, then parsed back by
+    * [[jpegDims]]/[[pngDims]]/[[gifDims]]. Every 7th row gets a corrupt
+    * payload instead (overrunning JPEG segment length / wrong IHDR tag /
+    * truncated GIF descriptor) and must quarantine — parsed = false,
+    * dimensions −1 — rather than error. The DuckDB oracle recomputes
+    * widths/heights from the same doc_id arithmetic and the corrupt mask,
+    * so a green row proves the parsers invert the builders AND reject the
+    * malformed payloads. Runs per-partition, no shuffle, like every other
+    * decode in this module.
+    */
+  def plantedHeaderQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 624).toInt
+          val h = 16 + (id % 464).toInt
+          val fmt = (id % 3) match {
+            case 0 => "image/jpeg"
+            case 1 => "image/png"
+            case _ => "image/gif"
+          }
+          val corrupt = id % 7 == 0
+          val payload = (fmt, corrupt) match {
+            case ("image/jpeg", false) => jpegBytes(w, h)
+            // SOF0 whose 0xFFFF length overruns the 6-byte buffer
+            case ("image/jpeg", true) => Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff).map(_.toByte)
+            case ("image/png", false) => pngBytes(w, h)
+            case ("image/png", true) =>
+              val b = pngBytes(w, h); b(12) = 'X'.toByte; b // IHDR → XHDR
+            case ("image/gif", false) => gifBytes(w, h)
+            case ("image/gif", true) => gifBytes(w, h).take(8) // truncated descriptor
+          }
+          val dims = fmt match {
+            case "image/jpeg" => jpegDims(payload)
+            case "image/png" => pngDims(payload)
+            case _ => gifDims(payload)
+          }
+          HeaderProbe(id, fmt, dims.fold(-1)(_._1), dims.fold(-1)(_._2), dims.isDefined)
+        }
+      }.toDF()
   }
 
   /** End-to-end stub pipeline: documents → binary payload → typed decode. */

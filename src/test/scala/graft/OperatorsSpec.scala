@@ -264,6 +264,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.bmpDims(negW).isEmpty, "negative width must fall to the stub")
   }
 
+  test("JPEG/PNG/GIF header parsing: builders invert, marker walk skips segments") {
+    // round-trip the builders at awkward dimensions (>255 exercises both bytes)
+    assert(Multimodal.jpegDims(Multimodal.jpegBytes(639, 479)).contains((639, 479)))
+    assert(Multimodal.pngDims(Multimodal.pngBytes(70000, 3)).contains((70000, 3))) // >16-bit PNG dims
+    assert(Multimodal.gifDims(Multimodal.gifBytes(639, 479)).contains((639, 479)))
+    // progressive JPEG (SOF2) and fill bytes before the marker also parse
+    val sof2 = Multimodal.jpegBytes(100, 50)
+    sof2(9) = 0xc2.toByte
+    assert(Multimodal.jpegDims(sof2).contains((100, 50)))
+    // DHT (C4) must NOT be mistaken for a SOF: a stream whose only
+    // Cx marker is C4 yields no dimensions
+    val dhtOnly = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.jpegDims(dhtOnly).isEmpty)
+  }
+
+  test("JPEG/PNG/GIF corrupt headers quarantine instead of crashing or lying") {
+    // JPEG: segment length overrunning the buffer must not AIOOBE
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff).map(_.toByte)).isEmpty)
+    // JPEG: truncated mid-marker / EOI before SOF / zero dims
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8, 0xff).map(_.toByte)).isEmpty)
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    assert(Multimodal.jpegDims(Multimodal.jpegBytes(0, 100)).isEmpty)
+    // PNG: wrong IHDR tag, truncated signature, zero width
+    val xhdr = Multimodal.pngBytes(10, 10); xhdr(12) = 'X'.toByte
+    assert(Multimodal.pngDims(xhdr).isEmpty)
+    assert(Multimodal.pngDims(Multimodal.pngBytes(10, 10).take(20)).isEmpty)
+    assert(Multimodal.pngDims(Multimodal.pngBytes(0, 10)).isEmpty)
+    // GIF: truncated logical screen descriptor, GIF86a magic, zero height
+    assert(Multimodal.gifDims(Multimodal.gifBytes(10, 10).take(8)).isEmpty)
+    val g86 = Multimodal.gifBytes(10, 10); g86(4) = '6'.toByte
+    assert(Multimodal.gifDims(g86).isEmpty)
+    assert(Multimodal.gifDims(Multimodal.gifBytes(10, 0)).isEmpty)
+  }
+
+  test("plantedHeaderQuery: parses planted headers, quarantines the corrupt mask") {
+    val out = Multimodal.plantedHeaderQuery(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, w, h, parsed) = (r.getLong(0), r.getInt(2), r.getInt(3), r.getBoolean(4))
+      if (id % 7 == 0) assert(!parsed && w == -1 && h == -1, s"doc $id must quarantine")
+      else assert(parsed && w == 16 + (id % 624).toInt && h == 16 + (id % 464).toInt,
+        s"doc $id parsed ($w,$h)")
+    }
+  }
+
   test("resizeQuery: empty documents are excluded (resize-of-nothing has no canonical answer)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm-resize-empty").toString
