@@ -63,6 +63,12 @@ object SparkEntry {
     "q_window_lead_lag" -> (Relational.eventLeadLag _),
     // time-based RANGE frame (trailing 1-hour per-user aggregates)
     "q_range_frame" -> (Relational.rangeFrameTrailing _),
+    // hot-key guards for the window family: time-chunked rewrites that are
+    // EXACT (they share their plain twins' oracles) with bounded per-task
+    // partitions — see Relational.rangeFrameTrailingSkewSafe scaladoc
+    "q_range_frame_skew" -> ((s, d) => Relational.rangeFrameTrailingSkewSafe(s, d)),
+    "q_window_lead_lag_skew" -> ((s, d) => Relational.eventLeadLagSkewSafe(s, d)),
+    "events_sessionize_skew" -> ((s, d) => EventStream.sessionizeSkewSafe(s, d)),
     "q_ntile" -> (Relational.ntileDeciles _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
@@ -230,7 +236,7 @@ object SparkEntry {
       | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
       |WHERE jaccard >= 0.6""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
     "s2_user_query" ->
       "SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0) as user_sql_query WHERE 1=1",
@@ -978,4 +984,14 @@ object SparkEntry {
         | FROM embeddings)
         |GROUP BY label, dim""".stripMargin
   )
+
+  /** The skew-safe window variants compute EXACTLY the same result as
+    * their plain twins, so each shares its twin's oracle — a green row is
+    * a driver-level proof the chunked rewrite changed the plan, not the
+    * answer.
+    */
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_range_frame_skew" -> baseOracleSql("q_range_frame"),
+    "q_window_lead_lag_skew" -> baseOracleSql("q_window_lead_lag"),
+    "events_sessionize_skew" -> baseOracleSql("events_sessionize"))
 }

@@ -391,6 +391,94 @@ object Relational {
         sum(round(col("value") * 100).cast("bigint")).over(w).as("cents_trailing_1h"))
   }
 
+  /** [[rangeFrameTrailing]] made SKEW-SAFE by time-chunking — the hot-user
+    * guard for the window family (a 100 TB web corpus has bot users whose
+    * single `user_id` partition would otherwise serialize one task and
+    * spill). Events are partitioned by `(user_id, chunk)` where `chunk` is
+    * the `chunkUs` time bucket, and each event in the last `windowUs` of
+    * its chunk is replicated once into the NEXT chunk as frame context
+    * (`is_own = false`, contributes to frames but emits no row). Because
+    * `chunkUs >= windowUs`, an event's trailing window can only reach its
+    * own and the previous chunk, so the rewrite is EXACT — the spec asserts
+    * bit-equality with the plain form on a planted hot user, and the
+    * catalog twin `q_range_frame_skew` shares `q_range_frame`'s oracle.
+    *
+    * Scale: the per-task bound drops from "hot user's whole history" to
+    * "hot user's events per chunkUs (×2 for carries)" — tunable
+    * parallelism = active time range / chunkUs per hot key, with ≤2×
+    * replication of only the boundary band.
+    */
+  def rangeFrameTrailingSkewSafe(spark: SparkSession, dir: String,
+      chunkUs: Long = 6L * 3600000000L): DataFrame = {
+    val windowUs = 3600000000L
+    require(chunkUs >= windowUs, "chunk must cover the frame so carries reach one chunk only")
+    val e = events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val own = e.withColumn("part_chunk", col("chunk")).withColumn("is_own", lit(true))
+    val carry = e
+      .filter(col("ts_us") >= (col("chunk") + 1) * lit(chunkUs) - lit(windowUs))
+      .withColumn("part_chunk", col("chunk") + 1)
+      .withColumn("is_own", lit(false))
+    val w = Window.partitionBy("user_id", "part_chunk").orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    own.unionByName(carry)
+      .select(
+        col("event_id"), col("user_id"), col("is_own"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(round(col("value") * 100).cast("bigint")).over(w).as("cents_trailing_1h"))
+      .filter(col("is_own"))
+      .select("event_id", "user_id", "n_trailing_1h", "cents_trailing_1h")
+  }
+
+  /** [[eventLeadLag]] made SKEW-SAFE by the exact two-level decomposition:
+    * LEAD/LAG is computed within `(user_id, chunk)` partitions (pass 1),
+    * and ONLY the chunk-boundary rows — the first and last event of each
+    * `(user, chunk)` — enter a second per-user window (pass 2) to find
+    * their true cross-chunk neighbors. Unlike a naive adjacent-chunk carry,
+    * this stays exact for SPARSE users (the global predecessor of a
+    * chunk-first may live many empty chunks back): pass 2's per-user
+    * partition holds at most 2 rows per non-empty chunk, so the hot-key
+    * bound is "2 × chunks", never raw events. Results join back on
+    * `(user_id, event_id)` and coalesce over the chunk-local values.
+    */
+  def eventLeadLagSkewSafe(spark: SparkSession, dir: String,
+      chunkUs: Long = 6L * 3600000000L): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val byUC = Window.partitionBy("user_id", "chunk")
+    val marked = e
+      .withColumn("rn_asc", row_number().over(byUC.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn_desc", row_number().over(byUC.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("gap_local",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(byUC.orderBy(col("ts"), col("event_id"))))
+      .withColumn("next_local",
+        lead(col("event_type"), 1).over(byUC.orderBy(col("ts"), col("event_id"))))
+    // pass 2: per-user window over boundary rows only (≤ 2 per chunk) —
+    // in that ordered set, the row before a chunk-first IS the previous
+    // non-empty chunk's last, and the row after a chunk-last IS the next
+    // non-empty chunk's first
+    val boundary = marked.filter(col("rn_asc") === 1 || col("rn_desc") === 1)
+    val byU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bridged = boundary
+      .withColumn("gap_cross",
+        when(col("rn_asc") === 1,
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byU)))
+      .withColumn("next_cross",
+        when(col("rn_desc") === 1, lead(col("event_type"), 1).over(byU)))
+      .select(col("user_id").as("b_user"), col("event_id").as("b_event"),
+        col("gap_cross"), col("next_cross"))
+    marked.join(bridged,
+        col("user_id") === col("b_user") && col("event_id") === col("b_event"), "left_outer")
+      .select(
+        col("user_id"), col("event_id"),
+        coalesce(col("gap_local"), col("gap_cross")).as("gap_us"),
+        coalesce(col("next_local"), col("next_cross")).as("next_type"))
+  }
+
   /** TPC-H Q5-shaped 6-way join: revenue per nation for one region, with
     * the local-supplier condition (c_nationkey = s_nationkey). All four
     * dimension sides broadcast — the only shuffle is lineitem⋈orders on

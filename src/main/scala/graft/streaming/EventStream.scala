@@ -64,6 +64,56 @@ object EventStream {
         max("ts").as("session_end"))
   }
 
+  /** [[sessionizeBatch]] made SKEW-SAFE by the exact two-level
+    * decomposition (the hot-user guard for sessionization): pass 1
+    * sessionizes within `(user_id, chunk)` time-bucket partitions, pass 2
+    * merges the resulting SESSION SUMMARIES per user — a summary row is
+    * one local session, so the per-user pass-2 partition holds sessions +
+    * non-empty chunks, never raw events. Merging adjacent summaries when
+    * `start − prev_end <= gap` reconstructs the global sessions exactly
+    * (within a chunk, larger gaps already split; across chunks the
+    * boundary gap is measured on the true first/last timestamps), for any
+    * chunk size and any sparsity — asserted bit-equal to the plain form on
+    * a planted hot user, and the catalog twin `events_sessionize_skew`
+    * shares `events_sessionize`'s oracle.
+    */
+  def sessionizeSkewSafe(spark: SparkSession, dir: String,
+      chunkUs: Long = 6L * 3600000000L): DataFrame = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val byUC = Window.partitionBy("user_id", "chunk").orderBy("ts_us", "event_id")
+    val local = ev
+      .withColumn("prev_us", lag("ts_us", 1).over(byUC))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("local_seq", sum("new_s").over(
+        byUC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "chunk", "local_seq")
+      .agg(
+        count(lit(1)).as("n_local"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+    // pass 2: merge adjacent local sessions across chunk boundaries — one
+    // row per LOCAL SESSION, so the hot user's window is now tiny
+    val byU = Window.partitionBy("user_id").orderBy("start_us", "chunk")
+    local
+      .withColumn("prev_end", lag("end_us", 1).over(byU))
+      .withColumn("new_g",
+        when(col("prev_end").isNull || col("start_us") - col("prev_end") > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_seq", sum("new_g").over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        sum("n_local").as("n_events"),
+        min("start_ts").as("session_start"),
+        max("end_ts").as("session_end"))
+  }
+
   /** Declarative sessionization via the NATIVE `session_window` function —
     * the Catalyst-planned alternative to the hand-rolled state machine in
     * [[sessionizeStream]] and the window-function chain in
