@@ -43,7 +43,13 @@ object ExportCli {
         avroSchemaName = opts.get("avroSchemaName"),
         avroSchemaNamespace = opts.getOrElse("avroSchemaNamespace", "dbeam_generated"),
         avroDoc = opts.get("avroDoc"),
-        useAvroLogicalTypes = opts.contains("useAvroLogicalTypes"))
+        useAvroLogicalTypes = opts.contains("useAvroLogicalTypes"),
+        // repeatable, like the reference's --preCommand; consumed by the
+        // JDBC source path (sessionInitStatement / the writer protocol in
+        // JdbcSource.executeQueryWithPreCommands) — a parquet input has no
+        // session to run them against
+        preCommands = args.filter(_.startsWith("--preCommand="))
+          .map(_.stripPrefix("--preCommand=")).toSeq)
 
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

@@ -26,9 +26,23 @@ trait Source {
 
 /** JDBC source with dbeam's exact split semantics. No JDBC driver jar ships
   * in this environment, so this path is compile- and unit-level tested only
-  * (SURVEY §7.5 risk 5); the query strings it generates are golden-tested.
+  * (SURVEY §7.5 risk 5); the query strings it generates are golden-tested
+  * and the per-connection query protocol (preCommands + statement hook) is
+  * verified against a recording fake Connection in JdbcProtocolSpec.
+  *
+  * @param preCommands statements run on each connection BEFORE the main
+  *   query (reference `JdbcAvroIO.java:185-190`) — e.g. `SET` session
+  *   tuning. In the Spark read path they map to the JDBC option
+  *   `sessionInitStatement`, which Spark executes once per opened
+  *   connection before reading.
+  * @param statementPreparator optional hook adjusting the prepared main
+  *   statement before execution — the reference's `StatementPreparator`
+  *   library hook (`JdbcAvroArgs.java:110-112`), never CLI-reachable
+  *   there either.
   */
-final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: Int = 10000) extends Source {
+final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: Int = 10000,
+    preCommands: Seq[String] = Nil,
+    statementPreparator: Option[java.sql.PreparedStatement => Unit] = None) extends Source {
 
   private def props: Properties = {
     val p = new Properties()
@@ -36,7 +50,32 @@ final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: In
     p.setProperty("user", conn.username)
     conn.password.foreach(p.setProperty("password", _))
     p.setProperty("fetchsize", fetchSize.toString)
+    if (preCommands.nonEmpty)
+      p.setProperty("sessionInitStatement", preCommands.mkString("; "))
     p
+  }
+
+  /** The reference's per-writer query protocol on an already-open
+    * connection (`JdbcAvroIO.java:174-201`, order asserted by the
+    * reference's `JdbcAvroJobTest.java:182-219`): prepare the main query
+    * forward-only/read-only, apply `fetchSize` and the optional
+    * [[statementPreparator]], execute every [[preCommands]] entry on the
+    * SAME connection via a plain statement, then execute the main query.
+    * This is the seam a custom writer (or a test against a mocked
+    * `Connection`) drives directly; the Spark read path reaches the same
+    * semantics through `sessionInitStatement`.
+    */
+  def executeQueryWithPreCommands(connection: java.sql.Connection, query: String): java.sql.ResultSet = {
+    import java.sql.ResultSet
+    val statement = connection.prepareStatement(
+      query, ResultSet.TYPE_FORWARD_ONLY, ResultSet.CONCUR_READ_ONLY)
+    statement.setFetchSize(fetchSize)
+    statementPreparator.foreach(_(statement))
+    if (preCommands.nonEmpty) {
+      val stmt = connection.createStatement()
+      preCommands.foreach(stmt.execute)
+    }
+    statement.executeQuery()
   }
 
   /** The WHERE-clause tails of the generated queries, usable as Spark JDBC
