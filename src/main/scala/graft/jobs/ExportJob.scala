@@ -97,7 +97,8 @@ object ExportJob {
     val watchdog = startTimeoutWatchdog(spark, groupId, exportTimeout)
     val metrics =
       try AvroSink.write(df, avroSchema, outputDir, sinkArgs.codec, schemaElapsed,
-        nullableArrayItems = schemaCfg.nullableArrayItems)
+        nullableArrayItems = schemaCfg.nullableArrayItems,
+        writeManifest = !dataOnly)
       finally {
         watchdog.interrupt()
         spark.sparkContext.clearJobGroup()

@@ -217,11 +217,11 @@ object Dedup {
     * verification touches candidates only, as in [[minhashNearDups]].
     */
   def incrementalNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      splitId: Long = 400, materialize: Boolean = true): DataFrame = {
+      splitId: Long = 400, forPlanInspection: Boolean = false): DataFrame = {
     val arrays = docShingleArrays(spark, dir).cache()
-    if (materialize) arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
+    if (!forPlanInspection) arrays.count() // eager fill — same AQE fan-out rationale as nearDupsFromArrays
     val banded = bandedSignatures(signaturesFrom(arrays)).cache()
-    if (materialize) banded.count()
+    if (!forPlanInspection) banded.count()
     val newB = banded.filter(col("doc_id") >= splitId)
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val corpusB = banded.filter(col("doc_id") < splitId)
@@ -230,8 +230,11 @@ object Dedup {
       .select("id_new", "id_corpus")
       .distinct()
     val verified = verifyIncrementalPairs(arrays, cand, threshold)
-    if (materialize) materializeAndRelease(Seq(arrays, banded), verified)
-    else { arrays.unpersist(false); banded.unpersist(false); verified } // plan-inspection path (PlanSpec)
+    // forPlanInspection=true returns an UNMATERIALIZED frame whose caches
+    // are already released — for `.queryExecution` plan-shape assertions
+    // ONLY (PlanSpec); executing it would recompute the signature pipeline
+    if (!forPlanInspection) materializeAndRelease(Seq(arrays, banded), verified)
+    else { arrays.unpersist(false); banded.unpersist(false); verified }
   }
 
   /** Exact-Jaccard verification of (id_new, id_corpus) candidate pairs
@@ -274,22 +277,27 @@ object Dedup {
       java.nio.file.Files.createTempDirectory("graft-sig-store").toString)
     val arrays = docShingleArrays(spark, dir).cache()
     arrays.count()
-    writeSignatureStore(arrays, store, splitId) // one corpus pass: reuses the cache
-    val corpusB = spark.read.parquet(s"$store/bands.parquet")
-    val newB = bandedSignatures(signaturesFrom(arrays.filter(col("doc_id") >= splitId)))
-      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
-    val cand = corpusB
-      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
-      .join(broadcast(newB), Seq("band", "k1", "k2"))
-      .select("id_new", "id_corpus")
-      .distinct()
-    val out = materializeAndRelease(Seq(arrays),
-      verifyIncrementalPairs(arrays, cand, threshold))
-    if (storeDir.isEmpty) { // result is checkpointed — the temp store can go
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(store)).deleteRecursively()
+    // try/finally: the temp store is a full parquet copy of corpus bands —
+    // it must not leak into /tmp if the read-back, candidate join, or
+    // verification throws
+    try {
+      writeSignatureStore(arrays, store, splitId) // one corpus pass: reuses the cache
+      val corpusB = spark.read.parquet(s"$store/bands.parquet")
+      val newB = bandedSignatures(signaturesFrom(arrays.filter(col("doc_id") >= splitId)))
+        .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
+      val cand = corpusB
+        .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
+        .join(broadcast(newB), Seq("band", "k1", "k2"))
+        .select("id_new", "id_corpus")
+        .distinct()
+      materializeAndRelease(Seq(arrays),
+        verifyIncrementalPairs(arrays, cand, threshold))
+    } finally {
+      if (storeDir.isEmpty) { // result is checkpointed — the temp store can go
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+      }
     }
-    out
   }
 
   /** Writes the corpus side's banded signatures (doc_id < splitId) from a
@@ -626,12 +634,12 @@ object Dedup {
     * recall-checked against planted ground truth in DedupSpec.
     */
   def embeddingNearDupsLsh(vectors: DataFrame, threshold: Double = 0.7,
-      tables: Int = 16, bits: Int = 8, materialize: Boolean = true): DataFrame = {
+      tables: Int = 16, bits: Int = 8, forPlanInspection: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
       .cache()
-    if (materialize) e.count() // fill before AQE fans out the bucket + two payload consumers
+    if (!forPlanInspection) e.count() // fill before AQE fans out the bucket + two payload consumers
     // buckets carry only (vec_id, t, key) — candidate generation never
     // shuffles embedding payloads
     val bucketed = e.select(col("vec_id"),
@@ -648,8 +656,10 @@ object Dedup {
       .withColumn("cosine", Portable.dotProductNative("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    if (materialize) materializeAndRelease(Seq(e), verified)
-    else { e.unpersist(false); verified } // plan-inspection path (PlanSpec)
+    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // assertions only (PlanSpec); executing that frame recomputes buckets
+    if (!forPlanInspection) materializeAndRelease(Seq(e), verified)
+    else { e.unpersist(false); verified }
   }
 
   /** Driver-checkable recall gate for [[embeddingNearDupsLsh]] — the 100 TB

@@ -289,12 +289,12 @@ object TextAnalysis {
     * never moves text (exact-string form kept here for the oracle).
     */
   def lineDedup(spark: SparkSession, dir: String, segWords: Int = 10, minDocs: Long = 2,
-      materialize: Boolean = true): DataFrame = {
+      forPlanInspection: Boolean = false): DataFrame = {
     // ONE segment pass feeds both the frequency count and the reassembly
     // (cached — at 100 TB this spills to disk or is recomputed; either way
     // no third scan: the doc-level totals come out of the same aggregate).
     val segs = segments(spark, dir, segWords).cache()
-    if (materialize) segs.count() // eager fill before AQE fans out the two consumers
+    if (!forPlanInspection) segs.count() // eager fill before AQE fans out the two consumers
     val boiler = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -316,8 +316,10 @@ object TextAnalysis {
         col("n_kept"),
         (col("n_segments") - col("n_kept")).as("n_removed"),
         md5(col("clean_text")).as("clean_md5"))
-    if (materialize) Dedup.materializeAndRelease(Seq(segs), out)
-    else { segs.unpersist(false); out } // plan-inspection path (PlanSpec)
+    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // assertions only (PlanSpec); executing that frame re-segments twice
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(segs), out)
+    else { segs.unpersist(false); out }
   }
 
   /** (doc_id, pos, seg) aligned `segWords`-word segments — the shared

@@ -36,6 +36,12 @@ import org.apache.spark.util.LongAccumulator
   */
 object AvroSink {
 
+  /** Commit-manifest sidecar: one committed part name per line, written
+    * after all parts rename into place. `_`-prefixed like the other
+    * sidecars, so data readers that merely skip hidden files still work.
+    */
+  val ManifestFile = "_MANIFEST"
+
   final case class Metrics(
       recordCount: Long,
       bytesWritten: Long,
@@ -95,7 +101,8 @@ object AvroSink {
       outputDir: String,
       codec: String = "deflate6",
       schemaElapsedTimeMs: Long = 0L,
-      nullableArrayItems: Boolean = false): Metrics = {
+      nullableArrayItems: Boolean = false,
+      writeManifest: Boolean = true): Metrics = {
 
     codecFactory(codec) // validate eagerly on the driver
     val spark = df.sparkSession
@@ -180,6 +187,27 @@ object AvroSink {
       Iterator.single(n)
     }
     job.collect() // small: one count per partition
+
+    // Commit manifest, written LAST (after every part has renamed into
+    // place): the exact part set this write published. Part names encode
+    // the partition count, so a replayed micro-batch (StreamExport) that
+    // re-plans with different upstream parallelism would otherwise commit
+    // a second disjoint `part-i-of-M` set into the same directory and a
+    // reader would silently return duplicated rows — AvroSource validates
+    // the on-disk set against this file and rejects such drift instead.
+    // `--dataOnly` exports suppress it (parts-only layout contract).
+    if (writeManifest) {
+      val conf = sc.hadoopConfiguration
+      val p = new Path(outputDir, ManifestFile)
+      val fs = p.getFileSystem(conf)
+      fs.setWriteChecksum(false)
+      val out = fs.create(p, true)
+      out.write((0 until numPartitions)
+        .map(i => f"part-$i%05d-of-$numPartitions%05d.avro")
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
 
     Metrics(
       recordCount.value,

@@ -42,6 +42,24 @@ object AvroSource {
       .sorted
     require(files.nonEmpty, s"no .avro files under $dir")
 
+    // Validate against the sink's commit manifest when present: a replayed
+    // write that re-planned with a different partition count leaves TWO
+    // disjoint part-i-of-N sets in the directory (names encode N) — fail
+    // loudly instead of returning duplicated rows. Dirs without a manifest
+    // (foreign/legacy) keep the permissive listing behavior.
+    val manifestPath = new Path(base, graft.sink.AvroSink.ManifestFile)
+    if (fs.exists(manifestPath)) {
+      val in = fs.open(manifestPath)
+      val expected = scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      in.close()
+      val actual = files.map(new Path(_).getName).toSet
+      require(actual == expected,
+        s"$dir does not match its commit manifest: " +
+          s"unexpected=${(actual -- expected).toSeq.sorted.mkString(",")} " +
+          s"missing=${(expected -- actual).toSeq.sorted.mkString(",")} — " +
+          "likely a replayed write with a different partition count")
+    }
+
     val avroSchema = {
       val in = fs.open(new Path(files.head))
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())

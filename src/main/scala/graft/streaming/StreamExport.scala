@@ -15,7 +15,12 @@ import graft.sink.AvroSink
   * semantics: `foreachBatch` re-delivers a failed batch under the SAME
   * batch id, so the rewrite lands in the same directory (same
   * part-file names, attempt-scoped temps + rename inside the sink) instead
-  * of duplicating rows next to committed files. The checkpoint (offsets +
+  * of duplicating rows next to committed files. A retry that re-plans
+  * with a DIFFERENT partition count would produce a disjoint
+  * `part-i-of-M` name set; the sink's `_MANIFEST` sidecar (written after
+  * all parts commit) records the published set and `AvroSource` rejects a
+  * batch directory whose files don't match it, so that failure mode is
+  * loud, never silent duplication. The checkpoint (offsets +
   * commits) lives under `<outputDir>/_checkpoint` unless overridden, so a
   * restarted query resumes after the last committed batch.
   *

@@ -128,7 +128,7 @@ class AvroSinkSpec extends AnyFunSuite {
     assert(res.metrics.recordCount == 2)
     val entries = new File(dir).listFiles().map(_.getName).toSet
     assert(entries == Set(
-      "part-00000-of-00001.avro", "_AVRO_SCHEMA.avsc", "_METRICS.json",
+      "part-00000-of-00001.avro", "_MANIFEST", "_AVRO_SCHEMA.avsc", "_METRICS.json",
       "_SERVICE_METRICS.json", "_queries"))
     assert(new File(dir, "_queries").listFiles().map(_.getName).toSeq == Seq("query_0.sql"))
     val schemaJson = Files.readString(new File(dir, "_AVRO_SCHEMA.avsc").toPath)

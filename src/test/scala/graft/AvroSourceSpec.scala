@@ -36,6 +36,33 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions == li.rdd.getNumPartitions)
   }
 
+  test("commit manifest: written after parts, rejects partition-count drift") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("avro-manifest").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def df(n: Int, parts: Int) = spark.createDataFrame(
+      (0 until n).map(i => Row(i.toLong)).asJava, schema).repartition(parts)
+    val avro = AvroSchemaGen.generate(schema, AvroSchemaGen.Config())
+
+    AvroSink.write(df(10, 3), avro, dir, "deflate1")
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "_MANIFEST"))
+    assert(manifest.trim.split("\n").toSeq == (0 until 3).map(i => f"part-$i%05d-of-00003.avro"))
+    assert(AvroSource.read(spark, dir).count() == 10)
+
+    // a same-plan retry rewrites the same names + same manifest: still reads
+    AvroSink.write(df(10, 3), avro, dir, "deflate1")
+    assert(AvroSource.read(spark, dir).count() == 10)
+
+    // a replayed write with DIFFERENT parallelism adds a disjoint
+    // part-i-of-2 set; without the manifest this would read 20 rows —
+    // with it, the reader fails loudly
+    AvroSink.write(df(10, 2), avro, dir, "deflate1")
+    val e = intercept[IllegalArgumentException](AvroSource.read(spark, dir))
+    assert(e.getMessage.contains("commit manifest"))
+  }
+
   test("round trip preserves nulls and arrays") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

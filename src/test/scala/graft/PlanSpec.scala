@@ -127,7 +127,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH embedding dedup plan has no nested-loop product either") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
-    val plan = graft.operators.Dedup.embeddingNearDupsLsh(vecs, 0.9, materialize = false)
+    val plan = graft.operators.Dedup.embeddingNearDupsLsh(vecs, 0.9, forPlanInspection = true)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
@@ -139,7 +139,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("line dedup: frequent-segment set broadcasts; no nested-loop anywhere") {
-    val plan = graft.operators.TextAnalysis.lineDedup(spark, dir, materialize = false)
+    val plan = graft.operators.TextAnalysis.lineDedup(spark, dir, forPlanInspection = true)
       .queryExecution.executedPlan.toString
     // the mark join against boilerplate segments must be a broadcast join
     // (the frequent set is <= 1/minDocs of the corpus by construction)
@@ -148,7 +148,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("incremental dedup: the new-increment side broadcasts against the corpus") {
-    val plan = graft.operators.Dedup.incrementalNearDups(spark, dir, 0.6, materialize = false)
+    val plan = graft.operators.Dedup.incrementalNearDups(spark, dir, 0.6, forPlanInspection = true)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"new-side bands must broadcast:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
