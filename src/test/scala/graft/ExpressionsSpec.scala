@@ -124,7 +124,7 @@ class ExpressionsSpec extends AnyFunSuite {
     // be present and resolvable after registration
     val expected = Set("graft_poly_hash", "graft_dot", "graft_minhash", "graft_simhash",
       "graft_poly_hash_array", "graft_hash60_array", "graft_lsh_buckets",
-      "graft_hll_distinct", "graft_kll_quantiles", "graft_freq_items",
+      "graft_hll_distinct", "graft_kll_quantiles", "graft_freq_items", "graft_freq_check",
       "graft_theta_sketch", "graft_theta_union_est", "graft_theta_intersect_est",
       "graft_theta_diff_est", "graft_topk")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
