@@ -3,17 +3,35 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.schema.AvroSchemaGen
 import graft.sink.AvroSink
+import graft.streaming.EventStream
 
-/** Benchmark main — runs the headline queries on
+/** Benchmark main — runs the FULL query catalog on
   * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line.
   *
   * The first entry is the engine's core capability (parquet→Avro export of
   * the full lineitem table) reported with the reference's own metric names
   * inside the `export` sub-object, so BENCH_r{N}.json is comparable with
   * BASELINE.md run over run.
+  *
+  * Coverage contract (round 5): every `SparkEntry.queries` entry is timed —
+  * the `headline` vector keeps its round-4 order so cross-round deltas on
+  * those names stay directly comparable, and the remaining catalog follows
+  * in sorted order. Two genuine Structured Streaming rows
+  * (`stream_export_avro`, `stream_sessionize`) time the streaming path —
+  * file-source micro-batches under `Trigger.AvailableNow()`, fresh
+  * checkpoint per run — so streaming regressions are visible per-round,
+  * not just batch.
+  *
+  * Estimator note: catalog queries report best-of-2 (see `time2`); export
+  * and streaming rows are single-shot (a second run would hit warmed
+  * checkpoints / page cache and not measure the cold protocol). The JSON
+  * carries `"estimator"` so snapshots from rounds ≤3 (single-shot) aren't
+  * misread as regressions against best-of-2 numbers.
   */
 object Bench {
 
@@ -31,7 +49,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Headline set: core export + the heaviest representative operators.
+    // Round-4 headline set, order preserved for cross-round comparability.
     val headline = Vector(
       "q1_agg", "q3_join_agg", "q5_multi_join", "w1_window_topk", "s1_full_scan",
       "q_grouped_topk", // heap-aggregate top-k vs w1's window form
@@ -50,6 +68,9 @@ object Bench {
       "dedup_clusters", // iterative large-star/small-star CC
       "dedup_embedding", // blocked grid self-join (exact threshold)
       "ann_topk", "ann_lsh", "multimodal_meta")
+    // Everything else in the catalog, so no query can regress unobserved.
+    val catalog = headline ++
+      (SparkEntry.queries.keySet -- headline).toVector.sorted
 
     def time[A](body: => A): Double = {
       val t0 = System.nanoTime()
@@ -70,7 +91,7 @@ object Bench {
     // JVM cost, not per-query work — timing it would measure compiler
     // throughput, not engine throughput.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) headline.foreach { name =>
+    if (new java.io.File(warmDir).isDirectory) catalog.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -100,15 +121,47 @@ object Bench {
     }
 
     // 2. Catalog queries, count() as the action, best of 2 runs.
-    headline.foreach { name =>
+    catalog.foreach { name =>
       val fn = SparkEntry.queries(name)
       results(name) = time2(fn(spark, sfDir).count())
+    }
+
+    // 3. Streaming rows — genuine micro-batch execution over the events
+    // file source (one committed batch under AvailableNow), fresh
+    // checkpoints so each bench run measures the full protocol.
+    val eventsSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def eventsStream() = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+
+    // 3a. Streaming Avro export: file-stream -> foreachBatch AvroSink.
+    results("stream_export_avro") = time {
+      val out = Files.createTempDirectory("graft-bench-stream-export").toString
+      val q = graft.streaming.StreamExport.start(eventsStream(), out)
+      q.awaitTermination()
+    }
+
+    // 3b. Stateful streaming: flatMapGroupsWithState sessionization with
+    // event-time timeout, results discarded executor-side (noop sink).
+    results("stream_sessionize") = time {
+      import spark.implicits._
+      val sessions = EventStream.sessionizeStream(
+        eventsStream()
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("user_id", "event_id", "ts")
+          .withWatermark("ts", "1 minute")
+          .as[EventStream.Event])
+      val ckpt = Files.createTempDirectory("graft-bench-stream-sess").toString
+      val q = sessions.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
+      s""""estimator":"catalog=best_of_2; export+streaming=single_shot","sf":"$sfDir"}""")
     spark.stop()
   }
 }
