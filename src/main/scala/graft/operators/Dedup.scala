@@ -159,9 +159,19 @@ object Dedup {
     * MinHash-LSH candidate generation and exact verification as the word
     * shingle path; only the shingling unit differs (robust to word-boundary
     * edits, heavier per doc: ~len shingles vs ~len/5 words).
+    *
+    * Unlike word shingles (background Jaccard ≈ 0), char 5-grams over a
+    * repetitive corpus have HIGH background similarity (measured ~0.18
+    * median here), so r=2 banding admits most of the n²/2 pair space as
+    * candidates and the verification join degenerates to all-pairs. This
+    * path therefore inserts the [[sigAgreementCutoff]] wide-signature
+    * pre-filter between banding and exact verification — candidates shrink
+    * from O(n²) to ≈ true pairs while the output stays the exact-Jaccard
+    * contract (measured at sf0.01: 78k candidates → 25 survivors, 6× faster
+    * end-to-end; the gap widens quadratically with corpus size).
     */
   def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
-    nearDupsFromArrays(charShingleArrays(spark, dir), threshold)
+    nearDupsFromArrays(charShingleArrays(spark, dir), threshold, sigFilter = true)
 
   /** (doc_id, shingles) with distinct character 5-grams (length < 5 →
     * one shingle: the whole text), mirroring `minGramFingerprint`'s
@@ -173,7 +183,39 @@ object Dedup {
       expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
         .as("shingles"))
 
-  private def nearDupsFromArrays(shingleArrays: DataFrame, threshold: Double): DataFrame = {
+  /** Width of the wide signature used by the agreement pre-filter. The
+    * extra `SigFilterHashes - NumHashes` components cost one longer codegen
+    * pass per doc (never shuffled as longs — they travel as 1-byte
+    * residues), and `graft_minhash` is prefix-consistent (component i
+    * depends only on i), so banding on `slice(sig, 1, NumHashes)` is
+    * bit-identical to the unfiltered path's banding.
+    */
+  val SigFilterHashes = 128
+
+  /** Per-pair probability budget for the pre-filter wrongly dropping a pair
+    * at exactly `threshold` — chosen an order of magnitude below the
+    * banding miss probability ((1-0.36)^32 ≈ 6e-7 is the per-band-scheme
+    * figure quoted on [[NumHashes]]), so the filter never dominates recall
+    * risk.
+    */
+  private val SigFilterDelta = 1e-5
+
+  /** Minimum matching signature bytes (out of [[SigFilterHashes]]) for a
+    * candidate pair to reach exact verification. Hoeffding: the match
+    * fraction of a pair with true Jaccard s concentrates around s, so
+    * cutting at `s - sqrt(ln(1/δ)/(2n))` bounds the false-drop probability
+    * by δ. Byte residues only ever INFLATE the match count (1/128 chance
+    * per disagreeing component), so the cutoff stays conservative.
+    */
+  private[operators] def sigAgreementCutoff(threshold: Double): Int = {
+    val margin = math.sqrt(math.log(1.0 / SigFilterDelta) / (2.0 * SigFilterHashes))
+    math.max(0, math.floor(SigFilterHashes * (threshold - margin)).toInt)
+  }
+
+  private def nearDupsFromArrays(
+      shingleArrays: DataFrame,
+      threshold: Double,
+      sigFilter: Boolean = false): DataFrame = {
     // One shingle pass feeds signatures and verification. Materialize the
     // cache EAGERLY: AQE submits the independent downstream stages (band
     // agg, anti-join, both self-join sides, verification) concurrently,
@@ -181,7 +223,55 @@ object Dedup {
     // pipeline in parallel (measured: 4× ~1 s duplicate jobs at sf0.1).
     val arrays = shingleArrays.cache()
     arrays.count()
-    val (cand, banded) = candidatesFrom(signaturesFrom(arrays))
+    graft.functions.GraftFunctions.register(arrays.sparkSession)
+
+    val (cand, caches) =
+      if (!sigFilter) {
+        val (c, banded) = candidatesFrom(signaturesFrom(arrays))
+        (c, Seq(banded))
+      } else {
+        // Banding keeps the frozen affine signature; the FILTER signature
+        // must be the mixed family — affine components are correlated on
+        // char n-grams (see MinHashMixedSignature scaladoc) and would let
+        // ~a third of background pairs through the cutoff. Both are one
+        // codegen pass over the same pre-hashed array. The filter travels
+        // as 1-byte residues (h % 128 fits tinyint under ANSI;
+        // equality-only use, so residue collisions merely loosen the
+        // filter, never tighten it).
+        //
+        // The residues ride INSIDE the banded rows (4 KiB/doc extra band
+        // shuffle) so the cutoff applies inline in the band self-join,
+        // BEFORE the distinct: in the high-background-similarity regime
+        // this path exists for, banding admits a large fraction of the
+        // n²/2 pair space, and shuffling that candidate set through a
+        // distinct plus two signature joins costs more than the whole
+        // verification (measured 19.5 s → 6 s at sf0.1). Pairs stream
+        // through the filter as join output — the O(n²) set is never
+        // shuffled, only scanned.
+        val base = s"graft_poly_hash_array(shingles, 31, ${Portable.P1}L)"
+        val sigs = arrays.select(
+          col("doc_id"),
+          expr(s"graft_minhash($base, $NumHashes)").as("sig"),
+          expr(s"transform(graft_minhash_mix($base, $SigFilterHashes), " +
+            "h -> CAST(h % 128 AS TINYINT))").as("sigb"))
+        val banded = bandedSignatures(sigs, passThrough = Seq("sigb")).cache()
+        banded.count()
+        val crowded = banded.groupBy("band", "k1", "k2")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > MaxBucketSize)
+        val pruned = banded.join(broadcast(crowded), Seq("band", "k1", "k2"), "left_anti")
+        val tau = sigAgreementCutoff(threshold)
+        val a = pruned.as("a")
+        val b = pruned.as("b")
+        val filtered = a.join(b,
+            col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+              col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+          .filter(expr("graft_sig_agree(a.sigb, b.sigb)") >= tau)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        (filtered, Seq(banded))
+      }
+
     // Exact verification joins each candidate pair back to its two shingle
     // ARRAYS and intersects them in one codegen'd expression — the work is
     // proportional to the (LSH-pruned) candidate set, not the corpus, and
@@ -197,7 +287,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
-    materializeAndRelease(Seq(arrays, banded), verified)
+    materializeAndRelease(arrays +: caches, verified)
   }
 
   /** INCREMENTAL near-dup detection — the daily-increment shape of a
@@ -312,14 +402,19 @@ object Dedup {
   /** (doc_id, band, k1, k2) rows from (doc_id, sig) signatures — the
     * banding used by every LSH consumer (self-join, incremental, store).
     */
-  private def bandedSignatures(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, k1, k2) rows, one per band; `passThrough` columns ride
+    * along unchanged (used by the sig-filter path to keep the agreement
+    * residues inside the band shuffle instead of re-joining them later).
+    */
+  private def bandedSignatures(sigs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         element_at(col("sig"), 2 * j + 1).as("k1"),
         element_at(col("sig"), 2 * j + 2).as("k2"))
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.k1"), col("b.k2"))
+    val keep = col("doc_id") +: passThrough.map(col)
+    sigs.select(keep :+ explode(array(bandStructs: _*)).as("b"): _*)
+      .select(keep ++ Seq(col("b.band"), col("b.k1"), col("b.k2")): _*)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified near-dup

@@ -100,6 +100,80 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(cg.getSeq[Long](2) == base.getSeq[Long](2), "codegen lsh must treat null dims as 0")
   }
 
+  test("graft_minhash_mix: splitmix64 reference values, null skip, codegen==eval") {
+    GraftFunctions.register(spark)
+    // reference value computed independently: mix64(7 + GOLDEN*1)
+    def mix(h: Long, i: Int): Long = {
+      var z = h + 0x9E3779B97F4A7C15L * (i + 1)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val r = spark.sql(
+      "SELECT graft_minhash_mix(array(7L, 11L, CAST(NULL AS BIGINT)), 4) AS m, " +
+        "graft_minhash_mix(array(7L, 11L), 4) AS base").head()
+    val expectedSig = (0 until 4).map(i => math.min(mix(7L, i), mix(11L, i)))
+    assert(r.getSeq[Long](0) == expectedSig, "eval must match the SplitMix64 reference")
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1), "null elements contribute nothing")
+    // non-foldable input exercises the generated Java
+    val cg = spark.range(1).selectExpr("graft_minhash_mix(array(id + 7L, 11L), 4) AS m").head()
+    assert(cg.getSeq[Long](0) == expectedSig, "codegen must match interpreted eval")
+  }
+
+  test("graft_minhash_mix decorrelates overlapping-gram signatures where affine does not") {
+    GraftFunctions.register(spark)
+    // Char 5-grams of near-identical strings have affinely-related
+    // poly-hashes; the affine family inherits that structure across
+    // components, the mixed family must not. Two documents over the same
+    // tiny vocabulary with true Jaccard ~0.2 should agree on ~0.2 of mixed
+    // components (binomial, sd ≈ 0.035 at n=128) — the affine agreement on
+    // the real corpus reaches 0.4+ for such pairs (measured; the bug this
+    // guards against).
+    val sh = graft.operators.Dedup.charShingleArrays(spark, SparkSpec.testDataDir)
+    val sigs = sh.selectExpr("doc_id",
+      s"graft_minhash_mix(graft_poly_hash_array(shingles, 31, ${Portable.P1}L), 128) AS sig",
+      "shingles")
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(2000)
+      .selectExpr(
+        "size(array_intersect(a.shingles, b.shingles)) AS ni",
+        "size(a.shingles) AS na", "size(b.shingles) AS nb",
+        "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m)) AS matches")
+      .selectExpr("CAST(ni AS DOUBLE) / (na + nb - ni) AS jac",
+        "CAST(matches AS DOUBLE) / 128 AS est")
+      .collect()
+    assert(pairs.nonEmpty)
+    // every background pair's estimate must stay near its true Jaccard:
+    // 8 sd of slack (0.28) — the affine family violates this by > 0.2 on
+    // a third of pairs
+    pairs.foreach { row =>
+      val (jac, est) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(est - jac) < 0.28, s"mixed minhash biased: jac=$jac est=$est")
+    }
+  }
+
+  test("graft_sig_agree == interpreted zip_with count, incl. length mismatch and codegen") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_sig_agree(CAST(array(1, 2, 3) AS ARRAY<TINYINT>), " +
+        "CAST(array(1, 9, 3) AS ARRAY<TINYINT>)) AS a, " +
+        "graft_sig_agree(CAST(array(1, 2) AS ARRAY<TINYINT>), " +
+        "CAST(array(1, 2, 3) AS ARRAY<TINYINT>)) AS b").head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 2, "shorter array: positions beyond its length disagree")
+    // equivalence to the HOF form on real signatures (codegen path)
+    val docs = graft.operators.Dedup.charShingleArrays(spark, SparkSpec.testDataDir)
+    val sigs = docs.selectExpr("doc_id",
+      s"transform(graft_minhash_mix(graft_poly_hash_array(shingles, 31, ${Portable.P1}L), 64), " +
+        "h -> CAST(h % 128 AS TINYINT)) AS sigb")
+    val diff = sigs.as("a").crossJoin(sigs.as("b")).filter(col("a.doc_id") < col("b.doc_id"))
+      .limit(500)
+      .selectExpr("graft_sig_agree(a.sigb, b.sigb) AS fast",
+        "size(filter(zip_with(a.sigb, b.sigb, (x, y) -> x = y), m -> m)) AS slow")
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
   test("graft_dot == HOF dot product on embeddings") {
     GraftFunctions.register(spark)
     val e = spark.read.parquet(s"${SparkSpec.testDataDir}/embeddings.parquet")
@@ -122,7 +196,8 @@ class ExpressionsSpec extends AnyFunSuite {
       (('a'.toLong * 31 + 'b') * 31 + 'c') % Portable.P1)
     // both paths share GraftFunctions.builders — every engine function must
     // be present and resolvable after registration
-    val expected = Set("graft_poly_hash", "graft_dot", "graft_minhash", "graft_simhash",
+    val expected = Set("graft_poly_hash", "graft_dot", "graft_minhash", "graft_minhash_mix",
+      "graft_sig_agree", "graft_simhash",
       "graft_poly_hash_array", "graft_hash60_array", "graft_lsh_buckets",
       "graft_hll_distinct", "graft_kll_quantiles", "graft_freq_items", "graft_freq_check",
       "graft_theta_sketch", "graft_theta_union_est", "graft_theta_intersect_est",
