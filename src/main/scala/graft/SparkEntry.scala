@@ -54,6 +54,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     // C4-style corpus-level line (word-segment) dedup
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    // RAG chunking: overlapping fixed-size character windows per doc
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     // hashing-trick vectorization (sparse signed token counts per bucket)
     "text_hash_embedding" -> ((s, d) => TextAnalysis.hashEmbedding(s, d)),
     // the operators composed end to end under a single oracle
@@ -682,6 +684,17 @@ object SparkEntry {
         | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
         | md5(COALESCE(a.clean_text, '')) AS clean_md5
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "text_chunk" ->
+      """WITH starts AS (
+        | SELECT doc_id, text,
+        |  unnest(range(1, greatest(len(text), 1) + 1, 150)) AS i
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST((i - 1) // 150 AS BIGINT) AS chunk_id,
+        | CAST(i AS BIGINT) AS chunk_start,
+        | substr(text, CAST(i AS INT), 200) AS chunk_text,
+        | CAST(len(substr(text, CAST(i AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM starts""".stripMargin,
     // the hashing trick is exact integer arithmetic — reproducible in SQL
     "text_hash_embedding" ->
       """WITH tok AS (

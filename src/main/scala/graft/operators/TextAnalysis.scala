@@ -463,4 +463,28 @@ object TextAnalysis {
         | h.max_error * 16 <= h.n AS error_within_threshold
         |FROM heavy h LEFT JOIN items i ON i.item = h.token""".stripMargin)
   }
+
+  /** RAG-style document chunking: fixed-size character windows with
+    * overlap. Chunk k of a document covers characters
+    * `[1 + k·stride, 1 + k·stride + size)` (1-based, like SQL `substr`);
+    * windows start while the start position is within the text, so the
+    * final chunk may be shorter and an empty document still yields one
+    * empty chunk (a retrieval index wants every doc addressable).
+    *
+    * Scale: `sequence` + `posexplode` is a pure map-side row generator —
+    * no shuffle, no UDF, whole-stage codegen; the parquet scan still
+    * prunes to (doc_id, text). Output is ~`len/stride` rows per doc, the
+    * natural input partitioning carries over, and downstream per-chunk
+    * embedding / indexing parallelizes on the exploded rows directly.
+    */
+  def chunk(spark: SparkSession, dir: String, size: Int = 200, stride: Int = 150): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"sequence(1, greatest(length(text), 1), $stride)")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("chunk_start"),
+        expr(s"substring(text, col, $size)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
 }

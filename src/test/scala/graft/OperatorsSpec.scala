@@ -888,6 +888,34 @@ class LineDedupSpec extends AnyFunSuite {
   }
 }
 
+class TextChunkSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("chunk boundaries: empty doc, exact window, one-past, overlap content") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("text-chunk").toString
+    val t200 = "x" * 200
+    val t201 = "y" * 201
+    val t = (0 until 350).map(i => ('a' + i % 26).toChar).mkString
+    Seq((1L, ""), (2L, t200), (3L, t201), (4L, t)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.TextAnalysis.chunk(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows(1L).toSeq == Seq((1L, 0L, 1L, "", 0L)), "empty doc -> one empty chunk")
+    assert(rows(2L).toSeq.sortBy(_._2) == Seq(
+      (2L, 0L, 1L, t200, 200L),
+      (2L, 1L, 151L, t200.substring(150), 50L)), "len=200: second window starts at 151")
+    assert(rows(3L).map(_._2).toSet == Set(0L, 1L), "len=201 still two windows")
+    val c4 = rows(4L).toSeq.sortBy(_._2)
+    assert(c4.map(_._2) == Seq(0L, 1L, 2L))
+    assert(c4(0)._4 == t.substring(0, 200) && c4(1)._4 == t.substring(150, 350) &&
+      c4(2)._4 == t.substring(300))
+    // overlap invariant: last 50 chars of chunk k == first 50 of chunk k+1
+    assert(c4(0)._4.substring(150) == c4(1)._4.substring(0, 50))
+  }
+}
+
 class HashEmbeddingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
