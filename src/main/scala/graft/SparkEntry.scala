@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -123,6 +123,8 @@ object SparkEntry {
     // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
     "sketch_theta_overlap" -> (Relational.thetaOverlap _),
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
+    // Z-order (Morton) interleave for multi-dimensional data skipping
+    "layout_zorder" -> (Layout.zorderQuery _),
     // stub decode/resize dataflow, but every output column is derivable
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
@@ -914,6 +916,10 @@ object SparkEntry {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS zval
+        |FROM lineitem""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id, 'text/fake' AS media_type,
         | CAST(length(text) AS BIGINT) AS byte_len,

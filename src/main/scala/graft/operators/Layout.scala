@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: space-filling-curve clustering for
+  * multi-dimensional data skipping.
+  *
+  * Why this is a first-class 100 TB operator: parquet scans prune row
+  * groups by per-column min/max. Data sorted by ONE key skips perfectly on
+  * that key and not at all on any other; data clustered by the Z-order
+  * (Morton) interleave of two keys gives both predicates sub-linear scans
+  * — each file/row-group covers a small rectangle of the (x, y) key space
+  * instead of a full-width stripe. This is the standard layout technique
+  * behind `OPTIMIZE ... ZORDER BY` in lakehouse table formats, expressed
+  * here as a plain repartitionByRange + sortWithinPartitions over a
+  * codegen'd interleave expression, so it works on any DataFrame write.
+  */
+object Layout {
+
+  /** Bits taken from each key: 21+21 interleave to a 42-bit z-value
+    * (fits a positive long with room; keys wider than 21 bits keep their
+    * low 21 — callers with wider domains should range-rank first).
+    */
+  val BitsPerKey = 21
+
+  /** The Morton interleave of the low [[BitsPerKey]] bits of two
+    * non-negative long columns: bit b of `x` lands at position 2b, bit b
+    * of `y` at 2b+1.
+    *
+    * Built as 2×21 masked-shift terms OR-folded into one codegen'd
+    * expression tree — a `aggregate(sequence(...))` HOF computes the same
+    * value but runs interpreted per row, which is the wrong shape for a
+    * whole-corpus layout pass. `(x & (1<<b)) << b` moves bit b to 2b
+    * without a separate extract-then-place.
+    */
+  def zValue(x: Column, y: Column): Column =
+    (0 until BitsPerKey).map { b =>
+      shiftleft(x.bitwiseAND(lit(1L << b)), b)
+        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << b)), b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Catalog query: per-row z-values for lineitem's (l_partkey, l_suppkey)
+    * — the deterministic core the oracle recomputes. The layout action
+    * itself is [[cluster]]; a projection is what a driver can hash-check.
+    */
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+
+  /** Physically clusters `df` by the Z-order of two key columns:
+    * range-partition on the z-value (balanced output files via the range
+    * sampler), sort within partitions, drop the helper column. Writing the
+    * result produces files whose (x, y) min/max rectangles tile the key
+    * space — the data-skipping property LayoutSpec asserts.
+    *
+    * Each key is min/max-normalized to the full [[BitsPerKey]] width
+    * before interleaving. Raw-bit interleave is a known z-order pitfall:
+    * when one key's domain is much narrower (suppkey 1..10 vs partkey
+    * 1..200 here), its bits all sit BELOW the wide key's high bits, range
+    * splits land exclusively on the wide key, and every output file still
+    * spans the narrow key's full range — i.e. no skipping on that
+    * predicate at all. Normalization costs one min/max aggregate over the
+    * two key columns (columnar scan, or footer statistics on a real
+    * table).
+    *
+    * Scale: one extra stats pass + one shuffle (the range exchange) —
+    * identical cost shape to any global sort; the z expression is
+    * map-side codegen. Skewed key distributions are handled by the range
+    * partitioner's reservoir sampling over the actual z distribution.
+    */
+  def cluster(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    val s = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val full = (1L << BitsPerKey) - 1
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("long") - lit(lo)) * lit(full) / lit(hi - lo)).cast("long")
+    val withZ = df.withColumn("__z", zValue(
+      scaled(xCol, s.getLong(0), s.getLong(1)),
+      scaled(yCol, s.getLong(2), s.getLong(3))))
+    withZ
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** DuckDB formulation of [[zValue]] over the same low-21-bit interleave —
+    * bits never overlap, so the OR-fold is a plain sum in SQL. Every term
+    * is fully parenthesized: DuckDB's `<<`/`|` precedence differs from
+    * arithmetic intuition and an unparenthesized form folds wrong.
+    */
+  private[graft] def zValueSql(x: String, y: String): String =
+    s"CAST(list_sum(list_transform(range(0, $BitsPerKey), " +
+      s"b -> ((($x >> b) & 1) << (2*b)) + ((($y >> b) & 1) << ((2*b)+1)))) AS BIGINT)"
+}
