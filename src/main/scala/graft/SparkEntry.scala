@@ -125,6 +125,10 @@ object SparkEntry {
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
     // Z-order (Morton) interleave for multi-dimensional data skipping
     "layout_zorder" -> (Layout.zorderQuery _),
+    // explicit runtime filter: broadcast bloom prune + exact semi-join
+    "q_bloom_semi_join" -> (Relational.bloomSemiJoin _),
+    // bloom no-false-negative / FPR gate (sketch_*_check pattern)
+    "bloom_fpr_check" -> (Relational.bloomFprCheck _),
     // stub decode/resize dataflow, but every output column is derivable
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
@@ -920,6 +924,22 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS zval
         |FROM lineitem""".stripMargin,
+    // the bloom stage is pruning-only: output is the exact semi-join
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem SEMI JOIN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) o
+        | ON l_orderkey = o.o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+    "bloom_fpr_check" ->
+      """SELECT
+        | CAST(sum(CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN o_totalprice <= 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_members,
+        | TRUE AS no_false_negatives,
+        | TRUE AS fpr_bounded
+        |FROM orders""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id, 'text/fake' AS media_type,
         | CAST(length(text) AS BIGINT) AS byte_len,

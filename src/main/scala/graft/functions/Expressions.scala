@@ -732,6 +732,16 @@ object GraftFunctions {
       require(exprs.length == 3, "graft_lsh_buckets(embedding, numTables, bitsPerTable)")
       LshBuckets(exprs.head, num(exprs(1)).intValue(), num(exprs(2)).intValue())
     },
+    "graft_bloom_build" -> { exprs =>
+      require(exprs.nonEmpty && exprs.length <= 3, "graft_bloom_build(key[, numBits, numHashes])")
+      val bits = if (exprs.length > 1) num(exprs(1)).intValue() else 1 << 16
+      val k = if (exprs.length > 2) num(exprs(2)).intValue() else 6
+      BloomBuild(exprs.head, bits, k).toAggregateExpression()
+    },
+    "graft_bloom_contains" -> { exprs =>
+      require(exprs.length == 2, "graft_bloom_contains(filter, key)")
+      BloomContains(exprs.head, exprs(1))
+    },
     "graft_hll_distinct" -> { exprs =>
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       HllDistinct(exprs.head, lgK).toAggregateExpression()

@@ -318,6 +318,70 @@ object Relational {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** Bloom-pruned semi-join — the explicit runtime-filter pattern. The
+    * selective dimension (high-value orders) folds into ONE broadcast
+    * Bloom filter (`graft_bloom_build`, a few KiB); the fact side is
+    * probed MAP-SIDE (`graft_bloom_contains`) so non-matching lineitems
+    * never enter the join exchange, then the real semi-join removes the
+    * filter's false positives. Output is therefore EXACTLY the plain
+    * semi-join — the oracle is ordinary SQL, no accuracy bound needed;
+    * the bloom stage only changes how much data the shuffle carries
+    * (at 100 TB: fact rows that survive ≈ selectivity + FPR, here ~10%
+    * of the table instead of all of it). Sizing rule: ~18 bits/member
+    * (2^18 bits for the ~15k members at sf0.1) keeps the analytic FPR
+    * (1-e^(-kn/m))^k under 1e-3; an UNDER-sized filter saturates to
+    * fpr≈1 and silently degrades to a no-op prune, which is why
+    * [[bloomFprCheck]] gates the bound per corpus.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keys = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    val bloom = keys.agg(expr("graft_bloom_build(o_orderkey, 262144, 6)").as("bf"))
+    val pruned = t(spark, dir, "lineitem")
+      .join(broadcast(bloom)) // 1-row broadcast: the filter reaches every task
+      .filter(expr("graft_bloom_contains(bf, l_orderkey)"))
+      .drop("bf")
+    pruned
+      .join(keys, pruned("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+  }
+
+  /** Driver-checkable gate for the Bloom filter itself (the
+    * `sketch_*_check` pattern): every member key must probe true (Bloom
+    * filters have NO false negatives — this is structural, so the boolean
+    * is exact), and the observed false-positive COUNT over the non-member
+    * order keys must sit under 4× the analytic expectation
+    * n_nm·(1-e^(-kn/m))^k plus a +3 Poisson slack, so the bound stays
+    * meaningful at every SF instead of hardcoding one corpus size.
+    * Deterministic because the hash is seedless.
+    */
+  def bloomFprCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "orders").createOrReplaceTempView("graft_bloom_orders")
+    spark.sql(
+      """WITH members AS (
+        | SELECT o_orderkey FROM graft_bloom_orders WHERE o_totalprice > 450000.0),
+        |bf AS (SELECT graft_bloom_build(o_orderkey, 262144, 6) AS bf FROM members),
+        |probes AS (
+        | SELECT o.o_orderkey,
+        |  o.o_totalprice > 450000.0 AS is_member,
+        |  graft_bloom_contains(bf.bf, o.o_orderkey) AS hit
+        | FROM graft_bloom_orders o CROSS JOIN bf)
+        |SELECT
+        | CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_non_members,
+        | every(CASE WHEN is_member THEN hit ELSE TRUE END) AS no_false_negatives,
+        | sum(CASE WHEN NOT is_member AND hit THEN 1.0 ELSE 0.0 END) <=
+        |  4.0 * sum(CASE WHEN NOT is_member THEN 1.0 ELSE 0.0 END) *
+        |   pow(1.0 - exp(-6.0 * sum(CASE WHEN is_member THEN 1 ELSE 0 END) / 262144.0), 6.0)
+        |   + 3.0 AS fpr_bounded
+        |FROM probes""".stripMargin)
+  }
+
   /** LEFT ANTI join: customers with no OPEN order (NOT EXISTS). The status
     * filter keeps the result non-empty at every SF, so the oracle check is
     * not vacuous.

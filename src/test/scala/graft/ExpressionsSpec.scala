@@ -197,7 +197,7 @@ class ExpressionsSpec extends AnyFunSuite {
     // both paths share GraftFunctions.builders — every engine function must
     // be present and resolvable after registration
     val expected = Set("graft_poly_hash", "graft_dot", "graft_minhash", "graft_minhash_mix",
-      "graft_sig_agree", "graft_simhash",
+      "graft_sig_agree", "graft_simhash", "graft_bloom_build", "graft_bloom_contains",
       "graft_poly_hash_array", "graft_hash60_array", "graft_lsh_buckets",
       "graft_hll_distinct", "graft_kll_quantiles", "graft_freq_items", "graft_freq_check",
       "graft_theta_sketch", "graft_theta_union_est", "graft_theta_intersect_est",
