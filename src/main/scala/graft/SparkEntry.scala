@@ -97,6 +97,7 @@ object SparkEntry {
     "events_json_extract" -> (Relational.jsonExtractAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_scalar_subquery" -> (Relational.scalarSubquery _),
@@ -139,6 +140,8 @@ object SparkEntry {
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
+    // PQ gate: 8-byte codes + ADC + shortlist re-rank recovers >=5/10
+    "ann_pq_check" -> ((s, d) => Similarity.pqRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
@@ -989,6 +992,9 @@ object SparkEntry {
         | WHERE rank <= 10)
         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits FROM topk GROUP BY q_id""".stripMargin,
     "ann_ivf_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_pq_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // recomputes the exact near-dup pairs of the planted-copy corpus and

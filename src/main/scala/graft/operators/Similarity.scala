@@ -223,4 +223,174 @@ object Similarity {
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
   }
+
+  /** PQ layout: 64 dims → [[PqSubspaces]] blocks of [[PqSubDims]] dims,
+    * [[PqCentroids]] centroids per block → an 8-BYTE code per vector
+    * (vs 256 raw bytes). The memory ratio is the whole point at 100 TB:
+    * the ADC scan below touches only (vec_id, codes) — the raw embedding
+    * column stays on disk until the shortlist re-rank.
+    */
+  val PqSubspaces = 8
+  val PqSubDims = 8 // 64 / PqSubspaces
+  val PqCentroids = 16
+  /** ADC shortlist size before exact re-rank (quantization noise budget). */
+  val PqShortlist = 100
+
+  /** Trains the per-subspace codebooks: deterministic seeds (every
+    * (n/K)-th vector's subvector, the [[ivfTopK]] recipe) refined by
+    * `refineIters` Lloyd steps with EXACT integer-micros means, so the
+    * codebook — and therefore every PQ result — is bit-reproducible
+    * across partitionings. Returns codebook(s)(c) = subvector of dim
+    * [[PqSubDims]]. Vectors are L2-normalized first: squared-L2 ranking
+    * on unit vectors equals cosine ranking (d² = 2 − 2·cos), which keeps
+    * PQ's natural metric aligned with the rest of the ANN family.
+    *
+    * Each Lloyd step is ONE distributed aggregate over (s, cell, dim) —
+    * only Subspaces×Centroids×SubDims sums reach the driver.
+    */
+  private def trainCodebooks(normed: DataFrame, refineIters: Int): Array[Array[Array[Double]]] = {
+    val spark = normed.sparkSession
+    val n = normed.count()
+    val stride = math.max(1L, n / PqCentroids)
+    var books: Array[Array[Array[Double]]] = {
+      val seeds = normed.filter(col("vec_id") % stride === 0)
+        .orderBy("vec_id").limit(PqCentroids)
+        .select("nemb").collect()
+        .map(_.getSeq[Double](0).toArray)
+      Array.tabulate(PqSubspaces) { s =>
+        seeds.map(v => v.slice(s * PqSubDims, (s + 1) * PqSubDims))
+      }
+    }
+    for (_ <- 0 until refineIters) {
+      val assigned = normed.withColumn("codes", codesFor(books))
+      val sums = assigned
+        .select(posexplode(col("nemb")).as(Seq("dim", "x")), col("codes"))
+        .withColumn("s", (col("dim") / PqSubDims).cast("int"))
+        .withColumn("cell", element_at(col("codes"), col("s") + 1))
+        .groupBy("s", "cell", "dim")
+        .agg(sum(round(col("x") * 1000000).cast("bigint")).as("sum_micros"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(PqSubspaces) { s =>
+        Array.tabulate(PqCentroids) { c =>
+          byCell.get((s, c)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(r => r.getLong(3).toDouble / r.getLong(4) / 1e6)
+            case None => books(s)(c) // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** `array<int>` of [[PqSubspaces]] code ids for the normalized embedding
+    * column `nemb` — argmin squared-L2 per subspace, expressed as
+    * `2·sub_norm² + |c|² − 2·sub·c` struct-min over literal centroid
+    * arrays; ties break to the lower code id (struct comparison), fixed
+    * across engines.
+    */
+  private def codesFor(books: Array[Array[Array[Double]]]): Column = {
+    val perSub = (0 until PqSubspaces).map { s =>
+      val sub = s"slice(nemb, ${s * PqSubDims + 1}, $PqSubDims)"
+      val scored = (0 until PqCentroids).map { c =>
+        val cv = books(s)(c)
+        val litArr = cv.mkString("array(", "D, ", "D)")
+        val cNorm2 = cv.map(x => x * x).sum
+        struct(
+          (expr(s"graft_dot($sub, $sub)") + lit(cNorm2) -
+            lit(2.0) * expr(s"graft_dot($sub, $litArr)")).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    array(perSub: _*)
+  }
+
+  /** PQ-ADC ANN: encode the corpus to 8-byte codes, score candidates by
+    * Asymmetric Distance (per-query lookup table over the codebooks,
+    * summed via codegen'd `element_at` — no HOF in the hot path), keep a
+    * [[PqShortlist]]-deep shortlist per query, then exact-cosine re-rank
+    * only the shortlist. Queries are collected (bounded by `nQueries`)
+    * and broadcast with their flattened 128-entry tables.
+    *
+    * 100 TB plan shape: codebook training is `refineIters` small
+    * aggregates; encoding is map-only; the ADC scan shuffles only
+    * (q_id, vec_id, approx) for shortlist selection; raw vectors are
+    * joined back for the shortlist re-rank alone.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      refineIters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = e.withColumn("nemb",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")).cache()
+    normed.count()
+    val books = trainCodebooks(normed, refineIters)
+
+    val coded = normed.withColumn("codes", codesFor(books))
+      .select("vec_id", "codes").cache()
+    coded.count()
+
+    // Per-query ADC tables: table(q)(s*16+c) = ||q_s - books(s)(c)||²,
+    // flattened so the scan-side sum is 8 codegen element_at lookups.
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "nemb").collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val tab = Array.tabulate(PqSubspaces * PqCentroids) { i =>
+          val s = i / PqCentroids; val c = i % PqCentroids
+          val cv = books(s)(c)
+          var d = 0.0
+          var j = 0
+          while (j < PqSubDims) {
+            val diff = q(s * PqSubDims + j) - cv(j); d += diff * diff; j += 1
+          }
+          d
+        }
+        (r.getLong(0), tab.toSeq)
+      }
+    import spark.implicits._
+    val qdf = broadcast(queries.toSeq.toDF("q_id", "qtab"))
+
+    val approxCol = (0 until PqSubspaces).map { s =>
+      element_at(col("qtab"), element_at(col("codes"), s + 1) + lit(s * PqCentroids) + 1)
+    }.reduce(_ + _)
+
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx"), col("vec_id"))
+    val shortlist = coded.join(qdf, col("vec_id") =!= col("q_id"))
+      .withColumn("approx", approxCol)
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= PqShortlist)
+      .select("q_id", "vec_id")
+
+    // exact re-rank of the shortlist only
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+    val out = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    Dedup.materializeAndRelease(Seq(e, normed, coded), out)
+  }
+
+  /** Driver-checkable PQ recall floor — the [[ivfRecallFloor]] pattern:
+    * per query, at least `minHits` of the true top-k must survive the
+    * 8-byte quantization + shortlist + re-rank pipeline. Deterministic
+    * end to end (seeded codebooks, exact integer means), oracle asserts
+    * TRUE per query.
+    */
+  def pqRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      minHits: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = pqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+  }
 }

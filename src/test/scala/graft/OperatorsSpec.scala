@@ -63,6 +63,31 @@ class AnnSpec extends AnyFunSuite {
     val ranks = rows.groupBy(_.getLong(0)).values.map(_.map(_.getInt(2)).sorted.toSeq)
     assert(ranks.forall(_ == (1 to 10)))
   }
+
+  test("pqTopK recall floor >= 5/10 per query, deterministic across runs") {
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = Similarity.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val run2 = Similarity.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(run1.sorted.toSeq == run2.sorted.toSeq,
+      "PQ must be bit-reproducible (seeded codebooks, exact integer means)")
+    val perQuery = run1.map(t => (t._1, t._2)).groupBy(_._1)
+    perQuery.foreach { case (q, rows) =>
+      val hits = rows.count(exact.contains)
+      info(s"PQ recall q=$q: $hits/10")
+      assert(hits >= 5, s"PQ recall for query $q below floor: $hits/10")
+    }
+    // every query answered with exactly k ranked rows
+    assert(run1.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 10)))
+  }
+
+  test("pqRecallFloor gate rows are all true on the fixture") {
+    val rows = Similarity.pqRecallFloor(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(1)), "recall floor violated")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
