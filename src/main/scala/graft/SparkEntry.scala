@@ -130,6 +130,12 @@ object SparkEntry {
     "q_bloom_semi_join" -> (Relational.bloomSemiJoin _),
     // bloom no-false-negative / FPR gate (sketch_*_check pattern)
     "bloom_fpr_check" -> (Relational.bloomFprCheck _),
+    // exact per-column profiling in one scan + one aggregate
+    "stats_profile" -> (Relational.statsProfile _),
+    // equi-width histogram, pure integer bucket arithmetic
+    "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
+    // fixed-count per-language sample in portable-hash order
+    "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     // stub decode/resize dataflow, but every output column is derivable
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
@@ -936,6 +942,46 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) o
         | ON l_orderkey = o.o_orderkey
         |GROUP BY l_returnflag""".stripMargin,
+    "stats_profile" ->
+      """WITH c AS (
+        | SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS disc_cents
+        | FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT qty) AS BIGINT) AS n_distinct,
+        | min(qty) AS min_val, max(qty) AS max_val FROM c
+        |UNION ALL
+        |SELECT 'l_extendedprice_cents', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT price_cents) AS BIGINT),
+        | min(price_cents), max(price_cents) FROM c
+        |UNION ALL
+        |SELECT 'l_discount_cents', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN disc_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT disc_cents) AS BIGINT),
+        | min(disc_cents), max(disc_cents) FROM c""".stripMargin,
+    "stats_histogram" ->
+      """WITH c AS (
+        | SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+        |SELECT CAST((cents - mn) * 32 // (mx - mn + 1) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
+        | FROM documents)
+        |SELECT doc_id, lang, rank_hash,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT)
+        |  AS stratum_rank
+        |FROM h
+        |QUALIFY stratum_rank <= 20""".stripMargin,
     "bloom_fpr_check" ->
       """SELECT
         | CAST(sum(CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,

@@ -318,6 +318,61 @@ object Relational {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** Data-profiling: exact per-column statistics in ONE scan + ONE
+    * aggregate (all columns' stats as parallel aggregate expressions on a
+    * single row, then unpivoted client-side via stack) — the
+    * data-quality gate a pipeline runs before training. Money columns are
+    * profiled in integer cents so the oracle matches bit-for-bit.
+    *
+    * Scale: count/null-count/min/max are partial-aggregated map-side;
+    * the three exact distinct counts rewrite to Expand (one extra pass of
+    * (column, value) pairs through the exchange, same shape as
+    * [[countDistinctAgg]]); nothing collects. At 100 TB swap exact
+    * distincts for `graft_hll_distinct` (documented, one-line change).
+    */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_quantity").cast("bigint").as("qty"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("price_cents"),
+        round(col("l_discount") * 100).cast("bigint").as("disc_cents"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("qty").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        countDistinct(col("qty")).as("qty_distinct"),
+        min("qty").as("qty_min"), max("qty").as("qty_max"),
+        sum(when(col("price_cents").isNull, 1L).otherwise(0L)).as("price_nulls"),
+        countDistinct(col("price_cents")).as("price_distinct"),
+        min("price_cents").as("price_min"), max("price_cents").as("price_max"),
+        sum(when(col("disc_cents").isNull, 1L).otherwise(0L)).as("disc_nulls"),
+        countDistinct(col("disc_cents")).as("disc_distinct"),
+        min("disc_cents").as("disc_min"), max("disc_cents").as("disc_max"))
+      .selectExpr(
+        """stack(3,
+          | 'l_quantity', n_rows, qty_nulls, qty_distinct, qty_min, qty_max,
+          | 'l_extendedprice_cents', n_rows, price_nulls, price_distinct, price_min, price_max,
+          | 'l_discount_cents', n_rows, disc_nulls, disc_distinct, disc_min, disc_max)
+          | AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+
+  /** Equi-width histogram of l_extendedprice (in cents): bucket bounds
+    * from the exact min/max, bucket assignment pure integer arithmetic so
+    * Spark and DuckDB agree on every edge case. Two scans (bounds +
+    * counts) — on a real table the bounds come free from file statistics;
+    * the count pass is map-side partial-aggregated on ≤ `buckets` keys.
+    */
+  def statsHistogram(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val cents = t(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"))
+    cents.join(broadcast(bounds))
+      // integer `div`, not `/`: double division rounds and a truncating
+      // cast of a rounded quotient is not floor division at the edges
+      .withColumn("bucket", expr(s"(cents - mn) * $buckets div (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+  }
+
   /** Bloom-pruned semi-join — the explicit runtime-filter pattern. The
     * selective dimension (high-value orders) folds into ONE broadcast
     * Bloom filter (`graft_bloom_build`, a few KiB); the fact side is

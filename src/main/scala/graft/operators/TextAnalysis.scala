@@ -93,6 +93,32 @@ object TextAnalysis {
       .withColumn("in_stratified_20pct", col("bucket") % 5 === 0)
   }
 
+  /** Fixed-COUNT stratified sample: exactly `perStratum` documents per
+    * language (fewer only if the stratum is smaller), selected by ranking
+    * each stratum in portable-hash order — the eval-set construction
+    * primitive. Hash order is pseudorandom but engine-independent, so the
+    * sample is the SAME set everywhere, forever ([[sampleSplit]] gives
+    * deterministic RATES; this gives deterministic COUNTS, which rate
+    * sampling cannot: a 2%-rate sample of a stratum is ±√n, not 20).
+    *
+    * Scale: one exchange (hash partition by lang) + per-stratum sort.
+    * Few-language corpora make the per-lang sort wide — the same
+    * trade-off as [[domainMix]] and the documented swap is the grouped
+    * top-k aggregate (`graft_topk` forwards ≤ perStratum rows per lang
+    * from each map task, nothing global ever sorts).
+    */
+  def sampleStratified(spark: SparkSession, dir: String, perStratum: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("rank_hash"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .withColumn("stratum_rank", row_number().over(w).cast("bigint"))
+      .filter(col("stratum_rank") <= perStratum)
+  }
+
   /** PII / content filtering: pattern counts (emails, URLs, numeric and
     * capitalized tokens) plus denylist redaction — the
     * scrub-before-training step of a data pipeline. Pure regex projections,

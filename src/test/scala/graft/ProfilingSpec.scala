@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("statsProfile: one row per column, exact counts against direct queries") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Relational.statsProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice_cents", "l_discount_cents"))
+    val n = li.count()
+    val qty = li.select(col("l_quantity").cast("bigint").as("q"))
+    val (qd, qmin, qmax) = {
+      val r = qty.agg(countDistinct("q"), min("q"), max("q")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(rows("l_quantity") == ((n, 0L, qd, qmin, qmax)))
+    // profile runs in a single aggregate: all three columns share n_rows
+    assert(rows.values.forall(_._1 == n))
+  }
+
+  test("statsHistogram: buckets partition the rows, edges exact") {
+    val h = graft.operators.Relational.statsHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(h.map(_._2).sum == total, "bucket counts must partition the table")
+    assert(h.forall(t => t._1 >= 0 && t._1 < 32))
+    // min of the first bucket == global min; max of last == global max
+    val sorted = h.sortBy(_._1)
+    val b = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("bigint").as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(sorted.head._3 == b.getLong(0) && sorted.last._4 == b.getLong(1))
+    // within every bucket, lo <= hi and buckets don't overlap
+    assert(sorted.forall(t => t._3 <= t._4))
+    assert(sorted.sliding(2).forall {
+      case Array(a, c) => a._4 < c._3
+      case _ => true
+    })
+  }
+
+  test("sampleStratified: exact per-language counts, deterministic, hash-ordered") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val run1 = graft.operators.TextAnalysis.sampleStratified(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val run2 = graft.operators.TextAnalysis.sampleStratified(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(run1.sorted.toSeq == run2.sorted.toSeq, "sample must be deterministic")
+    val perLang = run1.groupBy(_._2)
+    langSizes.foreach { case (lang, size) =>
+      assert(perLang(lang).length == math.min(20L, size),
+        s"stratum $lang: expected min(20, $size) rows")
+    }
+    // ranks are 1..k and ordered by (rank_hash, doc_id) within each stratum
+    perLang.values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length))
+      val keys = byRank.map(t => (t._3, t._1)).toSeq
+      assert(keys == keys.sorted, "stratum_rank must follow (rank_hash, doc_id) order")
+    }
+  }
+}
