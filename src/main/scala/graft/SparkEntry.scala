@@ -136,6 +136,8 @@ object SparkEntry {
     "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
     // fixed-count per-language sample in portable-hash order
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
+    // round-5 chain: quality filter -> stratified sample -> chunk -> rollup
+    "pipeline_chunks" -> ((s, d) => TextAnalysis.pipelineChunks(s, d)),
     // stub decode/resize dataflow, but every output column is derivable
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
@@ -971,6 +973,28 @@ object SparkEntry {
         | min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM c CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+    "pipeline_chunks" ->
+      """WITH filtered AS (
+        | SELECT doc_id, lang, text,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
+        | FROM documents
+        | WHERE CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) * 2 >= len(text)),
+        |sampled AS (
+        | SELECT doc_id, lang, text
+        | FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS rk
+        |       FROM filtered)
+        | WHERE rk <= 20),
+        |chunks AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(substr(text, CAST(i AS INT), 200)) AS BIGINT) AS chunk_len
+        | FROM (SELECT doc_id, lang, text,
+        |        unnest(range(1, greatest(len(text), 1) + 1, 150)) AS i
+        |       FROM sampled))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(chunk_len) AS BIGINT) AS total_chunk_chars,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM chunks GROUP BY lang""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (
         | SELECT doc_id, lang,

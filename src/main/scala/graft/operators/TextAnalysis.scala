@@ -490,6 +490,41 @@ object TextAnalysis {
         |FROM heavy h LEFT JOIN items i ON i.item = h.token""".stripMargin)
   }
 
+  /** Round-5 operators composed end to end — the retrieval-index
+    * construction side of a pipeline: quality-filter documents (alpha
+    * ratio ≥ 0.5, the [[pipelineSummary]] gate), take the fixed-count
+    * stratified sample per language ([[sampleStratified]]), chunk the
+    * survivors into overlapping windows ([[chunk]] semantics inlined on
+    * the filtered frame), and roll up per language: chunks, summed chunk
+    * characters, docs represented. One oracle checks the whole chain —
+    * the composition is where per-operator bugs hide.
+    *
+    * Plan shape: filter and chunking are map-side; the sample is one
+    * per-lang window; the rollup is one partial-aggregated exchange.
+    */
+  def pipelineChunks(spark: SparkSession, dir: String, perStratum: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("rank_hash"), col("doc_id"))
+    val sampled = docs(spark, dir)
+      .filter(expr("CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT) * 2 >= length(text)"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= perStratum)
+    sampled
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("start"),
+        col("text"))
+      .withColumn("chunk_len", length(expr("substring(text, start, 200)")).cast("bigint"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("total_chunk_chars"),
+        countDistinct("doc_id").as("n_docs"))
+  }
+
   /** RAG-style document chunking: fixed-size character windows with
     * overlap. Chunk k of a document covers characters
     * `[1 + k·stride, 1 + k·stride + size)` (1-based, like SQL `substr`);
