@@ -393,11 +393,18 @@ object Relational {
     val keys = t(spark, dir, "orders")
       .filter(col("o_totalprice") > 450000.0)
       .select(col("o_orderkey"))
-    val bloom = keys.agg(expr("graft_bloom_build(o_orderkey, 262144, 6)").as("bf"))
+    // Two-phase runtime filter, the shape Spark's own AQE bloom injection
+    // uses (a scalar subquery evaluated before the main query): the build
+    // is a separate small job whose few-KiB result embeds as a LITERAL in
+    // the probe filter, which therefore sits directly on the fact scan.
+    // A first draft expressed the build as a 1-row broadcast join +
+    // filter — Catalyst freely reorders inner joins and hoisted the probe
+    // ABOVE the semi-join, where it pruned nothing (caught by PlanSpec).
+    val bloomBytes = keys.agg(expr("graft_bloom_build(o_orderkey, 262144, 6)"))
+      .head().getAs[Array[Byte]](0)
+    val bloomLit = "X'" + bloomBytes.map("%02X".format(_)).mkString + "'"
     val pruned = t(spark, dir, "lineitem")
-      .join(broadcast(bloom)) // 1-row broadcast: the filter reaches every task
-      .filter(expr("graft_bloom_contains(bf, l_orderkey)"))
-      .drop("bf")
+      .filter(expr(s"graft_bloom_contains($bloomLit, l_orderkey)"))
     pruned
       .join(keys, pruned("l_orderkey") === keys("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")

@@ -161,6 +161,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window "), s"native session_window must not fall back to window functions:\n$plan")
   }
 
+  test("text_chunk is a map-only generator: zero exchanges, text+id scan only") {
+    val plan = executedPlan("text_chunk")
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    val read = formatted("text_chunk").linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("source"), s"pruning lost: $read")
+  }
+
+  test("layout_zorder query is map-only; cluster is exactly one range exchange") {
+    val plan = executedPlan("layout_zorder")
+    assert(!plan.contains("Exchange"), s"z-value projection must not shuffle:\n$plan")
+    val clustered = graft.operators.Layout.cluster(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey", 8)
+    val cplan = clustered.queryExecution.executedPlan.toString
+    assert(cplan.contains("rangepartitioning"), cplan)
+    val exchanges = "Exchange ".r.findAllIn(cplan).size
+    assert(exchanges == 1, s"expected only the range exchange, got $exchanges:\n$cplan")
+  }
+
+  test("bloom semi-join: probe is a scan-side filter BELOW the join, no nested loop") {
+    val plan = executedPlan("q_bloom_semi_join")
+    assert(!plan.contains("SortMergeJoin"), s"semi-join degraded to sort-merge:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"probe became a join again (Catalyst would hoist it above the semi-join):\n$plan")
+    // the probe must be a Filter in the fact scan's stage, physically
+    // below the semi-join operator — i.e. it prunes before the join
+    val lines = plan.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val probeIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("bloomcontains"))
+    assert(joinIdx >= 0, s"no semi-join in plan:\n$plan")
+    assert(probeIdx > joinIdx, s"bloom probe not below the semi-join:\n$plan")
+  }
+
+  test("stratified sample: one exchange (the per-stratum window), scan pruned to text+keys") {
+    val df = SparkEntry.queries("sample_stratified")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
     // the DESIGN.md claim behind q5: bucketing both facts on the join key
     // removes the one remaining shuffle. Prove it with Spark's bucketed
