@@ -136,6 +136,8 @@ object SparkEntry {
     "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
     // fixed-count per-language sample in portable-hash order
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
+    // the same sample via the bounded-heap aggregate (the 100 TB form)
+    "sample_stratified_topk" -> ((s, d) => TextAnalysis.sampleStratifiedTopK(s, d)),
     // round-5 chain: quality filter -> stratified sample -> chunk -> rollup
     "pipeline_chunks" -> ((s, d) => TextAnalysis.pipelineChunks(s, d)),
     // stub decode/resize dataflow, but every output column is derivable
@@ -996,6 +998,17 @@ object SparkEntry {
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM chunks GROUP BY lang""".stripMargin,
     "sample_stratified" ->
+      """WITH h AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
+        | FROM documents)
+        |SELECT doc_id, lang, rank_hash,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT)
+        |  AS stratum_rank
+        |FROM h
+        |QUALIFY stratum_rank <= 20""".stripMargin,
+    "sample_stratified_topk" ->
       """WITH h AS (
         | SELECT doc_id, lang,
         |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),

@@ -119,6 +119,32 @@ object TextAnalysis {
       .filter(col("stratum_rank") <= perStratum)
   }
 
+  /** The documented 100 TB swap for [[sampleStratified]], implemented: the
+    * same fixed-count per-language sample through the bounded-heap
+    * `graft_topk` aggregate instead of a per-stratum window. Each map task
+    * forwards AT MOST `perStratum` rows per language to the exchange —
+    * nothing is ever globally sorted — so a 4-language 100 TB corpus costs
+    * 4×perStratum shuffled rows instead of a 4-partition full sort.
+    * Bottom-k by (rank_hash, doc_id) maps onto the aggregate's
+    * (score desc, id asc) contract by negating the hash; hash values are
+    * < 2^30, exact in double. Bit-equal to the window form (spec + shared
+    * oracle).
+    */
+  def sampleStratifiedTopK(spark: SparkSession, dir: String, perStratum: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .groupBy("lang")
+      .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $perStratum)").as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("t.id").as("doc_id"),
+        col("lang"),
+        (-col("t.score")).cast("long").as("rank_hash"),
+        (col("pos") + 1).cast("long").as("stratum_rank"))
+  }
+
   /** PII / content filtering: pattern counts (emails, URLs, numeric and
     * capitalized tokens) plus denylist redaction — the
     * scrub-before-training step of a data pipeline. Pure regex projections,

@@ -66,4 +66,16 @@ class ProfilingSpec extends AnyFunSuite {
       assert(keys == keys.sorted, "stratum_rank must follow (rank_hash, doc_id) order")
     }
   }
+
+  test("graft_topk stratified sample is bit-equal to the window form") {
+    val win = graft.operators.TextAnalysis.sampleStratified(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val agg = graft.operators.TextAnalysis.sampleStratifiedTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(agg == win, "the bounded-heap swap must reproduce the window sample exactly")
+    // and its plan must have no Sort below the aggregate (the whole point)
+    val plan = graft.operators.TextAnalysis.sampleStratifiedTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"swap still uses a window:\n$plan")
+  }
 }
