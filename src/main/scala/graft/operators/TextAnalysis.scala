@@ -565,7 +565,14 @@ object TextAnalysis {
     * embedding / indexing parallelizes on the exploded rows directly.
     */
   def chunk(spark: SparkSession, dir: String, size: Int = 200, stride: Int = 150): DataFrame =
-    docs(spark, dir)
+    chunkOf(docs(spark, dir), size, stride)
+
+  /** The chunking transform itself — stateless and generator-only, so it
+    * applies unchanged to a STREAMING DataFrame (no watermark, no state;
+    * asserted stream==batch in StreamingSpec).
+    */
+  def chunkOf(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         posexplode(expr(s"sequence(1, greatest(length(text), 1), $stride)")))
       .select(

@@ -384,6 +384,23 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
 
+  test("chunking applies unchanged to a stream: file-stream output equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batch = graft.operators.TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val docsStream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = graft.operators.TextAnalysis.chunkOf(docsStream)
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming hourly agg equals batch result") {
     import org.apache.spark.sql.streaming.Trigger
     val q = EventStream.hourlyAggStream(spark, dir)
