@@ -74,6 +74,61 @@ class LayoutSpec extends AnyFunSuite {
       "at least one partition must span a strict y sub-range")
   }
 
+  test("written z-ordered files skip on disk: footer stats prune point lookups") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val li = spark.read.parquet(s"${SparkSpec.testDataDir}/lineitem.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def fileRanges(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.toSeq.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.toString), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val stats = blocks.asScala.flatMap(_.getColumns.asScala)
+            .filter(c => Seq("l_partkey", "l_suppkey").contains(c.getPath.toDotString))
+            .map(c => c.getPath.toDotString ->
+              (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax))
+          def rng(n: String) = {
+            val vs = stats.filter(_._1 == n).map(_._2)
+            (vs.map(_._1.asInstanceOf[Number].longValue).min,
+              vs.map(_._2.asInstanceOf[Number].longValue).max)
+          }
+          val (x0, x1) = rng("l_partkey"); val (y0, y1) = rng("l_suppkey")
+          (x0, x1, y0, y1)
+        } finally reader.close()
+      }
+    }
+
+    val zDir = java.nio.file.Files.createTempDirectory("zorder-out").toString
+    Layout.cluster(li, "l_partkey", "l_suppkey", 8)
+      .write.mode("overwrite").parquet(zDir)
+    val plainDir = java.nio.file.Files.createTempDirectory("plain-out").toString
+    li.repartition(8).write.mode("overwrite").parquet(plainDir)
+
+    val zRanges = fileRanges(zDir)
+    val plainRanges = fileRanges(plainDir)
+    assert(zRanges.size > 1 && plainRanges.size > 1)
+
+    // a point predicate (x=a AND y=b) must touch only files whose footer
+    // rectangle contains the point — count survivors over a probe grid
+    val probes = li.selectExpr("CAST(l_partkey AS LONG)", "CAST(l_suppkey AS LONG)")
+      .distinct().limit(64).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def touched(ranges: Seq[(Long, Long, Long, Long)], x: Long, y: Long) =
+      ranges.count(r => x >= r._1 && x <= r._2 && y >= r._3 && y <= r._4)
+    val zTouched = probes.map { case (x, y) => touched(zRanges, x, y) }.sum.toDouble / probes.length
+    val pTouched = probes.map { case (x, y) => touched(plainRanges, x, y) }.sum.toDouble / probes.length
+    info(f"avg files touched per point lookup: zorder $zTouched%.2f vs plain $pTouched%.2f of ${zRanges.size}")
+    // hash-repartitioned files span the full key space: every probe hits
+    // every file; z-ordered files must prune to a strict subset on average
+    assert(pTouched >= plainRanges.size * 0.99, "plain layout unexpectedly prunes")
+    assert(zTouched < pTouched * 0.7,
+      f"z-order layout does not skip on disk: $zTouched%.2f vs $pTouched%.2f")
+  }
+
   test("layout_zorder catalog query equals the reference on real rows") {
     val out = graft.operators.Layout.zorderQuery(spark, SparkSpec.testDataDir)
       .selectExpr("CAST(l_partkey AS LONG)", "CAST(l_suppkey AS LONG)", "zval").collect()
