@@ -87,6 +87,10 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    // SemDeDup: CC over the exact embedding near-dup graph
+    "dedup_semantic_clusters" -> ((s, d) => Dedup.semanticClusters(s, d)),
+    // one representative per semantic cluster + unique pass-through
+    "dedup_semantic" -> ((s, d) => Dedup.semanticCanonical(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "multimodal_meta" -> (Multimodal.binaryMeta _),
@@ -765,6 +769,57 @@ object SparkEntry {
         | FROM h, range(60) r(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.4),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
+        |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.4),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |clusters AS (SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |reps AS (
+        | SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS group_size
+        | FROM clusters GROUP BY cluster_id)
+        |SELECT vec_id, group_size FROM reps
+        |UNION ALL
+        |SELECT vec_id, CAST(1 AS BIGINT) FROM embeddings
+        |ANTI JOIN clusters USING (vec_id)""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         | SELECT vec_id, embedding,

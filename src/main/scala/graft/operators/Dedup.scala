@@ -713,6 +713,37 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style SEMANTIC dedup clusters: connected components over the
+    * embedding-cosine near-dup graph, labeled by component-min vec_id —
+    * "these documents say the same thing" groups, the embedding-space
+    * analogue of [[nearDupClustersStar]]. Pairs come from the EXACT grid
+    * contract here so the whole chain is hash-oracle-checkable (DuckDB
+    * recomputes the closure recursively); at 100 TB swap the pair source
+    * for [[embeddingNearDupsLsh]] — the CC stage is agnostic to where the
+    * edges came from and stays ∝ duplicate count.
+    */
+  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val pairs = embeddingNearDups(spark, dir, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponentsAdaptive(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end semantic dedup — keep ONE representative (min vec_id) per
+    * semantic cluster, pass unique vectors through: the [[canonicalDocs]]
+    * shape on the embedding table. Output (vec_id, group_size).
+    */
+  def semanticCanonical(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val clusters = semanticClusters(spark, dir, threshold)
+    val reps = clusters.groupBy("cluster_id")
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("group_size"))
+      .select("vec_id", "group_size")
+    val singletons = embeddings(spark, dir).select(col("vec_id"))
+      .join(clusters.select("vec_id"), Seq("vec_id"), "left_anti")
+      .withColumn("group_size", lit(1L))
+    reps.union(singletons)
+  }
+
   /** Embedding near-dups via sign-projection LSH — the 100 TB path for
     * corpora with GENUINE near-duplicates (cosine ≥ ~0.7, where the per-bit
     * collision probability 1−θ/π ≥ 0.75 makes banding selective).

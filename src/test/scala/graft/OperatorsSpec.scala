@@ -138,6 +138,25 @@ class DedupSpec extends AnyFunSuite {
     assert(star == bsp, s"star: ${star.toSeq.sorted.take(10)}... bsp: ${bsp.toSeq.sorted.take(10)}...")
   }
 
+  test("semantic dedup: clusters labeled by min, canonical partitions the table") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val clusters = Dedup.semanticClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture should contain semantic near-dups")
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min == label, s"cluster $label not labeled by its min member")
+    }
+    val canon = Dedup.semanticCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every vector is accounted for exactly once: sizes sum to the corpus
+    assert(canon.map(_._2).sum == n, "group sizes must partition the table")
+    assert(canon.map(_._1).distinct.length == canon.length, "one row per survivor")
+    // representatives are exactly the cluster labels (every clustered node
+    // has an edge, so every cluster has >= 2 members and one rep row)
+    val reps = canon.filter(_._2 > 1).map(_._1).toSet
+    assert(reps == clusters.map(_._2).toSet)
+  }
+
   test("star CC handles a deep chain in logarithmic rounds") {
     import spark.implicits._
     // a 64-node path: worst case for O(diameter) BSP, easy for star rounds
