@@ -159,6 +159,8 @@ object SparkEntry {
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
+    // scale-path semantic clusters: CC over sign-LSH pairs (no grid)
+    "dedup_semantic_lsh" -> ((s, d) => Dedup.semanticClustersLsh(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -1137,6 +1139,34 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // recomputes the exact near-dup pairs of the planted-copy corpus and
     // asserts the LSH path found each one (recall 1.0, per-pair)
+    "dedup_semantic_lsh" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+        | FROM base WHERE vec_id < 20),
+        |aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM aug),
+        |pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.7),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
+        |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "dedup_embedding_lsh_check" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (

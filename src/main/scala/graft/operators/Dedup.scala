@@ -822,4 +822,26 @@ object Dedup {
     * DuckDB oracle SQL).
     */
   val PlantedIdOffset: Long = 100000L
+
+  /** The 100 TB form of [[semanticClusters]]: connected components over the
+    * SIGN-LSH near-dup pairs instead of the quadratic grid. Run on the
+    * planted-copy corpus at threshold 0.7 (the natural fixture has no
+    * pairs that high — [[embeddingLshRecall]]'s construction), where the
+    * hash-exact oracle is sound because LSH pairs are structurally a
+    * SUBSET of the exact-threshold pairs (exact-cosine verification) and
+    * the recall gate proves the ⊇ direction on this corpus every round —
+    * equal pair sets ⇒ equal closures. The grid never runs here.
+    */
+  def semanticClustersLsh(spark: SparkSession, dir: String, threshold: Double = 0.7,
+      nPlanted: Int = 20): DataFrame = {
+    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
+        concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding) - 1)"))
+          .as("embedding"))
+    val pairs = embeddingNearDupsLsh(base.unionByName(planted), threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponentsAdaptive(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+  }
 }
