@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -31,6 +30,31 @@ object Similarity {
   private def cosine: Column =
     Portable.dotProductNative("q_emb", "embedding") / (col("q_norm") * col("norm"))
 
+  /** Per-query top-k selection via the bounded-heap `graft_topk` aggregate
+    * — the scale path for every ranked output in this family. The previous
+    * form, `row_number().over(Window.partitionBy("q_id"))`, shuffled EVERY
+    * scored candidate row into `nQueries` window partitions; for the PQ-ADC
+    * scan that is the whole coded corpus per query landing in a handful of
+    * window tasks. The aggregate is a proper partial/merge aggregate, so
+    * each map task forwards at most k (id, score) entries per query to the
+    * exchange regardless of corpus size. Output contract is bit-identical
+    * to the window form — ids are unique and the heap's (score desc, id
+    * asc) total order matches `orderBy(desc(score), id)` — pinned by
+    * OperatorsSpec ("ANN aggregate top-k is bit-equal to the window form").
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored
+      .withColumn("topk_score", scoreCol)
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(vec_id, topk_score, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("q_id"),
+        col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k neighbors (cosine) for each query vector (vec_id < nQueries),
     * excluding self. Output (q_id, neighbor_id, rank).
     */
@@ -38,12 +62,9 @@ object Similarity {
     val e = withNorm(embeddings(spark, dir))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    topKPerQuery(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id")).withColumn("cosine", cosine),
+      col("cosine"), k)
   }
 
   /** LSH table count / key width. Sized for HIGH RECALL on corpora whose
@@ -61,27 +82,55 @@ object Similarity {
   // — a naive parity mixer correlates tables and caps recall (~0.6 observed).
 
   val NumCentroids = 16
-  val NumProbes = 6
+  val NumProbes = 8
+
+  /** Deterministic hash-sample for quantizer training (IVF centroids, PQ
+    * codebooks). At 100 TB the Lloyd refinement must NOT scan the full
+    * corpus `refineIters+1` times — codebooks are trained on a small
+    * sample and applied corpus-wide. `xxhash64(vec_id)` selects a stable
+    * ~`fraction` subset, so training — and every downstream code and
+    * result — stays bit-reproducible across runs, partitionings and
+    * cluster sizes (a `rand()` sample would not be). Encoding, assignment
+    * and scans still cover the full corpus.
+    */
+  private def trainSample(df: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(pmod(xxhash64(col("vec_id")), lit(10000)) < lit(math.round(fraction * 10000)))
+
+  /** Default training fraction: 10% of the corpus. On the small test
+    * fixtures this still leaves ≥ 3× more training vectors than centroids;
+    * recall floors are re-verified under sampling by AnnSpec/IvfSpec.
+    */
+  val TrainFraction = 0.1
 
   /** IVF-flat ANN: the corpus is partitioned into `NumCentroids` Voronoi
-    * cells (deterministic seed centroids — every (n/k)-th vector — refined
-    * by `refineIters` Lloyd/k-means steps), queries probe the `NumProbes`
+    * cells (deterministic hash-ordered seed centroids refined by
+    * `refineIters` Lloyd/k-means steps over a [[trainSample]] of
+    * `trainFraction` of the corpus), queries probe the `NumProbes`
     * nearest cells, and only those cells' vectors are exactly re-ranked.
     * The coarse quantizer is evaluated as literal-array dot products
     * (codegen, no shuffle); the only shuffles are the per-iteration mean
     * aggregation and the cell-id equi-join. Each Lloyd step is a
     * distributed (cell, dim) mean — only NumCentroids × dims values ever
-    * reach the driver. At 100 TB: cells ≈ √n, probes tune the recall/cost
-    * frontier, and the refinement would run on a sample.
+    * reach the driver, and only the sample is scanned per iteration; the
+    * full corpus is touched once for the final cell assignment. At
+    * 100 TB: cells ≈ √n and probes tune the recall/cost frontier.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      refineIters: Int = 2): DataFrame = {
+      refineIters: Int = 2, forPlanInspection: Boolean = false,
+      trainFraction: Double = TrainFraction): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
-    val n = e.count()
-    val stride = math.max(1L, n / NumCentroids)
-    var centroids: Array[(Int, Seq[Double])] = e.filter(col("vec_id") % stride === 0)
-      .orderBy("vec_id").limit(NumCentroids)
+    // Training set: deterministic hash-sample; scanning it fills e's cache.
+    val train = trainSample(e, trainFraction).cache()
+    val nTrain = train.count()
+    require(nTrain > 0, s"ivfTopK: training sample is empty (trainFraction=$trainFraction)")
+    // Seeds: the first NumCentroids training vectors in xxhash64 order — a
+    // deterministic pseudo-random spread that is a TakeOrdered (no global
+    // sort) and, unlike the old `vec_id % stride` probe, cannot under-select
+    // when sampled ids are sparse/non-contiguous.
+    var centroids: Array[(Int, Seq[Double])] = train
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(NumCentroids)
       .select("vec_id", "embedding", "norm").collect()
       .zipWithIndex.map { case (r, cid) =>
         val v = r.getSeq[Float](1)
@@ -103,7 +152,7 @@ object Similarity {
     // break cross-configuration reproducibility. Empty cells keep their
     // previous centroid.
     for (_ <- 0 until refineIters) {
-      val assigned = e.withColumn("cell",
+      val assigned = train.withColumn("cell",
         array_max(array(cellScoresFor(centroids): _*)).getField("c"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -131,14 +180,15 @@ object Similarity {
       .withColumn("pc", explode(probeCells.getField("c")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("pc").as("cell"))
 
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    val out = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
-    Dedup.materializeAndRelease(Seq(e), out)
+    val out = topKPerQuery(
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosine),
+      col("cosine"), k)
+    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // assertions ONLY (PlanSpec); executing it would recompute the pipeline
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, train), out)
+    else { e.unpersist(false); train.unpersist(false); out }
   }
 
   /** Per-label embedding centroids as EXACT integer sums: each dimension's
@@ -163,7 +213,8 @@ object Similarity {
     * table.
     */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      tables: Int = NumTables, bits: Int = BitsPerTable): DataFrame = {
+      tables: Int = NumTables, bits: Int = BitsPerTable,
+      forPlanInspection: Boolean = false): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).cache() // reused by buckets, queries, re-rank
     // Buckets carry ONLY (vec_id, t, key): candidate generation and dedup
     // never shuffle the embedding payloads. All 32 keys come from ONE
@@ -183,15 +234,14 @@ object Similarity {
     // broadcast.
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    val out = pairs
-      .join(e, "vec_id")
-      .join(broadcast(q), "q_id")
-      .withColumn("cosine", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
-    Dedup.materializeAndRelease(Seq(e, bucketed), out)
+    val out = topKPerQuery(
+      pairs
+        .join(e, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cosine", cosine),
+      col("cosine"), k)
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, bucketed), out)
+    else { e.unpersist(false); bucketed.unpersist(false); out }
   }
 
   /** Driver-checkable ANN recall: per query, the number of the TRUE top-k
@@ -234,10 +284,10 @@ object Similarity {
   val PqSubDims = 8 // 64 / PqSubspaces
   val PqCentroids = 16
   /** ADC shortlist size before exact re-rank (quantization noise budget). */
-  val PqShortlist = 100
+  val PqShortlist = 200
 
-  /** Trains the per-subspace codebooks: deterministic seeds (every
-    * (n/K)-th vector's subvector, the [[ivfTopK]] recipe) refined by
+  /** Trains the per-subspace codebooks on a deterministic [[trainSample]]
+    * (hash-ordered seeds, the [[ivfTopK]] recipe) refined by
     * `refineIters` Lloyd steps with EXACT integer-micros means, so the
     * codebook — and therefore every PQ result — is bit-reproducible
     * across partitionings. Returns codebook(s)(c) = subvector of dim
@@ -245,24 +295,35 @@ object Similarity {
     * on unit vectors equals cosine ranking (d² = 2 − 2·cos), which keeps
     * PQ's natural metric aligned with the rest of the ANN family.
     *
-    * Each Lloyd step is ONE distributed aggregate over (s, cell, dim) —
-    * only Subspaces×Centroids×SubDims sums reach the driver.
+    * Each Lloyd step is ONE distributed aggregate over (s, cell, dim) of
+    * the TRAINING SAMPLE only — only Subspaces×Centroids×SubDims sums
+    * reach the driver, and the full corpus is scanned exactly once (the
+    * encoding pass), regardless of `refineIters`.
     */
-  private def trainCodebooks(normed: DataFrame, refineIters: Int): Array[Array[Array[Double]]] = {
-    val spark = normed.sparkSession
-    val n = normed.count()
-    val stride = math.max(1L, n / PqCentroids)
+  private def trainCodebooks(normed: DataFrame, refineIters: Int,
+      trainFraction: Double): Array[Array[Array[Double]]] = {
+    val train = trainSample(normed, trainFraction).cache()
+    val nTrain = train.count()
+    require(nTrain > 0, s"pqTopK: training sample is empty (trainFraction=$trainFraction)")
     var books: Array[Array[Array[Double]]] = {
-      val seeds = normed.filter(col("vec_id") % stride === 0)
-        .orderBy("vec_id").limit(PqCentroids)
+      // Seeds in deterministic xxhash64 order (TakeOrdered, no global sort;
+      // robust to sparse/non-contiguous vec_ids — the old stride probe
+      // could under-select). If the corpus has FEWER than PqCentroids
+      // vectors, pad by cycling: a duplicated centroid never wins argmin
+      // (lower code id takes the tie) and Lloyd's empty-cell rule keeps it
+      // inert, so codesFor's fixed-width loops stay safe instead of
+      // throwing ArrayIndexOutOfBounds.
+      val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqCentroids)
         .select("nemb").collect()
         .map(_.getSeq[Double](0).toArray)
+      val padded = if (seeds.length >= PqCentroids) seeds
+        else Array.tabulate(PqCentroids)(i => seeds(i % seeds.length))
       Array.tabulate(PqSubspaces) { s =>
-        seeds.map(v => v.slice(s * PqSubDims, (s + 1) * PqSubDims))
+        padded.map(v => v.slice(s * PqSubDims, (s + 1) * PqSubDims))
       }
     }
     for (_ <- 0 until refineIters) {
-      val assigned = normed.withColumn("codes", codesFor(books))
+      val assigned = train.withColumn("codes", codesFor(books))
       val sums = assigned
         .select(posexplode(col("nemb")).as(Seq("dim", "x")), col("codes"))
         .withColumn("s", (col("dim") / PqSubDims).cast("int"))
@@ -282,6 +343,7 @@ object Similarity {
         }
       }
     }
+    train.unpersist(false)
     books
   }
 
@@ -322,13 +384,14 @@ object Similarity {
     * joined back for the shortlist re-rank alone.
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      refineIters: Int = 2): DataFrame = {
+      refineIters: Int = 3, forPlanInspection: Boolean = false,
+      trainFraction: Double = TrainFraction): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
     val normed = e.withColumn("nemb",
       expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")).cache()
     normed.count()
-    val books = trainCodebooks(normed, refineIters)
+    val books = trainCodebooks(normed, refineIters, trainFraction)
 
     val coded = normed.withColumn("codes", codesFor(books))
       .select("vec_id", "codes").cache()
@@ -359,25 +422,29 @@ object Similarity {
       element_at(col("qtab"), element_at(col("codes"), s + 1) + lit(s * PqCentroids) + 1)
     }.reduce(_ + _)
 
-    val wApprox = Window.partitionBy("q_id").orderBy(col("approx"), col("vec_id"))
+    // Shortlist selection as the bounded-heap aggregate on NEGATED distance
+    // (top-k by -approx == bottom-k by approx; vec_id asc tiebreak matches
+    // the old window's (approx asc, vec_id asc) order). This is the site
+    // where the aggregate matters most: the ADC scan scores the WHOLE coded
+    // corpus × nQueries, and the aggregate forwards only PqShortlist rows
+    // per (map task, query) to the exchange instead of the full scan output.
     val shortlist = coded.join(qdf, col("vec_id") =!= col("q_id"))
       .withColumn("approx", approxCol)
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= PqShortlist)
-      .select("q_id", "vec_id")
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(vec_id, -approx, $PqShortlist)").as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
 
     // exact re-rank of the shortlist only
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
-    val out = shortlist
-      .join(e, "vec_id")
-      .join(broadcast(q), "q_id")
-      .withColumn("cosine", cosine)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
-    Dedup.materializeAndRelease(Seq(e, normed, coded), out)
+    val out = topKPerQuery(
+      shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cosine", cosine),
+      col("cosine"), k)
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, normed, coded), out)
+    else { Seq(e, normed, coded).foreach(_.unpersist(false)); out }
   }
 
   /** Driver-checkable PQ recall floor — the [[ivfRecallFloor]] pattern:

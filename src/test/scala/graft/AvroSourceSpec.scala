@@ -106,8 +106,13 @@ class IvfSpec extends AnyFunSuite {
   test("Lloyd refinement is deterministic and no worse than raw seeds") {
     val exact = Similarity.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Full-corpus training isolates Lloyd's property from sampling noise
+    // (with a 10% sample of the 500-vector fixture, the 50-point training
+    // set's noise dominates and the monotonicity claim is meaningless —
+    // the sampled path's recall is gated separately by ann_ivf_check).
     def recallOf(iters: Int) = {
-      val ivf = Similarity.ivfTopK(spark, dir, refineIters = iters).collect()
+      val ivf = Similarity.ivfTopK(spark, dir, refineIters = iters,
+        trainFraction = 1.0).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (exact & ivf).size.toDouble / exact.size
     }

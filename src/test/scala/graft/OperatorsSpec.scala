@@ -88,6 +88,54 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.forall(_.getBoolean(1)), "recall floor violated")
   }
+
+  test("PQ survives corpora smaller than the centroid count (seed padding)") {
+    // Regression for the r5 ADVICE finding: with < PqCentroids (16) seed
+    // vectors, codesFor's fixed-width centroid loops used to throw
+    // ArrayIndexOutOfBoundsException. Seeds now pad by cycling.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-tiny")
+    try {
+      val rows = (0L until 8L).map { i =>
+        (i, Array.tabulate(64)(d => (((i * 7 + d) % 13) + 1).toFloat), s"l${i % 2}")
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val out = Similarity.pqTopK(spark, tmp.toString, k = 3, nQueries = 2,
+        trainFraction = 1.0).collect()
+      assert(out.length == 6, s"expected 2 queries x 3 ranked rows, got ${out.length}")
+      assert(out.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 3)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("ANN aggregate top-k is bit-equal to the row_number window form") {
+    // Rebuilds the pre-round-6 window form independently of Similarity's
+    // internals and pins the graft_topk selection to it exactly — the
+    // "oracle rows stay hash-identical" contract for the swap.
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Portable.l2NormNative("embedding").as("norm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        graft.functions.Portable.dotProductNative("q_emb", "embedding") /
+          (col("q_norm") * col("norm")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = Similarity.bruteForceTopK(spark, dir, k = 10, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == win, s"aggregate/window disagree: ${(agg -- win).take(5)} / ${(win -- agg).take(5)}")
+  }
 }
 
 class DedupSpec extends AnyFunSuite {

@@ -200,6 +200,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("ANN rank selection is a partial/merge heap aggregate, not a per-query window") {
+    // Round-6 scale fix: every ranked output in the ANN family (including
+    // the PQ-ADC shortlist, whose input is the whole coded corpus ×
+    // nQueries) must select top-k via the bounded-heap graft_topk partial
+    // aggregate — never by shuffling scored candidates into nQueries
+    // row_number window partitions.
+    // lsh/ivf/pq materialize their results (cache-release discipline), so
+    // the executed plan of the catalog entry is a Scan ExistingRDD — use
+    // the forPlanInspection variants to see the real plan shape.
+    val plans = Map(
+      "ann_topk" -> executedPlan("ann_topk"),
+      "ann_lsh" -> graft.operators.Similarity.lshTopK(spark, dir, forPlanInspection = true)
+        .queryExecution.executedPlan.toString,
+      "ann_ivf" -> graft.operators.Similarity.ivfTopK(spark, dir, forPlanInspection = true)
+        .queryExecution.executedPlan.toString,
+      "ann_pq" -> graft.operators.Similarity.pqTopK(spark, dir, forPlanInspection = true)
+        .queryExecution.executedPlan.toString)
+    for ((q, plan) <- plans) {
+      assert(!plan.contains("Window "), s"$q fell back to a window top-k:\n$plan")
+      assert(plan.contains("partial_topk") || plan.contains("partial_graft_topk"),
+        s"$q missing map-side partial top-k aggregation:\n$plan")
+    }
+  }
+
   test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
     // the DESIGN.md claim behind q5: bucketing both facts on the join key
     // removes the one remaining shuffle. Prove it with Spark's bucketed
