@@ -11,7 +11,11 @@ import graft.sink.AvroSink
 import graft.streaming.EventStream
 
 /** Benchmark main — runs the FULL query catalog on
-  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints the metrics JSON twice:
+  * the full per-query line first, then a COMPACT line (same totals,
+  * headline queries only) last, so a driver that captures a bounded tail
+  * of the output always retains one intact parseable line (the r5 full
+  * line outgrew the tail and parsed as null).
   *
   * The first entry is the engine's core capability (parquet→Avro export of
   * the full lineitem table) reported with the reference's own metric names
@@ -77,6 +81,22 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+    // Bench artifacts (Avro exports, streaming checkpoints) are deleted at
+    // the end of the run — repeated bench runs must not accumulate
+    // unbounded data under /tmp on the bench machine.
+    val tempDirs = scala.collection.mutable.ArrayBuffer[String]()
+    def tempDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
+    def deleteRecursively(root: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+    }
     // Best-of-2: single-shot timings at local[32] carry ±20-30% scheduler/GC
     // noise (measured); the min of two runs is the standard low-variance
     // estimator for a deterministic workload.
@@ -99,7 +119,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // 1. Avro export of the full bench table (dbeam's actual job).
-    val exportDir = Files.createTempDirectory("graft-bench-export").toString
+    val exportDir = tempDir("graft-bench-export")
     var exportMetrics: AvroSink.Metrics = null
     results("export_avro") = time {
       // Measured: on this single-node disk, repartitioning the unsplittable
@@ -113,7 +133,7 @@ object Bench {
 
     // 1b. Same export with zstandard1 — the reference's e2e codec matrix
     // is {deflate1, zstandard1} (`e2e/e2e.sh:104-108`).
-    val exportDirZ = Files.createTempDirectory("graft-bench-export-zstd").toString
+    val exportDirZ = tempDir("graft-bench-export-zstd")
     results("export_avro_zstd") = time {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
@@ -135,7 +155,7 @@ object Bench {
 
     // 3a. Streaming Avro export: file-stream -> foreachBatch AvroSink.
     results("stream_export_avro") = time {
-      val out = Files.createTempDirectory("graft-bench-stream-export").toString
+      val out = tempDir("graft-bench-stream-export")
       val q = graft.streaming.StreamExport.start(eventsStream(), out)
       q.awaitTermination()
     }
@@ -150,18 +170,33 @@ object Bench {
           .select("user_id", "event_id", "ts")
           .withWatermark("ts", "1 minute")
           .as[EventStream.Event])
-      val ckpt = Files.createTempDirectory("graft-bench-stream-sess").toString
+      val ckpt = tempDir("graft-bench-stream-sess")
       val q = sessions.writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = f"${results.values.sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
-      s""""estimator":"catalog=best_of_2; export+streaming=single_shot","sf":"$sfDir"}""")
+    def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = f"${results.values.sum}%.3f" // total is ALWAYS the full-catalog sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
+        s""""estimator":"catalog=best_of_2; export+streaming=single_shot","sf":"$sfDir"$extra}"""
+    }
+    // Full line first (the complete per-query map — the snapshot of record),
+    // then a COMPACT line (headline + export + streaming rows only) printed
+    // LAST: the round driver keeps a bounded tail of the output, and at 110+
+    // catalog rows the full line's head — `"metric":"total"` included — falls
+    // off that tail. The compact line always fits, so whichever line the
+    // driver's tail retains intact parses to the same totals.
+    println(jsonLine(results))
+    val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
+      Vector("stream_export_avro", "stream_sessionize")
+    val compact = scala.collection.mutable.LinkedHashMap(
+      compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
+    println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))
+    tempDirs.foreach(deleteRecursively)
     spark.stop()
   }
 }

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 
+/** Strategy selector for the embedding/semantic dedup family
+  * ([[Dedup.embeddingNearDupsBy]], [[Dedup.semanticClusters]],
+  * [[Dedup.semanticCanonical]]): the exact-but-quadratic grid vs the
+  * sub-quadratic sign-LSH path. Explicit (no "auto") so the cost model is
+  * in the caller's hands; the grid additionally refuses past a pair
+  * budget so corpus-scale jobs cannot inherit it silently.
+  */
+sealed trait EmbeddingStrategy
+object EmbeddingStrategy {
+  /** Exact contract — EVERY pair with cosine ≥ threshold, Ω(n²) by
+    * construction (required when the threshold slices a continuum).
+    */
+  case object ExactGrid extends EmbeddingStrategy
+  /** Sign-projection LSH candidates, exact-cosine verified — the 100 TB
+    * path for corpora with genuine near-dup structure (cosine ≥ ~0.7).
+    */
+  case object SignLsh extends EmbeddingStrategy
+}
+
 /** Deduplication suite over the `documents` table: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
   *
@@ -193,12 +212,16 @@ object Dedup {
   val SigFilterHashes = 128
 
   /** Per-pair probability budget for the pre-filter wrongly dropping a pair
-    * at exactly `threshold` — chosen an order of magnitude below the
-    * banding miss probability ((1-0.36)^32 ≈ 6e-7 is the per-band-scheme
-    * figure quoted on [[NumHashes]]), so the filter never dominates recall
-    * risk.
+    * at exactly `threshold` — 6e-8, an order of magnitude BELOW the banding
+    * miss probability ((1-0.36)^32 ≈ 6e-7 is the per-band-scheme figure
+    * quoted on [[NumHashes]]), so banding, not the filter, dominates the
+    * per-pair false-drop budget. At threshold 0.6 the Hoeffding cutoff is
+    * 44/128 matching bytes — still ≈true-pair selective (random background
+    * pairs agree on ~s·128 + byte-residue noise, far below 44 for s ≈ 0.2).
+    * Loosening the delta only ADMITS more candidates (exact verification
+    * prunes them), so correctness is one-sided here.
     */
-  private val SigFilterDelta = 1e-5
+  private val SigFilterDelta = 6e-8
 
   /** Minimum matching signature bytes (out of [[SigFilterHashes]]) for a
     * candidate pair to reach exact verification. Hoeffding: the match
@@ -683,9 +706,61 @@ object Dedup {
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
       blocks: Int = 8): DataFrame =
-    embeddingNearDupsGrid(embeddings(spark, dir), threshold, blocks)
+    embeddingNearDupsBy(embeddings(spark, dir), threshold, EmbeddingStrategy.ExactGrid,
+      blocks = blocks)
 
-  /** [[embeddingNearDups]] over any (vec_id, embedding) frame. */
+  /** Pair-comparison budget for [[EmbeddingStrategy.ExactGrid]]: 1e9
+    * comparisons ≈ a 45k-vector corpus ≈ tens of core-minutes of 64-dim
+    * dot products — past that the quadratic contract is a cluster-melter
+    * and the sign-LSH route wins decisively. Overridable per call for
+    * deliberate exact runs on mid-size corpora.
+    */
+  val GridPairBudget: Long = 1000000000L
+
+  /** THE embedding near-dup entry point — routes to the exact grid or the
+    * sub-quadratic sign-LSH path by explicit strategy, with a structural
+    * guard so a caller cannot silently inherit the Ω(n²) grid at corpus
+    * scale:
+    *
+    *   - [[EmbeddingStrategy.ExactGrid]] — the exact contract (every pair
+    *     with cosine ≥ threshold; required when the threshold slices a
+    *     continuum, e.g. 0.4 on unstructured vectors). REFUSES with a
+    *     clear error when n·(n−1)/2 exceeds `gridPairBudget`, directing
+    *     the caller to SignLsh or an explicit budget raise. The count()
+    *     spent sizing the corpus is one cheap column scan, amortized by
+    *     the quadratic work it gates.
+    *   - [[EmbeddingStrategy.SignLsh]] — candidates from sign-projection
+    *     LSH buckets, exact-cosine verified (no false positives; recall
+    *     gated every round by `dedup_embedding_lsh_check`). The 100 TB
+    *     path for corpora with genuine near-dup structure (cosine ≥ ~0.7).
+    *
+    * Output either way: (id_a, id_b, cosine), id_a < id_b, cosine ≥
+    * threshold.
+    */
+  def embeddingNearDupsBy(vectors: DataFrame, threshold: Double,
+      strategy: EmbeddingStrategy, blocks: Int = 8,
+      tables: Int = 16, bits: Int = 8,
+      gridPairBudget: Long = GridPairBudget): DataFrame = strategy match {
+    case EmbeddingStrategy.ExactGrid =>
+      val n = vectors.count()
+      val pairs = n * (n - 1) / 2
+      require(pairs <= gridPairBudget,
+        s"embeddingNearDupsBy(ExactGrid): $n vectors => $pairs pairwise comparisons " +
+          s"exceeds gridPairBudget=$gridPairBudget. The exact-threshold contract is " +
+          "inherently quadratic; use EmbeddingStrategy.SignLsh (sub-quadratic " +
+          "candidates, exact-cosine verified) or raise gridPairBudget explicitly " +
+          "for a deliberate exact run.")
+      embeddingNearDupsGrid(vectors, threshold, blocks)
+    case EmbeddingStrategy.SignLsh =>
+      embeddingNearDupsLsh(vectors, threshold, tables, bits)
+  }
+
+  /** [[embeddingNearDups]] over any (vec_id, embedding) frame — the
+    * exact-grid strategy body. Prefer [[embeddingNearDupsBy]], which adds
+    * the pair-budget guard; this direct form exists for ground-truth
+    * generation (recall gates, scale probes) where the quadratic cost is
+    * the point.
+    */
   def embeddingNearDupsGrid(vectors: DataFrame, threshold: Double = 0.4,
       blocks: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
@@ -716,14 +791,16 @@ object Dedup {
   /** SemDeDup-style SEMANTIC dedup clusters: connected components over the
     * embedding-cosine near-dup graph, labeled by component-min vec_id —
     * "these documents say the same thing" groups, the embedding-space
-    * analogue of [[nearDupClustersStar]]. Pairs come from the EXACT grid
-    * contract here so the whole chain is hash-oracle-checkable (DuckDB
-    * recomputes the closure recursively); at 100 TB swap the pair source
-    * for [[embeddingNearDupsLsh]] — the CC stage is agnostic to where the
-    * edges came from and stays ∝ duplicate count.
+    * analogue of [[nearDupClustersStar]]. The pair source routes through
+    * [[embeddingNearDupsBy]]: the catalog default is the EXACT grid so the
+    * whole chain is hash-oracle-checkable (DuckDB recomputes the closure
+    * recursively) — and inherits the grid's pair-budget guard — while a
+    * 100 TB run passes [[EmbeddingStrategy.SignLsh]]; the CC stage is
+    * agnostic to where the edges came from and stays ∝ duplicate count.
     */
-  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val pairs = embeddingNearDups(spark, dir, threshold)
+  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      strategy: EmbeddingStrategy = EmbeddingStrategy.ExactGrid): DataFrame = {
+    val pairs = embeddingNearDupsBy(embeddings(spark, dir), threshold, strategy)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     connectedComponentsAdaptive(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
@@ -733,8 +810,9 @@ object Dedup {
     * semantic cluster, pass unique vectors through: the [[canonicalDocs]]
     * shape on the embedding table. Output (vec_id, group_size).
     */
-  def semanticCanonical(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val clusters = semanticClusters(spark, dir, threshold)
+  def semanticCanonical(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      strategy: EmbeddingStrategy = EmbeddingStrategy.ExactGrid): DataFrame = {
+    val clusters = semanticClusters(spark, dir, threshold, strategy)
     val reps = clusters.groupBy("cluster_id")
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("group_size"))
       .select("vec_id", "group_size")
@@ -839,7 +917,8 @@ object Dedup {
       .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
         concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding) - 1)"))
           .as("embedding"))
-    val pairs = embeddingNearDupsLsh(base.unionByName(planted), threshold)
+    val pairs = embeddingNearDupsBy(base.unionByName(planted), threshold,
+        EmbeddingStrategy.SignLsh)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     connectedComponentsAdaptive(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))

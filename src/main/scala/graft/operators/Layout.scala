@@ -77,9 +77,22 @@ object Layout {
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     val full = (1L << BitsPerKey) - 1
-    def scaled(c: String, lo: Long, hi: Long): Column =
+    // Exact integer scaling while (x-lo)*full fits a long (domain width ≤
+    // ~2^42); wider domains divide FIRST in double — the multiply-first
+    // form silently overflows and scrambles z-values (layout degrades to
+    // no skipping with no error). The double path's ulp-level rounding
+    // moves a value at most one 21-bit bucket — irrelevant for layout,
+    // which only needs rank-preserving bucketing, and the exact path keeps
+    // narrow-domain results bit-identical to previous rounds.
+    def scaled(c: String, lo: Long, hi: Long): Column = {
+      val width = hi - lo // overflows to ≤ 0 for domains wider than 2^63
       if (hi <= lo) lit(0L)
-      else ((col(c).cast("long") - lit(lo)) * lit(full) / lit(hi - lo)).cast("long")
+      else if (width > 0 && width <= Long.MaxValue / full)
+        ((col(c).cast("long") - lit(lo)) * lit(full) / lit(width)).cast("long")
+      else
+        ((col(c).cast("double") - lit(lo.toDouble))
+          / lit(hi.toDouble - lo.toDouble) * lit(full.toDouble)).cast("long")
+    }
     val withZ = df.withColumn("__z", zValue(
       scaled(xCol, s.getLong(0), s.getLong(1)),
       scaled(yCol, s.getLong(2), s.getLong(3))))

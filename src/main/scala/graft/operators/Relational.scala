@@ -455,21 +455,32 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
-  /** Correlated scalar subqueries, decorrelated by Catalyst into joins:
+  /** Correlated scalar subquery, decorrelated by Catalyst into a join:
     * orders more than 1.5× their customer's average order value. All
     * arithmetic in integer cents (`2·cents·n > 3·Σcents` ⇔ `o > 1.5·avg`)
     * so the comparison is exact on both engines — a floating-point `avg`
     * could flip rows whose value sits on the threshold.
+    *
+    * Both aggregates ride in ONE `named_struct` subquery: written as two
+    * scalar subqueries (the r1–r5 form) Catalyst decorrelates each
+    * separately — two orders scans, two shuffled aggregates, two
+    * broadcasts — because `MergeScalarSubqueries` only merges
+    * NON-correlated subqueries. Struct-packing is that merge done by hand
+    * for the correlated case: one scan + one aggregate + one broadcast
+    * join, bit-identical output (verified against the two-subquery form
+    * before the swap).
     */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
     spark.sql(
-      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
-        |FROM graft_orders o
-        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 *
-        |   (SELECT count(*) FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
-        | > 3 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |        FROM graft_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+      """SELECT o_orderkey, o_custkey, o_cents FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+        |    (SELECT named_struct('n', count(*),
+        |                         's', sum(CAST(round(i.o_totalprice * 100) AS BIGINT)))
+        |     FROM graft_orders i WHERE i.o_custkey = o.o_custkey) AS agg
+        |  FROM graft_orders o)
+        |WHERE o_cents * 2 * agg.n > 3 * agg.s""".stripMargin)
   }
 
   /** Multiple COUNT(DISTINCT) in one aggregation — Catalyst plans this via

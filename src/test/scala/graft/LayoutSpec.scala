@@ -74,6 +74,30 @@ class LayoutSpec extends AnyFunSuite {
       "at least one partition must span a strict y sub-range")
   }
 
+  test("cluster normalization survives key domains wider than 2^42 (no overflow scramble)") {
+    // Regression for the r5 ADVICE finding: (x - lo) * full in 64-bit
+    // arithmetic overflows for domains wider than ~2^42, silently
+    // scrambling z-values (layout would degrade to no skipping). The wide
+    // path must stay RANK-PRESERVING: clustering on a huge-domain key
+    // still tiles it into strict sub-ranges per partition.
+    import spark.implicits._
+    // x spans ~2^61; y constant, so z is MONOTONE in x and every range
+    // partition must be a contiguous x interval — under an overflow
+    // scramble z wraps pseudo-randomly and partitions span ~the whole
+    // domain, so the intervals overlap massively.
+    val wide = (0 until 4096).map(i => (i.toLong * (1L << 49), 1L)).toDF("x", "y")
+    val clustered = Layout.cluster(wide, "x", "y", 8)
+    val stats = clustered
+      .select(col("x"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("x").as("x0"), max("x").as("x1"), count(lit(1)).as("n"))
+      .collect().filter(_.getLong(3) > 0)
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.length > 1, "range partitioner should produce multiple partitions")
+    val overlaps = stats.sliding(2).collect { case Array((_, hi1), (lo2, _)) => hi1 >= lo2 }
+    assert(!overlaps.contains(true),
+      s"partition x-intervals overlap — z-values scrambled by overflow: ${stats.toSeq}")
+  }
+
   test("written z-ordered files skip on disk: footer stats prune point lookups") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader

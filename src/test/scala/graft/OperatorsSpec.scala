@@ -282,6 +282,30 @@ class DedupSpec extends AnyFunSuite {
     // ...and nothing below the threshold survives the exact verification
     assert(got.forall(_._3 >= 0.9), s"false positive above threshold: ${got.filter(_._3 < 0.9).toSeq}")
   }
+
+  test("unified embedding dedup API: strategies route correctly, grid guarded by pair budget") {
+    import graft.operators.EmbeddingStrategy
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    // ExactGrid routes to the grid join (bit-equal to the direct form)
+    val viaApi = Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.ExactGrid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.embeddingNearDupsGrid(vecs, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == direct)
+    // SignLsh routes to the LSH path (subset of exact pairs by construction)
+    val viaLsh = Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.SignLsh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(direct))
+    // the structural guard: a corpus whose pair count exceeds the budget is
+    // REFUSED on the exact path (no silent quadratic inherit at scale)...
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.ExactGrid, gridPairBudget = 10L)
+    }
+    assert(err.getMessage.contains("SignLsh"), s"error must direct to the scale path: $err")
+    // ...while the LSH path ignores the budget entirely
+    assert(Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.SignLsh,
+      gridPairBudget = 10L).columns.toSeq == Seq("id_a", "id_b", "cosine"))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
