@@ -42,6 +42,7 @@ object SparkEntry {
     // the NATIVE session_window operator (same state-store expression runs
     // in streaming) — distinct from the window-function chain above
     "events_session_window" -> ((s, d) => EventStream.sessionWindowBatch(s, d)),
+    "events_interval_left_join" -> ((s, d) => EventStream.intervalLeftJoinBatch(s, d)),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
@@ -892,6 +893,13 @@ object SparkEntry {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
         |FROM events""".stripMargin,
+    "events_interval_left_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | c.ts AS c_ts, p.ts AS p_ts
+        |FROM events c LEFT JOIN events p
+        | ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click'""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -1105,7 +1113,11 @@ object SparkEntry {
         |  ELSE CAST(16 + doc_id % 624 AS INTEGER) END AS width,
         | CASE WHEN doc_id % 7 = 0 THEN -1
         |  ELSE CAST(16 + doc_id % 464 AS INTEGER) END AS height,
-        | doc_id % 7 <> 0 AS parsed
+        | doc_id % 7 <> 0 AS parsed,
+        | CASE WHEN doc_id % 3 = 2 AND doc_id % 7 <> 0
+        |  THEN CAST(1 + doc_id % 5 AS INTEGER) ELSE -1 END AS frames,
+        | CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 0
+        |  THEN CAST(1 + doc_id % 8 AS INTEGER) ELSE -1 END AS orientation
         |FROM documents""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,

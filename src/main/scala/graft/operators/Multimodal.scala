@@ -163,6 +163,110 @@ object Multimodal {
     if (w > 0 && h > 0) Some((w, h)) else None
   }
 
+  /** Frame count from a GIF stream via the block walk — an animated GIF has
+    * one image descriptor (0x2C) per frame. After the 13-byte header
+    * (+ global color table if flagged in the packed byte), blocks are
+    * extensions (`0x21 <label> <data sub-blocks>`) or image descriptors
+    * (9 descriptor bytes, optional local color table, LZW min-code byte,
+    * data sub-blocks); sub-blocks are `<len><len bytes>` chains terminated
+    * by a 0 byte, so the LZW pixel data is SKIPPED, never decoded. Returns
+    * the descriptor count when the walk reaches the 0x3B trailer cleanly;
+    * None (→ quarantine) on corrupt blocks, overruns, zero frames, or a
+    * missing trailer. One forward pass, no codec.
+    */
+  def gifFrameCount(payload: Array[Byte]): Option[Int] = {
+    if (gifDims(payload).isEmpty || payload.length < 13) return None
+    // returns the index after a sub-block chain's terminator, or -1
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < payload.length) {
+        val n = payload(j) & 0xff
+        if (n == 0) return j + 1
+        j += 1 + n
+      }
+      -1
+    }
+    var i = 13
+    val packed = payload(10) & 0xff
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // global color table
+    var frames = 0
+    while (i < payload.length) {
+      (payload(i) & 0xff) match {
+        case 0x3b => return if (frames > 0) Some(frames) else None // trailer
+        case 0x21 => // extension: label byte, then sub-blocks
+          i = skipSubBlocks(i + 2)
+          if (i < 0) return None
+        case 0x2c => // image descriptor = one frame
+          if (i + 10 > payload.length) return None
+          val p = payload(i + 9) & 0xff
+          var j = i + 10
+          if ((p & 0x80) != 0) j += 3 * (1 << ((p & 7) + 1)) // local color table
+          j += 1 // LZW minimum code size byte
+          if (j > payload.length) return None
+          i = skipSubBlocks(j)
+          if (i < 0) return None
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** EXIF orientation (tag 0x0112, values 1–8) from a JPEG's APP1 segment —
+    * the [[jpegDims]] marker walk, then the TIFF structure inside the Exif
+    * block: byte order (II/MM), magic 42, IFD0 offset, and a linear scan of
+    * IFD0's 12-byte entries (bounds-checked against the segment, so a lying
+    * IFD offset quarantines instead of reading foreign bytes). None when
+    * there is no APP1/Exif, no orientation tag, or structural corruption.
+    */
+  def jpegOrientation(payload: Array[Byte]): Option[Int] = {
+    if (payload.length < 4 || (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return None
+      var m = payload(i + 1) & 0xff
+      while (m == 0xff && i + 2 < payload.length) { i += 1; m = payload(i + 1) & 0xff }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) { i += 2 }
+      else if (m == 0xd9) return None // EOI: no Exif seen
+      else {
+        if (i + 4 > payload.length) return None
+        val len = be16(payload, i + 2)
+        if (len < 2 || i + 2 + len > payload.length) return None
+        val segEnd = i + 2 + len
+        if (m == 0xe1 && len >= 2 + 6 + 8) {
+          val p = i + 4
+          val exifOk = payload(p) == 'E' && payload(p + 1) == 'x' && payload(p + 2) == 'i' &&
+            payload(p + 3) == 'f' && payload(p + 4) == 0 && payload(p + 5) == 0
+          if (exifOk) {
+            val t = p + 6 // TIFF header origin
+            val little = payload(t) == 'I' && payload(t + 1) == 'I'
+            val big = payload(t) == 'M' && payload(t + 1) == 'M'
+            if (!little && !big) return None
+            def u16(off: Int) = if (little) le16(payload, off) else be16(payload, off)
+            def u32(off: Int) = if (little) le32(payload, off) else be32(payload, off)
+            if (u16(t + 2) != 42) return None
+            val ifd = t + u32(t + 4)
+            if (ifd < t || ifd + 2 > segEnd) return None
+            val n = u16(ifd)
+            var e = 0
+            while (e < n) {
+              val off = ifd + 2 + e * 12
+              if (off + 12 > segEnd) return None
+              if (u16(off) == 0x0112 && u16(off + 2) == 3 && u32(off + 4) == 1) {
+                val v = u16(off + 8)
+                return if (v >= 1 && v <= 8) Some(v) else None
+              }
+              e += 1
+            }
+            return None // Exif present, orientation not recorded
+          }
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** A media row: payload is the raw bytes, `media_type` a format tag. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
@@ -307,21 +411,66 @@ object Multimodal {
       w & 0xff, (w >> 8) & 0xff, h & 0xff, (h >> 8) & 0xff
     ).map(_.toByte)
 
-  /** One parsed planted-header row ([[plantedHeaderQuery]]). */
+  /** Minimal valid JPEG with an Exif APP1 carrying the orientation tag,
+    * followed by the [[jpegBytes]] SOF0 — so one payload exercises the
+    * APP1/TIFF walk AND the dimension walk (which must skip APP1 by its
+    * length).
+    */
+  private[graft] def jpegExifBytes(w: Int, h: Int, orientation: Int): Array[Byte] =
+    Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xe1, 0x00, 0x22, // APP1, len 34 = 2 + "Exif\0\0" + 26-byte TIFF
+      'E', 'x', 'i', 'f', 0x00, 0x00,
+      'I', 'I', 0x2a, 0x00, 0x08, 0x00, 0x00, 0x00, // TIFF little-endian, IFD0 at +8
+      0x01, 0x00, // IFD0: 1 entry
+      0x12, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, // tag 0x0112, SHORT, count 1
+      orientation & 0xff, (orientation >> 8) & 0xff, 0x00, 0x00, // value + pad
+      0x00, 0x00, 0x00, 0x00, // next-IFD offset: none
+      0xff, 0xc0, 0x00, 0x0b, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff, 0x01, 0x11, 0x00, // SOF0
+      0xff, 0xd9 // EOI
+    ).map(_.toByte)
+
+  /** Complete (animated) GIF: header + screen descriptor, `frames` image
+    * descriptors each preceded by a graphics-control extension and carrying
+    * a 1×1 one-byte LZW body, then the 0x3B trailer — the smallest stream
+    * the [[gifFrameCount]] block walk fully traverses.
+    */
+  private[graft] def gifAnimBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      w & 0xff, (w >> 8) & 0xff, h & 0xff, (h >> 8) & 0xff,
+      0x00, 0x00, 0x00) // packed (no GCT), background, aspect
+    for (_ <- 0 until frames) {
+      b ++= Seq(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00) // GCE + terminator
+      b ++= Seq(0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0x00) // 1x1 image descriptor, no LCT
+      b ++= Seq(0x02, 0x01, 0x00, 0x00) // LZW min code 2, 1-byte sub-block, terminator
+    }
+    b += 0x3b // trailer
+    b.map(_.toByte).toArray
+  }
+
+  /** One parsed planted-header row ([[plantedHeaderQuery]]). `frames` is the
+    * animated-GIF frame count (−1 for non-GIF or quarantined rows),
+    * `orientation` the JPEG EXIF orientation 1–8 (−1 for non-JPEG,
+    * Exif-less, or quarantined rows).
+    */
   final case class HeaderProbe(
-      doc_id: Long, media_type: String, width: Int, height: Int, parsed: Boolean)
+      doc_id: Long, media_type: String, width: Int, height: Int, parsed: Boolean,
+      frames: Int, orientation: Int)
 
   /** Oracle gate for the compressed-format header parsers: per doc_id, a
     * REAL JPEG/PNG/GIF payload (format = doc_id mod 3) is built with
-    * dimensions derived arithmetically from doc_id, then parsed back by
-    * [[jpegDims]]/[[pngDims]]/[[gifDims]]. Every 7th row gets a corrupt
-    * payload instead (overrunning JPEG segment length / wrong IHDR tag /
-    * truncated GIF descriptor) and must quarantine — parsed = false,
-    * dimensions −1 — rather than error. The DuckDB oracle recomputes
-    * widths/heights from the same doc_id arithmetic and the corrupt mask,
-    * so a green row proves the parsers invert the builders AND reject the
-    * malformed payloads. Runs per-partition, no shuffle, like every other
-    * decode in this module.
+    * dimensions derived arithmetically from doc_id — JPEGs carry an Exif
+    * APP1 with orientation `1 + id mod 8`, GIFs are animated with
+    * `1 + id mod 5` frames — then parsed back by [[jpegDims]]/[[pngDims]]/
+    * [[gifDims]] plus [[jpegOrientation]]/[[gifFrameCount]]. Every 7th row
+    * gets a corrupt payload instead (overrunning JPEG segment length /
+    * wrong IHDR tag / truncated GIF descriptor) and must quarantine —
+    * parsed = false, all metadata −1 — rather than error. The DuckDB
+    * oracle recomputes every column from the same doc_id arithmetic and
+    * the corrupt mask, so a green row proves the parsers invert the
+    * builders AND reject the malformed payloads. Runs per-partition, no
+    * shuffle, like every other decode in this module.
     */
   def plantedHeaderQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -337,13 +486,13 @@ object Multimodal {
           }
           val corrupt = id % 7 == 0
           val payload = (fmt, corrupt) match {
-            case ("image/jpeg", false) => jpegBytes(w, h)
+            case ("image/jpeg", false) => jpegExifBytes(w, h, 1 + (id % 8).toInt)
             // SOF0 whose 0xFFFF length overruns the 6-byte buffer
             case ("image/jpeg", true) => Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff).map(_.toByte)
             case ("image/png", false) => pngBytes(w, h)
             case ("image/png", true) =>
               val b = pngBytes(w, h); b(12) = 'X'.toByte; b // IHDR → XHDR
-            case ("image/gif", false) => gifBytes(w, h)
+            case ("image/gif", false) => gifAnimBytes(w, h, 1 + (id % 5).toInt)
             case ("image/gif", true) => gifBytes(w, h).take(8) // truncated descriptor
           }
           val dims = fmt match {
@@ -351,7 +500,12 @@ object Multimodal {
             case "image/png" => pngDims(payload)
             case _ => gifDims(payload)
           }
-          HeaderProbe(id, fmt, dims.fold(-1)(_._1), dims.fold(-1)(_._2), dims.isDefined)
+          val frames =
+            if (fmt == "image/gif") gifFrameCount(payload).getOrElse(-1) else -1
+          val orientation =
+            if (fmt == "image/jpeg") jpegOrientation(payload).getOrElse(-1) else -1
+          HeaderProbe(id, fmt, dims.fold(-1)(_._1), dims.fold(-1)(_._2), dims.isDefined,
+            frames, orientation)
         }
       }.toDF()
   }

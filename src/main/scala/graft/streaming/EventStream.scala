@@ -163,6 +163,19 @@ object EventStream {
   def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
     intervalJoin(clicks, purchases, "left_outer")
 
+  /** [[clickPurchaseLeftJoin]] over the events table — the catalog twin of
+    * the streaming LEFT OUTER interval join, so the outer variant's join
+    * semantics (null purchase columns for clicks with no purchase in the
+    * hour) are DuckDB-oracle-checked per round; the watermark-gated
+    * EMISSION behavior unique to streaming stays pinned by StreamingSpec.
+    */
+  def intervalLeftJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Relational.events(spark, dir)
+    clickPurchaseLeftJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
   /** ONE definition of the click→purchase interval join (watermarks,
     * interval, projection) so the inner and outer variants cannot drift.
     */

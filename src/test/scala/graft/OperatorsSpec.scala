@@ -419,10 +419,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     out.foreach { r =>
       val (id, w, h, parsed) = (r.getLong(0), r.getInt(2), r.getInt(3), r.getBoolean(4))
-      if (id % 7 == 0) assert(!parsed && w == -1 && h == -1, s"doc $id must quarantine")
-      else assert(parsed && w == 16 + (id % 624).toInt && h == 16 + (id % 464).toInt,
-        s"doc $id parsed ($w,$h)")
+      val (frames, orientation) = (r.getInt(5), r.getInt(6))
+      if (id % 7 == 0) {
+        assert(!parsed && w == -1 && h == -1, s"doc $id must quarantine")
+        assert(frames == -1 && orientation == -1, s"doc $id metadata must quarantine too")
+      } else {
+        assert(parsed && w == 16 + (id % 624).toInt && h == 16 + (id % 464).toInt,
+          s"doc $id parsed ($w,$h)")
+        val wantFrames = if (id % 3 == 2) 1 + (id % 5).toInt else -1
+        val wantOrient = if (id % 3 == 0) 1 + (id % 8).toInt else -1
+        assert(frames == wantFrames, s"doc $id frames $frames != $wantFrames")
+        assert(orientation == wantOrient, s"doc $id orientation $orientation != $wantOrient")
+      }
     }
+  }
+
+  test("GIF frame count and JPEG EXIF orientation: builders invert, corruption quarantines") {
+    // animated GIF: the block walk must count every image descriptor
+    for (n <- Seq(1, 2, 5, 37))
+      assert(Multimodal.gifFrameCount(Multimodal.gifAnimBytes(320, 200, n)).contains(n))
+    // dims-only GIF (no blocks, no trailer) has no countable frames
+    assert(Multimodal.gifFrameCount(Multimodal.gifBytes(10, 10)).isEmpty)
+    // trailer missing (truncated after last frame) and zero-frame streams quarantine
+    val anim = Multimodal.gifAnimBytes(10, 10, 2)
+    assert(Multimodal.gifFrameCount(anim.dropRight(1)).isEmpty)
+    assert(Multimodal.gifFrameCount(Multimodal.gifAnimBytes(10, 10, 0)).isEmpty)
+    // a corrupt sub-block length that overruns the buffer must not AIOOBE
+    val bad = anim.clone(); bad(13 + 8 + 10 + 1) = 0x7f.toByte // LZW sub-block len 1 -> 127
+    assert(Multimodal.gifFrameCount(bad).isEmpty)
+    // EXIF: all 8 orientations round-trip; the same payload still yields dims
+    for (o <- 1 to 8) {
+      val p = Multimodal.jpegExifBytes(639, 479, o)
+      assert(Multimodal.jpegOrientation(p).contains(o))
+      assert(Multimodal.jpegDims(p).contains((639, 479)), "dims walk must skip APP1")
+    }
+    // Exif-less JPEG: orientation is absent, not an error
+    assert(Multimodal.jpegOrientation(Multimodal.jpegBytes(10, 10)).isEmpty)
+    // out-of-range orientation value and corrupt TIFF magic quarantine
+    val badOrient = Multimodal.jpegExifBytes(10, 10, 9)
+    assert(Multimodal.jpegOrientation(badOrient).isEmpty)
+    val badTiff = Multimodal.jpegExifBytes(10, 10, 3).clone()
+    badTiff(14) = 0x00.toByte // TIFF magic 42 -> corrupted
+    assert(Multimodal.jpegOrientation(badTiff).isEmpty)
   }
 
   test("resizeQuery: empty documents are excluded (resize-of-nothing has no canonical answer)") {
