@@ -44,6 +44,7 @@ object SparkEntry {
     "events_session_window" -> ((s, d) => EventStream.sessionWindowBatch(s, d)),
     "events_interval_left_join" -> ((s, d) => EventStream.intervalLeftJoinBatch(s, d)),
     "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_token_budget" -> ((s, d) => TextAnalysis.selectTokenBudget(s, d)),
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -387,6 +388,20 @@ object SparkEntry {
         |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
         | CAST(len(text) AS BIGINT) AS n_chars_measured
         |FROM documents""".stripMargin,
+    "text_token_budget" ->
+      """WITH q AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+        |  CAST(len(text) AS BIGINT) AS n_chars
+        | FROM documents WHERE len(text) > 0),
+        |c AS (
+        | SELECT *, n_alpha * 1000 // n_chars AS quality_key,
+        |  sum(n_tokens) OVER (ORDER BY n_alpha * 1000 // n_chars DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM q)
+        |SELECT doc_id, n_tokens, n_alpha, n_chars, quality_key
+        |FROM c WHERE cum <= 20000""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(len(text) AS BIGINT) AS n_chars,

@@ -145,6 +145,66 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("stratum_rank"))
   }
 
+  /** Token-budget corpus selection — "the best documents that fit a token
+    * budget", the curation step that turns a scored corpus into a training
+    * set of a target size. Contract (greedy prefix, NOT a knapsack): order
+    * documents by (quality_key DESC, doc_id ASC) and keep the longest
+    * prefix whose running token sum stays ≤ `budgetTokens`; selection
+    * stops at the first document that does not fit, even if later smaller
+    * ones would. quality_key is the integer alpha-per-mille
+    * `n_alpha·1000 div n_chars` — pure integer arithmetic, so both engines
+    * rank identically (a double score could flip ties across engines).
+    *
+    * 100 TB plan — NO global sort: the naive form is ORDER BY quality
+    * DESC + a running-sum window over one partition, i.e. a full-corpus
+    * sort through a single task. Instead:
+    *   1. one scan → per-key histogram (≤1001 rows: key ∈ 0..1000) of
+    *      token sums — only the histogram reaches the driver;
+    *   2. the driver walks keys descending to find the boundary key `t`
+    *      and the budget remainder `r` left for it;
+    *   3. keys above `t` are selected by a MAP-ONLY filter; the running
+    *      sum window runs over the boundary key's docs alone (~1/1000 of
+    *      the corpus; a finer key narrows it further).
+    * Equivalent to the global prefix rule because ties in key are ordered
+    * by doc_id on both paths.
+    */
+  def selectTokenBudget(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L): DataFrame = {
+    val base = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(Portable.tokens("text")).cast("bigint").as("n_tokens"),
+        expr("CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT)").as("n_alpha"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .filter(col("n_chars") > 0)
+      .withColumn("quality_key", expr("n_alpha * 1000 div n_chars"))
+    // Pass 1: bounded histogram — the ONLY thing the driver ever holds.
+    val hist = base.groupBy("quality_key")
+      .agg(sum("n_tokens").as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var acc = 0L
+    var boundary = Long.MinValue // all-fit ⇒ no boundary key exists
+    var remainder = 0L
+    var i = 0
+    while (i < hist.length && boundary == Long.MinValue) {
+      val (k, toks) = hist(i)
+      if (acc + toks <= budgetTokens) acc += toks
+      else { boundary = k; remainder = budgetTokens - acc }
+      i += 1
+    }
+    val selectedFull = base.filter(col("quality_key") > boundary)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id") // single partition BY DESIGN: boundary-key docs only
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val selectedBoundary = base.filter(col("quality_key") === boundary)
+      .withColumn("cum", sum("n_tokens").over(wB))
+      .filter(col("cum") <= remainder)
+      .drop("cum")
+    selectedFull.unionByName(selectedBoundary)
+  }
+
   /** PII / content filtering: pattern counts (emails, URLs, numeric and
     * capitalized tokens) plus denylist redaction — the
     * scrub-before-training step of a data pipeline. Pure regex projections,

@@ -7,6 +7,36 @@ class ProfilingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
 
+  test("selectTokenBudget equals the naive global-sort prefix, budget never exceeded") {
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: ORDER BY (quality_key DESC, doc_id) global running sum
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        expr("CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT)").as("n_alpha"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .withColumn("quality_key", expr("n_alpha * 1000 div n_chars"))
+    val w = Window.orderBy(desc("quality_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (budget <- Seq(1000L, 20000L, 10000000L)) {
+      val truth = base.withColumn("cum", sum("n_tokens").over(w))
+        .filter(col("cum") <= budget).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val got = graft.operators.TextAnalysis.selectTokenBudget(spark, dir, budget)
+      val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotIds == truth, s"budget=$budget: histogram route != global prefix " +
+        s"(${(gotIds -- truth).take(3)} / ${(truth -- gotIds).take(3)})")
+      val spent = got.agg(sum("n_tokens")).head().getLong(0)
+      assert(spent <= budget, s"budget=$budget overspent: $spent")
+    }
+    // a huge budget selects every non-empty document
+    val all = base.count()
+    assert(graft.operators.TextAnalysis.selectTokenBudget(spark, dir, Long.MaxValue / 4)
+      .count() == all)
+  }
+
   test("statsProfile: one row per column, exact counts against direct queries") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val rows = graft.operators.Relational.statsProfile(spark, dir).collect()
