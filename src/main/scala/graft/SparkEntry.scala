@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_incremental_store" -> ((s, d) => Dedup.incrementalNearDupsViaStore(s, d)),
     // end-to-end dedup: drop near-dups, keep min-id representative per group
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    "dedup_canonical_best" -> ((s, d) => Dedup.canonicalDocsBest(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
     // SemDeDup: CC over the exact embedding near-dup graph
@@ -142,6 +143,7 @@ object SparkEntry {
     "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
     // fixed-count per-language sample in portable-hash order
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
+    "sample_mixture" -> ((s, d) => TextAnalysis.sampleMixture(s, d)),
     // the same sample via the bounded-heap aggregate (the 100 TB form)
     "sample_stratified_topk" -> ((s, d) => TextAnalysis.sampleStratifiedTopK(s, d)),
     // round-5 chain: quality filter -> stratified sample -> chunk -> rollup
@@ -534,6 +536,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT d.doc_id, CAST(1 AS BIGINT) AS group_size
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL""".stripMargin,
+    "dedup_canonical_best" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) * 1000 // len(text)
+        |  END AS quality_key
+        | FROM documents),
+        |ranked AS (
+        | SELECT c.cluster_id, c.doc_id, q.quality_key,
+        |  row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY q.quality_key DESC, c.doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY c.cluster_id) AS group_size
+        | FROM clusters c JOIN q USING (doc_id))
+        |SELECT doc_id, quality_key, CAST(group_size AS BIGINT) AS group_size
+        |FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT q.doc_id, q.quality_key, CAST(1 AS BIGINT) AS group_size
+        |FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL""".stripMargin,
     "text_decontaminate" ->
       """WITH g AS (
@@ -1099,6 +1140,19 @@ object SparkEntry {
         |  AS stratum_rank
         |FROM h
         |QUALIFY stratum_rank <= 20""".stripMargin,
+    "sample_mixture" ->
+      """WITH h AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
+        | FROM documents)
+        |SELECT doc_id, lang, mix_rank FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT)
+        |   AS mix_rank
+        | FROM h)
+        |WHERE mix_rank <= CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 30
+        | WHEN 'de' THEN 30 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 0 END""".stripMargin,
     "bloom_fpr_check" ->
       """SELECT
         | CAST(sum(CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,

@@ -629,6 +629,39 @@ object Dedup {
     reps.union(singletons)
   }
 
+  /** [[canonicalDocs]] with a QUALITY-preferring representative: real
+    * pipelines keep each near-dup group's best copy (the cleanest OCR, the
+    * boilerplate-free mirror), not its smallest id. The winner is the
+    * member with the highest integer alpha-per-mille quality key
+    * (`n_alpha·1000 div n_chars`, −1 for empty docs so they never beat a
+    * real copy), doc_id asc on ties — exact cross-engine ordering, so the
+    * row is hash-oracle-checkable. Selection is ONE aggregate of
+    * `max(struct(quality_key, −doc_id))` per cluster (no per-cluster
+    * window): partial aggregation forwards one struct per (task, cluster).
+    * Output (doc_id, quality_key, group_size); unique docs pass through.
+    */
+  def canonicalDocsBest(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val quality = docs(spark, dir).select(col("doc_id"),
+      expr("CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT) " +
+        "ELSE CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT) * 1000 div length(text) END")
+        .as("quality_key"))
+    val clusters = nearDupClustersStar(spark, dir, threshold)
+    val reps = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("quality_key"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("group_size"))
+      .select(
+        (-col("best.neg_id")).as("doc_id"),
+        col("best.quality_key").as("quality_key"),
+        col("group_size"))
+    val singletons = quality
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("group_size", lit(1L))
+      .select("doc_id", "quality_key", "group_size")
+    reps.union(singletons)
+  }
+
   /** 60-bit SimHash per document from shingle hashes: bit j of the signature
     * is the sign of `Σ_shingles (2·bit_j(h) − 1)`.
     */

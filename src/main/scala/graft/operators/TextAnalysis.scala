@@ -145,6 +145,39 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("stratum_rank"))
   }
 
+  /** Weighted domain-mixture sampling — build a training mix with TARGET
+    * PROPORTIONS (the Pile/Dolma-style mixture step; [[domainMix]] is the
+    * equal-proportion special case). Each language receives
+    * `floor(totalDocs · weight)` slots, filled in portable-hash order so
+    * the mix is the same set on any engine, forever; under-populated
+    * strata contribute what they have.
+    *
+    * Scale: the bounded-heap `graft_topk` aggregate with k = the LARGEST
+    * cap — each map task forwards ≤ maxCap rows per language to the one
+    * exchange, nothing global ever sorts — then per-language caps apply as
+    * a post-filter on the rank (same [[sampleStratifiedTopK]] recipe,
+    * proven window-equivalent).
+    */
+  def sampleMixture(spark: SparkSession, dir: String,
+      weights: Seq[(String, Double)] =
+        Seq("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1),
+      totalDocs: Long = 150L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val caps = weights.map { case (l, w) => (l, math.floor(totalDocs * w).toLong) }
+    val maxCap = caps.map(_._2).max
+    val capExpr = expr("CASE lang " +
+      caps.map { case (l, n) => s"WHEN '$l' THEN ${n}L" }.mkString(" ") + " ELSE 0L END")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .groupBy("lang")
+      .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxCap)").as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), col("lang"),
+        (col("pos") + 1).cast("bigint").as("mix_rank"))
+      .filter(col("mix_rank") <= capExpr)
+  }
+
   /** Token-budget corpus selection — "the best documents that fit a token
     * budget", the curation step that turns a scored corpus into a training
     * set of a target size. Contract (greedy prefix, NOT a knapsack): order

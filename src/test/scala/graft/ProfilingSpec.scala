@@ -37,6 +37,58 @@ class ProfilingSpec extends AnyFunSuite {
       .count() == all)
   }
 
+  test("sampleMixture: per-language counts follow the weights, window-equivalent, deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.TextAnalysis.sampleMixture(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val caps = Map("en" -> 60L, "zh" -> 30L, "de" -> 30L, "es" -> 15L, "fr" -> 15L)
+    val perLang = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val strata = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, cap) <- caps)
+      assert(perLang.getOrElse(l, 0L) == math.min(cap, strata.getOrElse(l, 0L)),
+        s"$l: got ${perLang.get(l)} want min($cap, ${strata.get(l)})")
+    // equals the per-stratum window form with the same caps
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("lang").orderBy(col("rank_hash"), col("doc_id"))
+    val capCase = "CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 30 WHEN 'de' THEN 30 " +
+      "WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 0 END"
+    val win = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .withColumn("mix_rank", row_number().over(w).cast("bigint"))
+      .filter(col("mix_rank") <= expr(capCase))
+      .select("doc_id", "lang", "mix_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == win.toSet, "heap-aggregate mixture must equal the window form")
+  }
+
+  test("canonicalDocsBest: every representative is its cluster's argmax quality") {
+    val clusters = graft.operators.Dedup.nearDupClustersStar(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT) * 1000 div length(text) END AS q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = graft.operators.Dedup.canonicalDocsBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // multi-doc groups: the emitted rep is the (quality desc, id asc) argmax
+    val multi = best.filter(_._3 > 1)
+    assert(multi.nonEmpty, "fixture should contain near-dup groups")
+    val repIds = multi.map(_._1).toSet
+    for ((cid, members) <- byCluster) {
+      val want = members.toSeq.map(id => (quality(id), -id)).max
+      val wantId = -want._2
+      assert(repIds.contains(wantId), s"cluster $cid: rep must be argmax-quality doc $wantId")
+    }
+    // group sizes agree with the min-id canonical form (same clustering)
+    val minForm = graft.operators.Dedup.canonicalDocs(spark, dir).collect()
+      .map(r => r.getLong(1)).sorted
+    assert(best.map(_._3).sorted.toSeq == minForm.toSeq)
+  }
+
   test("statsProfile: one row per column, exact counts against direct queries") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val rows = graft.operators.Relational.statsProfile(spark, dir).collect()
