@@ -177,6 +177,24 @@ object Bench {
       q.awaitTermination()
     }
 
+    // 3c. Stream-stream LEFT OUTER interval join: both sides watermarked
+    // file streams, join state + watermark-gated null emission exercised
+    // under AvailableNow — the per-round timing for the stateful join
+    // protocol (its correctness twin is the events_interval_left_join
+    // oracle row).
+    results("stream_interval_join") = time {
+      def side(tpe: String) = eventsStream()
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select("user_id", "event_id", "ts")
+      val joined = EventStream.clickPurchaseLeftJoin(side("click"), side("purchase"))
+      val ckpt = tempDir("graft-bench-stream-ij")
+      val q = joined.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
       val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1121,6 +1121,24 @@ class EntryContractSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+  test("every query without an oracle is a DOCUMENTED approximate path with a paired gate") {
+    // The correctness gate treats an oracle-less query as a weak rows-only
+    // check; this pin makes adding one WITHOUT a paired accuracy gate a CI
+    // failure instead of a silent coverage hole.
+    val exempt = Map(
+      "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
+      "sketch_distinct" -> "sketch_distinct_check",
+      "sketch_quantiles" -> "sketch_quantile_check",
+      "sketch_theta_overlap" -> "sketch_theta_check",
+      "sketch_topk_terms" -> "sketch_freq_check")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == exempt.keySet,
+      s"undocumented oracle-less queries: ${noOracle -- exempt.keySet}; " +
+        s"stale exemptions: ${exempt.keySet -- noOracle}")
+    exempt.values.foreach { gate =>
+      assert(SparkEntry.oracleSql.contains(gate), s"accuracy gate $gate lost its oracle")
+    }
+  }
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(SparkSpec.spark).count() > 0)
   }

@@ -224,6 +224,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 curation operators keep their scale shapes") {
+    // sample_mixture: heap aggregate, never a per-stratum window
+    val mix = executedPlan("sample_mixture")
+    assert(!mix.contains("Window "), s"mixture fell back to a window:\n$mix")
+    assert(mix.contains("partial_topk"), s"mixture missing map-side partial top-k:\n$mix")
+    // dedup_canonical_best: rep selection is a partial/merge max(struct)
+    // aggregate — no per-cluster window anywhere in the plan
+    val best = executedPlan("dedup_canonical_best")
+    assert(!best.contains("Window "), s"canonical-best fell back to a window:\n$best")
+    assert(best.contains("partial_max"), s"canonical-best missing partial max:\n$best")
+    // text_token_budget: the only window runs over the boundary key's docs —
+    // it must sit ABOVE a quality_key filter, never over the raw scan
+    val budget = SparkEntry.queries("text_token_budget")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lines = budget.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    if (winIdx >= 0) {
+      // Catalyst inlines the quality_key alias into the pushed-down filter,
+      // so match the key expression (integer div) in a Filter below the
+      // window rather than the alias name.
+      val below = lines.drop(winIdx)
+      assert(below.exists(l => l.contains("Filter") && l.contains("div")),
+        s"running-sum window must be scoped to the boundary key:\n$budget")
+    }
+  }
+
   test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
     // the DESIGN.md claim behind q5: bucketing both facts on the join key
     // removes the one remaining shuffle. Prove it with Spark's bucketed
