@@ -51,6 +51,7 @@ object SparkEntry {
     "text_pii" -> (TextAnalysis.piiFilter _),
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_contamination_score" -> ((s, d) => TextAnalysis.contaminationScore(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -593,6 +594,24 @@ object SparkEntry {
         | COALESCE(h.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
         |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "text_contamination_score" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)]
+        |      || ' ' || w[CAST(i+3 AS INTEGER)] || ' ' || w[CAST(i+4 AS INTEGER)] || ' ' || w[CAST(i+5 AS INTEGER)]
+        |      || ' ' || w[CAST(i+6 AS INTEGER)] || ' ' || w[CAST(i+7 AS INTEGER)])) AS grams
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 8),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |hits AS (
+        | SELECT t.doc_id, count(*) AS n
+        | FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) t
+        | JOIN eg USING (gram) GROUP BY t.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        | CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+        | CAST(COALESCE(h.n, 0) AS DOUBLE) / len(g.grams) AS contamination_frac
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE g.doc_id >= 20""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens, start_offset,
         | start_offset // 1024 AS bin_id

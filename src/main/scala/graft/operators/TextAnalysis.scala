@@ -315,6 +315,39 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Graded contamination scoring — [[decontaminate]]'s boolean mark is the
+    * remove/keep gate; real curation wants the OVERLAP FRACTION (what share
+    * of a doc's distinct n-grams appear in the eval set) to separate
+    * verbatim leaks (≈1.0) from idiom-level collisions (≈0.01) and set a
+    * threshold. Same plan shape as the gate: eval grams broadcast, corpus
+    * grams never shuffle; the fraction is ONE double division over two
+    * exact integers, so the oracle matches bit-for-bit. Docs shorter than
+    * n tokens have no grams and are excluded (both sides).
+    */
+  def contaminationScore(spark: SparkSession, dir: String, n: Int = 8,
+      evalDocs: Long = 20): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), Portable.wordShingles("toks", n).as("grams"))
+    val evalGrams = d.filter(col("doc_id") < evalDocs)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = d.filter(col("doc_id") >= evalDocs)
+      .select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"), col("grams"))
+    val hits = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id", "n_grams")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination_frac"))
+  }
+
   /** Sequence packing for training: documents are laid out in deterministic
     * (shard, doc_id) order into a concatenated token stream, and each doc is
     * stamped with its start offset and the fixed-capacity context window

@@ -461,6 +461,18 @@ class MultimodalSpec extends AnyFunSuite {
     val badTiff = Multimodal.jpegExifBytes(10, 10, 3).clone()
     badTiff(14) = 0x00.toByte // TIFF magic 42 -> corrupted
     assert(Multimodal.jpegOrientation(badTiff).isEmpty)
+    // big-endian (MM) TIFF bodies parse too — cameras emit both orders
+    val mm = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe1, 0x00, 0x22,
+      'E', 'x', 'i', 'f', 0x00, 0x00,
+      'M', 'M', 0x00, 0x2a, 0x00, 0x00, 0x00, 0x08, // TIFF BE, IFD0 at +8
+      0x00, 0x01, // 1 entry
+      0x01, 0x12, 0x00, 0x03, 0x00, 0x00, 0x00, 0x01, // tag 0x0112, SHORT, count 1
+      0x00, 0x06, 0x00, 0x00, // value 6 (BE) + pad
+      0x00, 0x00, 0x00, 0x00, // next IFD
+      0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.jpegOrientation(mm).contains(6))
   }
 
   test("resizeQuery: empty documents are excluded (resize-of-nothing has no canonical answer)") {
