@@ -82,25 +82,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Bench artifacts (Avro exports, streaming checkpoints) are deleted at
-    // the end of the run — repeated bench runs must not accumulate
-    // unbounded data under /tmp on the bench machine.
+    // the end of the run — even a FAILED one (try/finally below) — so
+    // repeated bench runs never accumulate data under /tmp.
     val tempDirs = scala.collection.mutable.ArrayBuffer[String]()
     def tempDir(prefix: String): String = {
       val d = Files.createTempDirectory(prefix).toString
       tempDirs += d
       d
     }
-    def deleteRecursively(root: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
-    }
     // Best-of-2: single-shot timings at local[32] carry ±20-30% scheduler/GC
     // noise (measured); the min of two runs is the standard low-variance
     // estimator for a deterministic workload.
     def time2[A](body: => A): Double = math.min(time(body), time(body))
+
+    try {
 
     // Warm the JVM (codegen paths, parquet footers, FS cache) before any
     // timed section — standard bench hygiene so run 1 isn't a JIT sample.
@@ -210,11 +205,15 @@ object Bench {
     // driver's tail retains intact parses to the same totals.
     println(jsonLine(results))
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
-      Vector("stream_export_avro", "stream_sessionize")
+      Vector("stream_export_avro", "stream_sessionize", "stream_interval_join")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))
-    tempDirs.foreach(deleteRecursively)
-    spark.stop()
+
+    } finally {
+      tempDirs.foreach(d =>
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+      spark.stop()
+    }
   }
 }

@@ -776,13 +776,17 @@ object Dedup {
       gridPairBudget: Long = GridPairBudget): DataFrame = strategy match {
     case EmbeddingStrategy.ExactGrid =>
       val n = vectors.count()
-      val pairs = n * (n - 1) / 2
-      require(pairs <= gridPairBudget,
-        s"embeddingNearDupsBy(ExactGrid): $n vectors => $pairs pairwise comparisons " +
-          s"exceeds gridPairBudget=$gridPairBudget. The exact-threshold contract is " +
-          "inherently quadratic; use EmbeddingStrategy.SignLsh (sub-quadratic " +
-          "candidates, exact-cosine verified) or raise gridPairBudget explicitly " +
-          "for a deliberate exact run.")
+      // Compare on n, not n(n-1)/2: the pair count overflows Long past
+      // n ≈ 3e9 — exactly the corpus scale this guard exists to refuse —
+      // and a wrapped-negative product would pass the check silently.
+      // n(n-1)/2 > B  ⟺  n > (1 + sqrt(1 + 8B)) / 2.
+      val maxN = ((1.0 + math.sqrt(1.0 + 8.0 * gridPairBudget.toDouble)) / 2.0).toLong
+      require(n <= maxN,
+        s"embeddingNearDupsBy(ExactGrid): $n vectors => ${BigInt(n) * (n - 1) / 2} " +
+          s"pairwise comparisons exceeds gridPairBudget=$gridPairBudget (max $maxN " +
+          "vectors). The exact-threshold contract is inherently quadratic; use " +
+          "EmbeddingStrategy.SignLsh (sub-quadratic candidates, exact-cosine " +
+          "verified) or raise gridPairBudget explicitly for a deliberate exact run.")
       embeddingNearDupsGrid(vectors, threshold, blocks)
     case EmbeddingStrategy.SignLsh =>
       embeddingNearDupsLsh(vectors, threshold, tables, bits)

@@ -163,11 +163,18 @@ object TextAnalysis {
         Seq("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1),
       totalDocs: Long = 150L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    require(weights.nonEmpty, "sampleMixture: weights must be non-empty")
     val caps = weights.map { case (l, w) => (l, math.floor(totalDocs * w).toLong) }
     val maxCap = caps.map(_._2).max
+    require(maxCap > 0,
+      s"sampleMixture: totalDocs=$totalDocs floors every weighted cap to 0 " +
+        s"(weights ${weights.map(_._2).mkString(", ")}); raise totalDocs")
     val capExpr = expr("CASE lang " +
       caps.map { case (l, n) => s"WHEN '$l' THEN ${n}L" }.mkString(" ") + " ELSE 0L END")
     docs(spark, dir)
+      // map-side: unweighted languages would heap-process and shuffle rows
+      // only for the rank filter to drop them all — prune them at the scan
+      .filter(col("lang").isin(caps.filter(_._2 > 0).map(_._1): _*))
       .select(col("doc_id"), col("lang"),
         Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
       .groupBy("lang")

@@ -87,11 +87,17 @@ object AnnScaleProbe {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleRows.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     })
-    def shuffled[A](body: => A): Long = {
-      shuffleRows.set(0); body
-      // listener events arrive asynchronously; wait until the count settles
+    // listener events arrive asynchronously; wait until the count settles.
+    // Settling must happen BEFORE the reset too, or a late stage-completion
+    // event from the preceding timing job bleeds into the next measurement.
+    def settle(): Unit = {
       var prev = -1L
       while (prev != shuffleRows.get()) { prev = shuffleRows.get(); Thread.sleep(200) }
+    }
+    def shuffled[A](body: => A): Long = {
+      settle(); shuffleRows.set(0)
+      body
+      settle()
       shuffleRows.get()
     }
 

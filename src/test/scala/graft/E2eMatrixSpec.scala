@@ -42,6 +42,7 @@ class E2eMatrixSpec extends AnyFunSuite {
 
     for (cell <- cells) {
       val out = Files.createTempDirectory(s"e2e-${cell.name}").toString
+      try {
       val df0 = spark.read.parquet(s"$dir/${cell.table}.parquet")
       val expected = df0.count()
       // --queryParallelism=n, exactly as ExportCli wires it
@@ -94,10 +95,11 @@ class E2eMatrixSpec extends AnyFunSuite {
         } finally r.close()
       }
 
-      // clean the cell's output (bench-hygiene: no /tmp accumulation)
-      import scala.jdk.CollectionConverters._
-      Files.walk(java.nio.file.Paths.get(out)).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      } finally {
+        // clean the cell's output even when an assertion fails mid-cell
+        // (no /tmp accumulation across red CI runs)
+        new scala.reflect.io.Directory(new File(out)).deleteRecursively()
+      }
     }
   }
 }

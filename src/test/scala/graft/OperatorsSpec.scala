@@ -106,9 +106,7 @@ class AnnSpec extends AnyFunSuite {
       assert(out.length == 6, s"expected 2 queries x 3 ranked rows, got ${out.length}")
       assert(out.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 3)))
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
     }
   }
 
