@@ -300,6 +300,19 @@ class DedupSpec extends AnyFunSuite {
       Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.ExactGrid, gridPairBudget = 10L)
     }
     assert(err.getMessage.contains("SignLsh"), s"error must direct to the scale path: $err")
+    // ...with an exact boundary: budget 10 admits 5 vectors (10 pairs) and
+    // refuses 6 (15 pairs). The guard compares on n, not n(n-1)/2, so it
+    // cannot be defeated by Long overflow at corpus scale.
+    import spark.implicits._
+    def tiny(n: Int) = (0L until n.toLong)
+      .map(i => (i, Array.tabulate(8)(d => (i * 7 + d + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    Dedup.embeddingNearDupsBy(tiny(5), 0.99, EmbeddingStrategy.ExactGrid,
+      gridPairBudget = 10L).count() // 10 pairs == budget: allowed
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsBy(tiny(6), 0.99, EmbeddingStrategy.ExactGrid,
+        gridPairBudget = 10L)
+    }
     // ...while the LSH path ignores the budget entirely
     assert(Dedup.embeddingNearDupsBy(vecs, 0.4, EmbeddingStrategy.SignLsh,
       gridPairBudget = 10L).columns.toSeq == Seq("id_a", "id_b", "cosine"))
