@@ -425,6 +425,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.gifDims(Multimodal.gifBytes(10, 0)).isEmpty)
   }
 
+  test("header parsers never throw on arbitrary bytes (quarantine property, fuzzed)") {
+    // The 100 TB contract is that a malformed payload quarantines the ROW,
+    // never kills the TASK. Deterministic fuzz: pure-random buffers, valid
+    // headers with single-byte mutations, and truncations at every length.
+    val rnd = new scala.util.Random(20260813L)
+    val parsers: Seq[(String, Array[Byte] => Option[Any])] = Seq(
+      ("ppm", Multimodal.ppmDims _), ("bmp", Multimodal.bmpDims _),
+      ("wav", Multimodal.wavFormat _), ("jpeg", Multimodal.jpegDims _),
+      ("png", Multimodal.pngDims _), ("gif", Multimodal.gifDims _),
+      ("gifFrames", Multimodal.gifFrameCount _),
+      ("exif", Multimodal.jpegOrientation _))
+    def check(tag: String, payload: Array[Byte]): Unit =
+      parsers.foreach { case (name, p) =>
+        try p(payload)
+        catch { case t: Throwable =>
+          fail(s"$name threw on $tag (len=${payload.length}): $t")
+        }
+      }
+    for (i <- 0 until 400) {
+      val len = rnd.nextInt(96)
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      check(s"random#$i", b)
+    }
+    val seeds = Seq(
+      Multimodal.jpegExifBytes(100, 50, 3), Multimodal.pngBytes(100, 50),
+      Multimodal.gifAnimBytes(100, 50, 3), Multimodal.jpegBytes(640, 480))
+    for (s <- seeds; i <- 0 until 200) { // single-byte mutations
+      val b = s.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      check("mutated", b)
+    }
+    for (s <- seeds; cut <- 0 to s.length) check("truncated", s.take(cut))
+  }
+
   test("plantedHeaderQuery: parses planted headers, quarantines the corrupt mask") {
     val out = Multimodal.plantedHeaderQuery(spark, dir).collect()
     assert(out.nonEmpty)
