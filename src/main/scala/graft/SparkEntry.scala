@@ -75,6 +75,12 @@ object SparkEntry {
     "q_window_lead_lag_skew" -> ((s, d) => Relational.eventLeadLagSkewSafe(s, d)),
     "events_sessionize_skew" -> ((s, d) => EventStream.sessionizeSkewSafe(s, d)),
     "q_ntile" -> (Relational.ntileDeciles _),
+    // low-cardinality ranked-window guards (round 7): exact histogram-
+    // boundary rewrites sharing the plain forms' oracles — no window task
+    // ever sorts a constant fraction of the table
+    "q_ntile_skew" -> (Relational.ntileDecilesSkewSafe _),
+    "q_percentile_disc_skew" -> (Relational.percentileDiscSkewSafe _),
+    "text_domain_mix_scale" -> (TextAnalysis.domainMixScale _),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     // routed through the O(log n) large-star/small-star CC (spec-proven
@@ -267,6 +273,46 @@ object SparkEntry {
       |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
       | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
       |WHERE jaccard >= 0.6""".stripMargin
+
+  /** Ground truth shared verbatim by `q_ntile` and its skew-safe twin —
+    * bound once so the pair can never drift apart (the
+    * [[IncrementalDedupOracle]] pattern).
+    */
+  private val NtileOracle: String =
+    """SELECT c_custkey, c_mktsegment, cents,
+      | CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS decile
+      |FROM (SELECT c_custkey, c_mktsegment,
+      | CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)""".stripMargin
+
+  /** Shared by `q_percentile_disc` and its skew-safe twin. */
+  private val PercentileDiscOracle: String =
+    """SELECT l_returnflag,
+      | max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50_qty,
+      | max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN l_quantity END) AS p95_qty,
+      | CAST(max(n) AS BIGINT) AS n
+      |FROM (
+      | SELECT l_returnflag, l_quantity,
+      |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n
+      | FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Shared by `text_domain_mix` and `text_domain_mix_scale` (the scale twin
+    * consumes it projected to (doc_id, lang, kept): computing a global
+    * `mix_rank` for EVERY row is inherently a full per-language ranking —
+    * selection needs only the kept flag).
+    */
+  private val DomainMixOracle: String =
+    """WITH d AS (
+      | SELECT doc_id, lang,
+      |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |    (acc, x) -> (acc * 43 + x) % 1000000007) AS h
+      | FROM documents),
+      |cap AS (SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
+      |r AS (SELECT doc_id, lang,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
+      | FROM d)
+      |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
@@ -622,17 +668,8 @@ object SparkEntry {
         | FROM (SELECT doc_id,
         |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents))""".stripMargin,
-    "text_domain_mix" ->
-      """WITH d AS (
-        | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |    (acc, x) -> (acc * 43 + x) % 1000000007) AS h
-        | FROM documents),
-        |cap AS (SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
-        |r AS (SELECT doc_id, lang,
-        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
-        | FROM d)
-        |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin,
+    "text_domain_mix" -> DomainMixOracle,
+    "text_domain_mix_scale" -> s"SELECT doc_id, lang, kept FROM ($DomainMixOracle)",
     "pipeline_summary" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -824,11 +861,8 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q_ntile" ->
-      """SELECT c_custkey, c_mktsegment, cents,
-        | CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS decile
-        |FROM (SELECT c_custkey, c_mktsegment,
-        | CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)""".stripMargin,
+    "q_ntile" -> NtileOracle,
+    "q_ntile_skew" -> NtileOracle,
     "dedup_simhash" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
@@ -951,17 +985,8 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
-    "q_percentile_disc" ->
-      """SELECT l_returnflag,
-        | max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN l_quantity END) AS p50_qty,
-        | max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN l_quantity END) AS p95_qty,
-        | CAST(max(n) AS BIGINT) AS n
-        |FROM (
-        | SELECT l_returnflag, l_quantity,
-        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
-        |  count(*) OVER (PARTITION BY l_returnflag) AS n
-        | FROM lineitem)
-        |GROUP BY l_returnflag""".stripMargin,
+    "q_percentile_disc" -> PercentileDiscOracle,
+    "q_percentile_disc_skew" -> PercentileDiscOracle,
     "events_asof_purchase" ->
       """SELECT event_id, user_id, ts,
         | max(CASE WHEN event_type = 'purchase' THEN ts END)

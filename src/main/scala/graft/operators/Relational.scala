@@ -269,6 +269,35 @@ object Relational {
         max("n").cast("bigint").as("n"))
   }
 
+  /** [[percentileDisc]] made SKEW-SAFE by value-histogram decomposition —
+    * the `selectTokenBudget` recipe applied to exact rank selection. The
+    * plain form ranks every row inside a 3-partition window (one per
+    * return flag), so each window task sorts a third of the table at any
+    * scale. Here the ONLY windows run over the per-flag VALUE HISTOGRAM
+    * (`groupBy(flag, quantity)` — bounded by the value domain, ~50 distinct
+    * quantities, regardless of corpus size): the exact p-th value is the
+    * smallest quantity whose cumulative count reaches `ceil(n·p)`, which is
+    * precisely the value the plain form's rank-`ceil(n·p)` row holds
+    * (ties beyond quantity cannot change which VALUE sits at a rank).
+    * Per-task work: one map-side-combined aggregate over the corpus + a
+    * ≤50-row window — nothing corpus-sized is ever sorted.
+    */
+  def percentileDiscSkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.5).cast("bigint"), col("l_quantity"))).as("p50_qty"),
+        min(when(col("cum") >= ceil(col("n") * 0.95).cast("bigint"), col("l_quantity"))).as("p95_qty"),
+        max("n").cast("bigint").as("n"))
+  }
+
   /** CUBE aggregation — all 4 grouping sets over (status, priority). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -784,6 +813,48 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"),
         expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
       .withColumn("decile", ntile(10).over(w).cast("bigint"))
+  }
+
+  /** [[ntileDeciles]] made SKEW-SAFE: with 5 market segments, the plain
+    * form's per-segment windows cap parallelism at 5 and each task sorts a
+    * fifth of the table. This twin reconstructs the exact same deciles from
+    * the global rank decomposed as
+    * `rank = (# rows with higher cents in the segment) + (tie rank)`:
+    *
+    *   1. a per-(segment, cents) histogram — bounded by the cents VALUE
+    *      DOMAIN (acctbal spans ~1.1M distinct cents), not corpus size;
+    *      its cumulative window runs over histogram rows only;
+    *   2. the tie rank via a window partitioned by (segment, cents) —
+    *      HIGH-cardinality partitions (a tie group = rows sharing one
+    *      exact balance), so the hot-task bound drops from n/5 to the
+    *      largest tie group and parallelism scales with the value domain;
+    *   3. the histogram broadcasts back and NTILE's big-tiles-first rule
+    *      (`n mod 10` tiles of `n div 10 + 1`, then tiles of `n div 10`)
+    *      is applied to the reconstructed rank as pure integer arithmetic.
+    *
+    * Bit-equal to the plain form (spec) and shares its oracle.
+    */
+  def ntileDecilesSkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val wCum = Window.partitionBy("c_mktsegment").orderBy(desc("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy("c_mktsegment", "cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("c_mktsegment")))
+      .select("c_mktsegment", "cents", "cum_before", "n")
+    val wTie = Window.partitionBy("c_mktsegment", "cents").orderBy("c_custkey")
+    base
+      .withColumn("tie_rank", row_number().over(wTie).cast("bigint"))
+      .join(broadcast(hist), Seq("c_mktsegment", "cents"))
+      .withColumn("rn", col("cum_before") + col("tie_rank"))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rn <= (n % 10) * (n div 10 + 1)
+          |     THEN (rn - 1) div (n div 10 + 1) + 1
+          |     ELSE (n % 10) + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+          |     END AS BIGINT)""".stripMargin))
+      .select("c_custkey", "c_mktsegment", "cents", "decile")
   }
 
   /** KLL quantile sketch per group — mergeable approximate percentiles

@@ -169,8 +169,11 @@ object TextAnalysis {
     require(maxCap > 0,
       s"sampleMixture: totalDocs=$totalDocs floors every weighted cap to 0 " +
         s"(weights ${weights.map(_._2).mkString(", ")}); raise totalDocs")
-    val capExpr = expr("CASE lang " +
-      caps.map { case (l, n) => s"WHEN '$l' THEN ${n}L" }.mkString(" ") + " ELSE 0L END")
+    // caps as a literal MAP, not an interpolated CASE: language codes are
+    // caller-supplied, and a quote inside one would break (or inject into)
+    // a string-built SQL expression; element_at on a map literal treats
+    // them as data
+    val capExpr = coalesce(element_at(typedLit(caps.toMap), col("lang")), lit(0L))
     docs(spark, dir)
       // map-side: unweighted languages would heap-process and shuffle rows
       // only for the rank filter to drop them all — prune them at the scan
@@ -424,6 +427,76 @@ object TextAnalysis {
       .crossJoin(broadcast(cap))
       .select(col("doc_id"), col("lang"), col("mix_rank"),
         (col("mix_rank") <= col("cap")).as("kept"))
+  }
+
+  /** Width of one hash bucket in [[domainMixScale]]'s histogram: the
+    * portable hash ranges over [0, P1) with P1 < 2^30, so `h div 2^20`
+    * yields ≤ 954 buckets — the histogram is ≤ languages × 954 rows no
+    * matter the corpus size.
+    */
+  private val MixBucketWidth: Long = 1L << 20
+
+  /** [[domainMix]]'s 100 TB form — the docstring's hash-threshold selection,
+    * implemented with the `selectTokenBudget` boundary recipe so `kept` is
+    * EXACT and (almost entirely) map-only. The plain form ranks every doc
+    * inside one window per language; with a handful of languages each
+    * window task sorts a constant fraction of the corpus. Here:
+    *
+    *   1. one scan → per-(lang, hash-bucket) histogram (≤ langs × 954 rows
+    *      — see [[MixBucketWidth]]); only the histogram reaches the driver;
+    *   2. the driver walks each language's buckets ascending to find the
+    *      boundary bucket where the cumulative count crosses `cap`
+    *      (= min per-language count, the plain form's rule) and the
+    *      remainder of cap left inside it;
+    *   3. docs below the boundary bucket are kept — and above, dropped —
+    *      by a MAP-ONLY filter; only the boundary bucket's docs (~1/954 of
+    *      each language) enter a rank window, scoped BELOW the window by a
+    *      bucket filter (PlanSpec-asserted).
+    *
+    * Exact because rank(lang, h, doc_id) = (count in lower buckets) +
+    * (rank within the bucket) and a bucket is a contiguous range of h.
+    * Output (doc_id, lang, kept) — the plain form minus the global
+    * `mix_rank` (whose materialization for every row is inherently a full
+    * ranking; selection needs only `kept`). Shares the plain form's oracle
+    * projected to these columns.
+    */
+  def domainMixScale(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      Portable.polyHashNative("text", 43, Portable.P1).as("h"))
+      .withColumn("bucket", expr(s"h div $MixBucketWidth"))
+    // tiny aggregates only ever reach the driver: per-lang counts (cap) and
+    // the bucket histogram
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    require(counts.nonEmpty, "domainMixScale: empty corpus")
+    val cap = counts.values.min
+    val hist = d.groupBy("lang", "bucket").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val bounds: Map[String, (Long, Long)] = hist.map { case (lang, rows) =>
+      var acc = 0L
+      var boundary = -1L
+      var remainder = 0L
+      for ((_, bucket, cnt) <- rows.sortBy(_._2) if boundary < 0) {
+        if (acc + cnt >= cap) { boundary = bucket; remainder = cap - acc }
+        else acc += cnt
+      }
+      // cap = min per-lang count <= this lang's count, so the walk always
+      // crosses; boundary >= 0 by construction
+      lang -> (boundary, remainder)
+    }
+    val withB = d
+      .withColumn("b_l", element_at(typedLit(bounds.map { case (l, (b, _)) => (l, b) }), col("lang")))
+      .withColumn("r_l", element_at(typedLit(bounds.map { case (l, (_, r)) => (l, r) }), col("lang")))
+    val offBoundary = withB.filter(col("bucket") =!= col("b_l"))
+      .select(col("doc_id"), col("lang"), (col("bucket") < col("b_l")).as("kept"))
+    val wB = Window.partitionBy("lang").orderBy("h", "doc_id")
+    val onBoundary = withB.filter(col("bucket") === col("b_l"))
+      .withColumn("rn", row_number().over(wB).cast("bigint"))
+      .select(col("doc_id"), col("lang"), (col("rn") <= col("r_l")).as("kept"))
+    offBoundary.unionByName(onBoundary)
   }
 
   /** The engine's operators composed as ONE end-to-end training-data

@@ -250,6 +250,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 skew twins: no window ever sorts a corpus-sized low-cardinality partition") {
+    // q_percentile_disc_skew: every window runs over the (flag, quantity)
+    // value histogram — each Window node must have an aggregate BELOW it
+    val pct = executedPlan("q_percentile_disc_skew")
+    val pctLines = pct.linesIterator.toVector
+    pctLines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+      assert(pctLines.drop(i + 1).exists(_.contains("HashAggregate")),
+        s"percentile window must sit above the value histogram, not the raw scan:\n$pct")
+    }
+    assert(pctLines.exists(_.contains("Window")), pct)
+
+    // q_ntile_skew: the only corpus-side window is the TIE window
+    // partitioned by (segment, cents) — high cardinality; any window
+    // partitioned by segment alone must sit above the histogram aggregate
+    val nt = executedPlan("q_ntile_skew")
+    assert(!nt.contains("ntile("), s"skew twin must not call ntile():\n$nt")
+    val ntLines = nt.linesIterator.toVector
+    val tieWin = ntLines.exists(l =>
+      l.contains("Window") && l.contains("c_mktsegment") && l.contains("cents"))
+    assert(tieWin, s"tie window must partition by (segment, cents):\n$nt")
+    ntLines.zipWithIndex
+      .filter { case (l, _) => l.contains("Window") && !l.contains("cents#") }
+      .foreach { case (_, i) =>
+        assert(ntLines.drop(i + 1).exists(_.contains("HashAggregate")),
+          s"segment-only windows may run over the histogram only:\n$nt")
+      }
+
+    // text_domain_mix_scale: the one rank window is scoped to the boundary
+    // bucket — a Filter on the bucket expression sits below it
+    val mix = executedPlan("text_domain_mix_scale")
+    val mixLines = mix.linesIterator.toVector
+    val winIdx = mixLines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, mix)
+    assert(mixLines.drop(winIdx).exists(l => l.contains("Filter") && l.contains("div")),
+      s"rank window must be scoped below a boundary-bucket filter:\n$mix")
+  }
+
   test("co-bucketed fact-fact join needs NO exchange (the 100 TB Q5 path)") {
     // the DESIGN.md claim behind q5: bucketing both facts on the join key
     // removes the one remaining shuffle. Prove it with Spark's bucketed

@@ -82,4 +82,33 @@ class WindowSkewSpec extends AnyFunSuite {
     assert(maxChunk <= 150L,
       s"per-(user, chunk) partition must be chunk-bounded, got $maxChunk")
   }
+
+  // ---- round-7 twins: low-cardinality ranked windows (histogram-boundary
+  // decomposition — no window task ever sorts a constant table fraction) ----
+
+  private val tpchDir = SparkSpec.testDataDir
+
+  test("skew-safe NTILE deciles == plain form (big-tiles-first rule exact)") {
+    val plain = rows(Relational.ntileDeciles(spark, tpchDir))
+    val hist = rows(Relational.ntileDecilesSkewSafe(spark, tpchDir))
+    assert(hist == plain)
+  }
+
+  test("skew-safe discrete percentiles == plain form") {
+    val plain = rows(Relational.percentileDisc(spark, tpchDir))
+    val hist = rows(Relational.percentileDiscSkewSafe(spark, tpchDir))
+    assert(hist == plain)
+  }
+
+  test("domain-mix scale twin == plain form's kept flag, for every doc") {
+    val plain = rows(graft.operators.TextAnalysis.domainMix(spark, tpchDir)
+      .select("doc_id", "lang", "kept"))
+    val scale = rows(graft.operators.TextAnalysis.domainMixScale(spark, tpchDir))
+    assert(scale == plain)
+    // sanity: each language keeps exactly cap = min per-lang count docs
+    val kept = graft.operators.TextAnalysis.domainMixScale(spark, tpchDir)
+      .filter(col("kept")).groupBy("lang").count().collect()
+      .map(_.getLong(1)).toSet
+    assert(kept.size == 1, s"every language must keep exactly cap docs, got $kept")
+  }
 }
