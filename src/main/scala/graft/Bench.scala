@@ -31,10 +31,12 @@ import graft.streaming.EventStream
   * checkpoint per run — so streaming regressions are visible per-round,
   * not just batch.
   *
-  * Estimator note: catalog queries report best-of-2 (see `time2`); export
-  * and streaming rows are single-shot (a second run would hit warmed
-  * checkpoints / page cache and not measure the cold protocol). The JSON
-  * carries `"estimator"` so snapshots from rounds ≤3 (single-shot) aren't
+  * Estimator note: catalog queries report best-of-2 (see `time2`), and —
+  * since round 7 — so do the export rows (each run writes a fresh temp dir,
+  * so the full write protocol executes both times; metrics come from the
+  * faster run). Streaming rows stay single-shot: a second run would hit
+  * warmed checkpoints and not measure the cold protocol. The JSON carries
+  * `"estimator"` so snapshots from rounds ≤6 (single-shot export) aren't
   * misread as regressions against best-of-2 numbers.
   */
 object Bench {
@@ -113,27 +115,37 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // 1. Avro export of the full bench table (dbeam's actual job).
-    val exportDir = tempDir("graft-bench-export")
+    // 1. Avro export of the full bench table (dbeam's actual job) —
+    // best-of-2 like the catalog rows (round-7 fix): the single-shot export
+    // headline swung ±30-40% round over round against byte-identical code,
+    // which made the driver artifact (the official signal) misreport a
+    // local improvement as a regression. Each run writes a FRESH temp dir,
+    // so both runs execute the full write protocol; `exportMetrics` keeps
+    // the faster run's metrics — the same estimator the wall-clock uses.
     var exportMetrics: AvroSink.Metrics = null
-    results("export_avro") = time {
+    def timedExport(codec: String, keepMetrics: Boolean): Double = {
       // Measured: on this single-node disk, repartitioning the unsplittable
       // 1-row-group input costs more (shuffle + writer contention) than the
       // serial deflate encode — so export straight through. On a real
       // multi-file 100 TB input the scan itself provides the parallelism.
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
-      exportMetrics = AvroSink.write(df, schema, exportDir, "deflate1")
+      var bestMetrics: AvroSink.Metrics = null
+      var best = Double.MaxValue
+      for (_ <- 0 until 2) {
+        val out = tempDir(s"graft-bench-export-$codec")
+        var m: AvroSink.Metrics = null
+        val t = time { m = AvroSink.write(df, schema, out, codec) }
+        if (t < best) { best = t; bestMetrics = m }
+      }
+      if (keepMetrics) exportMetrics = bestMetrics
+      best
     }
+    results("export_avro") = timedExport("deflate1", keepMetrics = true)
 
     // 1b. Same export with zstandard1 — the reference's e2e codec matrix
     // is {deflate1, zstandard1} (`e2e/e2e.sh:104-108`).
-    val exportDirZ = tempDir("graft-bench-export-zstd")
-    results("export_avro_zstd") = time {
-      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "lineitem"))
-      AvroSink.write(df, schema, exportDirZ, "zstandard1")
-    }
+    results("export_avro_zstd") = timedExport("zstandard1", keepMetrics = false)
 
     // 2. Catalog queries, count() as the action, best of 2 runs.
     catalog.foreach { name =>
@@ -195,7 +207,7 @@ object Bench {
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = f"${results.values.sum}%.3f" // total is ALWAYS the full-catalog sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
-        s""""estimator":"catalog=best_of_2; export+streaming=single_shot","sf":"$sfDir"$extra}"""
+        s""""estimator":"catalog+export=best_of_2; streaming=single_shot","sf":"$sfDir"$extra}"""
     }
     // Full line first (the complete per-query map — the snapshot of record),
     // then a COMPACT line (headline + export + streaming rows only) printed

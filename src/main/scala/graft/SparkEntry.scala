@@ -172,6 +172,12 @@ object SparkEntry {
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
     // scale-path semantic clusters: CC over sign-LSH pairs (no grid)
     "dedup_semantic_lsh" -> ((s, d) => Dedup.semanticClustersLsh(s, d)),
+    // nightly-increment dedup for the EMBEDDING family: planted increment
+    // vs corpus via sign-LSH buckets, new side broadcast (round 7)
+    "dedup_embedding_incremental" -> ((s, d) => Dedup.embeddingIncrementalPlanted(s, d)),
+    // same contract through the persisted parquet bucket-store round trip
+    "dedup_embedding_incremental_store" ->
+      ((s, d) => Dedup.embeddingIncrementalPlantedViaStore(s, d)),
     // approximate → no SQL oracle (engine-specific estimates); accuracy is
     // spec-checked against exact counts in HllSpec
     "sketch_distinct" -> ((s, d) => {
@@ -313,6 +319,36 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS mix_rank
       | FROM d)
       |SELECT doc_id, lang, mix_rank, mix_rank <= cap AS kept FROM r, cap""".stripMargin
+
+  /** Exact all-pairs increment-vs-corpus ground truth on the planted-copy
+    * embedding corpus, shared verbatim by `dedup_embedding_incremental` and
+    * its bucket-store round trip (the [[IncrementalDedupOracle]] pattern).
+    * Sound for the LSH path because verified pairs ⊆ exact pairs and
+    * `dedup_embedding_lsh_check` proves recall 1.0 on this corpus.
+    */
+  private val EmbeddingIncrementalOracle: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |planted AS (
+      | SELECT vec_id + 100000 AS vec_id,
+      |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+      | FROM base WHERE vec_id < 20),
+      |n AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (acc, x) -> acc + x)) AS norm
+      | FROM planted),
+      |c AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (acc, x) -> acc + x)) AS norm
+      | FROM base)
+      |SELECT * FROM (
+      | SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+      |  list_reduce(list_transform(range(1, len(n.embedding) + 1),
+      |    i -> CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+      |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
+      | FROM n CROSS JOIN c)
+      |WHERE cosine >= 0.7""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
@@ -1292,6 +1328,8 @@ object SparkEntry {
         | UNION
         | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
         |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_embedding_incremental" -> EmbeddingIncrementalOracle,
+    "dedup_embedding_incremental_store" -> EmbeddingIncrementalOracle,
     "dedup_embedding_lsh_check" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (

@@ -919,14 +919,23 @@ object Dedup {
     * it remains the exact-contract form (quadratic by construction), while
     * this gate certifies the sub-quadratic route a 100 TB corpus must take.
     */
-  def embeddingLshRecall(spark: SparkSession, dir: String, threshold: Double = 0.7,
-      nPlanted: Int = 20): DataFrame = {
-    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") < nPlanted)
+  /** Deterministic planted near-duplicates: a copy of every `vec_id <
+    * nPlanted` at `vec_id + PlantedIdOffset` with the first dimension
+    * zeroed — a real perturbation (cosine ≈0.94–0.99 to its original)
+    * reproducible bit-for-bit in SQL, shared by every embedding recall
+    * gate and the incremental catalog rows (the natural fixture has no
+    * pairs above cosine 0.7).
+    */
+  private def plantedCopies(base: DataFrame, nPlanted: Int): DataFrame =
+    base.filter(col("vec_id") < nPlanted)
       .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
         concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding) - 1)"))
           .as("embedding"))
-    val aug = base.unionByName(planted)
+
+  def embeddingLshRecall(spark: SparkSession, dir: String, threshold: Double = 0.7,
+      nPlanted: Int = 20): DataFrame = {
+    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aug = base.unionByName(plantedCopies(base, nPlanted))
     val exact = embeddingNearDupsGrid(aug, threshold).select("id_a", "id_b")
     val lsh = embeddingNearDupsLsh(aug, threshold).select("id_a", "id_b")
     exact.join(lsh.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left_outer")
@@ -950,14 +959,117 @@ object Dedup {
   def semanticClustersLsh(spark: SparkSession, dir: String, threshold: Double = 0.7,
       nPlanted: Int = 20): DataFrame = {
     val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") < nPlanted)
-      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
-        concat(array(lit(0.0f)), expr("slice(embedding, 2, size(embedding) - 1)"))
-          .as("embedding"))
-    val pairs = embeddingNearDupsBy(base.unionByName(planted), threshold,
+    val pairs = embeddingNearDupsBy(base.unionByName(plantedCopies(base, nPlanted)), threshold,
         EmbeddingStrategy.SignLsh)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     connectedComponentsAdaptive(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+  }
+
+  /** INCREMENTAL embedding near-dup detection — the [[incrementalNearDups]]
+    * nightly-increment shape for the EMBEDDING family: NEW vectors are
+    * checked against the EXISTING corpus via sign-LSH bucket collision;
+    * corpus×corpus and new×new pairs are never generated. Output:
+    * (id_new, id_corpus, cosine) for every new vector whose exact cosine vs
+    * a corpus vector is ≥ `threshold` — what a pipeline drops (or routes to
+    * clustering) before appending the day's embeddings.
+    *
+    * Scale: the corpus side's bucket ids are what a deployment PERSISTS
+    * between increments ([[writeEmbeddingBucketStore]] — `tables` ints per
+    * vector); with a daily increment ≪ corpus, the new side's buckets
+    * BROADCAST and the corpus streams through unshuffled. Exact-cosine
+    * verification touches candidates only, so false positives never
+    * survive; recall is the LSH miss probability, gated every round by
+    * `dedup_embedding_lsh_check` on the same planted corpus.
+    */
+  def embeddingIncrementalFrom(corpus: DataFrame, increment: DataFrame,
+      threshold: Double = 0.7, tables: Int = 16, bits: Int = 8,
+      corpusBuckets: Option[DataFrame] = None,
+      forPlanInspection: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def withNorm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      graft.functions.Portable.l2NormNative("embedding").as("norm"))
+    def buckets(df: DataFrame) = df.select(col("vec_id"),
+      posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
+    val cor = withNorm(corpus).cache()
+    val inc = withNorm(increment).cache()
+    if (!forPlanInspection) { cor.count(); inc.count() }
+    val corB = corpusBuckets.getOrElse(buckets(cor))
+      .select(col("t"), col("key"), col("vec_id").as("id_corpus"))
+    val newB = buckets(inc).select(col("t"), col("key"), col("vec_id").as("id_new"))
+    val cand = corB.join(broadcast(newB), Seq("t", "key"))
+      .select("id_new", "id_corpus")
+      .distinct()
+    val verified = cand
+      .join(inc.select(col("vec_id").as("id_new"), col("embedding").as("emb_n"), col("norm").as("norm_n")), "id_new")
+      .join(cor.select(col("vec_id").as("id_corpus"), col("embedding").as("emb_c"), col("norm").as("norm_c")), "id_corpus")
+      .withColumn("cosine",
+        graft.functions.Portable.dotProductNative("emb_n", "emb_c") / (col("norm_n") * col("norm_c")))
+      .filter(col("cosine") >= threshold)
+      .select("id_new", "id_corpus", "cosine")
+    if (!forPlanInspection) materializeAndRelease(Seq(cor, inc), verified)
+    else { cor.unpersist(false); inc.unpersist(false); verified }
+  }
+
+  /** Writes the corpus side's sign-LSH bucket ids as the parquet store a
+    * nightly embedding increment joins against — `tables` (t, key) ints per
+    * vector, the embedding-family analogue of [[writeSignatureStore]]. The
+    * bucket ids are deterministic (fixed splitmix hyperplanes), so a store
+    * written once stays valid for every future increment.
+    */
+  def writeEmbeddingBucketStore(corpus: DataFrame, storeDir: String,
+      tables: Int = 16, bits: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"),
+        posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
+      .write.mode("overwrite").parquet(s"$storeDir/buckets.parquet")
+  }
+
+  /** The deployment form of [[embeddingIncrementalFrom]]: the corpus bucket
+    * ids round-trip through a PERSISTED parquet store (build → write → read
+    * back → increment join), mirroring [[incrementalNearDupsViaStore]]. The
+    * exact-cosine verification still reads the corpus embeddings — a
+    * deployment persists those alongside (they ARE the corpus). Output
+    * contract (and oracle) identical to the direct form, so a green row
+    * proves the store round trip is lossless.
+    */
+  def embeddingIncrementalViaStore(spark: SparkSession, corpus: DataFrame,
+      increment: DataFrame, threshold: Double = 0.7,
+      storeDir: Option[String] = None): DataFrame = {
+    val store = storeDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-emb-bucket-store").toString)
+    try {
+      writeEmbeddingBucketStore(corpus, store)
+      embeddingIncrementalFrom(corpus, increment, threshold,
+        corpusBuckets = Some(spark.read.parquet(s"$store/buckets.parquet")))
+    } finally {
+      if (storeDir.isEmpty) { // result is checkpointed — the temp store can go
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(store)).deleteRecursively()
+      }
+    }
+  }
+
+  /** Catalog form of [[embeddingIncrementalFrom]] on the planted-copy
+    * corpus (the [[embeddingLshRecall]] construction): the increment is the
+    * `nPlanted` perturbed copies, the corpus is the natural embeddings
+    * table — each planted vector must come back paired with its original.
+    * Hash-exact oracle: DuckDB recomputes the exact all-pairs new×corpus
+    * cosine set; sound because verified LSH pairs ⊆ exact pairs and the
+    * recall gate proves ⊇ on this corpus every round.
+    */
+  def embeddingIncrementalPlanted(spark: SparkSession, dir: String,
+      threshold: Double = 0.7, nPlanted: Int = 20): DataFrame = {
+    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    embeddingIncrementalFrom(base, plantedCopies(base, nPlanted), threshold)
+  }
+
+  /** [[embeddingIncrementalPlanted]] through the persisted bucket store —
+    * the `dedup_incremental_store` contract for embeddings.
+    */
+  def embeddingIncrementalPlantedViaStore(spark: SparkSession, dir: String,
+      threshold: Double = 0.7, nPlanted: Int = 20): DataFrame = {
+    val base = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    embeddingIncrementalViaStore(spark, base, plantedCopies(base, nPlanted), threshold)
   }
 }

@@ -281,6 +281,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.9), s"false positive above threshold: ${got.filter(_._3 < 0.9).toSeq}")
   }
 
+  test("embedding incremental dedup: planted pairs found, new-vs-corpus only, store round trip lossless") {
+    val direct = Dedup.embeddingIncrementalPlanted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotPairs = direct.map(t => (t._1, t._2)).toSet
+    // every planted copy must come back paired with its original
+    val expected = (0L until 20L).map(i => (i + 100000L, i)).toSet
+    assert(expected.subsetOf(gotPairs), s"missed planted pairs: ${expected -- gotPairs}")
+    // increment-vs-corpus shape: id_new is always a planted id, id_corpus never
+    assert(gotPairs.forall { case (n, c) => n >= 100000L && c < 100000L },
+      s"only new-vs-corpus pairs may be reported: $gotPairs")
+    // exact verification: nothing below the threshold survives
+    assert(direct.forall(_._3 >= 0.7), s"false positive: ${direct.filter(_._3 < 0.7).toSeq}")
+    // the persisted bucket-store round trip must be lossless (bit-equal)
+    val viaStore = Dedup.embeddingIncrementalPlantedViaStore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore == direct.toSet, "store round trip must reproduce the direct result")
+  }
+
   test("unified embedding dedup API: strategies route correctly, grid guarded by pair budget") {
     import graft.operators.EmbeddingStrategy
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")

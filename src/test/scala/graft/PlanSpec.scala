@@ -154,6 +154,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("embedding incremental dedup: new-side buckets broadcast, no nested loop") {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val inc = base.filter(col("vec_id") < 20)
+    val plan = graft.operators.Dedup
+      .embeddingIncrementalFrom(base, inc, 0.7, forPlanInspection = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"new-side buckets must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("session_window aggregation is one shuffle on the session key") {
     val plan = executedPlan("events_session_window")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
