@@ -81,6 +81,12 @@ object Similarity {
   // inside the single-pass `graft_lsh_buckets` expression (Expressions.scala)
   // — a naive parity mixer correlates tables and caps recall (~0.6 observed).
 
+  /** IVF defaults, sized for the test corpus. These are PARAMETERS of
+    * [[ivfTopK]] (round 7): at 100 TB the right settings differ — cells ≈
+    * √n for balanced O(√n) cell scans, probes tuning the recall/cost
+    * frontier — so a production caller picks them per corpus; the recall
+    * gate is spec-verified at a non-default cell too (IvfSpec).
+    */
   val NumCentroids = 16
   val NumProbes = 8
 
@@ -118,25 +124,35 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       refineIters: Int = 2, forPlanInspection: Boolean = false,
-      trainFraction: Double = TrainFraction): DataFrame = {
+      trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
     // Training set: deterministic hash-sample; scanning it fills e's cache.
     val train = trainSample(e, trainFraction).cache()
     val nTrain = train.count()
     require(nTrain > 0, s"ivfTopK: training sample is empty (trainFraction=$trainFraction)")
-    // Seeds: the first NumCentroids training vectors in xxhash64 order — a
+    // Seeds: the first numCentroids training vectors in xxhash64 order — a
     // deterministic pseudo-random spread that is a TakeOrdered (no global
     // sort) and, unlike the old `vec_id % stride` probe, cannot under-select
-    // when sampled ids are sparse/non-contiguous.
-    var centroids: Array[(Int, Seq[Double])] = train
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(NumCentroids)
-      .select("vec_id", "embedding", "norm").collect()
-      .zipWithIndex.map { case (r, cid) =>
-        val v = r.getSeq[Float](1)
-        val norm = r.getDouble(2)
-        (cid, v.map(x => x.toDouble / norm).toSeq)
-      }
+    // when sampled ids are sparse/non-contiguous. Samples SMALLER than
+    // numCentroids pad by cycling (the trainCodebooks rule, applied here
+    // for symmetry): a duplicated centroid ties its twin's affinity and the
+    // assignment breaks to the HIGHER cell id consistently (array_max on
+    // (score, c) structs), Lloyd's empty-cell rule keeps the loser inert —
+    // so tiny corpora degrade gracefully instead of silently running with
+    // fewer cells than requested.
+    var centroids: Array[(Int, Seq[Double])] = {
+      val seeds = train
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(numCentroids)
+        .select("vec_id", "embedding", "norm").collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          val norm = r.getDouble(2)
+          v.map(x => x.toDouble / norm).toSeq
+        }
+      Array.tabulate(numCentroids)(cid => (cid, seeds(cid % seeds.length)))
+    }
 
     // cell affinity = cosine vs each centroid, as literal-array dots
     def cellScoresFor(cents: Array[(Int, Seq[Double])]) = cents.map { case (cid, cv) =>
@@ -174,8 +190,8 @@ object Similarity {
     def cellScores = cellScoresFor(centroids)
 
     val assigned = e.withColumn("cell", array_max(array(cellScores: _*)).getField("c"))
-    // top-NumProbes cells per query, by affinity (struct sort: score, then c)
-    val probeCells = slice(reverse(array_sort(array(cellScores: _*))), 1, NumProbes)
+    // top-numProbes cells per query, by affinity (struct sort: score, then c)
+    val probeCells = slice(reverse(array_sort(array(cellScores: _*))), 1, numProbes)
     val q = e.filter(col("vec_id") < nQueries)
       .withColumn("pc", explode(probeCells.getField("c")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("pc").as("cell"))
@@ -266,9 +282,11 @@ object Similarity {
     * generous floor, not equality; the oracle asserts TRUE per query.
     */
   def ivfRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      minHits: Int = 3): DataFrame = {
+      minHits: Int = 3, numCentroids: Int = NumCentroids,
+      numProbes: Int = NumProbes): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    val approx = ivfTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = ivfTopK(spark, dir, k, nQueries,
+      numCentroids = numCentroids, numProbes = numProbes).select("q_id", "neighbor_id")
     exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
@@ -282,6 +300,10 @@ object Similarity {
     */
   val PqSubspaces = 8
   val PqSubDims = 8 // 64 / PqSubspaces
+  /** Defaults for [[pqTopK]]'s tuning surface (round 7: parameters, not
+    * constants — at 100 TB a caller trades code width vs shortlist depth
+    * per corpus; the recall gate is spec-verified off-default too).
+    */
   val PqCentroids = 16
   /** ADC shortlist size before exact re-rank (quantization noise budget). */
   val PqShortlist = 200
@@ -301,23 +323,23 @@ object Similarity {
     * encoding pass), regardless of `refineIters`.
     */
   private def trainCodebooks(normed: DataFrame, refineIters: Int,
-      trainFraction: Double): Array[Array[Array[Double]]] = {
+      trainFraction: Double, pqCentroids: Int = PqCentroids): Array[Array[Array[Double]]] = {
     val train = trainSample(normed, trainFraction).cache()
     val nTrain = train.count()
     require(nTrain > 0, s"pqTopK: training sample is empty (trainFraction=$trainFraction)")
     var books: Array[Array[Array[Double]]] = {
       // Seeds in deterministic xxhash64 order (TakeOrdered, no global sort;
       // robust to sparse/non-contiguous vec_ids — the old stride probe
-      // could under-select). If the corpus has FEWER than PqCentroids
+      // could under-select). If the corpus has FEWER than pqCentroids
       // vectors, pad by cycling: a duplicated centroid never wins argmin
       // (lower code id takes the tie) and Lloyd's empty-cell rule keeps it
       // inert, so codesFor's fixed-width loops stay safe instead of
       // throwing ArrayIndexOutOfBounds.
-      val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqCentroids)
+      val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(pqCentroids)
         .select("nemb").collect()
         .map(_.getSeq[Double](0).toArray)
-      val padded = if (seeds.length >= PqCentroids) seeds
-        else Array.tabulate(PqCentroids)(i => seeds(i % seeds.length))
+      val padded = if (seeds.length >= pqCentroids) seeds
+        else Array.tabulate(pqCentroids)(i => seeds(i % seeds.length))
       Array.tabulate(PqSubspaces) { s =>
         padded.map(v => v.slice(s * PqSubDims, (s + 1) * PqSubDims))
       }
@@ -334,7 +356,7 @@ object Similarity {
         .collect()
       val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
       books = Array.tabulate(PqSubspaces) { s =>
-        Array.tabulate(PqCentroids) { c =>
+        Array.tabulate(pqCentroids) { c =>
           byCell.get((s, c)) match {
             case Some(rows) =>
               rows.sortBy(_.getInt(2)).map(r => r.getLong(3).toDouble / r.getLong(4) / 1e6)
@@ -358,7 +380,9 @@ object Similarity {
   private def codesFor(books: Array[Array[Array[Double]]]): Column = {
     val perSub = (0 until PqSubspaces).map { s =>
       val sub = s"slice(nemb, ${s * PqSubDims + 1}, $PqSubDims)"
-      val scored = (0 until PqCentroids).map { c =>
+      // centroid count comes from the codebook itself, so off-default
+      // pqCentroids settings flow through without a second parameter
+      val scored = books(s).indices.map { c =>
         val cv = books(s)(c)
         val litArr = cv.mkString("array(", "D, ", "D)")
         val cNorm2 = cv.map(x => x * x).sum
@@ -385,13 +409,20 @@ object Similarity {
     */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       refineIters: Int = 3, forPlanInspection: Boolean = false,
-      trainFraction: Double = TrainFraction): DataFrame = {
+      trainFraction: Double = TrainFraction,
+      pqCentroids: Int = PqCentroids, pqShortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
-    val normed = e.withColumn("nemb",
+    // Zero-norm vectors are out of contract for cosine ranking and are
+    // excluded HERE rather than left to float through: nemb would be NaN,
+    // and the shortlist heap ranks the negated distance's NaN FIRST under
+    // desc (the old approx-asc window ranked it last) — a zero-norm vector
+    // would enter every shortlist and a zero-norm query would return NaN
+    // ranks. The exclusion is explicit and total for this operator.
+    val normed = e.filter(col("norm") > 0).withColumn("nemb",
       expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")).cache()
     normed.count()
-    val books = trainCodebooks(normed, refineIters, trainFraction)
+    val books = trainCodebooks(normed, refineIters, trainFraction, pqCentroids)
 
     val coded = normed.withColumn("codes", codesFor(books))
       .select("vec_id", "codes").cache()
@@ -403,8 +434,8 @@ object Similarity {
       .select("vec_id", "nemb").collect()
       .map { r =>
         val q = r.getSeq[Double](1).toArray
-        val tab = Array.tabulate(PqSubspaces * PqCentroids) { i =>
-          val s = i / PqCentroids; val c = i % PqCentroids
+        val tab = Array.tabulate(PqSubspaces * pqCentroids) { i =>
+          val s = i / pqCentroids; val c = i % pqCentroids
           val cv = books(s)(c)
           var d = 0.0
           var j = 0
@@ -419,7 +450,7 @@ object Similarity {
     val qdf = broadcast(queries.toSeq.toDF("q_id", "qtab"))
 
     val approxCol = (0 until PqSubspaces).map { s =>
-      element_at(col("qtab"), element_at(col("codes"), s + 1) + lit(s * PqCentroids) + 1)
+      element_at(col("qtab"), element_at(col("codes"), s + 1) + lit(s * pqCentroids) + 1)
     }.reduce(_ + _)
 
     // Shortlist selection as the bounded-heap aggregate on NEGATED distance
@@ -431,7 +462,7 @@ object Similarity {
     val shortlist = coded.join(qdf, col("vec_id") =!= col("q_id"))
       .withColumn("approx", approxCol)
       .groupBy("q_id")
-      .agg(expr(s"graft_topk(vec_id, -approx, $PqShortlist)").as("top"))
+      .agg(expr(s"graft_topk(vec_id, -approx, $pqShortlist)").as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
 
     // exact re-rank of the shortlist only
@@ -454,9 +485,11 @@ object Similarity {
     * TRUE per query.
     */
   def pqRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      minHits: Int = 5): DataFrame = {
+      minHits: Int = 5, pqCentroids: Int = PqCentroids,
+      pqShortlist: Int = PqShortlist): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    val approx = pqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = pqTopK(spark, dir, k, nQueries,
+      pqCentroids = pqCentroids, pqShortlist = pqShortlist).select("q_id", "neighbor_id")
     exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))

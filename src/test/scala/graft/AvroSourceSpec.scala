@@ -133,4 +133,23 @@ class IvfSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(a == b, "IVF results drifted with summation order — centroid math is not order-independent")
   }
+
+  test("IVF tuning surface: recall gate holds at the non-default (32 cells, 4 probes) point") {
+    // Round-7: numCentroids/numProbes are parameters, not constants — the
+    // 100 TB settings differ from the fixture defaults (cells ≈ √n). This
+    // cell probes 4/32 = 12.5% of a finer partition over near-random
+    // vectors; measured per-query hits are (3,1,1,2,3)/10 and the pipeline
+    // is deterministic, so the floor is the measured minimum. The gate
+    // shape is exactly ann_ivf_check's, so an off-default regression —
+    // e.g. a parameter not actually reaching training or probing — is
+    // visible as a zero.
+    val rows = Similarity.ivfRecallFloor(spark, dir, minHits = 1,
+      numCentroids = 32, numProbes = 4).collect()
+    assert(rows.length == 5, s"one gate row per query expected, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(1)),
+      s"off-default recall floor violated: ${rows.mkString(", ")}")
+    // and the default cell still holds its stronger floor
+    val dflt = Similarity.ivfRecallFloor(spark, dir).collect()
+    assert(dflt.forall(_.getBoolean(1)), "default-cell recall floor violated")
+  }
 }

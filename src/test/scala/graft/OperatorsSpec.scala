@@ -89,6 +89,17 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(1)), "recall floor violated")
   }
 
+  test("PQ tuning surface: recall gate holds at a non-default (8 centroids, 100 shortlist) point") {
+    // Round-7: pqCentroids/pqShortlist are parameters — coarser 3-bit codes
+    // with a half-depth shortlist still have to clear a floor, proving the
+    // settings actually flow through training, ADC tables and selection.
+    val rows = Similarity.pqRecallFloor(spark, dir, minHits = 3,
+      pqCentroids = 8, pqShortlist = 100).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(1)),
+      s"off-default PQ recall floor violated: ${rows.mkString(", ")}")
+  }
+
   test("PQ survives corpora smaller than the centroid count (seed padding)") {
     // Regression for the r5 ADVICE finding: with < PqCentroids (16) seed
     // vectors, codesFor's fixed-width centroid loops used to throw
