@@ -151,6 +151,9 @@ object SparkEntry {
     // fixed-count per-language sample in portable-hash order
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "sample_mixture" -> ((s, d) => TextAnalysis.sampleMixture(s, d)),
+    // mC4-style temperature sampling: targets DERIVED from observed counts
+    // (integer-exact T=2 flattening), filled in portable-hash order (r7)
+    "sample_temperature" -> ((s, d) => TextAnalysis.sampleTemperature(s, d)),
     // the same sample via the bounded-heap aggregate (the 100 TB form)
     "sample_stratified_topk" -> ((s, d) => TextAnalysis.sampleStratifiedTopK(s, d)),
     // round-5 chain: quality filter -> stratified sample -> chunk -> rollup
@@ -1233,6 +1236,24 @@ object SparkEntry {
         | FROM h)
         |WHERE mix_rank <= CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 30
         | WHEN 'de' THEN 30 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 0 END""".stripMargin,
+    "sample_temperature" ->
+      """WITH h AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
+        | FROM documents),
+        |w AS (
+        | SELECT lang, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wt
+        | FROM documents GROUP BY lang),
+        |tgt AS (
+        | SELECT lang, (200 * wt) // (SELECT sum(wt) FROM w) AS target FROM w)
+        |SELECT doc_id, lang, mix_rank FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT)
+        |   AS mix_rank
+        | FROM h) r
+        |JOIN tgt USING (lang)
+        |WHERE mix_rank <= target""".stripMargin,
     "bloom_fpr_check" ->
       """SELECT
         | CAST(sum(CASE WHEN o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,

@@ -188,6 +188,49 @@ object TextAnalysis {
       .filter(col("mix_rank") <= capExpr)
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the mC4/multilingual α-sampling
+    * step: where [[sampleMixture]] takes explicit target weights, this
+    * DERIVES them from the observed per-key counts, flattened by a
+    * temperature so low-resource keys are up-weighted relative to their
+    * raw share (`w_k ∝ n_k^(1/T)`; T=1 is proportional, T→∞ uniform).
+    *
+    * The catalog contract pins T = 2 with INTEGER-EXACT arithmetic so both
+    * engines compute identical targets: weight = `floor(sqrt(n_k))` (sqrt
+    * is IEEE-correctly-rounded in any engine, floor makes it an integer —
+    * a general `pow(n, 1/T)` is NOT correctly-rounded and could flip a
+    * floor across engines), target_k = `totalDocs · w_k div Σw`. Slots
+    * fill in portable-hash order — the same deterministic everywhere-same
+    * sample as the rest of the family.
+    *
+    * Scale: identical plan to [[sampleMixture]] — per-key counts are a
+    * tiny driver-side aggregate, selection is the bounded-heap
+    * `graft_topk` with k = the largest target (map tasks forward ≤ k rows
+    * per key, nothing global ever sorts), per-key targets post-filter the
+    * rank via a literal map.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String, totalDocs: Long = 200L,
+      keyCol: String = "lang"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).select(col("doc_id"), col(keyCol),
+      Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+    val counts = d.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "sampleTemperature: empty corpus")
+    val weights = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
+    val sumW = weights.map(_._2).sum
+    val targets = weights.map { case (k, w) => (k, totalDocs * w / sumW) }.toMap
+    require(targets.values.max > 0,
+      s"sampleTemperature: totalDocs=$totalDocs floors every target to 0; raise totalDocs")
+    val maxTarget = targets.values.max
+    d.filter(col(keyCol).isin(targets.filter(_._2 > 0).keys.toSeq: _*))
+      .groupBy(keyCol)
+      .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxTarget)").as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), col(keyCol),
+        (col("pos") + 1).cast("bigint").as("mix_rank"))
+      .filter(col("mix_rank") <= coalesce(element_at(typedLit(targets), col(keyCol)), lit(0L)))
+  }
+
   /** Token-budget corpus selection — "the best documents that fit a token
     * budget", the curation step that turns a scored corpus into a training
     * set of a target size. Contract (greedy prefix, NOT a knapsack): order

@@ -235,10 +235,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("round-6 curation operators keep their scale shapes") {
-    // sample_mixture: heap aggregate, never a per-stratum window
-    val mix = executedPlan("sample_mixture")
-    assert(!mix.contains("Window "), s"mixture fell back to a window:\n$mix")
-    assert(mix.contains("partial_topk"), s"mixture missing map-side partial top-k:\n$mix")
+    // sample_mixture / sample_temperature: heap aggregate, never a
+    // per-stratum window
+    for (q <- Seq("sample_mixture", "sample_temperature")) {
+      val mix = executedPlan(q)
+      assert(!mix.contains("Window "), s"$q fell back to a window:\n$mix")
+      assert(mix.contains("partial_topk"), s"$q missing map-side partial top-k:\n$mix")
+    }
     // dedup_canonical_best: rep selection is a partial/merge max(struct)
     // aggregate — no per-cluster window anywhere in the plan
     val best = executedPlan("dedup_canonical_best")

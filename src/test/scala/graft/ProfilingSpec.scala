@@ -63,6 +63,45 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.toSet == win.toSet, "heap-aggregate mixture must equal the window form")
   }
 
+  test("sampleTemperature: integer-exact sqrt targets, flattening property, window-equivalent") {
+    import org.apache.spark.sql.expressions.Window
+    val total = 200L
+    val got = graft.operators.TextAnalysis.sampleTemperature(spark, dir, total).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // targets recomputed independently: floor(sqrt(n)) weights, integer div
+    val strata = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wts = strata.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val sumW = wts.values.sum
+    val targets = wts.view.mapValues(w => total * w / sumW).toMap
+    val perLang = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((l, t) <- targets)
+      assert(perLang.getOrElse(l, 0L) == math.min(t, strata(l)),
+        s"$l: got ${perLang.get(l)} want min($t, ${strata(l)})")
+    // temperature flattening: the dominant language's share of the sample
+    // must be BELOW its raw corpus share, every minority's at-or-above
+    val nCorpus = strata.values.sum
+    val nSample = got.length.toLong
+    val dominant = strata.maxBy(_._2)._1
+    assert(perLang(dominant).toDouble / nSample < strata(dominant).toDouble / nCorpus,
+      s"dominant $dominant not down-weighted")
+    for ((l, n) <- strata if l != dominant)
+      assert(perLang(l).toDouble / nSample >= n.toDouble / nCorpus - 1e-9,
+        s"minority $l lost share")
+    // equals the per-stratum window form with the same targets
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("lang").orderBy(col("rank_hash"), col("doc_id"))
+    val win = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+      .withColumn("mix_rank", row_number().over(w).cast("bigint"))
+      .withColumn("t", element_at(typedLit(targets.toMap), col("lang")))
+      .filter(col("mix_rank") <= col("t"))
+      .select("doc_id", "lang", "mix_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == win.toSet, "heap-aggregate temperature mix must equal the window form")
+  }
+
   test("canonicalDocsBest: every representative is its cluster's argmax quality") {
     val clusters = graft.operators.Dedup.nearDupClustersStar(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
