@@ -202,6 +202,33 @@ object Bench {
       q.awaitTermination()
     }
 
+    // 3d. Streaming incremental dedup: a file-stream of the newest 10% of
+    // documents checked per micro-batch against the persisted corpus
+    // signature store (built untimed — it is the nightly pipeline's
+    // standing artifact; the timed section is the increment protocol).
+    results("stream_incremental_dedup") = {
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val splitId = nDocs * 9 / 10
+      val store = tempDir("graft-bench-sigstore")
+      graft.operators.Dedup.writeSignatureStore(
+        graft.operators.Dedup.docShingleArrays(spark, sfDir), store, splitId)
+      val corpusBands = spark.read.parquet(s"$store/bands.parquet")
+      val corpusArrays = graft.operators.Dedup.docShingleArrays(spark, sfDir)
+        .filter(col("doc_id") < splitId)
+      val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      time {
+        val newDocs = spark.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          .filter(col("doc_id") >= splitId)
+          .select("doc_id", "text")
+        val ckpt = tempDir("graft-bench-stream-inc")
+        val q = graft.streaming.StreamDedup.start(
+          newDocs, corpusArrays, corpusBands, 0.6, ckpt)((batch, _) => batch.count())
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
       val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -217,7 +244,8 @@ object Bench {
     // driver's tail retains intact parses to the same totals.
     println(jsonLine(results))
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
-      Vector("stream_export_avro", "stream_sessionize", "stream_interval_join")
+      Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
+        "stream_incremental_dedup")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

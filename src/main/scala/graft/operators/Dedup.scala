@@ -91,7 +91,14 @@ object Dedup {
     * shuffles.
     */
   def docShingleArrays(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    shingleArraysOf(docs(spark, dir))
+
+  /** The shingle builder over any (doc_id, text) frame — map-only HOFs, so
+    * it applies unchanged to a STREAMING micro-batch
+    * ([[graft.streaming.StreamDedup]]).
+    */
+  def shingleArraysOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("toks", Portable.tokens("text"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), Portable.wordShingles("toks", 3).as("shingles"))
@@ -352,19 +359,48 @@ object Dedup {
 
   /** Exact-Jaccard verification of (id_new, id_corpus) candidate pairs
     * against the shingle arrays — THE verification semantics, shared by the
-    * direct and store-backed incremental paths so they cannot drift.
+    * direct, store-backed and STREAMING incremental paths so they cannot
+    * drift. The new and corpus sides may come from different frames (the
+    * streaming path's new side is a micro-batch).
     */
   private def verifyIncrementalPairs(arrays: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame =
+    verifyIncrementalPairsSplit(arrays, arrays, cand, threshold)
+
+  private def verifyIncrementalPairsSplit(newArrays: DataFrame, corpusArrays: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(arrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
-      .join(arrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
+      .join(newArrays.select(col("doc_id").as("id_new"), col("shingles").as("sh_n")), "id_new")
+      .join(corpusArrays.select(col("doc_id").as("id_corpus"), col("shingles").as("sh_c")), "id_corpus")
       .withColumn("n_inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("sh_n")) + size(col("sh_c")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_corpus", "n_inter", "jaccard")
+
+  /** One INCREMENT of near-dup detection against a pre-built corpus:
+    * `newDocs` is any (doc_id, text) frame (a nightly delta — or a
+    * STREAMING micro-batch, which is how [[graft.streaming.StreamDedup]]
+    * calls this per batch), `corpusArrays`/`corpusBands` are the persisted
+    * corpus artifacts ([[writeSignatureStore]] for the bands; the shingle
+    * arrays are the tokenized corpus a pipeline already materializes).
+    * The increment's bands BROADCAST against the streaming corpus store;
+    * exact verification touches candidates only. Output contract is
+    * [[incrementalNearDups]]'s.
+    */
+  def incrementalNearDupsFrom(newDocs: DataFrame, corpusArrays: DataFrame,
+      corpusBands: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val newArrays = shingleArraysOf(newDocs)
+    val newB = bandedSignatures(signaturesFrom(newArrays))
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
+    val cand = corpusBands
+      .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
+      .join(broadcast(newB), Seq("band", "k1", "k2"))
+      .select("id_new", "id_corpus")
+      .distinct()
+    verifyIncrementalPairsSplit(broadcast(newArrays), corpusArrays, cand, threshold)
+  }
 
   /** The deployment form of [[incrementalNearDups]]: the corpus's banded
     * MinHash signatures are PERSISTED (32 longs per doc — written once,

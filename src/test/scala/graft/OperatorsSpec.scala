@@ -756,6 +756,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup == batch increment, across micro-batches and the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // the batch incremental test's planted fixture: corpus (< 400) with an
+    // internal dup pair, new docs (>= 400) with a near-dup, an exact dup,
+    // and a unique
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tweak = (1 to 60).map(i => if (i % 20 == 0) s"z$i" else s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    val unique = (1 to 60).map(i => s"y$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("stream-inc-dedup").toString
+    Seq((10L, base), (11L, base), (12L, other),
+        (400L, tweak), (401L, other), (402L, unique))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchTruth = Dedup.incrementalNearDups(spark, tmp, 0.6, splitId = 400L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // persisted corpus artifacts, exactly as a deployment holds them
+    Dedup.writeSignatureStore(Dedup.docShingleArrays(spark, tmp), tmp, splitId = 400L)
+    val corpusBands = spark.read.parquet(s"$tmp/bands.parquet")
+    val corpusArrays = Dedup.docShingleArrays(spark, tmp).filter(col("doc_id") < 400L).cache()
+    corpusArrays.count()
+
+    val results = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-inc-ckpt").toString
+    val q = graft.streaming.StreamDedup.start(
+      mem.toDF().toDF("doc_id", "text"), corpusArrays, corpusBands, 0.6, ckpt) {
+      (batch, _) =>
+        results.synchronized {
+          results ++= batch.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+    }
+    // the increment arrives split across two micro-batches
+    mem.addData((400L, tweak))
+    q.processAllAvailable()
+    mem.addData((401L, other), (402L, unique))
+    q.processAllAvailable()
+    q.stop()
+    corpusArrays.unpersist(false)
+    assert(results.toSet == batchTruth,
+      s"stream/batch diverged: stream-only=${results.toSet -- batchTruth} batch-only=${batchTruth -- results}")
+    // the multi-batch delivery really found pairs (not vacuously equal)
+    assert(results.exists(_._1 == 400L) && results.exists(_._1 == 401L))
+  }
+
   test("sessionizer emits via event-time timeout when the watermark passes the gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
