@@ -57,6 +57,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     // C4-style corpus-level line (word-segment) dedup
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    // Lee-et-al sliding-window verbatim duplication fraction per doc (r7)
+    "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupScore(s, d)),
     // RAG chunking: overlapping fixed-size character windows per doc
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     // hashing-trick vectorization (sparse signed token counts per bucket)
@@ -168,6 +170,9 @@ object SparkEntry {
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
+    // same floor through the PERSISTED index round trip (build -> parquet
+    // -> read back -> query; bit-equal to the direct path by spec) (r7)
+    "ann_ivf_store_check" -> ((s, d) => Similarity.ivfStoreRecallFloor(s, d)),
     // PQ gate: 8-byte codes + ADC + shortlist re-rank recovers >=5/10
     "ann_pq_check" -> ((s, d) => Similarity.pqRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
@@ -861,6 +866,19 @@ object SparkEntry {
         | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
         | md5(COALESCE(a.clean_text, '')) AS clean_md5
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "text_substring_dup" ->
+      """WITH w AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 25 + 2),
+        |   i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 24 AS INTEGER)], ' ')))) AS gram
+        | FROM w WHERE len(w) >= 25),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM g JOIN df USING (gram) GROUP BY doc_id""".stripMargin,
     "text_chunk" ->
       """WITH starts AS (
         | SELECT doc_id, text,
@@ -1314,6 +1332,9 @@ object SparkEntry {
         | WHERE rank <= 10)
         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits FROM topk GROUP BY q_id""".stripMargin,
     "ann_ivf_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_ivf_store_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_check" ->

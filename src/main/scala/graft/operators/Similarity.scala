@@ -132,16 +132,51 @@ object Similarity {
     val train = trainSample(e, trainFraction).cache()
     val nTrain = train.count()
     require(nTrain > 0, s"ivfTopK: training sample is empty (trainFraction=$trainFraction)")
-    // Seeds: the first numCentroids training vectors in xxhash64 order — a
-    // deterministic pseudo-random spread that is a TakeOrdered (no global
-    // sort) and, unlike the old `vec_id % stride` probe, cannot under-select
-    // when sampled ids are sparse/non-contiguous. Samples SMALLER than
-    // numCentroids pad by cycling (the trainCodebooks rule, applied here
-    // for symmetry): a duplicated centroid ties its twin's affinity and the
-    // assignment breaks to the HIGHER cell id consistently (array_max on
-    // (score, c) structs), Lloyd's empty-cell rule keeps the loser inert —
-    // so tiny corpora degrade gracefully instead of silently running with
-    // fewer cells than requested.
+    val centroids = trainIvfCentroids(train, refineIters, numCentroids)
+    val assigned = e.withColumn("cell",
+      array_max(array(cellAffinities(centroids): _*)).getField("c"))
+    val out = ivfProbeTopK(e, assigned, centroids, k, nQueries, numProbes)
+    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // assertions ONLY (PlanSpec); executing it would recompute the pipeline
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, train), out)
+    else { e.unpersist(false); train.unpersist(false); out }
+  }
+
+  /** Cell affinity = cosine vs each centroid, as literal-array dots
+    * (codegen, no shuffle) — shared by training, assignment, probing and
+    * the store-backed query path.
+    */
+  private def cellAffinities(cents: Array[(Int, Seq[Double])]): Seq[Column] =
+    cents.toSeq.map { case (cid, cv) =>
+      val lit = cv.mkString("array(", "D, ", "D)")
+      struct((expr(s"graft_dot(embedding, $lit)") / col("norm")).as("score"), expr(s"$cid").as("c"))
+    }
+
+  /** Seeds + Lloyd refinement over the training sample — the trained
+    * coarse quantizer, shared by [[ivfTopK]] and [[writeIvfIndex]] so the
+    * direct and store-backed paths can never train differently.
+    *
+    * Seeds: the first numCentroids training vectors in xxhash64 order — a
+    * deterministic pseudo-random spread that is a TakeOrdered (no global
+    * sort) and, unlike a `vec_id % stride` probe, cannot under-select when
+    * sampled ids are sparse/non-contiguous. Samples SMALLER than
+    * numCentroids pad by cycling (the trainCodebooks rule, applied here
+    * for symmetry): a duplicated centroid ties its twin's affinity and the
+    * assignment breaks to the HIGHER cell id consistently (array_max on
+    * (score, c) structs), Lloyd's empty-cell rule keeps the loser inert —
+    * so tiny corpora degrade gracefully instead of silently running with
+    * fewer cells than requested.
+    *
+    * Lloyd refinement: each cell's centroid becomes the (re-normalized)
+    * mean of its members. The mean is computed as EXACT integer-micros
+    * sums (the [[labelCentroids]] recipe): bigint addition commutes, so
+    * the result is identical across any partitioning/parallelism — a
+    * float avg() would drift in the last ulp with summation order and
+    * break cross-configuration reproducibility. Empty cells keep their
+    * previous centroid.
+    */
+  private def trainIvfCentroids(train: DataFrame, refineIters: Int,
+      numCentroids: Int): Array[(Int, Seq[Double])] = {
     var centroids: Array[(Int, Seq[Double])] = {
       val seeds = train
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(numCentroids)
@@ -153,23 +188,9 @@ object Similarity {
         }
       Array.tabulate(numCentroids)(cid => (cid, seeds(cid % seeds.length)))
     }
-
-    // cell affinity = cosine vs each centroid, as literal-array dots
-    def cellScoresFor(cents: Array[(Int, Seq[Double])]) = cents.map { case (cid, cv) =>
-      val lit = cv.mkString("array(", "D, ", "D)")
-      struct((expr(s"graft_dot(embedding, $lit)") / col("norm")).as("score"), expr(s"$cid").as("c"))
-    }
-
-    // Lloyd refinement: each cell's centroid becomes the (re-normalized)
-    // mean of its members. The mean is computed as EXACT integer-micros
-    // sums (the [[labelCentroids]] recipe): bigint addition commutes, so
-    // the result is identical across any partitioning/parallelism — a
-    // float avg() would drift in the last ulp with summation order and
-    // break cross-configuration reproducibility. Empty cells keep their
-    // previous centroid.
     for (_ <- 0 until refineIters) {
       val assigned = train.withColumn("cell",
-        array_max(array(cellScoresFor(centroids): _*)).getField("c"))
+        array_max(array(cellAffinities(centroids): _*)).getField("c"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -186,25 +207,93 @@ object Similarity {
         }
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    centroids
+  }
 
-    def cellScores = cellScoresFor(centroids)
-
-    val assigned = e.withColumn("cell", array_max(array(cellScores: _*)).getField("c"))
+  /** The probe-and-rerank stage over an assigned corpus — shared by the
+    * direct and store-backed query paths.
+    */
+  private def ivfProbeTopK(e: DataFrame, assigned: DataFrame,
+      centroids: Array[(Int, Seq[Double])], k: Int, nQueries: Int,
+      numProbes: Int): DataFrame = {
     // top-numProbes cells per query, by affinity (struct sort: score, then c)
-    val probeCells = slice(reverse(array_sort(array(cellScores: _*))), 1, numProbes)
+    val probeCells = slice(reverse(array_sort(array(cellAffinities(centroids): _*))), 1, numProbes)
     val q = e.filter(col("vec_id") < nQueries)
       .withColumn("pc", explode(probeCells.getField("c")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"), col("pc").as("cell"))
-
-    val out = topKPerQuery(
+    topKPerQuery(
       assigned.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosine),
       col("cosine"), k)
-    // forPlanInspection=true: unmaterialized, cache released — plan-shape
-    // assertions ONLY (PlanSpec); executing it would recompute the pipeline
-    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, train), out)
-    else { e.unpersist(false); train.unpersist(false); out }
+  }
+
+  /** Persists the trained IVF index — the deployment artifact a 100 TB
+    * corpus builds ONCE and queries many times: `centroids.parquet`
+    * (numCentroids rows of (cid, centroid)) and `assignments.parquet`
+    * ((vec_id, cell) — 12 bytes/vector; the embeddings themselves stay in
+    * the source table and are joined back only for probed cells). Training
+    * is [[trainIvfCentroids]] verbatim, so the persisted index is
+    * bit-identical to what [[ivfTopK]] would train in-session.
+    */
+  def writeIvfIndex(spark: SparkSession, dir: String, storeDir: String,
+      refineIters: Int = 2, trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val train = trainSample(e, trainFraction).cache()
+    require(train.count() > 0,
+      s"writeIvfIndex: training sample is empty (trainFraction=$trainFraction)")
+    val centroids = trainIvfCentroids(train, refineIters, numCentroids)
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$storeDir/centroids.parquet")
+    e.withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
+      .select("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$storeDir/assignments.parquet")
+    e.unpersist(false)
+    train.unpersist(false)
+  }
+
+  /** Queries a PERSISTED IVF index ([[writeIvfIndex]]) without retraining
+    * or reassigning: centroids load onto the driver (numCentroids × dims
+    * values), assignments join the corpus by vec_id, probing and exact
+    * re-rank run exactly as [[ivfTopK]]'s — bit-equal to the direct path
+    * (IvfSpec), which is what makes `ann_ivf_store_check` share the same
+    * recall-floor oracle shape.
+    */
+  def ivfTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
+      k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$storeDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val assignments = spark.read.parquet(s"$storeDir/assignments.parquet")
+    val e = withNorm(embeddings(spark, dir))
+    val assigned = e.join(assignments, "vec_id")
+    ivfProbeTopK(e, assigned, centroids, k, nQueries, numProbes)
+  }
+
+  /** Driver-checkable recall floor of the store-backed IVF path — build
+    * index → persist → read back → query, asserting the same per-query
+    * floor as `ann_ivf_check`. A green row proves the index round trip is
+    * lossless end to end.
+    */
+  def ivfStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    try {
+      writeIvfIndex(spark, dir, store)
+      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+      val approx = ivfTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
+      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id")
+        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      // materialize before the temp index is deleted
+      Dedup.materializeAndRelease(Seq.empty, out)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
   }
 
   /** Per-label embedding centroids as EXACT integer sums: each dimension's

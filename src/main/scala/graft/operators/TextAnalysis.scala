@@ -636,6 +636,44 @@ object TextAnalysis {
           s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +
             s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
 
+  /** EXACT substring-duplication scoring — the sliding-window dedup mode
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": for every document, the fraction of its distinct `k`-token
+    * SLIDING windows that appear verbatim in at least one other document.
+    * [[lineDedup]]'s aligned segments catch copy-paste that lands on
+    * segment boundaries; sliding windows catch SHIFTED verbatim
+    * duplication (quotes, syndicated passages, templated text with a
+    * changed prefix) that alignment structurally misses — the
+    * discriminating case is spec-pinned. Documents shorter than `k`
+    * tokens have no windows and are excluded (mirrored by the oracle).
+    *
+    * Scale: the [[lineDedup]] shape — the duplicated-window set is small
+    * by construction (every member repeats in ≥2 documents, so it is at
+    * most 1/2 of the corpus and in practice the tiny duplicated tail); it
+    * BROADCASTS, and the corpus side is one explode → broadcast mark join
+    * → one aggregation. The window doc-frequency itself is one
+    * hash-aggregate with map-side partials. At 100 TB, group on the
+    * 8-byte window hash so the shuffle never moves window text
+    * (exact-string form kept here for the oracle).
+    */
+  def substringDupScore(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val g = docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(Portable.wordShingles("toks", k)).as("gram"))
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"), lit(true).as("is_dup"))
+    g.join(broadcast(dup), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("is_dup"), 1)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
   /** Feature-hashing text embedding (the hashing trick): each token's
     * portable poly-hash picks a bucket (`h mod dim`) and a sign
     * (`(h div dim) mod 2`), and the document's embedding is the signed

@@ -152,4 +152,24 @@ class IvfSpec extends AnyFunSuite {
     val dflt = Similarity.ivfRecallFloor(spark, dir).collect()
     assert(dflt.forall(_.getBoolean(1)), "default-cell recall floor violated")
   }
+
+  test("persisted IVF index: store-backed query path is bit-equal to the direct path") {
+    val store = java.nio.file.Files.createTempDirectory("ivf-store-spec").toString
+    try {
+      Similarity.writeIvfIndex(spark, dir, store)
+      val viaStore = Similarity.ivfTopKViaStore(spark, dir, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = Similarity.ivfTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaStore == direct,
+        s"store round trip changed results: store-only=${(viaStore -- direct).take(5)} " +
+          s"direct-only=${(direct -- viaStore).take(5)}")
+      // the index artifacts have the documented shapes
+      assert(spark.read.parquet(s"$store/centroids.parquet").count() == Similarity.NumCentroids)
+      assert(spark.read.parquet(s"$store/assignments.parquet").count() ==
+        spark.read.parquet(s"$dir/embeddings.parquet").count())
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
 }

@@ -1192,6 +1192,37 @@ class LineDedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(r1(1L) == md5hex(s"$segA $segB"), "survivors must rejoin in original positional order")
   }
+
+  test("substring dup score catches SHIFTED verbatim duplication that aligned segments miss") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's 30-word passage shifted ONE token to the right:
+    // every aligned 10-word segment differs (lineDedup finds nothing), but
+    // the shared 25-token sliding windows are verbatim
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("substr-dup").toString
+    Seq(
+      (1L, passage + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8 tail9 tail10"),
+      (2L, "shift " + passage + " end1 end2 end3 end4 end5 end6 end7 end8 end9"),
+      (3L, filler) // unrelated, no duplication
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the aligned-segment pass sees no cross-doc segment
+    val line = graft.operators.TextAnalysis.lineDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(line.values.forall(_ == 0L),
+      s"shifted duplication must be invisible to aligned segments: $line")
+    // the sliding-window pass flags both carriers, not the unrelated doc
+    val sub = graft.operators.TextAnalysis.substringDupScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // both docs share exactly the passage's 6 25-token windows (30-25+1)
+    assert(sub(1L)._2 == 6L && sub(2L)._2 == 6L,
+      s"shared sliding windows missed: $sub")
+    assert(sub(1L)._3 > 0.3 && sub(2L)._3 > 0.3)
+    assert(sub(3L)._2 == 0L && sub(3L)._3 == 0.0)
+    // window accounting: doc 1 has 40 tokens -> 16 windows
+    assert(sub(1L)._1 == 16L, s"window count wrong: ${sub(1L)}")
+  }
 }
 
 class TextChunkSpec extends AnyFunSuite {
