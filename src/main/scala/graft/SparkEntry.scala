@@ -175,6 +175,9 @@ object SparkEntry {
     "ann_ivf_store_check" -> ((s, d) => Similarity.ivfStoreRecallFloor(s, d)),
     // PQ gate: 8-byte codes + ADC + shortlist re-rank recovers >=5/10
     "ann_pq_check" -> ((s, d) => Similarity.pqRecallFloor(s, d)),
+    // same floor through the persisted compressed index (codebooks + codes
+    // parquet round trip; bit-equal to the direct path by spec) (r7)
+    "ann_pq_store_check" -> ((s, d) => Similarity.pqStoreRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
@@ -1338,6 +1341,9 @@ object SparkEntry {
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_pq_store_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // recomputes the exact near-dup pairs of the planted-copy corpus and

@@ -502,14 +502,7 @@ object Similarity {
       pqCentroids: Int = PqCentroids, pqShortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
-    // Zero-norm vectors are out of contract for cosine ranking and are
-    // excluded HERE rather than left to float through: nemb would be NaN,
-    // and the shortlist heap ranks the negated distance's NaN FIRST under
-    // desc (the old approx-asc window ranked it last) — a zero-norm vector
-    // would enter every shortlist and a zero-norm query would return NaN
-    // ranks. The exclusion is explicit and total for this operator.
-    val normed = e.filter(col("norm") > 0).withColumn("nemb",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)")).cache()
+    val normed = normedOf(e).cache()
     normed.count()
     val books = trainCodebooks(normed, refineIters, trainFraction, pqCentroids)
 
@@ -517,6 +510,31 @@ object Similarity {
       .select("vec_id", "codes").cache()
     coded.count()
 
+    val out = pqQueryStage(e, normed, coded, books, k, nQueries, pqCentroids, pqShortlist)
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, normed, coded), out)
+    else { Seq(e, normed, coded).foreach(_.unpersist(false)); out }
+  }
+
+  /** L2-normalized embeddings with zero-norm vectors EXCLUDED. Zero norms
+    * are out of contract for cosine ranking and are dropped here rather
+    * than left to float through: nemb would be NaN, and the shortlist heap
+    * ranks the negated distance's NaN FIRST under desc (the old approx-asc
+    * window ranked it last) — a zero-norm vector would enter every
+    * shortlist and a zero-norm query would return NaN ranks. The exclusion
+    * is explicit and total for the PQ family (direct and store paths).
+    */
+  private def normedOf(e: DataFrame): DataFrame =
+    e.filter(col("norm") > 0).withColumn("nemb",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+
+  /** The PQ query stage over a coded corpus — ADC tables, bounded-heap
+    * shortlist, exact re-rank — shared by the direct and store-backed
+    * paths so they cannot drift.
+    */
+  private def pqQueryStage(e: DataFrame, normed: DataFrame, coded: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, nQueries: Int,
+      pqCentroids: Int, pqShortlist: Int): DataFrame = {
+    val spark = e.sparkSession
     // Per-query ADC tables: table(q)(s*16+c) = ||q_s - books(s)(c)||²,
     // flattened so the scan-side sum is 8 codegen element_at lookups.
     val queries = normed.filter(col("vec_id") < nQueries)
@@ -557,14 +575,81 @@ object Similarity {
     // exact re-rank of the shortlist only
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val out = topKPerQuery(
+    topKPerQuery(
       shortlist
         .join(e, "vec_id")
         .join(broadcast(q), "q_id")
         .withColumn("cosine", cosine),
       col("cosine"), k)
-    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, normed, coded), out)
-    else { Seq(e, normed, coded).foreach(_.unpersist(false)); out }
+  }
+
+  /** Persists the trained PQ index — codebooks (`Subspaces × pqCentroids`
+    * rows of (s, c, subvector)) plus the coded corpus (`codes.parquet`,
+    * the 8-byte-per-vector compressed representation that IS the point of
+    * PQ at 100 TB). Training is [[trainCodebooks]] verbatim, so the
+    * persisted index matches what [[pqTopK]] trains in-session.
+    */
+  def writePqIndex(spark: SparkSession, dir: String, storeDir: String,
+      refineIters: Int = 3, trainFraction: Double = TrainFraction,
+      pqCentroids: Int = PqCentroids): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = normedOf(e).cache()
+    normed.count()
+    val books = trainCodebooks(normed, refineIters, trainFraction, pqCentroids)
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cells, s) =>
+      cells.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "subvector")
+      .write.mode("overwrite").parquet(s"$storeDir/codebooks.parquet")
+    normed.withColumn("codes", codesFor(books))
+      .select("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$storeDir/codes.parquet")
+    e.unpersist(false)
+    normed.unpersist(false)
+  }
+
+  /** Queries a PERSISTED PQ index ([[writePqIndex]]) without retraining or
+    * re-encoding: codebooks load onto the driver (Subspaces × pqCentroids
+    * × SubDims doubles), the coded corpus reads straight from parquet, and
+    * the ADC scan + shortlist + exact re-rank run exactly as [[pqTopK]]'s
+    * — bit-equal to the direct path (AnnSpec).
+    */
+  def pqTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
+      k: Int = 10, nQueries: Int = 5, pqShortlist: Int = PqShortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.read.parquet(s"$storeDir/codebooks.parquet")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val nCentroids = rows.keys.map(_._2).max + 1
+    val books = Array.tabulate(PqSubspaces) { s =>
+      Array.tabulate(nCentroids)(c => rows((s, c)))
+    }
+    val coded = spark.read.parquet(s"$storeDir/codes.parquet")
+    val e = withNorm(embeddings(spark, dir))
+    pqQueryStage(e, normedOf(e), coded, books, k, nQueries, nCentroids, pqShortlist)
+  }
+
+  /** Driver-checkable recall floor of the store-backed PQ path (the
+    * [[ivfStoreRecallFloor]] contract): build → persist → read back →
+    * query; a green row proves the compressed-index round trip is
+    * lossless end to end.
+    */
+  def pqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 5): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    try {
+      writePqIndex(spark, dir, store)
+      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+      val approx = pqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
+      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id")
+        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      // materialize before the temp index is deleted
+      Dedup.materializeAndRelease(Seq.empty, out)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
   }
 
   /** Driver-checkable PQ recall floor — the [[ivfRecallFloor]] pattern:

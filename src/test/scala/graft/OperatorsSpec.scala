@@ -100,6 +100,27 @@ class AnnSpec extends AnyFunSuite {
       s"off-default PQ recall floor violated: ${rows.mkString(", ")}")
   }
 
+  test("persisted PQ index: store-backed query path is bit-equal to the direct path") {
+    val store = java.nio.file.Files.createTempDirectory("pq-store-spec").toString
+    try {
+      Similarity.writePqIndex(spark, dir, store)
+      val viaStore = Similarity.pqTopKViaStore(spark, dir, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = Similarity.pqTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaStore == direct,
+        s"PQ store round trip changed results: store-only=${(viaStore -- direct).take(5)}")
+      // artifact shapes: Subspaces x Centroids codebook rows, one code row
+      // per (non-zero-norm) vector
+      assert(spark.read.parquet(s"$store/codebooks.parquet").count() ==
+        Similarity.PqSubspaces.toLong * Similarity.PqCentroids)
+      assert(spark.read.parquet(s"$store/codes.parquet").count() ==
+        spark.read.parquet(s"$dir/embeddings.parquet").count())
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("PQ survives corpora smaller than the centroid count (seed padding)") {
     // Regression for the r5 ADVICE finding: with < PqCentroids (16) seed
     // vectors, codesFor's fixed-width centroid loops used to throw
