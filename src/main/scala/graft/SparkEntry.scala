@@ -112,6 +112,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotAgg _),
     "events_json_extract" -> (Relational.jsonExtractAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
+    // two-step funnel: first click -> first purchase at-or-after it (r7)
+    "events_funnel" -> (Relational.eventsFunnel _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_semi_join" -> (Relational.semiJoin _),
@@ -150,6 +152,8 @@ object SparkEntry {
     "stats_profile" -> (Relational.statsProfile _),
     // equi-width histogram, pure integer bucket arithmetic
     "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
+    // equi-DEPTH histogram via the value-histogram percentile recipe (r7)
+    "stats_histogram_eqdepth" -> ((s, d) => Relational.statsHistogramEquiDepth(s, d)),
     // fixed-count per-language sample in portable-hash order
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "sample_mixture" -> ((s, d) => TextAnalysis.sampleMixture(s, d)),
@@ -1053,6 +1057,25 @@ object SparkEntry {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
         |FROM events""".stripMargin,
+    "events_funnel" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'click' THEN ts END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+        | FROM events),
+        |agg AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click_ts,
+        |  min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL THEN ts END)
+        |   AS first_conversion_ts
+        | FROM x GROUP BY user_id)
+        |SELECT user_id, first_click_ts, first_conversion_ts,
+        | first_conversion_ts IS NOT NULL AS converted,
+        | CASE WHEN first_conversion_ts IS NOT NULL
+        |  THEN CAST(epoch_us(first_conversion_ts) - epoch_us(first_click_ts) AS BIGINT)
+        | END AS conversion_us
+        |FROM agg""".stripMargin,
     "events_interval_left_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         | c.ts AS c_ts, p.ts AS p_ts
@@ -1200,6 +1223,19 @@ object SparkEntry {
         | min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM c CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+    "stats_histogram_eqdepth" ->
+      """WITH h AS (
+        | SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, count(*) AS cnt
+        | FROM lineitem GROUP BY 1),
+        |c AS (
+        | SELECT cents, cnt,
+        |  sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(cnt) OVER () AS n
+        | FROM h)
+        |SELECT CAST((cum * 8 + n - 1) // n AS BIGINT) AS bucket,
+        | min(cents) AS lo_cents, max(cents) AS hi_cents,
+        | CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
     "pipeline_chunks" ->
       """WITH filtered AS (
         | SELECT doc_id, lang, text,

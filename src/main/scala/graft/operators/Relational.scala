@@ -325,6 +325,36 @@ object Relational {
       .select("event_id", "user_id", "ts", "last_purchase_ts")
   }
 
+  /** Two-step FUNNEL analysis per user (the product-analytics conversion
+    * operator): first click, first purchase at-or-after that click, the
+    * conversion flag, and the exact conversion latency in microseconds.
+    * "At-or-after" is computed with a running `min(click ts)` over the
+    * per-user timeline ordered by (ts, event_id) — ONE window pass + one
+    * aggregation, the [[asofLastPurchase]] shape — so a purchase converts
+    * iff some click sorts at-or-before it (ties break on event_id,
+    * mirrored exactly by the oracle). Users with no click appear with
+    * nulls and `converted = false`.
+    *
+    * Scale: one shuffle on user_id; per-user windows are high-cardinality
+    * (hot-key guard would be the q_range_frame_skew time-chunk rewrite).
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .withColumn("first_click_so_far",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("first_click_ts"),
+        min(when(col("event_type") === "purchase" && col("first_click_so_far").isNotNull,
+          col("ts"))).as("first_conversion_ts"))
+      .withColumn("converted", col("first_conversion_ts").isNotNull)
+      .withColumn("conversion_us",
+        when(col("converted"),
+          unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
+  }
+
   /** Hourly windowed aggregation over events — the batch-equivalent of the
     * Structured Streaming query in [[graft.streaming.EventStream]].
     */
@@ -400,6 +430,37 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+  }
+
+  /** Equi-DEPTH histogram of l_extendedprice cents — ~equal ROW COUNT per
+    * bucket (the optimizer-statistics / data-skew view [[statsHistogram]]'s
+    * equi-width buckets can't give on skewed columns). Value-atomic: all
+    * rows of one value share `bucket = ceil(cum(value)·B / n)`, computed in
+    * PURE INTEGER arithmetic (`(cum·B + n − 1) div n`) so both engines
+    * agree exactly; heavy single values may make buckets uneven — that is
+    * the standard value-atomic contract.
+    *
+    * Scale: the percentileDiscSkewSafe recipe — one map-side-combined
+    * VALUE histogram (bounded by the cents domain, not corpus size), a
+    * cumulative window over histogram rows only, and one ≤B-row rollup.
+    * Nothing corpus-sized is ever sorted.
+    */
+  def statsHistogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      .groupBy("cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bucket", expr(s"(cum * $buckets + n - 1) div n"))
+      .groupBy("bucket")
+      .agg(
+        min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"),
+        sum("cnt").as("n_rows"))
   }
 
   /** Bloom-pruned semi-join — the explicit runtime-filter pattern. The

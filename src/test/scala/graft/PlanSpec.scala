@@ -264,15 +264,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("round-7 skew twins: no window ever sorts a corpus-sized low-cardinality partition") {
-    // q_percentile_disc_skew: every window runs over the (flag, quantity)
-    // value histogram — each Window node must have an aggregate BELOW it
-    val pct = executedPlan("q_percentile_disc_skew")
-    val pctLines = pct.linesIterator.toVector
-    pctLines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
-      assert(pctLines.drop(i + 1).exists(_.contains("HashAggregate")),
-        s"percentile window must sit above the value histogram, not the raw scan:\n$pct")
+    // q_percentile_disc_skew / stats_histogram_eqdepth: every window runs
+    // over a VALUE histogram — each Window node must have an aggregate
+    // BELOW it (never the raw scan)
+    for (qn <- Seq("q_percentile_disc_skew", "stats_histogram_eqdepth")) {
+      val pct = executedPlan(qn)
+      val pctLines = pct.linesIterator.toVector
+      pctLines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+        assert(pctLines.drop(i + 1).exists(_.contains("HashAggregate")),
+          s"$qn: window must sit above the value histogram, not the raw scan:\n$pct")
+      }
+      assert(pctLines.exists(_.contains("Window")), pct)
     }
-    assert(pctLines.exists(_.contains("Window")), pct)
 
     // q_ntile_skew: the only corpus-side window is the TIE window
     // partitioned by (segment, cents) — high cardinality; any window
