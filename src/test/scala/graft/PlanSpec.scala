@@ -147,6 +147,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("substring dup score: duplicated-window set broadcasts; no nested loop") {
+    val plan = executedPlan("text_substring_dup")
+    assert(plan.contains("BroadcastHashJoin"), s"dup-window set must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("incremental dedup: the new-increment side broadcasts against the corpus") {
     val plan = graft.operators.Dedup.incrementalNearDups(spark, dir, 0.6, forPlanInspection = true)
       .queryExecution.executedPlan.toString
