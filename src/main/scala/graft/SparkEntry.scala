@@ -114,6 +114,8 @@ object SparkEntry {
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
+    // time-chunked twin: hot-user window bounded by chunk volume
+    "events_funnel_skew" -> ((s, d) => Relational.eventsFunnelSkewSafe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_semi_join" -> (Relational.semiJoin _),
@@ -364,6 +366,27 @@ object SparkEntry {
       |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
       | FROM n CROSS JOIN c)
       |WHERE cosine >= 0.7""".stripMargin
+
+  /** Shared by `events_funnel` and its time-chunked skew-safe twin. */
+  private val FunnelOracle: String =
+    """WITH x AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  min(CASE WHEN event_type = 'click' THEN ts END)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+      | FROM events),
+      |agg AS (
+      | SELECT user_id,
+      |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click_ts,
+      |  min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL THEN ts END)
+      |   AS first_conversion_ts
+      | FROM x GROUP BY user_id)
+      |SELECT user_id, first_click_ts, first_conversion_ts,
+      | first_conversion_ts IS NOT NULL AS converted,
+      | CASE WHEN first_conversion_ts IS NOT NULL
+      |  THEN CAST(epoch_us(first_conversion_ts) - epoch_us(first_click_ts) AS BIGINT)
+      | END AS conversion_us
+      |FROM agg""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
@@ -1057,25 +1080,8 @@ object SparkEntry {
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
         |FROM events""".stripMargin,
-    "events_funnel" ->
-      """WITH x AS (
-        | SELECT user_id, event_id, ts, event_type,
-        |  min(CASE WHEN event_type = 'click' THEN ts END)
-        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
-        | FROM events),
-        |agg AS (
-        | SELECT user_id,
-        |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click_ts,
-        |  min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL THEN ts END)
-        |   AS first_conversion_ts
-        | FROM x GROUP BY user_id)
-        |SELECT user_id, first_click_ts, first_conversion_ts,
-        | first_conversion_ts IS NOT NULL AS converted,
-        | CASE WHEN first_conversion_ts IS NOT NULL
-        |  THEN CAST(epoch_us(first_conversion_ts) - epoch_us(first_click_ts) AS BIGINT)
-        | END AS conversion_us
-        |FROM agg""".stripMargin,
+    "events_funnel" -> FunnelOracle,
+    "events_funnel_skew" -> FunnelOracle,
     "events_interval_left_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         | c.ts AS c_ts, p.ts AS p_ts

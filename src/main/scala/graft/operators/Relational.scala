@@ -355,6 +355,43 @@ object Relational {
           unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
   }
 
+  /** [[eventsFunnel]] made SKEW-SAFE by the time-chunk decomposition (the
+    * `q_range_frame_skew` family): the running `min(click ts)` is
+    * associative, so it splits exactly into a CHUNK-LOCAL running min
+    * (windows bounded by chunk volume) combined with the min over all
+    * PREVIOUS chunks — computed from one row per (user, chunk), so the
+    * second window's per-user partition is "number of non-empty chunks",
+    * never raw events. `least` skips nulls, which is precisely the
+    * null-semantics the running min needs. Bit-equal to the plain form
+    * (WindowSkewSpec) and shares its oracle.
+    */
+  def eventsFunnelSkewSafe(spark: SparkSession, dir: String,
+      chunkUs: Long = 6L * 3600000000L): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("chunk", expr(s"unix_micros(ts) div $chunkUs"))
+    val byUC = Window.partitionBy("user_id", "chunk").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = e.withColumn("local_min_click",
+      min(when(col("event_type") === "click", col("ts"))).over(byUC))
+    val byU = Window.partitionBy("user_id").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = e.groupBy("user_id", "chunk")
+      .agg(min(when(col("event_type") === "click", col("ts"))).as("chunk_min_click"))
+      .withColumn("prev_min_click", min("chunk_min_click").over(byU))
+      .select("user_id", "chunk", "prev_min_click")
+    local.join(prefix, Seq("user_id", "chunk"))
+      .withColumn("first_click_so_far", least(col("prev_min_click"), col("local_min_click")))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("ts"))).as("first_click_ts"),
+        min(when(col("event_type") === "purchase" && col("first_click_so_far").isNotNull,
+          col("ts"))).as("first_conversion_ts"))
+      .withColumn("converted", col("first_conversion_ts").isNotNull)
+      .withColumn("conversion_us",
+        when(col("converted"),
+          unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
+  }
+
   /** Hourly windowed aggregation over events — the batch-equivalent of the
     * Structured Streaming query in [[graft.streaming.EventStream]].
     */

@@ -100,6 +100,19 @@ class WindowSkewSpec extends AnyFunSuite {
     assert(hist == plain)
   }
 
+  test("skew-safe funnel == plain form on the hot-user fixture AND real events") {
+    // hot fixture: clicks only for the bot, purchases only for cold users —
+    // exercises the all-null and no-conversion carry paths
+    val plainHot = rows(Relational.eventsFunnel(spark, dir))
+    val chunkedHot = rows(Relational.eventsFunnelSkewSafe(spark, dir, ChunkUs))
+    assert(chunkedHot == plainHot)
+    // real events table: genuine click->purchase conversions cross chunks
+    val plain = rows(Relational.eventsFunnel(spark, tpchDir))
+    val chunked = rows(Relational.eventsFunnelSkewSafe(spark, tpchDir, ChunkUs))
+    assert(chunked == plain)
+    assert(plain.exists(_.apply(3) == true), "fixture should contain conversions")
+  }
+
   test("domain-mix scale twin == plain form's kept flag, for every doc") {
     val plain = rows(graft.operators.TextAnalysis.domainMix(spark, tpchDir)
       .select("doc_id", "lang", "kept"))
