@@ -90,6 +90,8 @@ object SparkEntry {
     // Dedup.nearDupClusters)
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     "dedup_exact_hash" -> (Dedup.exactByFingerprint _),
+    // nightly snapshot diff: added/removed/changed via 16-byte fps (r7)
+    "corpus_diff" -> (Dedup.corpusDiff _),
     // daily-increment dedup: new docs vs existing corpus, never corpus²
     "dedup_incremental" -> ((s, d) => Dedup.incrementalNearDups(s, d)),
     // same contract through a persisted parquet signature store round trip
@@ -590,6 +592,34 @@ object SparkEntry {
         |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37
         | FROM documents)
         |GROUP BY fp31, fp37""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        | SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM v1 WHERE doc_id % 17 != 0
+        | UNION ALL
+        | SELECT doc_id + 500000, text FROM v1 WHERE doc_id % 19 = 0),
+        |f1 AS (SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31_old,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37_old
+        | FROM v1),
+        |f2 AS (SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31_new,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37_new
+        | FROM v2)
+        |SELECT doc_id, status, fp31_old, fp31_new FROM (
+        | SELECT doc_id,
+        |  CASE WHEN fp31_new IS NULL THEN 'removed'
+        |       WHEN fp31_old IS NULL THEN 'added'
+        |       WHEN fp31_old = fp31_new AND fp37_old = fp37_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  fp31_old, fp31_new
+        | FROM f1 FULL JOIN f2 USING (doc_id))
+        |WHERE status != 'unchanged'""".stripMargin,
     "dedup_minhash" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

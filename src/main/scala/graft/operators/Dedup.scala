@@ -86,6 +86,53 @@ object Dedup {
       .select("keep_id", "n_copies", "fp31", "fp37")
   }
 
+  /** Corpus VERSION DIFF — the nightly snapshot comparison a managed
+    * training corpus needs: which documents were added, removed, or
+    * changed between two versions. Compares double fingerprints
+    * (fp31/fp37 — the [[exactByFingerprint]] pair, collision ≈ 1e-18), so
+    * the join shuffles 16 bytes per doc, never text. Unchanged documents
+    * are NOT emitted: at 100 TB the output is ∝ churn, not corpus size.
+    * Output (doc_id, status ∈ added|removed|changed, fp31_old, fp31_new).
+    *
+    * Scale: one full-outer equi-join on doc_id — co-partitioning/bucketing
+    * both snapshots on doc_id (the natural layout for versioned corpora)
+    * removes even that exchange.
+    */
+  def corpusDiffFrom(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(oldDocs.sparkSession)
+    def fp(df: DataFrame, suffix: String) = df.select(
+      col("doc_id"),
+      Portable.polyHashNative("text", 31, Portable.P1).as(s"fp31_$suffix"),
+      Portable.polyHashNative("text", 37, Portable.P2).as(s"fp37_$suffix"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp31_new").isNull, "removed")
+          .when(col("fp31_old").isNull, "added")
+          .when(col("fp31_old") === col("fp31_new") &&
+            col("fp37_old") === col("fp37_new"), "unchanged")
+          .otherwise("changed"))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "fp31_old", "fp31_new")
+  }
+
+  /** Catalog form of [[corpusDiffFrom]]: version 2 is DERIVED
+    * deterministically from the fixture corpus (both engines construct
+    * the identical snapshot, so the oracle is hash-exact) — docs with
+    * `doc_id % 17 = 0` removed, docs with `doc_id % 13 = 0` edited
+    * (' v2' appended), and fresh docs at `doc_id + 500000` for
+    * `doc_id % 19 = 0`.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir).select("doc_id", "text")
+    val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    corpusDiffFrom(v1, v2)
+  }
+
   /** (doc_id, shingles: array<string>) — distinct word-3-gram shingles per
     * document, kept as an array so signature computation never explodes or
     * shuffles.

@@ -204,6 +204,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 402L), s"unique new doc must not match: $got")
   }
 
+  test("corpus diff classifies added/removed/changed exactly, drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"), (9L, "new doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiffFrom(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 9L -> "added"),
+      s"diff misclassified: $got")
+  }
+
   test("large-star/small-star CC equals the BSP min-label clusters") {
     val pairs = Dedup.minhashNearDups(spark, dir, 0.6)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
