@@ -114,6 +114,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.pivotAgg _),
     "events_json_extract" -> (Relational.jsonExtractAgg _),
     "events_asof_purchase" -> (Relational.asofLastPurchase _),
+    // time-chunked twin: every per-user windowed op now has one (r7)
+    "events_asof_purchase_skew" -> ((s, d) => Relational.asofLastPurchaseSkewSafe(s, d)),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -368,6 +370,14 @@ object SparkEntry {
       |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
       | FROM n CROSS JOIN c)
       |WHERE cosine >= 0.7""".stripMargin
+
+  /** Shared by `events_asof_purchase` and its time-chunked skew twin. */
+  private val AsofOracle: String =
+    """SELECT event_id, user_id, ts,
+      | max(CASE WHEN event_type = 'purchase' THEN ts END)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+      |FROM events""".stripMargin
 
   /** Shared by `events_funnel` and its time-chunked skew-safe twin. */
   private val FunnelOracle: String =
@@ -1104,12 +1114,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q_percentile_disc" -> PercentileDiscOracle,
     "q_percentile_disc_skew" -> PercentileDiscOracle,
-    "events_asof_purchase" ->
-      """SELECT event_id, user_id, ts,
-        | max(CASE WHEN event_type = 'purchase' THEN ts END)
-        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
-        |FROM events""".stripMargin,
+    "events_asof_purchase" -> AsofOracle,
+    "events_asof_purchase_skew" -> AsofOracle,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,
     "events_interval_left_join" ->

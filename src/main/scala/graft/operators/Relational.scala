@@ -355,6 +355,34 @@ object Relational {
           unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
   }
 
+  /** [[asofLastPurchase]] made SKEW-SAFE by the same time-chunk
+    * decomposition as [[eventsFunnelSkewSafe]] — running `max(purchase
+    * ts)` is associative, so the strictly-earlier frame splits into a
+    * chunk-local exclusive running max plus the max over all PREVIOUS
+    * chunks (one row per (user, chunk)); `greatest` skips nulls. With
+    * this twin, every per-user windowed catalog operator (range frame,
+    * lead/lag, sessionize, funnel, as-of) has a chunk-bounded form
+    * sharing its plain oracle.
+    */
+  def asofLastPurchaseSkewSafe(spark: SparkSession, dir: String,
+      chunkUs: Long = 6L * 3600000000L): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("chunk", expr(s"unix_micros(ts) div $chunkUs"))
+      .withColumn("purchase_ts", when(col("event_type") === "purchase", col("ts")))
+    val byUC = Window.partitionBy("user_id", "chunk").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = e.withColumn("local_last", max("purchase_ts").over(byUC))
+    val byU = Window.partitionBy("user_id").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = e.groupBy("user_id", "chunk")
+      .agg(max("purchase_ts").as("chunk_max"))
+      .withColumn("prev_max", max("chunk_max").over(byU))
+      .select("user_id", "chunk", "prev_max")
+    local.join(prefix, Seq("user_id", "chunk"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        greatest(col("local_last"), col("prev_max")).as("last_purchase_ts"))
+  }
+
   /** [[eventsFunnel]] made SKEW-SAFE by the time-chunk decomposition (the
     * `q_range_frame_skew` family): the running `min(click ts)` is
     * associative, so it splits exactly into a CHUNK-LOCAL running min

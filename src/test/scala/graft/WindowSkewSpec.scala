@@ -113,6 +113,16 @@ class WindowSkewSpec extends AnyFunSuite {
     assert(plain.exists(_.apply(3) == true), "fixture should contain conversions")
   }
 
+  test("skew-safe as-of == plain form on the hot-user fixture AND real events") {
+    val plainHot = rows(Relational.asofLastPurchase(spark, dir))
+    val chunkedHot = rows(Relational.asofLastPurchaseSkewSafe(spark, dir, ChunkUs))
+    assert(chunkedHot == plainHot)
+    val plain = rows(Relational.asofLastPurchase(spark, tpchDir))
+    val chunked = rows(Relational.asofLastPurchaseSkewSafe(spark, tpchDir, ChunkUs))
+    assert(chunked == plain)
+    assert(plain.exists(_.apply(3) != null), "fixture should contain as-of matches")
+  }
+
   test("domain-mix scale twin == plain form's kept flag, for every doc") {
     val plain = rows(graft.operators.TextAnalysis.domainMix(spark, tpchDir)
       .select("doc_id", "lang", "kept"))
