@@ -170,6 +170,8 @@ object SparkEntry {
     "sample_stratified_topk" -> ((s, d) => TextAnalysis.sampleStratifiedTopK(s, d)),
     // round-5 chain: quality filter -> stratified sample -> chunk -> rollup
     "pipeline_chunks" -> ((s, d) => TextAnalysis.pipelineChunks(s, d)),
+    // round-7 chain: substring-dup filter -> temperature mix -> rollup
+    "pipeline_curate" -> ((s, d) => TextAnalysis.pipelineCurate(s, d)),
     // stub decode/resize dataflow, but every output column is derivable
     // from the text bytes → hard oracle rows for the mapPartitions plumbing
     "multimodal_decode" -> (Multimodal.decodePipelineQuery _),
@@ -1265,6 +1267,35 @@ object SparkEntry {
         | min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM c CROSS JOIN b
         |GROUP BY 1""".stripMargin,
+    "pipeline_curate" ->
+      """WITH w AS (
+        | SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 25 + 2),
+        |   i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i + 24 AS INTEGER)], ' ')))) AS gram
+        | FROM w WHERE len(toks) >= 25),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+        |dup AS (SELECT DISTINCT doc_id FROM g JOIN df USING (gram) WHERE nd >= 2),
+        |surv AS (
+        | SELECT w.doc_id, w.lang,
+        |  list_reduce(list_transform(string_split(w.text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash,
+        |  CAST(len(w.toks) AS BIGINT) AS n_tokens
+        | FROM w ANTI JOIN dup USING (doc_id)),
+        |wt AS (SELECT lang, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+        |       FROM surv GROUP BY lang),
+        |tgt AS (SELECT lang, (150 * s) // (SELECT sum(s) FROM wt) AS target FROM wt),
+        |mix AS (
+        | SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT)
+        |    AS mix_rank
+        |  FROM surv) r JOIN tgt USING (lang) WHERE mix_rank <= target)
+        |SELECT m.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
+        |FROM mix m JOIN surv s ON m.doc_id = s.doc_id
+        |GROUP BY m.lang""".stripMargin,
     "stats_histogram_eqdepth" ->
       """WITH h AS (
         | SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, count(*) AS cnt

@@ -674,6 +674,53 @@ object TextAnalysis {
         col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** The round-7 operators composed as ONE curation chain under a single
+    * oracle — the strongest composability check the driver can run over
+    * the new family: drop every document carrying verbatim duplication
+    * ([[substringDupScore]]'s sliding-window contract: any shared 25-token
+    * window disqualifies; sub-25-token docs have no windows and survive),
+    * draw the temperature-scaled mixture over the SURVIVORS
+    * ([[sampleTemperature]]'s integer-exact T=2 targets, recomputed on the
+    * post-filter counts — order matters and the oracle pins it), and roll
+    * up per language (docs drawn, total tokens).
+    *
+    * Plan shape: inherits each constituent's — the dup-window set
+    * broadcasts, the mixture is the bounded-heap `graft_topk`, the rollup
+    * is one tiny exchange.
+    */
+  def pipelineCurate(spark: SparkSession, dir: String, totalDocs: Long = 150L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dup = substringDupScore(spark, dir)
+      .filter(col("n_dup_windows") > 0).select("doc_id")
+    val survivors = docs(spark, dir).join(dup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"),
+        size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
+      .cache()
+    val counts = survivors.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "pipelineCurate: no survivors")
+    val weights = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
+    val sumW = weights.map(_._2).sum
+    val targets = weights.map { case (k, w) => (k, totalDocs * w / sumW) }.toMap
+    require(targets.values.max > 0,
+      s"pipelineCurate: totalDocs=$totalDocs floors every target to 0")
+    val maxTarget = targets.values.max
+    val mix = survivors
+      .filter(col("lang").isin(targets.filter(_._2 > 0).keys.toSeq: _*))
+      .groupBy("lang")
+      .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxTarget)").as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"), col("lang"),
+        (col("pos") + 1).cast("bigint").as("mix_rank"))
+      .filter(col("mix_rank") <= coalesce(element_at(typedLit(targets), col("lang")), lit(0L)))
+    val out = mix.select("doc_id", "lang")
+      .join(survivors.select("doc_id", "n_tokens"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    Dedup.materializeAndRelease(Seq(survivors), out)
+  }
+
   /** Feature-hashing text embedding (the hashing trick): each token's
     * portable poly-hash picks a bucket (`h mod dim`) and a sign
     * (`(h div dim) mod 2`), and the document's embedding is the signed
