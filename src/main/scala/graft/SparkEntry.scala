@@ -82,7 +82,7 @@ object SparkEntry {
     // ever sorts a constant fraction of the table
     "q_ntile_skew" -> (Relational.ntileDecilesSkewSafe _),
     "q_percentile_disc_skew" -> (Relational.percentileDiscSkewSafe _),
-    "text_domain_mix_scale" -> (TextAnalysis.domainMixScale _),
+    "text_domain_mix_scale" -> ((s, d) => TextAnalysis.domainMixScale(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
     // routed through the O(log n) large-star/small-star CC (spec-proven

@@ -438,7 +438,11 @@ object Dedup {
     */
   def incrementalNearDupsFrom(newDocs: DataFrame, corpusArrays: DataFrame,
       corpusBands: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val newArrays = shingleArraysOf(newDocs)
+    // the increment's arrays feed BOTH banding and verification; an eager
+    // localCheckpoint computes the tokenize+shingle pipeline once per
+    // micro-batch (blocks are ContextCleaner-managed, so nothing to
+    // unpersist on this per-batch path)
+    val newArrays = shingleArraysOf(newDocs).localCheckpoint(true)
     val newB = bandedSignatures(signaturesFrom(newArrays))
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val cand = corpusBands
@@ -1070,13 +1074,24 @@ object Dedup {
       corpusBuckets: Option[DataFrame] = None,
       forPlanInspection: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Zero-norm vectors are excluded on BOTH sides: their cosine is 0/0 =
+    // NaN, and Spark's NaN-greatest ordering makes `NaN >= threshold`
+    // TRUE — a zero vector would otherwise be reported as a near-dup of
+    // every bucket-colliding partner (the normedOf rationale, applied to
+    // this family).
     def withNorm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
       graft.functions.Portable.l2NormNative("embedding").as("norm"))
+      .filter(col("norm") > 0)
     def buckets(df: DataFrame) = df.select(col("vec_id"),
       posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
-    val cor = withNorm(corpus).cache()
+    // the corpus is cached only when ITS buckets must be computed here (two
+    // consumers); on the store-backed path it has exactly one consumer (the
+    // verification join) and caching it would pin the whole corpus in
+    // memory against the "streams through unshuffled" contract
+    val needCorpusBuckets = corpusBuckets.isEmpty
+    val cor = if (needCorpusBuckets) withNorm(corpus).cache() else withNorm(corpus)
     val inc = withNorm(increment).cache()
-    if (!forPlanInspection) { cor.count(); inc.count() }
+    if (!forPlanInspection) { if (needCorpusBuckets) cor.count(); inc.count() }
     val corB = corpusBuckets.getOrElse(buckets(cor))
       .select(col("t"), col("key"), col("vec_id").as("id_corpus"))
     val newB = buckets(inc).select(col("t"), col("key"), col("vec_id").as("id_new"))
@@ -1106,6 +1121,13 @@ object Dedup {
     corpus.select(col("vec_id"),
         posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
       .write.mode("overwrite").parquet(s"$storeDir/buckets.parquet")
+    // the store records ITS OWN hash parameters: an increment bucketed
+    // with different tables/bits would share no (t, key) space with the
+    // store and silently report zero near-dups — the reader re-derives
+    // the new side's buckets from this metadata, never from its defaults
+    import corpus.sparkSession.implicits._
+    Seq((tables, bits)).toDF("tables", "bits")
+      .write.mode("overwrite").parquet(s"$storeDir/meta.parquet")
   }
 
   /** The deployment form of [[embeddingIncrementalFrom]]: the corpus bucket
@@ -1118,12 +1140,19 @@ object Dedup {
     */
   def embeddingIncrementalViaStore(spark: SparkSession, corpus: DataFrame,
       increment: DataFrame, threshold: Double = 0.7,
-      storeDir: Option[String] = None): DataFrame = {
+      storeDir: Option[String] = None,
+      tables: Int = 16, bits: Int = 8): DataFrame = {
     val store = storeDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-emb-bucket-store").toString)
     try {
-      writeEmbeddingBucketStore(corpus, store)
+      writeEmbeddingBucketStore(corpus, store, tables, bits)
+      // hash parameters come back from the store's OWN metadata, so the
+      // new side can never be bucketed with mismatched hyperplanes (a
+      // query-only deployment reads meta + buckets and calls
+      // embeddingIncrementalFrom the same way)
+      val meta = spark.read.parquet(s"$store/meta.parquet").head()
       embeddingIncrementalFrom(corpus, increment, threshold,
+        tables = meta.getInt(0), bits = meta.getInt(1),
         corpusBuckets = Some(spark.read.parquet(s"$store/buckets.parquet")))
     } finally {
       if (storeDir.isEmpty) { // result is checkpointed — the temp store can go

@@ -164,6 +164,11 @@ object TextAnalysis {
       totalDocs: Long = 150L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     require(weights.nonEmpty, "sampleMixture: weights must be non-empty")
+    // a repeated language would silently resolve last-wins through the
+    // cap MAP below (the old CASE resolved first-wins) — refuse instead
+    // of picking either semantics silently
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"sampleMixture: duplicate language keys in weights: ${weights.map(_._1).mkString(", ")}")
     val caps = weights.map { case (l, w) => (l, math.floor(totalDocs * w).toLong) }
     val maxCap = caps.map(_._2).max
     require(maxCap > 0,
@@ -211,18 +216,30 @@ object TextAnalysis {
   def sampleTemperature(spark: SparkSession, dir: String, totalDocs: Long = 200L,
       keyCol: String = "lang"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val d = docs(spark, dir).select(col("doc_id"), col(keyCol),
-      Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
-    val counts = d.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
+    temperatureMix(
+      docs(spark, dir).select(col("doc_id"), col(keyCol),
+        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash")),
+      keyCol, totalDocs)
+  }
+
+  /** THE T=2 temperature-selection contract over a prepared
+    * (doc_id, key, rank_hash) frame — one implementation shared by
+    * [[sampleTemperature]] and [[pipelineCurate]] so the integer-exact
+    * target arithmetic and tie-break can never drift between the
+    * standalone row and the composed chain.
+    */
+  private def temperatureMix(prepared: DataFrame, keyCol: String,
+      totalDocs: Long): DataFrame = {
+    val counts = prepared.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    require(counts.nonEmpty, "sampleTemperature: empty corpus")
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
     val weights = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
     val sumW = weights.map(_._2).sum
     val targets = weights.map { case (k, w) => (k, totalDocs * w / sumW) }.toMap
     require(targets.values.max > 0,
-      s"sampleTemperature: totalDocs=$totalDocs floors every target to 0; raise totalDocs")
+      s"temperatureMix: totalDocs=$totalDocs floors every target to 0; raise totalDocs")
     val maxTarget = targets.values.max
-    d.filter(col(keyCol).isin(targets.filter(_._2 > 0).keys.toSeq: _*))
+    prepared.filter(col(keyCol).isin(targets.filter(_._2 > 0).keys.toSeq: _*))
       .groupBy(keyCol)
       .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxTarget)").as("top"))
       .select(col(keyCol), posexplode(col("top")).as(Seq("pos", "t")))
@@ -503,21 +520,25 @@ object TextAnalysis {
     * ranking; selection needs only `kept`). Shares the plain form's oracle
     * projected to these columns.
     */
-  def domainMixScale(spark: SparkSession, dir: String): DataFrame = {
+  def domainMixScale(spark: SparkSession, dir: String,
+      forPlanInspection: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
+    // cached: the full-text poly-hash frame feeds the histogram job AND
+    // both output branches — without the cache each consumer re-hashes
+    // the whole corpus
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
       Portable.polyHashNative("text", 43, Portable.P1).as("h"))
       .withColumn("bucket", expr(s"h div $MixBucketWidth"))
-    // tiny aggregates only ever reach the driver: per-lang counts (cap) and
-    // the bucket histogram
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    require(counts.nonEmpty, "domainMixScale: empty corpus")
-    val cap = counts.values.min
+      .cache()
+    // ONE aggregate reaches the driver: the (lang, bucket) histogram —
+    // per-language counts (and so cap) are its per-lang sums, no second
+    // corpus pass
     val hist = d.groupBy("lang", "bucket").agg(count(lit(1)).as("cnt")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
+    require(hist.nonEmpty, "domainMixScale: empty corpus")
+    val cap = hist.values.map(_.map(_._3).sum).min
     val bounds: Map[String, (Long, Long)] = hist.map { case (lang, rows) =>
       var acc = 0L
       var boundary = -1L
@@ -539,7 +560,11 @@ object TextAnalysis {
     val onBoundary = withB.filter(col("bucket") === col("b_l"))
       .withColumn("rn", row_number().over(wB).cast("bigint"))
       .select(col("doc_id"), col("lang"), (col("rn") <= col("r_l")).as("kept"))
-    offBoundary.unionByName(onBoundary)
+    val out = offBoundary.unionByName(onBoundary)
+    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // assertions only (PlanSpec); executing that frame re-hashes per branch
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(d), out)
+    else { d.unpersist(false); out }
   }
 
   /** The engine's operators composed as ONE end-to-end training-data
@@ -697,23 +722,10 @@ object TextAnalysis {
         Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"),
         size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
       .cache()
-    val counts = survivors.groupBy("lang").agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(counts.nonEmpty, "pipelineCurate: no survivors")
-    val weights = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
-    val sumW = weights.map(_._2).sum
-    val targets = weights.map { case (k, w) => (k, totalDocs * w / sumW) }.toMap
-    require(targets.values.max > 0,
-      s"pipelineCurate: totalDocs=$totalDocs floors every target to 0")
-    val maxTarget = targets.values.max
-    val mix = survivors
-      .filter(col("lang").isin(targets.filter(_._2 > 0).keys.toSeq: _*))
-      .groupBy("lang")
-      .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxTarget)").as("top"))
-      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("t.id").as("doc_id"), col("lang"),
-        (col("pos") + 1).cast("bigint").as("mix_rank"))
-      .filter(col("mix_rank") <= coalesce(element_at(typedLit(targets), col("lang")), lit(0L)))
+    // the mixture stage IS sampleTemperature's contract, via the shared
+    // helper — the chain cannot drift from the standalone catalog row
+    val mix = temperatureMix(
+      survivors.select("doc_id", "lang", "rank_hash"), "lang", totalDocs)
     val out = mix.select("doc_id", "lang")
       .join(survivors.select("doc_id", "n_tokens"), "doc_id")
       .groupBy("lang")

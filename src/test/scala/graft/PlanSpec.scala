@@ -300,8 +300,11 @@ class PlanSpec extends AnyFunSuite {
       }
 
     // text_domain_mix_scale: the one rank window is scoped to the boundary
-    // bucket — a Filter on the bucket expression sits below it
-    val mix = executedPlan("text_domain_mix_scale")
+    // bucket — a Filter on the bucket expression sits below it (the
+    // catalog entry materializes, so inspect the unmaterialized form)
+    val mix = graft.operators.TextAnalysis
+      .domainMixScale(spark, dir, forPlanInspection = true)
+      .queryExecution.executedPlan.toString
     val mixLines = mix.linesIterator.toVector
     val winIdx = mixLines.indexWhere(_.contains("Window"))
     assert(winIdx >= 0, mix)
