@@ -31,13 +31,16 @@ import graft.streaming.EventStream
   * checkpoint per run — so streaming regressions are visible per-round,
   * not just batch.
   *
-  * Estimator note: catalog queries report best-of-2 (see `time2`), and —
-  * since round 7 — so do the export rows (each run writes a fresh temp dir,
-  * so the full write protocol executes both times; metrics come from the
-  * faster run). Streaming rows stay single-shot: a second run would hit
-  * warmed checkpoints and not measure the cold protocol. The JSON carries
-  * `"estimator"` so snapshots from rounds ≤6 (single-shot export) aren't
-  * misread as regressions against best-of-2 numbers.
+  * Estimator note: EVERY row reports best-of-2 (see `time2`): catalog
+  * queries since round 4, export rows since round 7, and — since round 8 —
+  * the streaming rows too. Each streaming run creates a FRESH checkpoint
+  * and output dir inside the timed body, so both runs execute the complete
+  * cold micro-batch protocol (source listing, state store init, commit
+  * log); only JVM-level warmth (codegen, FS cache) carries over, exactly
+  * as for the batch rows. Measured motivation: single-shot streaming rows
+  * wandered 0.76–2.52 s across identical code (DESIGN.md), swamping real
+  * regressions. The JSON carries `"estimator"` so snapshots from rounds ≤7
+  * (single-shot streaming) aren't misread as regressions.
   */
 object Bench {
 
@@ -154,14 +157,15 @@ object Bench {
     }
 
     // 3. Streaming rows — genuine micro-batch execution over the events
-    // file source (one committed batch under AvailableNow), fresh
-    // checkpoints so each bench run measures the full protocol.
+    // file source (one committed batch under AvailableNow). Best-of-2 with
+    // a FRESH checkpoint/output dir per run, so both runs execute the full
+    // cold protocol and the reported number is the low-variance estimator.
     val eventsSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def eventsStream() = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
 
     // 3a. Streaming Avro export: file-stream -> foreachBatch AvroSink.
-    results("stream_export_avro") = time {
+    results("stream_export_avro") = time2 {
       val out = tempDir("graft-bench-stream-export")
       val q = graft.streaming.StreamExport.start(eventsStream(), out)
       q.awaitTermination()
@@ -169,7 +173,7 @@ object Bench {
 
     // 3b. Stateful streaming: flatMapGroupsWithState sessionization with
     // event-time timeout, results discarded executor-side (noop sink).
-    results("stream_sessionize") = time {
+    results("stream_sessionize") = time2 {
       import spark.implicits._
       val sessions = EventStream.sessionizeStream(
         eventsStream()
@@ -189,7 +193,7 @@ object Bench {
     // under AvailableNow — the per-round timing for the stateful join
     // protocol (its correctness twin is the events_interval_left_join
     // oracle row).
-    results("stream_interval_join") = time {
+    results("stream_interval_join") = time2 {
       def side(tpe: String) = eventsStream()
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter(col("event_type") === tpe)
@@ -216,7 +220,7 @@ object Bench {
       val corpusArrays = graft.operators.Dedup.docShingleArrays(spark, sfDir)
         .filter(col("doc_id") < splitId)
       val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-      time {
+      time2 {
         val newDocs = spark.readStream.schema(docsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
           .filter(col("doc_id") >= splitId)
@@ -234,7 +238,7 @@ object Bench {
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = f"${results.values.sum}%.3f" // total is ALWAYS the full-catalog sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
-        s""""estimator":"catalog+export=best_of_2; streaming=single_shot","sf":"$sfDir"$extra}"""
+        s""""estimator":"best_of_2 (catalog, export, streaming; fresh dirs per run)","sf":"$sfDir"$extra}"""
     }
     // Full line first (the complete per-query map — the snapshot of record),
     // then a COMPACT line (headline + export + streaming rows only) printed

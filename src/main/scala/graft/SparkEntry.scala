@@ -147,6 +147,12 @@ object SparkEntry {
     "sketch_freq_check" -> (TextAnalysis.freqSketchCheck _),
     // approximate → no SQL oracle; accuracy spec-checked in ThetaSpec
     "sketch_theta_overlap" -> (Relational.thetaOverlap _),
+    // persisted-blob merge round trips: per-shard sketch blobs → parquet →
+    // read back → merge → gate vs exact (the ann_ivf_store_check recipe
+    // applied to sketches — the cross-day rollup a 100 TB pipeline runs)
+    "sketch_hll_merge_check" -> (Relational.hllStoreMergeCheck _),
+    "sketch_kll_merge_check" -> (Relational.kllStoreMergeCheck _),
+    "sketch_theta_merge_check" -> (Relational.thetaStoreMergeCheck _),
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
     // Z-order (Morton) interleave for multi-dimensional data skipping
     "layout_zorder" -> (Layout.zorderQuery _),
@@ -370,7 +376,8 @@ object SparkEntry {
       |  list_reduce(list_transform(range(1, len(n.embedding) + 1),
       |    i -> CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
       |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
-      | FROM n CROSS JOIN c)
+      | FROM n CROSS JOIN c
+      | WHERE n.norm > 0 AND c.norm > 0)
       |WHERE cosine >= 0.7""".stripMargin
 
   /** Shared by `events_asof_purchase` and its time-chunked skew twin. */
@@ -865,6 +872,27 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sketch_hll_merge_check" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sketch_kll_merge_check" ->
+      """WITH r AS (
+        | SELECT l_returnflag, l_quantity,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.45) AS BIGINT) THEN l_quantity END) AS lo,
+        | max(CASE WHEN rn = CAST(ceil(n * 0.55) AS BIGINT) THEN l_quantity END) AS hi,
+        | TRUE AS q50_within_rank_bounds
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+    "sketch_theta_merge_check" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS users_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "sketch_freq_check" ->
       """WITH tok AS (
         | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

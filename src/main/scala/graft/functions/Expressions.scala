@@ -781,6 +781,30 @@ object GraftFunctions {
         .toDoubleArray().toSeq
       val k = if (exprs.length > 2) num(exprs(2)).intValue() else 200
       KllQuantiles(exprs.head, ranks, k).toAggregateExpression()
+    },
+    // --- persisted-blob emit + merge surface (cross-day sketch rollups) ---
+    "graft_hll_sketch" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      HllDistinct(exprs.head, lgK, emitBlob = true).toAggregateExpression()
+    },
+    "graft_hll_merge" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      HllMergeEstimate(exprs.head, lgK).toAggregateExpression()
+    },
+    "graft_kll_sketch" -> { exprs =>
+      val k = if (exprs.length > 1) num(exprs(1)).intValue() else 200
+      KllQuantiles(exprs.head, Seq.empty, k, emitBlob = true).toAggregateExpression()
+    },
+    "graft_kll_merge_quantiles" -> { exprs =>
+      require(exprs.length >= 2, "graft_kll_merge_quantiles(blob, array(ranks...)[, k])")
+      val ranks = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      val k = if (exprs.length > 2) num(exprs(2)).intValue() else 200
+      KllMergeQuantiles(exprs.head, ranks, k).toAggregateExpression()
+    },
+    "graft_theta_merge_est" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      ThetaMergeEstimate(exprs.head, lgK).toAggregateExpression()
     })
 
   /** Imperative registration for an already-running session. */

@@ -21,17 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * needs for incremental corpus statistics.
   *
   * `lgK` = log2 of the number of HLL buckets (12 → ±1.6% at 1σ).
+  *
+  * With `emitBlob = true` (SQL: `graft_hll_sketch`) the aggregate returns
+  * the serialized compact sketch instead of the estimate — the per-shard
+  * blob a pipeline persists to parquet and later rolls up with
+  * [[HllMergeEstimate]] without re-scanning the rows.
   */
 case class HllDistinct(
     child: Expression,
     lgK: Int = 12,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[HllSketch] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | StringType | DoubleType | BinaryType =>
@@ -64,7 +70,8 @@ case class HllDistinct(
     u.getResult(TgtHllType.HLL_8)
   }
 
-  override def eval(buffer: HllSketch): Any = Math.round(buffer.getEstimate)
+  override def eval(buffer: HllSketch): Any =
+    if (emitBlob) buffer.toCompactByteArray else Math.round(buffer.getEstimate)
 
   override def serialize(buffer: HllSketch): Array[Byte] = buffer.toCompactByteArray
 

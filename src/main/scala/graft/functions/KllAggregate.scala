@@ -23,18 +23,25 @@ import org.apache.spark.sql.types._
   *
   * Result: `array<double>` of the requested quantiles (INCLUSIVE search
   * criteria, the DataSketches default).
+  *
+  * With `emitBlob = true` (SQL: `graft_kll_sketch`) the aggregate returns
+  * the serialized sketch instead — the per-shard blob later rolled up by
+  * [[KllMergeQuantiles]] without re-scanning the rows (`ranks` is unused
+  * in that mode).
   */
 case class KllQuantiles(
     child: Expression,
     ranks: Seq[Double],
     k: Int = 200,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (emitBlob) BinaryType else ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType | FloatType | LongType | IntegerType =>
@@ -67,7 +74,8 @@ case class KllQuantiles(
   }
 
   override def eval(buffer: KllDoublesSketch): Any =
-    if (buffer.isEmpty) ArrayData.toArrayData(Array.fill(ranks.length)(Double.NaN))
+    if (emitBlob) buffer.toByteArray
+    else if (buffer.isEmpty) ArrayData.toArrayData(Array.fill(ranks.length)(Double.NaN))
     else ArrayData.toArrayData(
       ranks.map(r => buffer.getQuantile(r, QuantileSearchCriteria.INCLUSIVE)).toArray)
 

@@ -506,20 +506,42 @@ object Relational {
     * the standard value-atomic contract.
     *
     * Scale: the percentileDiscSkewSafe recipe — one map-side-combined
-    * VALUE histogram (bounded by the cents domain, not corpus size), a
-    * cumulative window over histogram rows only, and one ≤B-row rollup.
-    * Nothing corpus-sized is ever sorted.
+    * VALUE histogram (bounded by the cents domain, not corpus size) —
+    * with the cumulative sum fully DISTRIBUTED by the funnel-chunk
+    * decomposition: a chunk-LOCAL cumulative window (partitioned by
+    * `cents div chunkWidth`, each partition ≤ chunkWidth values) plus a
+    * per-chunk prefix computed as an explode-to-later-chunks equi-shuffle
+    * prefix-sum over the ≤C chunk totals (C ≈ domain/chunkWidth; C²/2
+    * 12-byte rows through one exchange — ~200k at TPC-H price domain).
+    * No single-partition WINDOW anywhere (PlanSpec-pinned); the only
+    * `Exchange SinglePartition`s are the two 1-row scalar aggregates
+    * (total count, max chunk id), which broadcast. Nothing corpus-sized
+    * is ever sorted.
     */
-  def statsHistogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+  def statsHistogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 8,
+      chunkWidth: Long = 16384L): DataFrame = {
     val hist = t(spark, dir, "lineitem")
       .select(round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
       .groupBy("cents")
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    hist
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("n", sum("cnt").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cb", expr(s"cents div $chunkWidth"))
+    // level 1: cumulative within each value chunk — bounded partitions
+    val wLocal = Window.partitionBy("cb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
+    // level 2: each chunk's total contributes to every LATER chunk's
+    // prefix — a distributed prefix-sum via explode + equi-groupBy
+    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot"))
+    val bounds = totals.agg(max("cb").as("cb_max"), sum("tot").as("n"))
+    val prefix = totals.join(broadcast(bounds))
+      // strict guard: sequence(a, b) is DESCENDING for a > b, so the last
+      // chunk (cb = cb_max) must not emit a phantom [cb_max+1, cb_max]
+      .filter(col("cb") < col("cb_max"))
+      .select(explode(expr("sequence(cb + 1, cb_max)")).as("cb"), col("tot"))
+      .groupBy("cb").agg(sum("tot").as("prev_cum"))
+    local.join(prefix, Seq("cb"), "left")
+      .join(broadcast(bounds.select("n")))
+      .withColumn("cum", col("local_cum") + coalesce(col("prev_cum"), lit(0L)))
       .withColumn("bucket", expr(s"(cum * $buckets + n - 1) div n"))
       .groupBy("bucket")
       .agg(
@@ -975,6 +997,11 @@ object Relational {
       .withColumn("tie_rank", row_number().over(wTie).cast("bigint"))
       .join(broadcast(hist), Seq("c_mktsegment", "cents"))
       .withColumn("rn", col("cum_before") + col("tie_rank"))
+      // INVARIANT pinning the ELSE branch's `div (n div 10)`: when n < 10
+      // every row has rn <= n = (n % 10) * (n div 10 + 1), so the THEN
+      // branch covers ALL rows and the ELSE's n div 10 = 0 divisor is
+      // unreachable. Editing the THEN predicate breaks this — non-ANSI
+      // div-by-zero would then yield silent NULL deciles.
       .withColumn("decile", expr(
         """CAST(CASE WHEN rn <= (n % 10) * (n div 10 + 1)
           |     THEN (rn - 1) div (n div 10 + 1) + 1
@@ -1003,5 +1030,110 @@ object Relational {
         | element_at(price_q, 1) AS price_q50, element_at(price_q, 2) AS price_q95,
         | element_at(price_q, 3) AS price_q99
         |FROM q""".stripMargin)
+  }
+
+  // --- Persisted-sketch merge round trips (the cross-day rollup) ---------
+  //
+  // The pattern shared by all three: per-SHARD sketch blobs are written to
+  // parquet (the shard key stands in for "day" — l_linenumber gives 7
+  // shards per returnflag, date(ts) gives real days for events), read
+  // back, and MERGED per group with the `graft_*_merge*` aggregates — the
+  // original rows are never re-scanned. The output is exact values plus
+  // within-bound booleans (the `sketch_distinct_check` recipe), so the
+  // DuckDB oracle computes the exact side and asserts TRUE: a merge that
+  // loses or double-counts state hash-mismatches the driver row.
+
+  private def withTempStore(prefix: String)(body: String => DataFrame): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      // materialize before the temp store is deleted
+      Dedup.materializeAndRelease(Seq.empty, body(store))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
+  /** HLL blobs per (returnflag, linenumber) shard → parquet → merged
+    * distinct-part estimate per returnflag, gated within 5% of exact.
+    */
+  def hllStoreMergeCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    withTempStore("graft-hll-store") { store =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linenumber")
+        .agg(expr("graft_hll_sketch(l_partkey)").as("sk"))
+        .write.mode("overwrite").parquet(s"$store/hll.parquet")
+      val merged = spark.read.parquet(s"$store/hll.parquet")
+        .groupBy("l_returnflag")
+        .agg(expr("graft_hll_merge(sk)").as("est_parts"))
+      val exact = t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(merged, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("exact_parts").cast("bigint").as("exact_parts"),
+          (abs(col("est_parts") - col("exact_parts")) <=
+            col("exact_parts").cast("double") * 0.05).as("parts_within_5pct"))
+    }
+  }
+
+  /** KLL blobs per (returnflag, linenumber) shard → parquet → merged
+    * median per returnflag, gated inside the exact 45–55% rank bounds
+    * (KLL's guarantee is a RANK bound; merge order may move the value
+    * inside it, so the gate is the bound, not byte equality).
+    */
+  def kllStoreMergeCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    withTempStore("graft-kll-store") { store =>
+      t(spark, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linenumber")
+        .agg(expr("graft_kll_sketch(l_quantity)").as("sk"))
+        .write.mode("overwrite").parquet(s"$store/kll.parquet")
+      spark.read.parquet(s"$store/kll.parquet").createOrReplaceTempView("graft_kll_blobs")
+      t(spark, dir, "lineitem").createOrReplaceTempView("graft_li")
+      spark.sql(
+        """WITH q AS (
+          | SELECT l_returnflag,
+          |  element_at(graft_kll_merge_quantiles(sk, array(0.5D)), 1) AS q50
+          | FROM graft_kll_blobs GROUP BY l_returnflag),
+          |r AS (
+          | SELECT l_returnflag, l_quantity,
+          |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+          |  count(*) OVER (PARTITION BY l_returnflag) AS n
+          | FROM graft_li),
+          |b AS (
+          | SELECT l_returnflag,
+          |  max(CASE WHEN rn = CAST(ceil(n * 0.45) AS BIGINT) THEN l_quantity END) AS lo,
+          |  max(CASE WHEN rn = CAST(ceil(n * 0.55) AS BIGINT) THEN l_quantity END) AS hi
+          | FROM r GROUP BY l_returnflag)
+          |SELECT q.l_returnflag, b.lo, b.hi,
+          | q.q50 >= b.lo AND q.q50 <= b.hi AS q50_within_rank_bounds
+          |FROM q JOIN b ON q.l_returnflag = b.l_returnflag""".stripMargin)
+    }
+  }
+
+  /** Theta blobs per (event_type, day) → parquet → merged distinct-user
+    * estimate per event_type, gated within 5% of exact (+1 absolute slack
+    * for tiny cohorts, as in `sketch_theta_check`).
+    */
+  def thetaStoreMergeCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    withTempStore("graft-theta-store") { store =>
+      events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("graft_theta_sketch(user_id)").as("sk"))
+        .write.mode("overwrite").parquet(s"$store/theta.parquet")
+      val merged = spark.read.parquet(s"$store/theta.parquet")
+        .groupBy("event_type")
+        .agg(expr("graft_theta_merge_est(sk)").as("est_users"))
+      val exact = events(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"),
+          col("exact_users").cast("bigint").as("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.05 + 1.0).as("users_within_5pct"))
+    }
   }
 }

@@ -214,12 +214,12 @@ object TextAnalysis {
     * rank via a literal map.
     */
   def sampleTemperature(spark: SparkSession, dir: String, totalDocs: Long = 200L,
-      keyCol: String = "lang"): DataFrame = {
+      keyCol: String = "lang", maxKeys: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     temperatureMix(
       docs(spark, dir).select(col("doc_id"), col(keyCol),
         Portable.polyHashNative("text", 43, 999999893L).as("rank_hash")),
-      keyCol, totalDocs)
+      keyCol, totalDocs, maxKeys)
   }
 
   /** THE T=2 temperature-selection contract over a prepared
@@ -229,9 +229,19 @@ object TextAnalysis {
     * standalone row and the composed chain.
     */
   private def temperatureMix(prepared: DataFrame, keyCol: String,
-      totalDocs: Long): DataFrame = {
-    val counts = prepared.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
+      totalDocs: Long, maxKeys: Int = 10000): DataFrame = {
+    // Cardinality guard: the per-key targets are a driver-side literal
+    // map, so the key domain must be BOUNDED (lang, source, domain — not
+    // doc_id or text). limit(maxKeys+1) caps what the driver ever holds
+    // even on the failure path, and the require fails loudly instead of
+    // silently collecting an unbounded aggregate.
+    val counts = prepared.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .limit(maxKeys + 1).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.length <= maxKeys,
+      s"temperatureMix: '$keyCol' has more than $maxKeys distinct values; " +
+        "temperature targets are a per-key driver map — pass a bounded key " +
+        "domain (lang/source/domain) or raise maxKeys explicitly")
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     val weights = counts.map { case (k, n) => (k, math.sqrt(n.toDouble).toLong) }
     val sumW = weights.map(_._2).sum
@@ -672,25 +682,33 @@ object TextAnalysis {
     * discriminating case is spec-pinned. Documents shorter than `k`
     * tokens have no windows and are excluded (mirrored by the oracle).
     *
-    * Scale: the [[lineDedup]] shape — the duplicated-window set is small
-    * by construction (every member repeats in ≥2 documents, so it is at
-    * most 1/2 of the corpus and in practice the tiny duplicated tail); it
-    * BROADCASTS, and the corpus side is one explode → broadcast mark join
-    * → one aggregation. The window doc-frequency itself is one
-    * hash-aggregate with map-side partials. At 100 TB, group on the
-    * 8-byte window hash so the shuffle never moves window text
-    * (exact-string form kept here for the oracle).
+    * Scale: every window is fingerprinted to a 60-bit portable poly-hash
+    * IMMEDIATELY after the explode, so nothing downstream ever moves
+    * window text — the df-count shuffle and the mark join both carry an
+    * 8-byte key (~20× fewer shuffle bytes than shipping the ~150 B
+    * 25-token strings; collision odds ~1e-18 per pair, and the DuckDB
+    * oracle runs the exact-string form so a collision would surface as a
+    * hash mismatch). The duplicated-window set is corpus-derived (every
+    * gram with df ≥ 2): tiny on a clean corpus but GBs on a
+    * heavily-duplicated one, so it is deliberately NOT broadcast — the
+    * mark join is a plain equi-join on the fingerprint and AQE picks
+    * broadcast vs shuffle from the observed size. The df count is a
+    * plain `count` (one exchange, map-side partials): [[Portable.wordShingles]]
+    * is per-doc distinct, so rows per (gh) group are one-per-doc and
+    * `count == countDistinct(doc_id)` by construction.
     */
   def substringDupScore(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val g = docs(spark, dir)
       .withColumn("toks", Portable.tokens("text"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(Portable.wordShingles("toks", k)).as("gram"))
-    val dup = g.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("doc_id"), Portable.polyHash60Native("gram").as("gh"))
+    val dup = g.groupBy("gh")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("gram"), lit(true).as("is_dup"))
-    g.join(broadcast(dup), Seq("gram"), "left")
+      .select(col("gh"), lit(true).as("is_dup"))
+    g.join(dup, Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_windows"),
@@ -709,9 +727,9 @@ object TextAnalysis {
     * post-filter counts — order matters and the oracle pins it), and roll
     * up per language (docs drawn, total tokens).
     *
-    * Plan shape: inherits each constituent's — the dup-window set
-    * broadcasts, the mixture is the bounded-heap `graft_topk`, the rollup
-    * is one tiny exchange.
+    * Plan shape: inherits each constituent's — the dup mark join is an
+    * 8-byte-fingerprint equi-join (AQE-sized), the mixture is the
+    * bounded-heap `graft_topk`, the rollup is one tiny exchange.
     */
   def pipelineCurate(spark: SparkSession, dir: String, totalDocs: Long = 150L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

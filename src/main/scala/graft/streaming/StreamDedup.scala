@@ -29,8 +29,12 @@ import graft.operators.Dedup
 object StreamDedup {
 
   /** Starts the stream: `newDocs` is a STREAMING (doc_id, text) frame;
-    * `sink` receives each micro-batch's verified near-dup pairs (called on
-    * the driver, exactly once per batch under the checkpoint's guarantees).
+    * `sink` receives each micro-batch's verified near-dup pairs, called on
+    * the driver with the batch id. foreachBatch is AT-LEAST-ONCE: after a
+    * failure the same batchId can be re-delivered with the same pairs, so
+    * a non-idempotent sink would double-count — sinks must dedup or
+    * idempotify by batchId (the standard foreachBatch contract, e.g.
+    * overwrite-by-batchId partitions or an idempotent upsert).
     */
   def start(newDocs: DataFrame, corpusArrays: DataFrame, corpusBands: DataFrame,
       threshold: Double, checkpointDir: String)(

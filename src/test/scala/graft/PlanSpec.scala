@@ -147,10 +147,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("substring dup score: duplicated-window set broadcasts; no nested loop") {
+  test("substring dup score: no nested loop, no raw window text in any shuffle") {
     val plan = executedPlan("text_substring_dup")
-    assert(plan.contains("BroadcastHashJoin"), s"dup-window set must broadcast:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the dup-window set is corpus-derived (GBs on a duplicated 100 TB
+    // corpus) so it must NOT be force-broadcast — and every exchange must
+    // key on the 8-byte fingerprint, never the raw gram strings
+    assert(!plan.contains("hashpartitioning(gram"),
+      s"shuffles must carry the 60-bit fingerprint, not window text:\n$plan")
+    assert(plan.contains("hashpartitioning(gh"),
+      s"expected the df-count / mark-join exchanges on the gh fingerprint:\n$plan")
+  }
+
+  test("equi-depth histogram: every window is partitioned — no SinglePartition window") {
+    val df = SparkEntry.queries("stats_histogram_eqdepth")(spark, dir)
+    // AQE wraps the plan in AdaptiveSparkPlanExec, a leaf wrapper that
+    // collect() does not recurse into — unwrap to the inner physical plan
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the chunk-local cumulative window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"cumulative sum must be chunk-partitioned, not a global window:\n$w")
+    }
   }
 
   test("incremental dedup: the new-increment side broadcasts against the corpus") {

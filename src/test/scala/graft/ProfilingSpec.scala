@@ -102,6 +102,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.toSet == win.toSet, "heap-aggregate temperature mix must equal the window form")
   }
 
+  test("sampleTemperature: high-cardinality keyCol fails loudly, never collects unbounded") {
+    // 'text' is effectively unique per doc — a caller reaching for it as a
+    // mixture key must get an immediate error, not an unbounded driver map
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.sampleTemperature(spark, dir, 200L,
+        keyCol = "text", maxKeys = 10)
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+    // and the bounded contract keys stay accepted under the same cap
+    assert(graft.operators.TextAnalysis.sampleTemperature(spark, dir, 200L,
+      keyCol = "lang", maxKeys = 10).count() > 0)
+  }
+
   test("canonicalDocsBest: every representative is its cluster's argmax quality") {
     val clusters = graft.operators.Dedup.nearDupClustersStar(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

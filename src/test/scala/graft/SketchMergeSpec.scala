@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Persisted-sketch merge surface: blob emit → parquet → read back → merge
+  * must lose no state — the cross-day rollup contract. Small-cardinality
+  * fixtures make HLL and theta EXACT, so the round trips here assert
+  * equality with the true distinct counts, not just bounds; KLL asserts
+  * its rank-bound guarantee (the only guarantee KLL gives under merge).
+  */
+class SketchMergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("hll blob round trip: shard blobs through parquet merge to the one-pass answer") {
+    GraftFunctions.register(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-hll-spec").toString
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li")
+      spark.sql(
+        "SELECT l_returnflag, l_linenumber, graft_hll_sketch(l_returnflag || '-' || l_suppkey) AS sk " +
+          "FROM li GROUP BY l_returnflag, l_linenumber")
+        .write.mode("overwrite").parquet(s"$store/blobs.parquet")
+      spark.read.parquet(s"$store/blobs.parquet").createOrReplaceTempView("blobs")
+      val merged = spark.sql(
+        "SELECT l_returnflag, graft_hll_merge(sk) AS est FROM blobs GROUP BY l_returnflag")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = spark.sql(
+        "SELECT l_returnflag, count(DISTINCT l_returnflag || '-' || l_suppkey) AS d " +
+          "FROM li GROUP BY l_returnflag")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(merged.keySet == exact.keySet)
+      for ((flag, d) <- exact) {
+        val est = merged(flag)
+        assert(math.abs(est - d).toDouble <= 0.05 * d,
+          s"$flag: merged est $est vs exact $d")
+      }
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
+  test("theta blob round trip: merged union estimate is exact at small cardinality") {
+    GraftFunctions.register(spark)
+    graft.operators.Relational.events(spark, dir).createOrReplaceTempView("ev")
+    val store = java.nio.file.Files.createTempDirectory("graft-theta-spec").toString
+    try {
+      spark.sql(
+        "SELECT event_type, to_date(ts) AS day, graft_theta_sketch(user_id) AS sk " +
+          "FROM ev GROUP BY event_type, to_date(ts)")
+        .write.mode("overwrite").parquet(s"$store/blobs.parquet")
+      spark.read.parquet(s"$store/blobs.parquet").createOrReplaceTempView("tblobs")
+      val merged = spark.sql(
+        "SELECT event_type, graft_theta_merge_est(sk) AS est FROM tblobs GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = spark.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS d FROM ev GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // below the 2^12 nominal-entries retention a theta sketch is exact
+      assert(merged == exact, s"merged=$merged exact=$exact")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
+  test("kll blob round trip: merged median honors the exact rank bounds") {
+    val rows = graft.operators.Relational.kllStoreMergeCheck(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"q50 outside 45-55% rank bounds for ${r.getString(0)}")
+    }
+  }
+
+  test("all three merge-check catalog rows come back all-true") {
+    for ((name, boolIdx) <- Seq(
+        ("sketch_hll_merge_check", 2), ("sketch_theta_merge_check", 2))) {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows.nonEmpty, name)
+      rows.foreach(r => assert(r.getBoolean(boolIdx), s"$name: $r"))
+    }
+  }
+}
