@@ -233,6 +233,20 @@ object Bench {
       }
     }
 
+    // 3e. Streaming sketch rollup: micro-batch HLL blobs folded into the
+    // versioned persisted store (the round-8 merge surface composed with
+    // foreachBatch); fresh store + checkpoint per run.
+    results("stream_sketch_rollup") = time2 {
+      val store = tempDir("graft-bench-stream-sketch")
+      val ckpt = tempDir("graft-bench-stream-sketch-ckpt")
+      val q = graft.streaming.StreamSketch.start(
+        eventsStream().select("event_type", "user_id"), store, ckpt,
+        "event_type", "user_id")
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamSketch.estimates(spark, store, "event_type").count()
+    }
+
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
       val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -249,7 +263,7 @@ object Bench {
     println(jsonLine(results))
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
-        "stream_incremental_dedup")
+        "stream_incremental_dedup", "stream_sketch_rollup")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

@@ -791,6 +791,11 @@ object GraftFunctions {
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       HllMergeEstimate(exprs.head, lgK).toAggregateExpression()
     },
+    // merged blob (not estimate): the store-update step of a rolling rollup
+    "graft_hll_merge_sketch" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      HllMergeEstimate(exprs.head, lgK, emitBlob = true).toAggregateExpression()
+    },
     "graft_kll_sketch" -> { exprs =>
       val k = if (exprs.length > 1) num(exprs(1)).intValue() else 200
       KllQuantiles(exprs.head, Seq.empty, k, emitBlob = true).toAggregateExpression()

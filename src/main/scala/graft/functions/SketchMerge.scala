@@ -34,13 +34,14 @@ import org.apache.spark.sql.types._
 case class HllMergeEstimate(
     child: Expression,
     lgK: Int = 12,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[HllUnion] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -61,7 +62,9 @@ case class HllMergeEstimate(
     buffer
   }
 
-  override def eval(buffer: HllUnion): Any = Math.round(buffer.getEstimate)
+  override def eval(buffer: HllUnion): Any =
+    if (emitBlob) buffer.getResult(TgtHllType.HLL_8).toCompactByteArray
+    else Math.round(buffer.getEstimate)
 
   override def serialize(buffer: HllUnion): Array[Byte] =
     buffer.getResult(TgtHllType.HLL_8).toCompactByteArray

@@ -508,23 +508,28 @@ object Relational {
     * Scale: the percentileDiscSkewSafe recipe — one map-side-combined
     * VALUE histogram (bounded by the cents domain, not corpus size) —
     * with the cumulative sum fully DISTRIBUTED by the funnel-chunk
-    * decomposition: a chunk-LOCAL cumulative window (partitioned by
-    * `cents div chunkWidth`, each partition ≤ chunkWidth values) plus a
-    * per-chunk prefix computed as an explode-to-later-chunks equi-shuffle
-    * prefix-sum over the ≤C chunk totals (C ≈ domain/chunkWidth; C²/2
-    * 12-byte rows through one exchange — ~200k at TPC-H price domain).
+    * decomposition: a chunk-LOCAL cumulative window plus a per-chunk
+    * prefix computed as an explode-to-later-chunks equi-shuffle
+    * prefix-sum over the chunk totals. The chunk width is derived from
+    * the OBSERVED value span (`(mx − mn) div maxChunks + 1`, pure column
+    * arithmetic off a broadcast 1-row bounds aggregate), so the chunk
+    * count is ≤ maxChunks for ANY value domain — a 64-bit-spread column
+    * costs the same ≤ maxChunks²/2 12-byte prefix rows as cents do.
     * No single-partition WINDOW anywhere (PlanSpec-pinned); the only
-    * `Exchange SinglePartition`s are the two 1-row scalar aggregates
-    * (total count, max chunk id), which broadcast. Nothing corpus-sized
-    * is ever sorted.
+    * `Exchange SinglePartition`s are the 1-row scalar aggregates (value
+    * span, total count, max chunk id), which broadcast. Nothing
+    * corpus-sized is ever sorted.
     */
   def statsHistogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 8,
-      chunkWidth: Long = 16384L): DataFrame = {
-    val hist = t(spark, dir, "lineitem")
+      maxChunks: Int = 1024): DataFrame = {
+    val hist0 = t(spark, dir, "lineitem")
       .select(round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
       .groupBy("cents")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cb", expr(s"cents div $chunkWidth"))
+    val span = hist0.agg(min("cents").as("mn"), max("cents").as("mx"))
+    val hist = hist0.join(broadcast(span))
+      .withColumn("cb", expr(s"(cents - mn) div ((mx - mn) div $maxChunks + 1)"))
+      .select("cents", "cnt", "cb")
     // level 1: cumulative within each value chunk — bounded partitions
     val wLocal = Window.partitionBy("cb").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -73,6 +73,46 @@ class SketchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sketch rollup across micro-batches == one-shot batch estimate == exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-sketch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-sketch-ckpt").toString
+    try {
+      // overlapping user sets across batches: a lossy merge double-counts,
+      // a lost store version under-counts — both break the exact equality
+      val b1 = (1 to 40).map(u => ("click", u.toLong)) ++ (1 to 10).map(u => ("buy", u.toLong))
+      val b2 = (21 to 60).map(u => ("click", u.toLong)) ++ (5 to 15).map(u => ("buy", u.toLong))
+      val mem = MemoryStream[(String, Long)]
+      val q = graft.streaming.StreamSketch.start(
+        mem.toDF().toDF("event_type", "user_id"), store, ckpt, "event_type", "user_id")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = graft.streaming.StreamSketch.estimates(spark, store, "event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val all = (b1 ++ b2).toDF("event_type", "user_id")
+      all.createOrReplaceTempView("ss_all")
+      val oneShot = spark.sql(
+        "SELECT event_type, graft_hll_distinct(user_id) FROM ss_all GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Map("click" -> 60L, "buy" -> 15L)
+      assert(got == oneShot, s"stream rollup $got != one-shot $oneShot")
+      assert(got == exact, s"small-cardinality HLL should be exact: $got != $exact")
+      // only keepVersions store versions remain after pruning
+      val versions = new java.io.File(store).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+      assert(versions.size <= 2 && versions.contains("v1"), s"versions=$versions")
+    } finally {
+      for (d <- Seq(store, ckpt))
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
   test("all three merge-check catalog rows come back all-true") {
     for ((name, boolIdx) <- Seq(
         ("sketch_hll_merge_check", 2), ("sketch_theta_merge_check", 2))) {
