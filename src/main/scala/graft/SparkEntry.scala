@@ -52,6 +52,13 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_contamination_score" -> ((s, d) => TextAnalysis.contaminationScore(s, d)),
+    // Bloom twin for the large-eval-set regime: fixed-size filter, map-side
+    // probe, superset mark; no_oracle (DuckDB can't run the filter) — the
+    // recall/FPR gate below is the oracle-checked pair
+    "text_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
+    "text_decontaminate_bloom_check" -> ((s, d) => TextAnalysis.decontaminateBloomCheck(s, d)),
+    // CCNet-style corpus-self-trained bigram LM cross-entropy (micro-nats)
+    "text_lm_xent" -> ((s, d) => TextAnalysis.lmCrossEntropy(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -781,6 +788,44 @@ object SparkEntry {
         | CAST(COALESCE(h.n, 0) AS DOUBLE) / len(g.grams) AS contamination_frac
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE g.doc_id >= 20""".stripMargin,
+    // the booleans are the gate (recall 1.0, FPR under budget); the exact
+    // column is the contaminated-doc count the Bloom superset must cover
+    "text_decontaminate_bloom_check" ->
+      """WITH g AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)]
+        |      || ' ' || w[CAST(i+3 AS INTEGER)] || ' ' || w[CAST(i+4 AS INTEGER)] || ' ' || w[CAST(i+5 AS INTEGER)]
+        |      || ' ' || w[CAST(i+6 AS INTEGER)] || ' ' || w[CAST(i+7 AS INTEGER)])) AS grams
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 8),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |hits AS (
+        | SELECT t.doc_id, count(*) AS n
+        | FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) t
+        | JOIN eg USING (gram) GROUP BY t.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+        | TRUE AS no_false_negatives, TRUE AS fp_frac_bounded
+        |FROM hits WHERE n > 0""".stripMargin,
+    // bigram LM cross-entropy: identical tokenization, counts, smoothing and
+    // micro-nat quantization — the exact-string form of the engine's
+    // fingerprinted plan, so a fingerprint collision would hash-mismatch
+    "text_lm_xent" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(w) AS tok FROM t)),
+        |b AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |   i -> [w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]])) AS bg
+        | FROM t WHERE len(w) >= 2),
+        |bb AS (SELECT doc_id, bg[1] AS prev, bg[1] || ' ' || bg[2] AS bigram FROM b),
+        |cp AS (SELECT bigram, count(*) AS c_pair FROM bb GROUP BY 1),
+        |cx AS (SELECT prev, count(*) AS c_prev FROM bb GROUP BY 1),
+        |cost AS (
+        | SELECT bb.doc_id,
+        |  CAST(round(ln((cp.c_pair + 1.0) / (cx.c_prev + v.vocab)) * 1000000) AS BIGINT) AS c
+        | FROM bb JOIN cp USING (bigram) JOIN cx USING (prev) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST((-sum(c)) // count(*) AS BIGINT) AS xent_micronats
+        |FROM cost GROUP BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens, start_offset,
         | start_offset // 1024 AS bin_id

@@ -945,4 +945,138 @@ object TextAnalysis {
         col("col").cast("long").as("chunk_start"),
         expr(s"substring(text, col, $size)").as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+
+  /** Bigram language-model cross-entropy scoring — the CCNet/RefinedWeb
+    * perplexity-filter shape: train an add-one-smoothed bigram LM on the
+    * corpus ITSELF and score every document by its per-token cross-entropy
+    * under that model. Low scores mark text made of corpus-typical
+    * continuations (boilerplate, templates, duplicated passages); high
+    * scores mark rare/garbled token sequences — the standard
+    * quality-filter signal when no external LM is available.
+    *
+    * Exactness contract: the only transcendental step, `ln(p)`, is
+    * quantized to integer MICRO-NATS per distinct probability
+    * (`round(ln(p)·1e6)`), and everything after is exact integer
+    * arithmetic — per-doc sums of micro-nat costs and one integer
+    * division. `p = (c_pair+1)/(c_prev+V)` is a single IEEE division of
+    * two exactly-agreed doubles, so both engines round the same value; a
+    * 1-ulp `ln` divergence between libm implementations only matters if a
+    * value lands within ~1e-10 of a .5 micro-nat boundary (odds ~1e-6 per
+    * DISTINCT count pair, not per occurrence).
+    *
+    * Scale: bigram occurrences are fingerprinted to 60-bit poly-hashes
+    * immediately (the [[substringDupScore]] discipline — no shuffle ever
+    * carries token text); pair counts are one map-combined exchange on the
+    * 8-byte key; the context count joins the PAIR TABLE (distinct bigrams),
+    * not the occurrence relation, because every occurrence of a bigram
+    * shares its context; the vocabulary size is a 1-row aggregate joined by
+    * broadcast. The model table is corpus-derived and potentially huge, so
+    * the score join is a plain equi-join on the fingerprint — AQE sizes it,
+    * nothing is force-broadcast. No driver-side collects anywhere.
+    */
+  def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d0 = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
+    // vocabulary over ALL token occurrences (single-token docs included)
+    val vocab = d0.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val bg = d0.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS prev, " +
+          "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram))")).as("bg"))
+      .select(col("doc_id"),
+        Portable.polyHash60Native("bg.prev").as("fp_prev"),
+        Portable.polyHash60Native("bg.bigram").as("fp_pair"))
+    // one row per distinct bigram; min(fp_prev) is exact (all equal)
+    val pairStats = bg.groupBy("fp_pair")
+      .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
+    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
+    val model = pairStats.join(ctxStats, Seq("fp_prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c_pair") + lit(1L)).cast("double") /
+          (col("c_prev") + col("vocab")).cast("double"))
+      .select(col("fp_pair"),
+        expr("CAST(round(ln(p) * 1000000) AS BIGINT)").as("cost"))
+    bg.select("doc_id", "fp_pair")
+      .join(model, Seq("fp_pair"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("sum_cost"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(-sum_cost) div n_bigrams").as("xent_micronats"))
+  }
+
+  /** Bloom-filter decontamination — [[decontaminate]]'s scale twin for the
+    * regime where the eval/benchmark side is itself large (full benchmark
+    * suites at n-gram granularity: tens of millions of distinct grams,
+    * where the exact distinct-gram broadcast set is GBs). The eval grams
+    * fold into ONE fixed-size Bloom filter (`numBits` bound regardless of
+    * eval cardinality — 32 KiB at the default), and the corpus side is
+    * probed MAP-SIDE: no join against the eval set at all, and non-matching
+    * grams die before any shuffle.
+    *
+    * Semantics: a SUPERSET mark. Bloom filters admit false positives but
+    * never false negatives, so every exactly-contaminated document is
+    * flagged (recall 1.0 by construction — [[decontaminateBloomCheck]]
+    * gates it per corpus) and a bounded false-positive fraction of clean
+    * documents is over-flagged — the safe direction for decontamination,
+    * where a missed leak poisons the eval and an over-dropped clean doc
+    * costs only data. Grams are probed by their 60-bit portable
+    * fingerprint, so the filter stores 8-byte keys, never text.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8,
+      evalDocs: Long = 20, numBits: Int = 262144, numHashes: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), Portable.wordShingles("toks", n).as("grams"))
+    // ONE fixed-size blob reaches the driver (numBits/8 bytes), the
+    // bloomSemiJoin precedent — bounded however many eval grams exist
+    val bloomBytes = d.filter(col("doc_id") < evalDocs)
+      .select(explode(col("grams")).as("gram"))
+      .select(Portable.polyHash60Native("gram").as("fp"))
+      .agg(expr(s"graft_bloom_build(fp, $numBits, $numHashes)"))
+      .head().getAs[Array[Byte]](0)
+    val bloomLit = "X'" + bloomBytes.map("%02X".format(_)).mkString + "'"
+    val hits = d.filter(col("doc_id") >= evalDocs)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), Portable.polyHash60Native("gram").as("fp"))
+      .filter(expr(s"graft_bloom_contains($bloomLit, fp)"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    docs(spark, dir).filter(col("doc_id") >= evalDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged_grams"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("contaminated_bloom"))
+  }
+
+  /** The oracle-checked gate for [[decontaminateBloom]]: joins the Bloom
+    * mark against the EXACT [[decontaminate]] mark and proves (a) zero
+    * false negatives — every exactly-contaminated doc is Bloom-flagged —
+    * and (b) the false-positive fraction of exactly-clean docs stays under
+    * `maxFpFrac` (default 1%, generous vs the ~0.05% the default filter
+    * geometry predicts at this corpus's eval-gram load). `n_contaminated`
+    * is exact and oracle-recomputed; the booleans are the gate.
+    */
+  def decontaminateBloomCheck(spark: SparkSession, dir: String,
+      maxFpFrac: Double = 0.01): DataFrame = {
+    val exact = decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val bloom = decontaminateBloom(spark, dir)
+      .select(col("doc_id"), col("contaminated_bloom"))
+    exact.join(bloom, Seq("doc_id"))
+      .agg(
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated") && !col("contaminated_bloom"), 1L)
+          .otherwise(0L)).as("n_missed"),
+        (sum(when(!col("contaminated") && col("contaminated_bloom"), 1L)
+          .otherwise(0L)).cast("double") /
+          sum(when(!col("contaminated"), 1L).otherwise(0L))).as("fp_frac"))
+      .select(
+        col("n_contaminated").cast("bigint").as("n_contaminated"),
+        (col("n_missed") === 0L).as("no_false_negatives"),
+        (col("fp_frac") <= maxFpFrac).as("fp_frac_bounded"))
+  }
 }

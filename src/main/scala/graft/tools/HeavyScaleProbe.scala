@@ -121,7 +121,10 @@ object HeavyScaleProbe {
       ("dedup_ngram", (s, d) => graft.operators.Dedup.ngramNearDups(s, d).count()),
       ("dedup_semantic_lsh", (s, d) => graft.operators.Dedup.semanticClustersLsh(s, d).count()),
       ("ann_pq", (s, d) => graft.operators.Similarity.pqTopK(s, d).count()),
-      ("pipeline_curate", (s, d) => graft.operators.TextAnalysis.pipelineCurate(s, d).count()))
+      ("pipeline_curate", (s, d) => graft.operators.TextAnalysis.pipelineCurate(s, d).count()),
+      // r8 addition: the bigram-LM scorer — its model table grows with the
+      // corpus, so the exponent proves the AQE-sized score join scales
+      ("text_lm_xent", (s, d) => graft.operators.TextAnalysis.lmCrossEntropy(s, d).count()))
 
     val results = scala.collection.mutable.Map[(String, Int), (Double, Long)]()
     for (kRep <- Seq(1, bigK)) {

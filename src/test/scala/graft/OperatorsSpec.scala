@@ -1329,7 +1329,8 @@ class EntryContractSpec extends AnyFunSuite {
       "sketch_distinct" -> "sketch_distinct_check",
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
-      "sketch_topk_terms" -> "sketch_freq_check")
+      "sketch_topk_terms" -> "sketch_freq_check",
+      "text_decontaminate_bloom" -> "text_decontaminate_bloom_check")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == exempt.keySet,
       s"undocumented oracle-less queries: ${noOracle -- exempt.keySet}; " +
@@ -1340,5 +1341,78 @@ class EntryContractSpec extends AnyFunSuite {
   }
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(SparkSpec.spark).count() > 0)
+  }
+}
+
+class LmXentSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("bigram LM cross-entropy: hand-computed micro-nat costs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lm-xent").toString
+    // vocab {a,b,c} = 3; bigrams: (a b)x2, (a c)x1; c_prev(a) = 3
+    // p(a b) = (2+1)/(3+3) = 0.5        -> round(ln(0.5)*1e6)  = -693147
+    // p(a c) = (1+1)/(3+3) = 1/3        -> round(ln(1/3)*1e6)  = -1098612
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.lmCrossEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((1L, 693147L)), s"got $out")
+    assert(out(1L) == ((1L, 693147L)))
+    assert(out(2L) == ((1L, 1098612L)))
+    // the curation signal: corpus-typical (duplicated) text scores LOWER
+    // cross-entropy than the rare continuation
+    assert(out(0L)._2 < out(2L)._2)
+  }
+
+  test("degenerate single-token vocabulary: p=1 everywhere, xent 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lm-xent-deg").toString
+    // vocab {a} = 1; every bigram (a a): p = (3+1)/(3+1) = 1 -> cost 0
+    Seq((0L, "a a a a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.lmCrossEntropy(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 0L)
+  }
+
+  test("sub-2-token docs carry no bigrams and are excluded") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lm-xent-short").toString
+    Seq((0L, "solo"), (1L, "pair of tokens")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ids = graft.operators.TextAnalysis.lmCrossEntropy(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+}
+
+class DecontaminateBloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("planted leak: bloom mark is a superset of the exact mark, gate green") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("decon-bloom").toString
+    val leak = (1 to 12).map(i => s"leak$i").mkString(" ")
+    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
+    val other = (1 to 12).map(i => s"other$i").mkString(" ")
+    Seq(
+      (0L, leak), // eval doc (doc_id < 20)
+      (25L, s"prefix one two three four five six seven $leak"), // verbatim leak
+      (30L, clean), (31L, other) // uncontaminated corpus
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exact = graft.operators.TextAnalysis.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = graft.operators.TextAnalysis.decontaminateBloom(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact(25L) && !exact(30L) && !exact(31L))
+    // superset: every exactly-contaminated doc must be bloom-flagged
+    assert(exact.filter(_._2).keySet.subsetOf(bloom.filter(_._2).keySet))
+    assert(bloom(25L), "bloom must never miss a true leak")
+    val gate = graft.operators.TextAnalysis.decontaminateBloomCheck(spark, tmp).collect().head
+    assert(gate.getLong(0) == 1L, s"one contaminated doc expected: $gate")
+    assert(gate.getBoolean(1), "no_false_negatives")
+    assert(gate.getBoolean(2), "fp_frac_bounded")
   }
 }

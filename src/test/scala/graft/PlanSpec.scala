@@ -159,6 +159,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected the df-count / mark-join exchanges on the gh fingerprint:\n$plan")
   }
 
+  test("LM cross-entropy: every exchange keys on a fingerprint, never token text") {
+    val plan = executedPlan("text_lm_xent")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the model join is a plain equi-join on the 8-byte fingerprint (AQE
+    // sizes it); only the 1-row vocabulary scalar may broadcast-nest
+    assert(!plan.contains("hashpartitioning(bigram") && !plan.contains("hashpartitioning(prev"),
+      s"count/join exchanges must carry 60-bit fingerprints, not token strings:\n$plan")
+    assert(plan.contains("hashpartitioning(fp_pair"),
+      s"expected pair-count / score-join exchanges on fp_pair:\n$plan")
+  }
+
+  test("bloom decontamination probes map-side: no join against the eval-gram set") {
+    val plan = executedPlan("text_decontaminate_bloom")
+    assert(plan.toLowerCase.contains("bloomcontains"),
+      s"corpus grams must be probed by the bloom expression before any shuffle:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the only joins are the per-doc restore (doc_id); the eval set itself
+    // must never appear as a join side
+    assert(!plan.contains("hashpartitioning(gram"),
+      s"no exchange may carry gram text:\n$plan")
+  }
+
   test("equi-depth histogram: every window is partitioned — no SinglePartition window") {
     val df = SparkEntry.queries("stats_histogram_eqdepth")(spark, dir)
     // AQE wraps the plan in AdaptiveSparkPlanExec, a leaf wrapper that
