@@ -177,7 +177,7 @@ object Bench {
       import spark.implicits._
       val sessions = EventStream.sessionizeStream(
         eventsStream()
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.operators.Relational.normalizeEventTs)
           .select("user_id", "event_id", "ts")
           .withWatermark("ts", "1 minute")
           .as[EventStream.Event])
@@ -195,7 +195,7 @@ object Bench {
     // oracle row).
     results("stream_interval_join") = time2 {
       def side(tpe: String) = eventsStream()
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.operators.Relational.normalizeEventTs)
         .filter(col("event_type") === tpe)
         .select("user_id", "event_id", "ts")
       val joined = EventStream.clickPurchaseLeftJoin(side("click"), side("purchase"))

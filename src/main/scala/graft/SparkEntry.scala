@@ -59,6 +59,8 @@ object SparkEntry {
     "text_decontaminate_bloom_check" -> ((s, d) => TextAnalysis.decontaminateBloomCheck(s, d)),
     // CCNet-style corpus-self-trained bigram LM cross-entropy (micro-nats)
     "text_lm_xent" -> ((s, d) => TextAnalysis.lmCrossEntropy(s, d)),
+    // DSIR hashed-ngram importance weights toward the en slice (r8)
+    "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -129,6 +131,9 @@ object SparkEntry {
     "events_funnel_skew" -> ((s, d) => Relational.eventsFunnelSkewSafe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // the FAISS IndexIVFPQ composition: coarse cells prune the scan, PQ
+    // codes score inside probed cells, raw vectors only for the re-rank (r8)
+    "ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_scalar_subquery" -> (Relational.scalarSubquery _),
@@ -192,6 +197,11 @@ object SparkEntry {
     // real JPEG/PNG/GIF header parsing round-tripped against planted
     // payloads, with corrupt rows proving the quarantine path
     "multimodal_headers" -> (Multimodal.plantedHeaderQuery _),
+    // REAL audio feature extraction: WAV PCM bytes built per doc, int16
+    // samples decoded back, exact integer features; torn files quarantine (r8)
+    "mm_audio_pcm" -> (Multimodal.audioPcmQuery _),
+    // frame-level twin: fixed 32-sample windows -> per-frame energy rows
+    "mm_audio_frames" -> ((s, d) => Multimodal.audioFrameQuery(s, d)),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
@@ -203,6 +213,9 @@ object SparkEntry {
     // same floor through the persisted compressed index (codebooks + codes
     // parquet round trip; bit-equal to the direct path by spec) (r7)
     "ann_pq_store_check" -> ((s, d) => Similarity.pqStoreRecallFloor(s, d)),
+    // IVF-PQ gate: >=3/10 true neighbors survive coarse pruning + 8-byte
+    // quantization + shortlist (r8)
+    "ann_ivfpq_check" -> ((s, d) => Similarity.ivfPqRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
@@ -826,6 +839,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         | CAST((-sum(c)) // count(*) AS BIGINT) AS xent_micronats
         |FROM cost GROUP BY doc_id""".stripMargin,
+    // mirrors dsirWeights bit-for-bit: same poly-hash buckets, same
+    // per-bucket micro-nat quantization of both lns before the difference
+    "text_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+        |bi AS (
+        | SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS f
+        | FROM t WHERE len(w) >= 2),
+        |hb AS (
+        | SELECT doc_id, lang,
+        |  list_reduce(list_transform(string_split(f, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1024 AS b
+        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) WHERE f != ''),
+        |raw AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS c_t FROM hb WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM hb) AS r_tot,
+        |        (SELECT count(*) FROM hb WHERE lang = 'en') AS t_tot),
+        |cost AS (
+        | SELECT raw.b,
+        |  CAST(round(ln((COALESCE(tgt.c_t, 0) + 1.0) / (tot.t_tot + 1024)) * 1000000) AS BIGINT)
+        |  - CAST(round(ln((raw.c_r + 1.0) / (tot.r_tot + 1024)) * 1000000) AS BIGINT) AS c
+        | FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        | CAST(sum(cost.c) AS BIGINT) AS logw_micronats
+        |FROM hb JOIN cost USING (b) GROUP BY hb.doc_id""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens, start_offset,
         | start_offset // 1024 AS bin_id
@@ -1492,6 +1531,42 @@ object SparkEntry {
         | CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 0
         |  THEN CAST(1 + doc_id % 8 AS INTEGER) ELSE -1 END AS orientation
         |FROM documents""".stripMargin,
+    // recomputes every PCM feature from the doc_id arithmetic the planted
+    // WAV samples were built from — the engine must recover them from BYTES
+    "mm_audio_pcm" ->
+      """WITH par AS (
+        | SELECT doc_id, 2 * (32 + doc_id % 64) AS n, 1 + doc_id % 2 AS ch,
+        |  8000 + (doc_id % 5) * 1000 AS rate, doc_id % 7 = 0 AS corrupt
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, i, ((doc_id * 31 + i * 131) % 2003) - 1001 AS v
+        | FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM par)),
+        |z AS (
+        | SELECT doc_id, sum(v * v) AS energy, sum(abs(v)) AS abs_sum,
+        |  max(abs(v)) AS peak,
+        |  sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS zc
+        | FROM (SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM v)
+        | GROUP BY doc_id)
+        |SELECT p.doc_id, NOT p.corrupt AS parsed,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE p.rate END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE p.ch END AS BIGINT) AS channels,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE p.n END AS BIGINT) AS n_samples,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.energy END AS BIGINT) AS energy,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.abs_sum END AS BIGINT) AS abs_sum,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.peak END AS BIGINT) AS peak,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.zc END AS BIGINT) AS zero_cross
+        |FROM par p JOIN z USING (doc_id)""".stripMargin,
+    "mm_audio_frames" ->
+      """WITH par AS (
+        | SELECT doc_id, 2 * (32 + doc_id % 64) AS n, doc_id % 7 = 0 AS corrupt
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, i, ((doc_id * 31 + i * 131) % 2003) - 1001 AS v
+        | FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM par WHERE NOT corrupt))
+        |SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+        | CAST(count(*) AS BIGINT) AS n_in_frame,
+        | CAST(sum(v * v) AS BIGINT) AS frame_energy
+        |FROM v GROUP BY doc_id, i // 32""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         | md5(array_to_string(list_transform(range(0, 256),
@@ -1523,6 +1598,9 @@ object SparkEntry {
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_ivfpq_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_store_check" ->

@@ -535,6 +535,170 @@ object Multimodal {
     * text byte floor(i·len/256) — reproducible in SQL on the ASCII corpus,
     * so the resize plumbing is oracle-checked end to end.
     */
+  /** Builds a RIFF/WAVE payload with a 16-bit PCM little-endian `data`
+    * chunk — a REAL, spec-conformant WAV file (fmt tag 1, byte rate and
+    * block align derived, word-aligned chunks). A `LIST` junk chunk sits
+    * between `fmt ` and `data` so parsers must actually walk chunks rather
+    * than assume fixed offsets. With `truncate=true` the data chunk
+    * DECLARES the full sample count but the payload ends halfway through —
+    * the torn-file shape a 100 TB ingest sees daily.
+    */
+  private[graft] def wavPcmBytes(rate: Int, channels: Int, samples: Array[Short],
+      truncate: Boolean = false): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val blockAlign = channels * 2
+    val listBody = "INFOgrft".getBytes("US-ASCII") // 8-byte junk payload
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val writtenData = if (truncate) dataSize / 2 else dataSize
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    ascii("RIFF"); w32(riffSize); ascii("WAVE")
+    ascii("fmt "); w32(16)
+    w16(1) // PCM
+    w16(channels)
+    w32(rate)
+    w32(rate * blockAlign) // byte rate
+    w16(blockAlign)
+    w16(16) // bits per sample
+    ascii("LIST"); w32(listBody.length); out.write(listBody)
+    ascii("data"); w32(dataSize)
+    var i = 0
+    while (i * 2 < writtenData) { w16(samples(i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** Parses `(sampleRate, channels, samples)` from a RIFF/WAVE payload with
+    * a 16-bit PCM `data` chunk — the full sample decode, not just the
+    * header: chunk walk (word-aligned, corrupt sizes rejected like
+    * [[wavFormat]]), fmt validation (PCM, 16-bit), and a little-endian
+    * int16 read of the entire data chunk. A `data` chunk whose declared
+    * size overruns the payload (torn file) quarantines to None.
+    */
+  def wavPcmSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload.length < 36) return None
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')) return None
+    var rate = -1; var channels = -1; var bits = -1; var fmtTag = -1
+    var samples: Array[Short] = null
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val size = le32(payload, i + 4)
+      if (size < 0 || size > payload.length - i - 8) return None
+      if (payload(i) == 'f' && payload(i + 1) == 'm' && payload(i + 2) == 't' && payload(i + 3) == ' ') {
+        if (size < 16) return None
+        fmtTag = le16(payload, i + 8)
+        channels = le16(payload, i + 10)
+        rate = le32(payload, i + 12)
+        bits = le16(payload, i + 22)
+      } else if (payload(i) == 'd' && payload(i + 1) == 'a' && payload(i + 2) == 't' &&
+          payload(i + 3) == 'a') {
+        val n = size / 2
+        val arr = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          val off = i + 8 + j * 2
+          arr(j) = ((payload(off) & 0xff) | (payload(off + 1) << 8)).toShort
+          j += 1
+        }
+        samples = arr
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtTag == 1 && bits == 16 && rate > 0 && channels > 0 && samples != null)
+      Some((rate, channels, samples))
+    else None
+  }
+
+  /** One parsed planted-audio row ([[audioPcmQuery]]): doc-level PCM
+    * features, all exact integers. −1 everywhere when quarantined.
+    */
+  final case class AudioProbe(
+      doc_id: Long, parsed: Boolean, sample_rate: Long, channels: Long,
+      n_samples: Long, energy: Long, abs_sum: Long, peak: Long, zero_cross: Long)
+
+  /** Oracle gate for the PCM sample decoder — audio feature extraction
+    * that is REAL bytes-in, features-out (WAV PCM needs no codec): per
+    * doc_id a spec-conformant WAV is built ([[wavPcmBytes]]) whose int16
+    * samples are the arithmetic sequence `((id·31 + i·7) mod 2003) − 1001`
+    * (so every feature is derivable in SQL), then parsed BACK from the
+    * bytes by [[wavPcmSamples]] and reduced to exact integer features:
+    * sum of squares (energy), sum of |v|, peak |v|, and strict
+    * sign-change count. Every 7th row is a torn file (data chunk declares
+    * 2× the bytes present) and must quarantine to −1s, not error. The
+    * DuckDB oracle recomputes every feature from the doc_id arithmetic —
+    * a green row proves the byte-level decode inverts the builder exactly.
+    * Per-partition, no shuffle, constant memory — the [[decodeMeta]]
+    * contract.
+    */
+  def audioPcmQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 2 * (32 + (id % 64)).toInt
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 + ((id % 5) * 1000).toInt
+          val corrupt = id % 7 == 0
+          val samples = Array.tabulate(n)(i => (((id * 31 + i.toLong * 131) % 2003) - 1001).toShort)
+          val payload = wavPcmBytes(rate, ch, samples, truncate = corrupt)
+          wavPcmSamples(payload) match {
+            case Some((r, c, s)) =>
+              var energy = 0L; var absSum = 0L; var peak = 0L; var zc = 0L
+              var j = 0
+              while (j < s.length) {
+                val v = s(j).toLong
+                energy += v * v
+                val a = math.abs(v)
+                absSum += a
+                if (a > peak) peak = a
+                if (j > 0 && s(j - 1).toLong * v < 0) zc += 1
+                j += 1
+              }
+              AudioProbe(id, parsed = true, r.toLong, c.toLong, s.length.toLong,
+                energy, absSum, peak, zc)
+            case None =>
+              AudioProbe(id, parsed = false, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF()
+  }
+
+  /** One fixed-width PCM analysis frame ([[audioFrameQuery]]). */
+  final case class AudioFrame(doc_id: Long, frame_idx: Long, n_in_frame: Long, frame_energy: Long)
+
+  /** Frame-level PCM feature extraction — the batch shape of real audio
+    * featurization (fbank/MFCC windows): the decoded sample stream splits
+    * into fixed `frameSize` windows and each frame reduces to its exact
+    * integer energy. One generator row per frame, quarantined (torn) docs
+    * contribute zero frames, partitioning preserved — downstream per-frame
+    * embedding parallelizes on the exploded rows directly.
+    */
+  def audioFrameQuery(spark: SparkSession, dir: String, frameSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val n = 2 * (32 + (id % 64)).toInt
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 + ((id % 5) * 1000).toInt
+          val corrupt = id % 7 == 0
+          val samples = Array.tabulate(n)(i => (((id * 31 + i.toLong * 131) % 2003) - 1001).toShort)
+          wavPcmSamples(wavPcmBytes(rate, ch, samples, truncate = corrupt)) match {
+            case Some((_, _, s)) =>
+              s.grouped(frameSize).zipWithIndex.map { case (frame, idx) =>
+                var energy = 0L
+                var j = 0
+                while (j < frame.length) { val v = frame(j).toLong; energy += v * v; j += 1 }
+                AudioFrame(id, idx.toLong, frame.length.toLong, energy)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }.toDF()
+  }
+
   def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Empty documents are excluded: the resizer emits an all-zero thumbnail

@@ -23,16 +23,30 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Events table ships with parquet TIMESTAMP(NANOS) which Spark reads only
-    * as raw longs; normalize to a microsecond timestamp column `ts` plus the
-    * raw nanos. DuckDB performs the identical ns→µs truncation on read.
+  /** Normalizes the events `ts` column across testdata generations: older
+    * fixtures ship parquet TIMESTAMP(NANOS), which Spark reads only as raw
+    * nanos longs (`spark.sql.legacy.parquet.nanosAsLong`); newer fixtures
+    * ship TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Both
+    * normalize to a session-tz (UTC everywhere in this engine) microsecond
+    * timestamp — the identical instant DuckDB sees on the same parquet, so
+    * oracle comparisons are independent of the fixture's physical type.
     */
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      raw.withColumn("ts_nanos", col("ts"))
+        // integer div — double division would lose precision above 2^53 ns
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ =>
+      // NTZ→LTZ cast interprets the wall clock in the session tz (UTC),
+      // matching DuckDB's naive read of the same microsecond values
+      raw.withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+  }
+
+  /** The events table with `ts` normalized ([[normalizeEventTs]]). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_nanos", col("ts"))
-      // integer div — double division would lose precision above 2^53 ns
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(t(spark, dir, "events"))
   }
 
   /** S1: full table scan (dbeam's `SELECT * FROM table WHERE 1=1`). */

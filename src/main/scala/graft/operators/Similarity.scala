@@ -668,4 +668,132 @@ object Similarity {
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
   }
+
+  /** IVF-PQ composed ANN — the billion-vector deployment shape (the
+    * composition FAISS ships as `IndexIVFPQ`): the coarse quantizer
+    * ([[trainIvfCentroids]]) partitions the corpus into Voronoi cells so a
+    * query touches only its `numProbes` nearest cells, and WITHIN the
+    * probed cells candidates are scored from 8-byte PQ codes via the ADC
+    * table — the raw vectors are joined back only for the final
+    * shortlist re-rank. Neither half alone gives this: IVF-flat still
+    * reads full vectors inside probed cells (64×4 B each), flat-PQ still
+    * scans every code in the corpus. Composed, the scan cost is
+    * `numProbes/numCentroids` of the corpus × 8 bytes per vector.
+    *
+    * 100 TB plan shape: both quantizers train on the same deterministic
+    * [[trainSample]]; encoding/assignment is one map-only pass; the
+    * candidate join is an EQUI-join on `cell` against a broadcast of
+    * `nQueries × numProbes` probe rows (never a nested loop); the ADC
+    * scan forwards at most `pqShortlist` rows per (map task, query)
+    * through the `graft_topk` partial aggregate; only shortlist rows
+    * rejoin the raw vectors. Reuses [[cellAffinities]]' cosine order and
+    * [[codesFor]]' code assignment verbatim, so cells and codes are
+    * bit-identical to what the IVF and PQ families build separately.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      refineIters: Int = 2, pqRefineIters: Int = 3, forPlanInspection: Boolean = false,
+      trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes,
+      pqCentroids: Int = PqCentroids, pqShortlist: Int = PqShortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = normedOf(e).cache()
+    normed.count()
+    // Both quantizers train on the zero-norm-excluded corpus (the PQ-family
+    // contract): a zero-norm vector has no cosine cell affinity either.
+    val train = trainSample(normed, trainFraction).cache()
+    require(train.count() > 0, s"ivfPqTopK: training sample is empty (trainFraction=$trainFraction)")
+    val centroids = trainIvfCentroids(train, refineIters, numCentroids)
+    val books = trainCodebooks(normed, pqRefineIters, trainFraction, pqCentroids)
+    // One map-only pass computes BOTH the cell assignment and the PQ code —
+    // at 100 TB this is the single full-corpus scan of index construction.
+    val coded = normed
+      .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
+      .withColumn("codes", codesFor(books))
+      .select("vec_id", "cell", "codes").cache()
+    coded.count()
+    val out = ivfPqQueryStage(e, normed, coded, centroids, books, k, nQueries,
+      numProbes, pqCentroids, pqShortlist)
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, normed, train, coded), out)
+    else { Seq(e, normed, train, coded).foreach(_.unpersist(false)); out }
+  }
+
+  /** The IVF-PQ query stage over a cell-assigned coded corpus — probe-cell
+    * selection and ADC tables are computed driver-side per query (bounded
+    * by `nQueries`), then ONE broadcast equi-join on `cell` feeds the
+    * bounded-heap shortlist and the exact re-rank. Shared by the direct
+    * and store-backed paths so they cannot drift.
+    */
+  private def ivfPqQueryStage(e: DataFrame, normed: DataFrame, coded: DataFrame,
+      centroids: Array[(Int, Seq[Double])], books: Array[Array[Array[Double]]],
+      k: Int, nQueries: Int, numProbes: Int, pqCentroids: Int,
+      pqShortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "nemb").collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        // Probe cells by cosine vs the unit centroids; ties break to the
+        // HIGHER cell id — exactly ivfProbeTopK's reverse(array_sort) order,
+        // so IVF-PQ probes the same cells IVF-flat would.
+        val probes = centroids.map { case (cid, cv) =>
+          var d = 0.0; var i = 0
+          while (i < q.length) { d += q(i) * cv(i); i += 1 }
+          (d, cid)
+        }.sortBy { case (score, cid) => (-score, -cid) }
+          .take(numProbes).map(_._2).toSeq
+        // Flattened ADC table, the pqQueryStage layout: tab(s*pqCentroids+c)
+        // = ||q_s − books(s)(c)||² — 8 codegen element_at lookups per code.
+        val tab = Array.tabulate(PqSubspaces * pqCentroids) { i =>
+          val s = i / pqCentroids; val c = i % pqCentroids
+          val cv = books(s)(c)
+          var d = 0.0
+          var j = 0
+          while (j < PqSubDims) {
+            val diff = q(s * PqSubDims + j) - cv(j); d += diff * diff; j += 1
+          }
+          d
+        }
+        (r.getLong(0), probes, tab.toSeq)
+      }
+    import spark.implicits._
+    // One row per (query, probed cell): the candidate join is an equi-join
+    // on cell — nQueries × numProbes broadcast rows, never a nested loop.
+    val qdf = broadcast(queries.toSeq
+      .flatMap { case (qid, probes, tab) => probes.map(c => (qid, c, tab)) }
+      .toDF("q_id", "cell", "qtab"))
+    val approxCol = (0 until PqSubspaces).map { s =>
+      element_at(col("qtab"), element_at(col("codes"), s + 1) + lit(s * pqCentroids) + 1)
+    }.reduce(_ + _)
+    val shortlist = coded.join(qdf, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", approxCol)
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(vec_id, -approx, $pqShortlist)").as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    topKPerQuery(
+      shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cosine", cosine),
+      col("cosine"), k)
+  }
+
+  /** Driver-checkable IVF-PQ recall floor — the [[ivfRecallFloor]] /
+    * [[pqRecallFloor]] contract applied to the composition: per query, at
+    * least `minHits` of the true top-k must survive coarse-cell pruning
+    * AND 8-byte quantization AND the shortlist. Deterministic end to end
+    * (both quantizers seed from hash order with exact integer-micros
+    * means), oracle asserts TRUE per query.
+    */
+  def ivfPqRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = ivfPqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+  }
 }

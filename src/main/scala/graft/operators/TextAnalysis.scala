@@ -1007,6 +1007,60 @@ object TextAnalysis {
         expr("(-sum_cost) div n_bigrams").as("xent_micronats"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") with hashed n-gram
+    * features: every document scores `log(p_target(x) / p_raw(x))` under
+    * bag-of-hashed-(uni+bi)gram models — the standard way to steer a raw
+    * 100 TB crawl toward a target domain without training a classifier.
+    * The target here is the corpus's own `lang = targetLang` slice (a
+    * deployment would pass a curated in-domain sample); raw is the full
+    * corpus. High weights mark raw docs that look like the target domain.
+    *
+    * Exactness contract ([[lmCrossEntropy]]'s): both `ln`s are quantized
+    * to integer micro-nats PER BUCKET before the difference, so the
+    * per-doc score is an exact integer sum of per-occurrence integer
+    * costs; the oracle reproduces it bit-for-bit.
+    *
+    * Scale: features hash into `numBuckets` buckets via the portable
+    * poly-hash (the hashing trick — vocabulary-free, fixed model size).
+    * Both count tables and the cost table are ≤ `numBuckets` rows — a
+    * CONSTANT of the operator, independent of corpus size — so the cost
+    * broadcast is bounded by construction (unlike a corpus-derived set,
+    * which must never be force-broadcast). The occurrence stream carries
+    * only (doc_id, int bucket) through one map-combined aggregate; token
+    * text never shuffles.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, numBuckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
+    val uni = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("f"))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))")).as("f"))
+    // empty-text docs tokenize to [""] — no feature, like the oracle
+    val hb = uni.union(bi).filter(col("f") =!= "")
+      .select(col("doc_id"), col("lang"),
+        (Portable.polyHashNative("f") % numBuckets).as("b"))
+    val raw = hb.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgt = hb.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val totals = hb.agg(count(lit(1)).as("r_tot"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_tot"))
+    // buckets absent from raw cannot occur in any doc (raw = all docs), so
+    // the raw table spans every reachable bucket; target counts left-join in
+    val cost = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr(s"CAST(round(ln((coalesce(c_t, 0) + 1.0) / (t_tot + $numBuckets)) * 1000000) AS BIGINT)") -
+          expr(s"CAST(round(ln((c_r + 1.0) / (r_tot + $numBuckets)) * 1000000) AS BIGINT)")).as("c"))
+    hb.select("doc_id", "b")
+      .join(broadcast(cost), Seq("b")) // ≤ numBuckets rows by construction
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("c")).as("logw_micronats"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s scale twin for the
     * regime where the eval/benchmark side is itself large (full benchmark
     * suites at n-gram granularity: tens of millions of distinct grams,

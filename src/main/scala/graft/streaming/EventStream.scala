@@ -33,7 +33,7 @@ object EventStream {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.operators.Relational.normalizeEventTs)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(

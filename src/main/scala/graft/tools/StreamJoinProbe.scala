@@ -73,7 +73,7 @@ object StreamJoinProbe {
         val schema = spark.read.parquet(s"$inputDir/events.parquet").schema
         def side(tpe: String) = spark.readStream.schema(schema)
           .option("pathGlobFilter", "*.parquet").parquet(s"$inputDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.operators.Relational.normalizeEventTs)
           .filter(col("event_type") === tpe)
           .select("user_id", "event_id", "ts")
         val joined = graft.streaming.EventStream.clickPurchaseLeftJoin(

@@ -172,4 +172,49 @@ class IvfSpec extends AnyFunSuite {
       new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
     }
   }
+
+  test("IVF-PQ composition: recall floor >= 3/10 per query, deterministic across runs") {
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val run2 = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(run1.sorted.toSeq == run2.sorted.toSeq,
+      "IVF-PQ must be bit-reproducible (both quantizers seeded, exact integer means)")
+    run1.map(t => (t._1, t._2)).groupBy(_._1).foreach { case (q, rows) =>
+      val hits = rows.count(exact.contains)
+      info(s"IVF-PQ recall q=$q: $hits/10")
+      assert(hits >= 3, s"IVF-PQ recall for query $q below floor: $hits/10")
+    }
+    // every query answered with exactly k ranked rows
+    assert(run1.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 10)))
+  }
+
+  test("IVF-PQ gate rows are all true on the fixture") {
+    val rows = Similarity.ivfPqRecallFloor(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(1)), "IVF-PQ recall floor violated")
+  }
+
+  test("IVF-PQ recall can only drop vs IVF-flat on the same cells (PQ is lossy, pruning is shared)") {
+    // The composition probes exactly the cells IVF-flat probes (shared
+    // cellAffinities order), so every IVF-PQ hit must come from a probed
+    // cell; quantization can lose candidates but never add cells. The
+    // comparison is structural: ivfpq results ⊆ probed-cell membership is
+    // implied by ivf ⊇ check on the same fixture where PQ's shortlist
+    // (200) covers every probed candidate — there the two paths must
+    // retrieve IDENTICAL neighbor sets up to ADC-ordering of the shortlist.
+    val ivf = Similarity.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sf0.001 fixture: 500 vectors, ~8/16 cells probed → ~250 candidates,
+    // shortlist 200 ≈ full coverage; exact re-rank then equalizes the two
+    // paths for the overwhelming majority of slots.
+    val agree = (ivf & ivfpq).size.toDouble / ivf.size
+    info(s"IVF vs IVF-PQ agreement = $agree")
+    assert(agree >= 0.8,
+      s"IVF-PQ diverged from IVF-flat beyond shortlist truncation: $agree")
+  }
 }

@@ -751,7 +751,7 @@ class StreamingSpec extends AnyFunSuite {
     val evStream = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.operators.Relational.normalizeEventTs)
     val q = EventStream.enrichStream(evStream, customers)
       .writeStream.outputMode("append").format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -777,7 +777,7 @@ class StreamingSpec extends AnyFunSuite {
     def stream(tpe: String) = {
       spark.readStream.schema(spark.read.parquet(s"$dir/events.parquet").schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.operators.Relational.normalizeEventTs)
         .filter(col("event_type") === tpe)
     }
     val q = EventStream.clickPurchaseJoin(stream("click"), stream("purchase"))
@@ -1326,6 +1326,7 @@ class EntryContractSpec extends AnyFunSuite {
     // failure instead of a silent coverage hole.
     val exempt = Map(
       "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
+      "ann_ivfpq" -> "ann_ivfpq_check",
       "sketch_distinct" -> "sketch_distinct_check",
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
@@ -1414,5 +1415,91 @@ class DecontaminateBloomSpec extends AnyFunSuite {
     assert(gate.getLong(0) == 1L, s"one contaminated doc expected: $gate")
     assert(gate.getBoolean(1), "no_false_negatives")
     assert(gate.getBoolean(2), "fp_frac_bounded")
+  }
+}
+
+class AudioPcmSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+  import graft.operators.Multimodal
+
+  test("wavPcmSamples inverts wavPcmBytes exactly (rate, channels, every int16)") {
+    val samples = Array.tabulate(100)(i => ((i * 977) % 65536 - 32768).toShort)
+    val Some((r, c, s)) = Multimodal.wavPcmSamples(Multimodal.wavPcmBytes(44100, 2, samples))
+    assert(r == 44100 && c == 2)
+    assert(s.toSeq == samples.toSeq, "decoded samples must be bit-identical")
+  }
+
+  test("torn data chunk (declared size overruns payload) quarantines, never throws") {
+    val samples = Array.tabulate(64)(i => (i * 3).toShort)
+    val torn = Multimodal.wavPcmBytes(8000, 1, samples, truncate = true)
+    assert(Multimodal.wavPcmSamples(torn).isEmpty)
+    // and arbitrary garbage quarantines too
+    assert(Multimodal.wavPcmSamples(Array.fill[Byte](50)(0x41)).isEmpty)
+    assert(Multimodal.wavPcmSamples("RIFF1234WAVEdata".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("planted audio features: corrupt rows are -1, parsed rows positive, frames sum to doc energy") {
+    val docs = Multimodal.audioPcmQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(docs.nonEmpty)
+    docs.values.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 0) {
+        assert(!r.getBoolean(1) && r.getLong(5) == -1L, s"torn doc $id must quarantine")
+      } else {
+        assert(r.getBoolean(1), s"doc $id failed to parse")
+        assert(r.getLong(4) == 2 * (32 + id % 64), s"doc $id sample count")
+        assert(r.getLong(5) > 0 && r.getLong(7) <= 1001, s"doc $id energy/peak")
+        assert(r.getLong(8) > 0, s"doc $id should have sign flips (131-step wraps)")
+      }
+    }
+    // frame energies partition the doc energy exactly
+    val frameSums = Multimodal.audioFrameQuery(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.map(_.getLong(3)).sum }
+    frameSums.foreach { case (id, e) =>
+      assert(e == docs(id).getLong(5), s"doc $id: frame energies must sum to doc energy")
+    }
+    // quarantined docs contribute zero frames
+    assert(!frameSums.keySet.exists(_ % 7 == 0))
+  }
+}
+
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("DSIR: target-typical docs outscore off-domain docs; feature count is 2n-1") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    Seq(
+      (0L, "the cat sat", "en"), (1L, "the dog sat", "en"), (2L, "the cat ran", "en"),
+      (3L, "der hund lief", "de"), (4L, "der hund sprang", "de"),
+      (5L, "the cat sat", "de") // off-domain doc with TARGET-typical text
+    ).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.dsirWeights(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 3 tokens -> 3 unigrams + 2 bigrams
+    assert(out.values.forall(_._1 == 5L), s"n_feats: $out")
+    // every en-typical doc outscores every der-hund doc
+    for (en <- Seq(0L, 1L, 2L, 5L); de <- Seq(3L, 4L))
+      assert(out(en)._2 > out(de)._2, s"doc $en should outscore doc $de: $out")
+    // the signal is the TEXT, not the label: doc 5 (en-typical text, de
+    // label) scores exactly like doc 0 (same text)
+    assert(out(5L)._2 == out(0L)._2)
+  }
+
+  test("DSIR is invariant to partitioning (exact integer path)") {
+    val dir = SparkSpec.testDataDir
+    val a = graft.operators.TextAnalysis.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      graft.operators.TextAnalysis.dsirWeights(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "DSIR drifted with partitioning")
+    assert(a.nonEmpty)
   }
 }

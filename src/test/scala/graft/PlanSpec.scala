@@ -278,12 +278,19 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf" -> graft.operators.Similarity.ivfTopK(spark, dir, forPlanInspection = true)
         .queryExecution.executedPlan.toString,
       "ann_pq" -> graft.operators.Similarity.pqTopK(spark, dir, forPlanInspection = true)
+        .queryExecution.executedPlan.toString,
+      "ann_ivfpq" -> graft.operators.Similarity.ivfPqTopK(spark, dir, forPlanInspection = true)
         .queryExecution.executedPlan.toString)
     for ((q, plan) <- plans) {
       assert(!plan.contains("Window "), s"$q fell back to a window top-k:\n$plan")
       assert(plan.contains("partial_topk") || plan.contains("partial_graft_topk"),
         s"$q missing map-side partial top-k aggregation:\n$plan")
     }
+    // IVF-PQ's candidate join must be an equi-join on cell against the
+    // broadcast probe rows — a nested-loop here would rescan the coded
+    // corpus per query row instead of pruning to probed cells.
+    assert(!plans("ann_ivfpq").contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidate join fell back to a nested loop:\n${plans("ann_ivfpq")}")
   }
 
   test("round-6 curation operators keep their scale shapes") {
