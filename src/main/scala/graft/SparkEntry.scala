@@ -61,6 +61,8 @@ object SparkEntry {
     "text_lm_xent" -> ((s, d) => TextAnalysis.lmCrossEntropy(s, d)),
     // DSIR hashed-ngram importance weights toward the en slice (r8)
     "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    // composed: weights -> heap top-200 -> per-lang rollup, one oracle (r8)
+    "pipeline_dsir" -> ((s, d) => TextAnalysis.pipelineDsirSelect(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -216,6 +218,9 @@ object SparkEntry {
     // IVF-PQ gate: >=3/10 true neighbors survive coarse pruning + 8-byte
     // quantization + shortlist (r8)
     "ann_ivfpq_check" -> ((s, d) => Similarity.ivfPqRecallFloor(s, d)),
+    // same floor through the persisted composed index (centroids +
+    // codebooks + 16-byte/vector coded corpus round trip) (r8)
+    "ann_ivfpq_store_check" -> ((s, d) => Similarity.ivfPqStoreRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
@@ -428,6 +433,34 @@ object SparkEntry {
       |  THEN CAST(epoch_us(first_conversion_ts) - epoch_us(first_click_ts) AS BIGINT)
       | END AS conversion_us
       |FROM agg""".stripMargin
+
+  /** Shared by `text_dsir` and the composed `pipeline_dsir` (which selects
+    * on top of these exact weights), so the two rows cannot drift.
+    */
+  private val DsirOracle: String =
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+      |bi AS (
+      | SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS f
+      | FROM t WHERE len(w) >= 2),
+      |hb AS (
+      | SELECT doc_id, lang,
+      |  list_reduce(list_transform(string_split(f, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1024 AS b
+      | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) WHERE f != ''),
+      |raw AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS c_t FROM hb WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM hb) AS r_tot,
+      |        (SELECT count(*) FROM hb WHERE lang = 'en') AS t_tot),
+      |cost AS (
+      | SELECT raw.b,
+      |  CAST(round(ln((COALESCE(tgt.c_t, 0) + 1.0) / (tot.t_tot + 1024)) * 1000000) AS BIGINT)
+      |  - CAST(round(ln((raw.c_r + 1.0) / (tot.r_tot + 1024)) * 1000000) AS BIGINT) AS c
+      | FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+      |SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      | CAST(sum(cost.c) AS BIGINT) AS logw_micronats
+      |FROM hb JOIN cost USING (b) GROUP BY hb.doc_id""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     "s1_full_scan" -> "SELECT * FROM lineitem",
@@ -841,30 +874,15 @@ object SparkEntry {
         |FROM cost GROUP BY doc_id""".stripMargin,
     // mirrors dsirWeights bit-for-bit: same poly-hash buckets, same
     // per-bucket micro-nat quantization of both lns before the difference
-    "text_dsir" ->
-      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
-        |bi AS (
-        | SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS f
-        | FROM t WHERE len(w) >= 2),
-        |hb AS (
-        | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(f, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1024 AS b
-        | FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) WHERE f != ''),
-        |raw AS (SELECT b, count(*) AS c_r FROM hb GROUP BY b),
-        |tgt AS (SELECT b, count(*) AS c_t FROM hb WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT (SELECT count(*) FROM hb) AS r_tot,
-        |        (SELECT count(*) FROM hb WHERE lang = 'en') AS t_tot),
-        |cost AS (
-        | SELECT raw.b,
-        |  CAST(round(ln((COALESCE(tgt.c_t, 0) + 1.0) / (tot.t_tot + 1024)) * 1000000) AS BIGINT)
-        |  - CAST(round(ln((raw.c_r + 1.0) / (tot.r_tot + 1024)) * 1000000) AS BIGINT) AS c
-        | FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
-        |SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        | CAST(sum(cost.c) AS BIGINT) AS logw_micronats
-        |FROM hb JOIN cost USING (b) GROUP BY hb.doc_id""".stripMargin,
+    "text_dsir" -> DsirOracle,
+    // the composed selection: exact top-N docs by those weights (ties to
+    // lower doc_id — the heap's order), rolled up per lang
+    "pipeline_dsir" ->
+      s"""WITH w AS ($DsirOracle),
+        |sel AS (SELECT doc_id FROM w ORDER BY logw_micronats DESC, doc_id LIMIT 200)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents JOIN sel USING (doc_id) GROUP BY lang""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens, start_offset,
         | start_offset // 1024 AS bin_id
@@ -1601,6 +1619,9 @@ object SparkEntry {
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_ivfpq_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_ivfpq_store_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_store_check" ->

@@ -796,4 +796,88 @@ object Similarity {
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
   }
+
+  /** Persists the trained IVF-PQ index — at 100 TB this is THE deployment
+    * artifact of the ANN family: `centroids.parquet` (the coarse
+    * quantizer), `codebooks.parquet` (the PQ model), and `coded.parquet`
+    * ((vec_id, cell, 8-byte codes) — ~16 bytes per vector, every probe
+    * scan reads THIS, never the raw vectors). Training is
+    * [[trainIvfCentroids]] + [[trainCodebooks]] verbatim, so the persisted
+    * index is bit-identical to what [[ivfPqTopK]] trains in-session.
+    */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, storeDir: String,
+      refineIters: Int = 2, pqRefineIters: Int = 3,
+      trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids, pqCentroids: Int = PqCentroids): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = normedOf(e).cache()
+    normed.count()
+    val train = trainSample(normed, trainFraction).cache()
+    require(train.count() > 0,
+      s"writeIvfPqIndex: training sample is empty (trainFraction=$trainFraction)")
+    val centroids = trainIvfCentroids(train, refineIters, numCentroids)
+    val books = trainCodebooks(normed, pqRefineIters, trainFraction, pqCentroids)
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$storeDir/centroids.parquet")
+    books.zipWithIndex.flatMap { case (cells, s) =>
+      cells.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "subvector")
+      .write.mode("overwrite").parquet(s"$storeDir/codebooks.parquet")
+    normed
+      .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
+      .withColumn("codes", codesFor(books))
+      .select("vec_id", "cell", "codes")
+      .write.mode("overwrite").parquet(s"$storeDir/coded.parquet")
+    Seq(e, normed, train).foreach(_.unpersist(false))
+  }
+
+  /** Queries a PERSISTED IVF-PQ index ([[writeIvfPqIndex]]) without
+    * retraining, reassigning or re-encoding: both quantizer models load
+    * onto the driver (numCentroids×dims + Subspaces×pqCentroids×SubDims
+    * doubles), the coded corpus reads straight from parquet, and probing /
+    * ADC / shortlist / re-rank run via [[ivfPqQueryStage]] exactly as the
+    * direct path — bit-equal by spec (IvfSpec).
+    */
+  def ivfPqTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
+      k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
+      pqShortlist: Int = PqShortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$storeDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val rows = spark.read.parquet(s"$storeDir/codebooks.parquet")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val nCentroids = rows.keys.map(_._2).max + 1
+    val books = Array.tabulate(PqSubspaces) { s =>
+      Array.tabulate(nCentroids)(c => rows((s, c)))
+    }
+    val coded = spark.read.parquet(s"$storeDir/coded.parquet")
+    val e = withNorm(embeddings(spark, dir))
+    ivfPqQueryStage(e, normedOf(e), coded, centroids, books, k, nQueries,
+      numProbes, nCentroids, pqShortlist)
+  }
+
+  /** Driver-checkable recall floor of the store-backed IVF-PQ path —
+    * build → persist → read back → query, the [[ivfStoreRecallFloor]] /
+    * [[pqStoreRecallFloor]] contract applied to the composed index. A
+    * green row proves the full compressed-index round trip is lossless.
+    */
+  def ivfPqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    try {
+      writeIvfPqIndex(spark, dir, store)
+      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
+      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id")
+        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      // materialize before the temp index is deleted
+      Dedup.materializeAndRelease(Seq.empty, out)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
 }

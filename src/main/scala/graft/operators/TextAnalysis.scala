@@ -1061,6 +1061,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_feats"), sum(col("c")).as("logw_micronats"))
   }
 
+  /** The composed DSIR selection chain under ONE oracle: importance
+    * weights ([[dsirWeights]]) → exact top-`topN` docs by weight via the
+    * bounded-heap `graft_topk` aggregate (map tasks forward ≤ topN rows
+    * each — no global sort, no window) → per-lang rollup of the selected
+    * slice. On the fixture the selection skews hard toward the `en`
+    * target, which is the point of DSIR: the rollup row makes that
+    * outcome oracle-visible. The selected-id set is bounded by the `topN`
+    * PARAMETER, so its broadcast back onto the corpus is safe by
+    * construction.
+    */
+  def pipelineDsirSelect(spark: SparkSession, dir: String, topN: Int = 200): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sel = dsirWeights(spark, dir)
+      .agg(expr(s"graft_topk(doc_id, CAST(logw_micronats AS DOUBLE), $topN)").as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+    docs(spark, dir)
+      .join(broadcast(sel), Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(length(col("text"))).cast("bigint").as("total_chars"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s scale twin for the
     * regime where the eval/benchmark side is itself large (full benchmark
     * suites at n-gram granularity: tens of millions of distinct grams,

@@ -197,6 +197,29 @@ class IvfSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(1)), "IVF-PQ recall floor violated")
   }
 
+  test("persisted IVF-PQ index: store-backed query path is bit-equal to the direct path") {
+    val store = java.nio.file.Files.createTempDirectory("ivfpq-store-spec").toString
+    try {
+      Similarity.writeIvfPqIndex(spark, dir, store)
+      val viaStore = Similarity.ivfPqTopKViaStore(spark, dir, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = Similarity.ivfPqTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaStore == direct,
+        s"IVF-PQ store round trip changed results: store-only=${(viaStore -- direct).take(5)} " +
+          s"direct-only=${(direct -- viaStore).take(5)}")
+      // artifact shapes: numCentroids coarse cells, Subspaces x PqCentroids
+      // codebook rows, one coded row per non-zero-norm vector
+      assert(spark.read.parquet(s"$store/centroids.parquet").count() == Similarity.NumCentroids)
+      assert(spark.read.parquet(s"$store/codebooks.parquet").count() ==
+        Similarity.PqSubspaces.toLong * Similarity.PqCentroids)
+      assert(spark.read.parquet(s"$store/coded.parquet").count() ==
+        spark.read.parquet(s"$dir/embeddings.parquet").count())
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("IVF-PQ recall can only drop vs IVF-flat on the same cells (PQ is lossy, pruning is shared)") {
     // The composition probes exactly the cells IVF-flat probes (shared
     // cellAffinities order), so every IVF-PQ hit must come from a probed

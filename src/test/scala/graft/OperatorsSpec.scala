@@ -1489,6 +1489,15 @@ class DsirSpec extends AnyFunSuite {
     assert(out(5L)._2 == out(0L)._2)
   }
 
+  test("composed DSIR selection skews toward the target domain") {
+    val out = graft.operators.TextAnalysis
+      .pipelineDsirSelect(spark, SparkSpec.testDataDir, topN = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = out.getOrElse("en", 0L)
+    assert(en > (out - "en").values.sum,
+      s"top-20 DSIR selection should be majority-en: $out")
+  }
+
   test("DSIR is invariant to partitioning (exact integer path)") {
     val dir = SparkSpec.testDataDir
     val a = graft.operators.TextAnalysis.dsirWeights(spark, dir).collect()
