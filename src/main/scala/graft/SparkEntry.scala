@@ -63,6 +63,10 @@ object SparkEntry {
     "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     // composed: weights -> heap top-200 -> per-lang rollup, one oracle (r8)
     "pipeline_dsir" -> ((s, d) => TextAnalysis.pipelineDsirSelect(s, d)),
+    // distributed BPE tokenizer training: per-round argmax pair merge (r8)
+    "text_bpe" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // gate: independent in-memory reference reproduces the merge table
+    "text_bpe_check" -> ((s, d) => TextAnalysis.bpeCheck(s, d)),
     "text_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -875,6 +879,11 @@ object SparkEntry {
     // mirrors dsirWeights bit-for-bit: same poly-hash buckets, same
     // per-bucket micro-nat quantization of both lns before the difference
     "text_dsir" -> DsirOracle,
+    // the merge table itself has no single-statement SQL form (iterative
+    // argmax); the gate pins 16 productive merges + reference equality
+    "text_bpe_check" ->
+      """SELECT CAST(16 AS BIGINT) AS n_merges,
+        | TRUE AS merge_table_matches_reference""".stripMargin,
     // the composed selection: exact top-N docs by those weights (ties to
     // lower doc_id — the heap's order), rolled up per lang
     "pipeline_dsir" ->

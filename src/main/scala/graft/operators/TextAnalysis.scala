@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -1030,35 +1030,196 @@ object TextAnalysis {
     * only (doc_id, int bucket) through one map-combined aggregate; token
     * text never shuffles.
     */
-  def dsirWeights(spark: SparkSession, dir: String, numBuckets: Int = 1024,
-      targetLang: String = "en"): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val d = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
+  /** (doc_id, lang, b): one row per uni/bigram feature occurrence, hashed
+    * into `numBuckets` buckets — the hashed-feature relation every DSIR
+    * stage (model training AND scoring) is built from. Applies unchanged
+    * to a STREAMING frame (pure generator + projection, no state).
+    */
+  private def dsirFeatureBuckets(d0: DataFrame, numBuckets: Int): DataFrame = {
+    val d = d0.withColumn("toks", Portable.tokens("text"))
     val uni = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("f"))
     val bi = d.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))")).as("f"))
     // empty-text docs tokenize to [""] — no feature, like the oracle
-    val hb = uni.union(bi).filter(col("f") =!= "")
+    uni.union(bi).filter(col("f") =!= "")
       .select(col("doc_id"), col("lang"),
         (Portable.polyHashNative("f") % numBuckets).as("b"))
+  }
+
+  /** The trained DSIR model: (b, c) — per-bucket micro-nat cost
+    * `round(ln p_t·1e6) − round(ln p_r·1e6)` over the training corpus.
+    * ≤ `numBuckets` rows by construction (a PARAMETER, not corpus-derived),
+    * which is what makes broadcasting it safe at any corpus size.
+    */
+  def dsirCostModel(trainDocs: DataFrame, numBuckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    val hb = dsirFeatureBuckets(trainDocs, numBuckets)
     val raw = hb.groupBy("b").agg(count(lit(1)).as("c_r"))
     val tgt = hb.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("c_t"))
     val totals = hb.agg(count(lit(1)).as("r_tot"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_tot"))
-    // buckets absent from raw cannot occur in any doc (raw = all docs), so
-    // the raw table spans every reachable bucket; target counts left-join in
-    val cost = raw.join(tgt, Seq("b"), "left")
+    // buckets absent from raw cannot occur in any training doc, so the raw
+    // table spans every reachable bucket; target counts left-join in
+    raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("b"),
         (expr(s"CAST(round(ln((coalesce(c_t, 0) + 1.0) / (t_tot + $numBuckets)) * 1000000) AS BIGINT)") -
           expr(s"CAST(round(ln((c_r + 1.0) / (r_tot + $numBuckets)) * 1000000) AS BIGINT)")).as("c"))
-    hb.select("doc_id", "b")
+  }
+
+  /** Scores documents against a TRAINED cost model — the apply half of
+    * DSIR, shared verbatim by the in-session path ([[dsirWeights]]), the
+    * persisted-model path and the streaming scorer
+    * ([[graft.streaming.StreamScore]]), so train-offline/score-online
+    * cannot drift from the batch contract. Features hashing to buckets the
+    * model never saw are DROPPED (inner join): the frozen model has no raw
+    * probability for them — the standard OOV rule for a frozen hashed LM —
+    * and `n_feats` counts in-model features only.
+    */
+  def dsirScoreAgainst(scoreDocs: DataFrame, cost: DataFrame,
+      numBuckets: Int = 1024): DataFrame =
+    dsirFeatureBuckets(scoreDocs, numBuckets)
+      .select("doc_id", "b")
       .join(broadcast(cost), Seq("b")) // ≤ numBuckets rows by construction
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("c")).as("logw_micronats"))
+
+  def dsirWeights(spark: SparkSession, dir: String, numBuckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    dsirScoreAgainst(d, dsirCostModel(d, numBuckets, targetLang), numBuckets)
+  }
+
+  /** Persists the trained DSIR model — ≤ numBuckets (b, c) rows of
+    * parquet, the artifact a deployment trains once on a frozen corpus
+    * snapshot and applies to every new shard and stream.
+    */
+  def writeDsirModel(spark: SparkSession, dir: String, storeDir: String,
+      numBuckets: Int = 1024, targetLang: String = "en"): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    dsirCostModel(docs(spark, dir), numBuckets, targetLang)
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/dsir_cost.parquet")
+  }
+
+  /** Word-type table (word, cnt) — BPE's working set. The crucial scale
+    * property of classic BPE training: after this one corpus scan the
+    * iteration works on VOCABULARY-sized data (distinct word forms with
+    * counts), not the corpus.
+    */
+  private def wordTypes(d: DataFrame): DataFrame =
+    d.select(explode(Portable.tokens("text")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** One left-to-right greedy merge pass of pair (a, b) → ab over a symbol
+    * array column — the BPE apply rule, as a codegen'd fold (no UDF): the
+    * accumulator's last symbol merges with the current one iff they equal
+    * (a, b); a freshly-merged `ab` cannot re-merge with the next symbol as
+    * `a` unless `ab == a`, which matches the canonical non-overlapping
+    * greedy semantics.
+    */
+  private def mergePass(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, size(acc)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE merge-table training (Sennrich et al. 2016) — the
+    * tokenizer-training step of a data pipeline, run where the data is:
+    * each of `numMerges` rounds is ONE distributed pair-count aggregate
+    * over the word-type table (map-side combined, weighted by word count)
+    * of which only the single argmax row reaches the driver; the winning
+    * merge is applied as a map-only fold and the loop continues. Ties
+    * break (freq desc, left asc, right asc) so the table is deterministic
+    * across runs, partitionings and engines.
+    *
+    * Output: (rank, left, right, merged, freq) — the merge table IS the
+    * trained tokenizer artifact.
+    *
+    * Scale: corpus text is touched ONCE (the word-type aggregation);
+    * every later stage is vocabulary-sized. Lineage is truncated with an
+    * eager `localCheckpoint` every few rounds so round N's plan does not
+    * nest N fold lambdas. No oracle (iterative argmax is not expressible
+    * in one SQL statement) — gated by [[bpeCheck]], which re-derives the
+    * table with an independent in-memory reference implementation.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    var syms = wordTypes(docs(spark, dir))
+      .select(col("cnt"), concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var exhausted = false // a best pair under freq 2 ends training early
+    for (rank <- 1 to numMerges if !exhausted) {
+      val best = syms
+        // a fully-merged word is ONE symbol — no pairs, and an unguarded
+        // sequence(1, 0) would DESCEND and index out of bounds
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("f"))
+        .orderBy(desc("f"), col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty && best(0).getLong(2) >= 2) {
+        val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, a + b, f))
+        val next = syms.withColumn("s", mergePass(col("s"), a, b))
+        syms = if (rank % 8 == 0) next.localCheckpoint(true) else next
+      } else exhausted = true
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** The oracle-checked gate for [[bpeMerges]]: an INDEPENDENT in-memory
+    * reference BPE (plain Scala maps over the collected word-type table —
+    * bounded by the vocabulary, which a spec-level gate may hold; a guard
+    * refuses vocabularies past `maxVocab` rather than silently collecting
+    * a corpus-sized set) must produce the IDENTICAL merge table. A green
+    * row proves the distributed fold + argmax pipeline implements the
+    * classic algorithm exactly, including tie-breaks.
+    */
+  def bpeCheck(spark: SparkSession, dir: String, numMerges: Int = 16,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    val types = wordTypes(docs(spark, dir)).limit(maxVocab + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(types.length <= maxVocab,
+      s"bpeCheck: vocabulary exceeds maxVocab=$maxVocab — gate only bounded corpora")
+    // reference implementation: mutable word list of symbol vectors
+    var words = types.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
+    val ref = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (rank <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, c) <- words; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        if (f >= 2) {
+          ref += ((rank, a, b, a + b, f))
+          words = words.map { case (s, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            for (x <- s) {
+              if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+              else out += x
+            }
+            (out.toVector, c)
+          }
+        }
+      }
+    }
+    val dist = bpeMerges(spark, dir, numMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    import spark.implicits._
+    Seq((dist.length.toLong, dist.toSeq == ref.toSeq))
+      .toDF("n_merges", "merge_table_matches_reference")
   }
 
   /** The composed DSIR selection chain under ONE oracle: importance

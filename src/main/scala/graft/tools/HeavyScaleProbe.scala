@@ -124,7 +124,13 @@ object HeavyScaleProbe {
       ("pipeline_curate", (s, d) => graft.operators.TextAnalysis.pipelineCurate(s, d).count()),
       // r8 addition: the bigram-LM scorer — its model table grows with the
       // corpus, so the exponent proves the AQE-sized score join scales
-      ("text_lm_xent", (s, d) => graft.operators.TextAnalysis.lmCrossEntropy(s, d).count()))
+      ("text_lm_xent", (s, d) => graft.operators.TextAnalysis.lmCrossEntropy(s, d).count()),
+      // r8: the composed IVF-PQ index — training samples, encoding is one
+      // map pass, probe scan reads codes only; wall should stay near-flat
+      ("ann_ivfpq", (s, d) => graft.operators.Similarity.ivfPqTopK(s, d).count()),
+      // r8: DSIR — occurrence stream scales with tokens, model stays 1024
+      // buckets; exponent proves the bounded-broadcast apply join scales
+      ("text_dsir", (s, d) => graft.operators.TextAnalysis.dsirWeights(s, d).count()))
 
     val results = scala.collection.mutable.Map[(String, Int), (Double, Long)]()
     for (kRep <- Seq(1, bigK)) {

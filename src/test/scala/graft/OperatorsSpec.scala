@@ -839,6 +839,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.exists(_._1 == 400L) && results.exists(_._1 == 401L))
   }
 
+  test("streaming DSIR scoring == batch scores against the same persisted model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("stream-dsir").toString
+    val train = Seq(
+      (0L, "the cat sat", "en"), (1L, "the dog sat", "en"), (2L, "the cat ran", "en"),
+      (3L, "der hund lief", "de"), (4L, "der hund sprang", "de"))
+    train.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    TextAnalysis.writeDsirModel(spark, tmp, tmp)
+    // new docs to score: mix of in-model and OOV tokens ("neu" was never
+    // trained — its bucket is absent from the model and must be dropped)
+    val fresh = Seq((100L, "the cat lief", "en"), (101L, "der neu hund", "de"))
+    val cost = spark.read.parquet(s"$tmp/dsir_cost.parquet")
+    val batchTruth = TextAnalysis.dsirScoreAgainst(
+      fresh.toDF("doc_id", "text", "lang"), cost).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val results = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val mem = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-dsir-ckpt").toString
+    val q = graft.streaming.StreamScore.start(
+      spark, mem.toDF().toDF("doc_id", "text", "lang"), tmp, 1024, ckpt) { (batch, _) =>
+      results.synchronized {
+        results ++= batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    mem.addData(fresh.head)
+    q.processAllAvailable()
+    mem.addData(fresh(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == batchTruth,
+      s"stream/batch diverged: stream=${results.toSet} batch=$batchTruth")
+    // OOV rule really exercised: doc 101 has 5 features (3 uni + 2 bi) but
+    // only those whose buckets exist in the model count
+    val n101 = results.find(_._1 == 101L).get._2
+    assert(n101 < 5L, s"OOV features must be dropped from n_feats, got $n101")
+    // and the en-typical new doc outscores the de-typical one per feature
+    val s100 = results.find(_._1 == 100L).get
+    val s101 = results.find(_._1 == 101L).get
+    assert(s100._3 > s101._3, s"direction: $s100 vs $s101")
+  }
+
   test("sessionizer emits via event-time timeout when the watermark passes the gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
@@ -1327,6 +1373,7 @@ class EntryContractSpec extends AnyFunSuite {
     val exempt = Map(
       "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
       "ann_ivfpq" -> "ann_ivfpq_check",
+      "text_bpe" -> "text_bpe_check",
       "sketch_distinct" -> "sketch_distinct_check",
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
@@ -1510,5 +1557,44 @@ class DsirSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(a == b, "DSIR drifted with partitioning")
     assert(a.nonEmpty)
+  }
+}
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("BPE merges reproduce the classic hand-computed example with exact tie-breaks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    // the Sennrich-style fixture: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(spark, tmp, numMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).sortBy(_._1)
+    // round 1: (e,s),(s,t),(t,</w>) all tie at 9 -> lexicographic picks (e,s)
+    // round 2: (es,t) 9 beats (t,</w>) 9 lexicographically
+    // round 3: (est,</w>) 9 ; round 4: (l,o),(o,w) tie at 7 -> (l,o)
+    // round 5: (lo,w) 7
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)), s"got ${merges.toSeq}")
+  }
+
+  test("BPE training stops when no pair reaches frequency 2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-stop").toString
+    Seq((0L, "ab cd")).toDF("doc_id", "text") // every pair unique
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeMerges(spark, tmp, numMerges = 8).collect()
+    assert(merges.isEmpty, s"no productive merges expected: ${merges.toSeq}")
+  }
+
+  test("distributed merge table == independent in-memory reference on the fixture corpus") {
+    val gate = graft.operators.TextAnalysis.bpeCheck(spark, SparkSpec.testDataDir).collect()
+    assert(gate.length == 1)
+    assert(gate.head.getLong(0) == 16L, s"expected 16 productive merges: ${gate.head}")
+    assert(gate.head.getBoolean(1), "distributed BPE diverged from the reference implementation")
   }
 }
