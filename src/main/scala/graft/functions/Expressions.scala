@@ -821,6 +821,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NativeHashRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NativeHashRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }
 
@@ -839,5 +842,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) => b(exprs)))
     }
     ext.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

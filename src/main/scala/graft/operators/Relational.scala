@@ -339,6 +339,34 @@ object Relational {
       .select("event_id", "user_id", "ts", "last_purchase_ts")
   }
 
+  /** Click→NEXT-PURCHASE attribution through the engine's native
+    * [[graft.plans.AsOfJoinPlan]] whole-operator extension: for every
+    * click, the first purchase of the same user whose `(ts, event_id)`
+    * is lexicographically at-or-after the click's — LEFT OUTER, nulls
+    * when the user never purchases again. See the operator's scaladoc
+    * for the plan shape (one hash exchange per side, streamed merge,
+    * one buffered row); PlanSpec pins it, and the DuckDB oracle
+    * (`events_asof_native`) checks the semantics row-for-row.
+    */
+  def asofNativeNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val lp = clicks.queryExecution.analyzed
+    val rp = purchases.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1), // user_id
+        leftTime = lo(2), rightTime = ro(2), // ts (micros)
+        leftTie = lo(0), rightTie = ro(0))) // event_id
+      .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+  }
+
   /** Two-step FUNNEL analysis per user (the product-analytics conversion
     * operator): first click, first purchase at-or-after that click, the
     * conversion flag, and the exact conversion latency in microseconds.

@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native FORWARD AS-OF JOIN — the whole-operator Catalyst extension
+  * (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`): for every left
+  * row, the FIRST right row of the same key whose `(time, tiebreak)` is
+  * lexicographically at-or-after the left's, LEFT OUTER (unmatched left
+  * rows keep nulls). The canonical use is click→next-purchase attribution.
+  *
+  * Why a physical operator instead of composition: the composed forms
+  * either shuffle BOTH relations into one per-key window pass over their
+  * union (the `events_funnel` running-min trick — fine, but every right
+  * row rides through the window machinery), or explode a candidate join
+  * and re-aggregate (`candidates ∝ clicks × purchases-per-user`, then a
+  * min-struct groupBy). The native exec is the textbook streamed merge:
+  * each side is shuffled ONCE on its key, sorted `(key, time, tie)`, and
+  * a single forward pass holds exactly ONE buffered right row — per
+  * partition cost O(|L| + |R|), zero extra state, no window, no
+  * candidate blow-up, skew-proof by construction (a hot key still costs
+  * its linear scan, never quadratic candidates).
+  *
+  * Keys/time/tiebreak are LONG-valued expressions (`TimestampType`'s
+  * internal micros qualify) — the engine's events contract; composite
+  * keys pre-pack into a long (`graft_poly_hash` or bit-packing) as usual.
+  * Null keys/times never match (SQL join-key semantics).
+  *
+  * Registered via `SparkSessionExtensions.injectPlannerStrategy`
+  * (production) and `spark.experimental.extraStrategies` (live sessions)
+  * — see `GraftExtensions` / `GraftFunctions.register`.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; every other node falls
+  * through to Spark's own strategies.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** The streamed-merge physical operator behind [[AsOfJoinPlan]]. Declares
+  * `ClusteredDistribution` on each side's key (EnsureRequirements inserts
+  * the two co-partitioned hash exchanges) and `(key, time, tie)` child
+  * orderings (EnsureRequirements inserts the sorts), then merges each
+  * co-partition pair in one forward pass.
+  *
+  * The two-pointer invariant: left rows arrive in ascending
+  * `(key, time, tie)`, so the first-right-row-at-or-after answer is
+  * non-decreasing along the scan — the single buffered right row only
+  * ever advances, and one right row may serve many left rows. Exactly
+  * one `copy()` per buffered right row (iterator rows are reused by the
+  * sort); output goes through one `UnsafeProjection` like every join
+  * exec.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lk = BindReferences.bindReference(leftKey, lOut)
+      val lt = BindReferences.bindReference(leftTime, lOut)
+      val ltb = BindReferences.bindReference(leftTie, lOut)
+      val rk = BindReferences.bindReference(rightKey, rOut)
+      val rt = BindReferences.bindReference(rightTime, rOut)
+      val rtb = BindReferences.bindReference(rightTie, rOut)
+      val proj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      // the single buffered right row (copied — sort iterators reuse rows)
+      var rRow: InternalRow = null
+      var rKey = 0L; var rTime = 0L; var rTie = 0L
+      var rHas = false
+      def advanceRight(): Unit = {
+        rHas = false
+        while (!rHas && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rk.eval(r); val t = rt.eval(r); val tb = rtb.eval(r)
+          if (k != null && t != null && tb != null) { // null keys never match
+            rRow = r.copy()
+            rKey = k.asInstanceOf[Long]
+            rTime = t.asInstanceOf[Long]
+            rTie = tb.asInstanceOf[Long]
+            rHas = true
+          }
+        }
+      }
+      advanceRight()
+
+      lIter.map { l =>
+        val k = lk.eval(l); val t = lt.eval(l); val tb = ltb.eval(l)
+        if (k == null || t == null || tb == null) proj(joined(l, nullRight))
+        else {
+          val key = k.asInstanceOf[Long]
+          val time = t.asInstanceOf[Long]
+          val tie = tb.asInstanceOf[Long]
+          while (rHas && (rKey < key ||
+              (rKey == key && (rTime < time || (rTime == time && rTie < tie)))))
+            advanceRight()
+          if (rHas && rKey == key) proj(joined(l, rRow))
+          else proj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+}

@@ -1598,3 +1598,88 @@ class BpeSpec extends AnyFunSuite {
     assert(gate.head.getBoolean(1), "distributed BPE diverged from the reference implementation")
   }
 }
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  private def reference(): Set[(Long, Long, Long, Option[Long], Option[Long])] = {
+    // independent O(clicks x purchases-per-user) form: candidate join +
+    // min-struct per click
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Relational.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    clicks.join(purchases,
+        col("user_id") === col("pu") &&
+          (col("pts") > col("ts") ||
+            (col("pts") === col("ts") && col("pid") >= col("event_id"))), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(min(when(col("pid").isNotNull, struct(col("pts"), col("pid")))).as("m"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("m.pid").as("purchase_id"), col("m.pts").as("purchase_ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(4)).map(_.getTime))).toSet
+  }
+
+  test("native as-of join == independent candidate-join reference on real events") {
+    val native = graft.operators.Relational.asofNativeNextPurchase(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(4)).map(_.getTime))).toSet
+    val ref = reference()
+    assert(native == ref,
+      s"native-only=${(native -- ref).take(3)} ref-only=${(ref -- native).take(3)}")
+    assert(native.exists(_._4.isDefined) && native.exists(_._4.isEmpty),
+      "fixture should have both matched and unmatched clicks")
+  }
+
+  test("native as-of join is invariant to shuffle partitioning") {
+    def run() = graft.operators.Relational.asofNativeNextPurchase(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val a = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      run()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "as-of results moved with partitioning")
+  }
+
+  test("native as-of join handles a hot key and one-row edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("asof-edge").toString
+    // user 1: hot key — 500 clicks, purchases every 100 us; user 2: clicks
+    // but no purchases; user 3: purchase before any click (no match
+    // FORWARD); same-(ts) tie where purchase event_id >= click's matches
+    val rows =
+      (0 until 500).map(i => (1000L + i, 1L, i.toLong * 7, "click")) ++
+      (0 until 35).map(i => (5000L + i, 1L, i.toLong * 100, "purchase")) ++
+      Seq((9000L, 2L, 50L, "click"),
+          (9100L, 3L, 10L, "purchase"), (9101L, 3L, 20L, "click"),
+          (9200L, 4L, 30L, "click"), (9201L, 4L, 30L, "purchase"))
+    rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.operators.Relational.asofNativeNextPurchase(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out.size == 503)
+    assert(out(9000L).isEmpty, "user with no purchases must be null")
+    assert(out(9101L).isEmpty, "purchase strictly BEFORE the click must not match forward")
+    assert(out(9200L).contains(9201L), "same-ts purchase with higher event_id matches")
+    // hot user: every click maps to the first purchase at-or-after; the
+    // last purchase is at 3400 us, so clicks after it (i*7 > 3400) are null
+    for (i <- Seq(0, 99, 400, 485)) {
+      val clickUs = i * 7
+      val expected = 5000L + ((clickUs + 99) / 100)
+      assert(out(1000L + i).contains(expected),
+        s"click at $clickUs us: got ${out(1000L + i)}, want $expected")
+    }
+    assert(out(1000L + 499).isEmpty, "click after the final purchase must be null")
+  }
+}

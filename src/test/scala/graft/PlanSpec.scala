@@ -293,6 +293,17 @@ class PlanSpec extends AnyFunSuite {
       s"IVF-PQ candidate join fell back to a nested loop:\n${plans("ann_ivfpq")}")
   }
 
+  test("native as-of join: AsOfJoinExec planned, one exchange per side, no window") {
+    val df = SparkEntry.queries("events_asof_native")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom strategy did not fire:\n$plan")
+    assert(!plan.contains("Window "), s"native as-of must not fall back to a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"native as-of must not plan a generic join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$plan")
+  }
+
   test("round-6 curation operators keep their scale shapes") {
     // sample_mixture / sample_temperature: heap aggregate, never a
     // per-stratum window
