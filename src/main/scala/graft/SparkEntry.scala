@@ -132,6 +132,8 @@ object SparkEntry {
     // the native AsOfJoinExec (custom LogicalPlan + SparkStrategy +
     // SparkPlan): click -> first purchase at-or-after, streamed merge (r8)
     "events_asof_native" -> (Relational.asofNativeNextPurchase _),
+    // same exec, backward scan rule: last purchase at-or-before (r8)
+    "events_asof_native_backward" -> (Relational.asofNativeLastPurchase _),
     // time-chunked twin: every per-user windowed op now has one (r7)
     "events_asof_purchase_skew" -> ((s, d) => Relational.asofLastPurchaseSkewSafe(s, d)),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
@@ -1269,6 +1271,14 @@ object SparkEntry {
         | WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
         |  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id >= c.event_id))
         | ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE""".stripMargin,
+    "events_asof_native_backward" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        | SELECT event_id AS purchase_id, ts AS purchase_ts FROM events p
+        | WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |  AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id <= c.event_id))
+        | ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON TRUE""".stripMargin,
     "events_asof_purchase_skew" -> AsofOracle,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,

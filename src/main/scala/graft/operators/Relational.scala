@@ -367,6 +367,30 @@ object Relational {
       .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
   }
 
+  /** The BACKWARD direction of the native as-of exec: for every click,
+    * the LAST purchase of the same user with `(ts, event_id)` at-or-before
+    * the click's — the trade-quote as-of shape. Same plan (two exchanges,
+    * streamed merge, one remembered row), opposite scan rule.
+    */
+  def asofNativeLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val lp = clicks.queryExecution.analyzed
+    val rp = purchases.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1),
+        leftTime = lo(2), rightTime = ro(2),
+        leftTie = lo(0), rightTie = ro(0), forward = false))
+      .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+  }
+
   /** Two-step FUNNEL analysis per user (the product-analytics conversion
     * operator): first click, first purchase at-or-after that click, the
     * conversion flag, and the exact conversion latency in microseconds.

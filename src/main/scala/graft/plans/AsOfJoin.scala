@@ -38,7 +38,8 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftTie: Expression, rightTie: Expression) extends BinaryNode {
+    leftTie: Expression, rightTie: Expression,
+    forward: Boolean = true) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,8 +52,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -64,18 +65,20 @@ object AsOfJoinStrategy extends SparkStrategy {
   * co-partition pair in one forward pass.
   *
   * The two-pointer invariant: left rows arrive in ascending
-  * `(key, time, tie)`, so the first-right-row-at-or-after answer is
-  * non-decreasing along the scan — the single buffered right row only
-  * ever advances, and one right row may serve many left rows. Exactly
-  * one `copy()` per buffered right row (iterator rows are reused by the
-  * sort); output goes through one `UnsafeProjection` like every join
-  * exec.
+  * `(key, time, tie)`, so both directions' answers are monotone along the
+  * scan — FORWARD (first right at-or-after) buffers the one right row
+  * still ahead of the scan; BACKWARD (last right at-or-before) remembers
+  * the one most-recently-consumed right row of the current key. Either
+  * way exactly ONE buffered right row, one `copy()` per consumed right
+  * row that is actually held (sort iterators reuse row objects); output
+  * goes through one `UnsafeProjection` like every join exec.
   */
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftTie: Expression, rightTie: Expression) extends BinaryExecNode {
+    leftTie: Expression, rightTie: Expression,
+    forward: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -131,6 +134,12 @@ final case class AsOfJoinExec(
       }
       advanceRight()
 
+      // BACKWARD direction: the last right row of the current key already
+      // consumed by the scan — the candidate "at-or-before" match
+      var candRow: InternalRow = null
+      var candKey = 0L
+      var candHas = false
+
       lIter.map { l =>
         val k = lk.eval(l); val t = lt.eval(l); val tb = ltb.eval(l)
         if (k == null || t == null || tb == null) proj(joined(l, nullRight))
@@ -138,11 +147,24 @@ final case class AsOfJoinExec(
           val key = k.asInstanceOf[Long]
           val time = t.asInstanceOf[Long]
           val tie = tb.asInstanceOf[Long]
-          while (rHas && (rKey < key ||
-              (rKey == key && (rTime < time || (rTime == time && rTie < tie)))))
-            advanceRight()
-          if (rHas && rKey == key) proj(joined(l, rRow))
-          else proj(joined(l, nullRight))
+          if (forward) {
+            // advance past rights strictly before (key, time, tie)
+            while (rHas && (rKey < key ||
+                (rKey == key && (rTime < time || (rTime == time && rTie < tie)))))
+              advanceRight()
+            if (rHas && rKey == key) proj(joined(l, rRow))
+            else proj(joined(l, nullRight))
+          } else {
+            // consume rights at-or-before (key, time, tie), remembering the
+            // last one of THIS key — it is the backward match
+            while (rHas && (rKey < key ||
+                (rKey == key && (rTime < time || (rTime == time && rTie <= tie))))) {
+              if (rKey == key) { candRow = rRow; candKey = key; candHas = true }
+              advanceRight()
+            }
+            if (candHas && candKey == key) proj(joined(l, candRow))
+            else proj(joined(l, nullRight))
+          }
         }
       }
     }

@@ -1638,6 +1638,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       "fixture should have both matched and unmatched clicks")
   }
 
+  test("backward as-of == independent candidate-join reference on real events") {
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Relational.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val ref = clicks.join(purchases,
+        col("user_id") === col("pu") &&
+          (col("pts") < col("ts") ||
+            (col("pts") === col("ts") && col("pid") <= col("event_id"))), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(max(when(col("pid").isNotNull, struct(col("pts"), col("pid")))).as("m"))
+      .select(col("event_id"), col("m.pid").as("purchase_id"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val native = graft.operators.Relational.asofNativeLastPurchase(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(native == ref, s"diff=${(native.toSet -- ref.toSet).take(3)} / ${(ref.toSet -- native.toSet).take(3)}")
+    assert(native.values.exists(_.isDefined) && native.values.exists(_.isEmpty))
+  }
+
   test("native as-of join is invariant to shuffle partitioning") {
     def run() = graft.operators.Relational.asofNativeNextPurchase(spark, dir).collect()
       .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
