@@ -128,14 +128,22 @@ object SparkEntry {
     "q_percentile_disc" -> (Relational.percentileDisc _),
     "q_pivot" -> (Relational.pivotAgg _),
     "events_json_extract" -> (Relational.jsonExtractAgg _),
-    "events_asof_purchase" -> (Relational.asofLastPurchase _),
+    // r9: the as-of catalog family defaults to the NATIVE AsOfJoinExec
+    // (backward strict); the window form (Relational.asofLastPurchase)
+    // and the time-chunked twin (asofLastPurchaseSkewSafe) remain as
+    // bit-equal oracle twins, asserted in WindowSkewSpec
+    "events_asof_purchase" -> (Relational.asofLastPurchaseNative _),
     // the native AsOfJoinExec (custom LogicalPlan + SparkStrategy +
     // SparkPlan): click -> first purchase at-or-after, streamed merge (r8)
     "events_asof_native" -> (Relational.asofNativeNextPurchase _),
     // same exec, backward scan rule: last purchase at-or-before (r8)
     "events_asof_native_backward" -> (Relational.asofNativeLastPurchase _),
-    // time-chunked twin: every per-user windowed op now has one (r7)
-    "events_asof_purchase_skew" -> ((s, d) => Relational.asofLastPurchaseSkewSafe(s, d)),
+    // same native path under the hot-key fixture contract: the exec is
+    // skew-proof by construction (one linear merge pass per partition)
+    "events_asof_purchase_skew" -> (Relational.asofLastPurchaseNative _),
+    // backward as-of against a reference-shaped workload: last-touch
+    // attribution purchases->clicks with a synthesized hot user (r9)
+    "events_attribution_lasttouch" -> (Relational.attributionLastTouch _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -1280,6 +1288,22 @@ object SparkEntry {
         |  AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id <= c.event_id))
         | ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON TRUE""".stripMargin,
     "events_asof_purchase_skew" -> AsofOracle,
+    // last-touch attribution: per purchase, the last click at-or-before by
+    // (ts, event_id) of the same HOT-COLLAPSED user (user_id%16==0 -> -1),
+    // mirroring the Spark side's deterministic skew synthesis
+    "events_attribution_lasttouch" ->
+      """WITH e AS (
+        | SELECT event_id, ts, event_type,
+        |  CASE WHEN user_id % 16 = 0 THEN -1 ELSE user_id END AS uid
+        | FROM events)
+        |SELECT p.event_id AS purchase_id, p.uid AS user_id, p.ts AS purchase_ts,
+        | c.click_id, c.click_ts
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        | SELECT event_id AS click_id, ts AS click_ts FROM e c
+        | WHERE c.event_type = 'click' AND c.uid = p.uid
+        |  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id <= p.event_id))
+        | ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE""".stripMargin,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,
     "events_interval_left_join" ->

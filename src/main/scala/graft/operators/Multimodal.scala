@@ -621,7 +621,7 @@ object Multimodal {
   /** Oracle gate for the PCM sample decoder — audio feature extraction
     * that is REAL bytes-in, features-out (WAV PCM needs no codec): per
     * doc_id a spec-conformant WAV is built ([[wavPcmBytes]]) whose int16
-    * samples are the arithmetic sequence `((id·31 + i·7) mod 2003) − 1001`
+    * samples are the arithmetic sequence `((id·31 + i·131) mod 2003) − 1001`
     * (so every feature is derivable in SQL), then parsed BACK from the
     * bytes by [[wavPcmSamples]] and reduced to exact integer features:
     * sum of squares (energy), sum of |v|, peak |v|, and strict

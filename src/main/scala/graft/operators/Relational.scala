@@ -391,6 +391,73 @@ object Relational {
       .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
   }
 
+  /** The as-of CATALOG rows (`events_asof_purchase` / `_skew`) answered by
+    * the NATIVE exec (r9 — the window and time-chunked forms remain as
+    * bit-equal oracle twins, see WindowSkewSpec): for every event, the
+    * most recent STRICTLY EARLIER purchase of the same user. Left = all
+    * events, right = purchases, BACKWARD STRICT scan rule — "strictly
+    * earlier by (ts, event_id)" is exactly the window form's
+    * `ROWS UNBOUNDED PRECEDING TO 1 PRECEDING` over that ordering, and
+    * strict mode keeps a purchase row from matching itself. Plan: one
+    * hash exchange + sort per side, streamed merge, ONE buffered row —
+    * O(|L|+|R|) per partition, skew-proof by construction (a hot user
+    * costs its linear scan, never a window sort of the whole timeline).
+    */
+  def asofLastPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val all = e.select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user_id"),
+        col("ts").as("last_purchase_ts"))
+    val lp = all.queryExecution.analyzed
+    val rp = purchases.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1), // user_id
+        leftTime = lo(2), rightTime = ro(2), // ts (micros)
+        leftTie = lo(0), rightTie = ro(0), // event_id
+        forward = false, strict = true))
+      .select("event_id", "user_id", "ts", "last_purchase_ts")
+  }
+
+  /** LAST-TOUCH ATTRIBUTION over a deliberately SKEWED user domain — the
+    * reference-shaped backward as-of workload beyond the twin fixture
+    * (r9): for every purchase, the last click of the same user at-or-
+    * before it by `(ts, event_id)`, LEFT OUTER. Skew is synthesized
+    * deterministically (every `user_id % 16 == 0` collapses onto the one
+    * hot key −1 — ~6% of all traffic on a single user), mirrored exactly
+    * by the DuckDB oracle, so the row exercises the native exec's
+    * skew-proof claim under a hot key rather than asserting it. Plan is
+    * the same streamed merge: the hot user's partition does one linear
+    * scan of its clicks+purchases with ONE remembered row — no window
+    * sort, no candidate blow-up (candidates would be clicks×purchases of
+    * the hot user, quadratic, in the composed inequality-join form).
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+      .withColumn("uid",
+        when(col("user_id") % 16 === 0, lit(-1L)).otherwise(col("user_id")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("uid").as("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("uid").as("c_user_id"),
+        col("ts").as("click_ts"))
+    val lp = purchases.queryExecution.analyzed
+    val rp = clicks.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1), // (hot-collapsed) user id
+        leftTime = lo(2), rightTime = ro(2), // ts (micros)
+        leftTie = lo(0), rightTie = ro(0), // event_id
+        forward = false))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Two-step FUNNEL analysis per user (the product-analytics conversion
     * operator): first click, first purchase at-or-after that click, the
     * conversion flag, and the exact conversion latency in microseconds.

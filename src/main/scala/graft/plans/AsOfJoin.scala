@@ -25,6 +25,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * candidate blow-up, skew-proof by construction (a hot key still costs
   * its linear scan, never quadratic candidates).
   *
+  * `strict = true` excludes the equal `(time, tie)` position: FORWARD
+  * becomes "first right STRICTLY after", BACKWARD "last right STRICTLY
+  * before" — the self-as-of catalog rows ("most recent strictly-earlier
+  * purchase") need it because a purchase row must not match itself.
+  * Monotonicity of the scan is unaffected: left rows ascend, so both the
+  * inclusive and the strict thresholds ascend with them.
+  *
   * Keys/time/tiebreak are LONG-valued expressions (`TimestampType`'s
   * internal micros qualify) — the engine's events contract; composite
   * keys pre-pack into a long (`graft_poly_hash` or bit-packing) as usual.
@@ -39,7 +46,8 @@ final case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
-    forward: Boolean = true) extends BinaryNode {
+    forward: Boolean = true,
+    strict: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,8 +60,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb, fwd, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb, fwd, strict) :: Nil
     case _ => Nil
   }
 }
@@ -78,7 +86,8 @@ final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
-    forward: Boolean = true) extends BinaryExecNode {
+    forward: Boolean = true,
+    strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -103,6 +112,7 @@ final case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output // capture locally — don't serialize the node
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(leftKey, lOut)
       val lt = BindReferences.bindReference(leftTime, lOut)
@@ -110,7 +120,13 @@ final case class AsOfJoinExec(
       val rk = BindReferences.bindReference(rightKey, rOut)
       val rt = BindReferences.bindReference(rightTime, rOut)
       val rtb = BindReferences.bindReference(rightTie, rOut)
-      val proj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // Project against the NODE's output (right attributes forced
+      // nullable), not lOut ++ rOut: with a non-nullable right child
+      // (case-class Dataset, range()) codegen against the children's
+      // original nullability would skip null checks and read the all-null
+      // pad row of unmatched LEFT OUTER rows as 0/garbage instead of NULL
+      // — same discipline as Spark's own outer-join execs.
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 
@@ -148,17 +164,22 @@ final case class AsOfJoinExec(
           val time = t.asInstanceOf[Long]
           val tie = tb.asInstanceOf[Long]
           if (forward) {
-            // advance past rights strictly before (key, time, tie)
+            // advance past rights before the left position — strictly
+            // before for the inclusive (at-or-after) rule, at-or-before
+            // for the STRICT (strictly-after) rule
             while (rHas && (rKey < key ||
-                (rKey == key && (rTime < time || (rTime == time && rTie < tie)))))
+                (rKey == key && (rTime < time || (rTime == time &&
+                  (if (strict) rTie <= tie else rTie < tie))))))
               advanceRight()
             if (rHas && rKey == key) proj(joined(l, rRow))
             else proj(joined(l, nullRight))
           } else {
-            // consume rights at-or-before (key, time, tie), remembering the
-            // last one of THIS key — it is the backward match
+            // consume rights up to the left position (at-or-before, or
+            // strictly-before when STRICT), remembering the last one of
+            // THIS key — it is the backward match
             while (rHas && (rKey < key ||
-                (rKey == key && (rTime < time || (rTime == time && rTie <= tie))))) {
+                (rKey == key && (rTime < time || (rTime == time &&
+                  (if (strict) rTie < tie else rTie <= tie)))))) {
               if (rKey == key) { candRow = rRow; candKey = key; candHas = true }
               advanceRight()
             }

@@ -104,19 +104,62 @@ object AsofProbe {
       ("candidate", candidateForm),
       ("native", (s, d) => graft.operators.Relational.asofNativeNextPurchase(s, d)))
 
+    // r9: the SELF as-of family — the catalog rows' shape (every event ->
+    // most recent strictly-earlier purchase). window = the r6 catalog
+    // default; chunked = the r7 skew twin; native = the r9 catalog default
+    // (backward STRICT streamed merge). Outputs asserted identical.
+    val selfForms = Seq[(String, (SparkSession, String) => DataFrame)](
+      ("self-window", (s, d) => graft.operators.Relational.asofLastPurchase(s, d)),
+      ("self-chunked", (s, d) => graft.operators.Relational.asofLastPurchaseSkewSafe(s, d)),
+      ("self-native", (s, d) => graft.operators.Relational.asofLastPurchaseNative(s, d)))
+
+    // r9: last-touch attribution (backward inclusive, hot-collapsed user)
+    // vs its candidate-join composition — the hot key makes the candidate
+    // form's clicks x purchases blow-up visible
+    def attributionCandidate(s: SparkSession, d: String): DataFrame = {
+      val e = graft.operators.Relational.events(s, d)
+        .withColumn("uid", when(col("user_id") % 16 === 0, lit(-1L)).otherwise(col("user_id")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("uid").as("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("uid").as("cu"), col("ts").as("cts"))
+      purchases.join(clicks,
+          col("user_id") === col("cu") &&
+            (col("cts") < col("purchase_ts") ||
+              (col("cts") === col("purchase_ts") && col("cid") <= col("purchase_id"))), "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(max(when(col("cid").isNotNull, struct(col("cts"), col("cid")))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("m.cid").as("click_id"), col("m.cts").as("click_ts"))
+    }
+    val attrForms = Seq[(String, (SparkSession, String) => DataFrame)](
+      ("attr-candidate", attributionCandidate),
+      ("attr-native", (s, d) => graft.operators.Relational.attributionLastTouch(s, d)))
+
+    val families = Seq(("fwd", forms), ("self", selfForms), ("attr", attrForms))
+
     for (k <- Seq(1, bigK)) {
       val d = replicated(k)
       try {
-        var firstResult: Set[(Long, Option[Long])] = null
-        for ((name, f) <- forms) {
-          f(spark, d).count() // warm the shape
-          val (wall, bytes, res) = measured {
-            f(spark, d).collect()
-              .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+        for ((fam, fs) <- families) {
+          var firstResult: Set[(Long, Option[Long])] = null
+          for ((name, f) <- fs) {
+            // equality check UNTIMED — a 1M-row collect would otherwise
+            // dominate and noise out the operator's own wall
+            val res = f(spark, d).collect()
+              .map(r => (r.getLong(0), Option(r.get(3)).map {
+                case l: java.lang.Long => l.toLong
+                case t: java.sql.Timestamp => t.getTime
+              })).toSet
+            if (firstResult == null) firstResult = res
+            else require(res == firstResult, s"$fam/$name diverged at x$k")
+            val (wall, bytes, _) = measured {
+              f(spark, d).write.mode("overwrite").format("noop").save()
+            }
+            println(f"[asof] $name%-15s x$k%-3d wall=$wall%6.2fs shuffle=${bytes / 1e6}%8.1f MB rows=${res.size}")
           }
-          if (firstResult == null) firstResult = res
-          else require(res == firstResult, s"$name diverged at x$k")
-          println(f"[asof] $name%-10s x$k%-3d wall=$wall%6.2fs shuffle=${bytes / 1e6}%8.1f MB rows=${res.size}")
+          firstResult = null
         }
       } finally {
         new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()

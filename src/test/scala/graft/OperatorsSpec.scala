@@ -1704,4 +1704,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
     assert(out(1000L + 499).isEmpty, "click after the final purchase must be null")
   }
+
+  test("r9: unmatched rows are NULL even with a NON-NULLABLE right child") {
+    // regression for the result-projection nullability bug: the output
+    // UnsafeProjection must be built from the node's output (right side
+    // forced nullable), not the children's original attributes — with a
+    // case-class/tuple Dataset right child (non-nullable longs), codegen
+    // against the child's nullability would read the all-null pad row of
+    // unmatched LEFT OUTER rows as 0 instead of NULL
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 10L, 500L))
+      .toDF("lid", "lkey", "lt")
+    val right = Seq((7L, 10L, 150L)).toDF("rid", "rkey", "rt")
+    assert(!right.schema.fields.exists(_.nullable), "fixture must be non-nullable")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    val out = org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1),
+        leftTime = lo(2), rightTime = ro(2),
+        leftTie = lo(0), rightTie = ro(0)))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(7L), "key 10 at t=100 matches the t=150 right row")
+    assert(out(2L).isEmpty, "key 20 has no right rows -> NULL, not 0")
+    assert(out(3L).isEmpty, "t=500 is past the only right row -> NULL, not 0")
+  }
+
+  test("r9: STRICT mode excludes the equal (time, tie) position in both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // right == left rows themselves (the self-as-of shape): strict forward
+    // must find the NEXT row, strict backward the PREVIOUS, never itself
+    val rows = Seq((1L, 5L, 100L), (2L, 5L, 200L), (3L, 5L, 300L))
+    val left = rows.toDF("id", "key", "t")
+    val right = rows.toDF("rid", "rkey", "rt")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    def run(forward: Boolean, strict: Boolean): Map[Long, Option[Long]] =
+      org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+        graft.plans.AsOfJoinPlan(lp, rp,
+          leftKey = lo(1), rightKey = ro(1),
+          leftTime = lo(2), rightTime = ro(2),
+          leftTie = lo(0), rightTie = ro(0),
+          forward = forward, strict = strict))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(run(forward = true, strict = false) ==
+      Map(1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L)), "inclusive forward matches self")
+    assert(run(forward = true, strict = true) ==
+      Map(1L -> Some(2L), 2L -> Some(3L), 3L -> None), "strict forward skips self")
+    assert(run(forward = false, strict = false) ==
+      Map(1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L)), "inclusive backward matches self")
+    assert(run(forward = false, strict = true) ==
+      Map(1L -> None, 2L -> Some(1L), 3L -> Some(2L)), "strict backward takes the previous row")
+  }
 }

@@ -304,6 +304,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$plan")
   }
 
+  test("r9: the as-of catalog family routes through the native AsOfJoinExec") {
+    // events_asof_purchase / _skew (backward strict) and the last-touch
+    // attribution row (backward inclusive, hot-key fixture) must all plan
+    // the streamed-merge exec — no window machinery, no generic join, one
+    // hash exchange per side.
+    for (q <- Seq("events_asof_purchase", "events_asof_purchase_skew",
+        "events_attribution_lasttouch")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"$q: custom strategy did not fire:\n$plan")
+      assert(!plan.contains("Window "), s"$q must not fall back to a window:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a generic join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2, s"$q: expected exactly 2 hash exchanges, got $exchanges:\n$plan")
+    }
+  }
+
   test("round-6 curation operators keep their scale shapes") {
     // sample_mixture / sample_temperature: heap aggregate, never a
     // per-stratum window

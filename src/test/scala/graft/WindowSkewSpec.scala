@@ -123,6 +123,19 @@ class WindowSkewSpec extends AnyFunSuite {
     assert(plain.exists(_.apply(3) != null), "fixture should contain as-of matches")
   }
 
+  test("r9: native backward-strict as-of == window form (the catalog default's twins)") {
+    // the catalog rows now answer through AsOfJoinExec; the window form and
+    // the time-chunked form stay behind as bit-equal oracle twins — on the
+    // hot-user fixture AND the driver testdata
+    val nativeHot = rows(Relational.asofLastPurchaseNative(spark, dir))
+    val plainHot = rows(Relational.asofLastPurchase(spark, dir))
+    assert(nativeHot == plainHot)
+    val native = rows(Relational.asofLastPurchaseNative(spark, tpchDir))
+    val plain = rows(Relational.asofLastPurchase(spark, tpchDir))
+    assert(native == plain)
+    assert(native.exists(_.apply(3) != null), "fixture should contain as-of matches")
+  }
+
   test("domain-mix scale twin == plain form's kept flag, for every doc") {
     val plain = rows(graft.operators.TextAnalysis.domainMix(spark, tpchDir)
       .select("doc_id", "lang", "kept"))
