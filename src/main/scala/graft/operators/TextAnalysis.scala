@@ -1193,10 +1193,26 @@ object TextAnalysis {
     * in one SQL statement) — gated by [[bpeCheck]], which re-derives the
     * table with an independent in-memory reference implementation.
     */
-  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = 16): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = 16,
+      driverMergeThreshold: Int = 64, maxVocab: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    if (numMerges > driverMergeThreshold) {
+      // Above the threshold the per-merge Spark-job barrier dominates (one
+      // distributed pair-count + driver argmax PER RANK — 32k serial
+      // barriers at a production vocabulary). The word-type histogram is
+      // vocab-bounded after the single corpus scan, so collect it behind
+      // the maxVocab guard and train driver-side with the incremental
+      // trainer — identical merge table (BpeSpec pins both paths equal and
+      // bpeCheck pins the distributed path to the classic algorithm).
+      import spark.implicits._
+      return bpeTrainOnTypes(collectWordTypes(docs(spark, dir), maxVocab), numMerges)
+        .toDF("rank", "left", "right", "merged", "freq")
+    }
     var syms = wordTypes(docs(spark, dir))
-      .select(col("cnt"), concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
+      // regexp '(?s).' splits into CODE POINTS (a supplementary char is one
+      // symbol, never a surrogate half) — matching the driver reference
+      .select(col("cnt"), concat(
+        expr("regexp_extract_all(w, '(?s).', 0)"), array(lit("</w>"))).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false // a best pair under freq 2 ends training early
@@ -1233,38 +1249,151 @@ object TextAnalysis {
     */
   def bpeCheck(spark: SparkSession, dir: String, numMerges: Int = 16,
       maxVocab: Int = 1 << 20): DataFrame = {
-    val types = wordTypes(docs(spark, dir)).limit(maxVocab + 1).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(types.length <= maxVocab,
-      s"bpeCheck: vocabulary exceeds maxVocab=$maxVocab — gate only bounded corpora")
-    // reference implementation: mutable word list of symbol vectors
-    var words = types.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>", c) }
-    val ref = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    for (rank <- 1 to numMerges) {
-      val counts = scala.collection.mutable.Map[(String, String), Long]()
-      for ((s, c) <- words; i <- 0 until s.length - 1)
-        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
-      if (counts.nonEmpty) {
-        val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
-        if (f >= 2) {
-          ref += ((rank, a, b, a + b, f))
-          words = words.map { case (s, c) =>
-            val out = scala.collection.mutable.ArrayBuffer[String]()
-            for (x <- s) {
-              if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
-              else out += x
-            }
-            (out.toVector, c)
-          }
-        }
-      }
-    }
-    val dist = bpeMerges(spark, dir, numMerges).collect()
+    val ref = bpeTrainOnTypes(collectWordTypes(docs(spark, dir), maxVocab), numMerges)
+    // force the DISTRIBUTED path regardless of numMerges — the gate's point
+    // is cross-implementation agreement, never reference-vs-itself
+    val dist = bpeMerges(spark, dir, numMerges, driverMergeThreshold = Int.MaxValue)
+      .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .sortBy(_._1)
     import spark.implicits._
-    Seq((dist.length.toLong, dist.toSeq == ref.toSeq))
+    Seq((dist.length.toLong, dist.toSeq == ref))
       .toDF("n_merges", "merge_table_matches_reference")
+  }
+
+  /** The collected, maxVocab-guarded word-type histogram — BPE's bounded
+    * working set (refuses vocabularies past the guard rather than silently
+    * collecting a corpus-sized set).
+    */
+  private def collectWordTypes(d: DataFrame, maxVocab: Int): Array[(String, Long)] = {
+    val types = wordTypes(d).limit(maxVocab + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(types.length <= maxVocab,
+      s"BPE driver path: vocabulary exceeds maxVocab=$maxVocab — only bounded corpora")
+    types
+  }
+
+  /** UTF-8 byte-order string comparison — identical to Spark's
+    * `UTF8String` binary ordering, so driver-side tie-breaks agree with
+    * the distributed `orderBy` even on supplementary (non-BMP) characters,
+    * where Java's UTF-16 `compareTo` sorts differently (surrogate blocks
+    * sit below U+E000 in UTF-16 order but all supplementary code points
+    * sort above every BMP char in UTF-8/code-point order).
+    */
+  private def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Driver-side INCREMENTAL BPE trainer over the vocab-bounded word-type
+    * histogram — the classic algorithm with the classic data structures:
+    * global pair counts, a pair→word-indices occurrence index, and a
+    * lazy-deletion max-heap ordered by `(freq desc, left, right)` under
+    * UTF-8 byte order. Per merge only the words CONTAINING the winning
+    * pair are re-segmented (their old pair multiset is subtracted, the new
+    * one added, touched heap keys re-pushed; stale heap entries are
+    * discarded on pop by comparing against the live count) — total work is
+    * proportional to the text actually touched by merges, NOT
+    * merges × vocabulary, and there is no per-merge Spark job at all.
+    * Words split into CODE POINTS (one symbol per code point, `</w>`
+    * terminal), matching the distributed fold's `regexp_extract_all`.
+    * Same exhaustion rule as the distributed loop: training ends when the
+    * best pair's frequency drops under 2.
+    */
+  private[graft] def bpeTrainOnTypes(types: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[mutable.ArrayBuffer[String]] = types.map { case (w, _) =>
+      val buf = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf += "</w>"
+      buf
+    }
+    val wcnt: Array[Long] = types.map(_._2)
+
+    val counts = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    def addPair(p: (String, String), c: Long, idx: Int): Unit = {
+      counts.updateWith(p) { v => Some(v.getOrElse(0L) + c) }
+      occ.getOrElseUpdate(p, mutable.HashSet[Int]()) += idx
+    }
+    for (idx <- words.indices; i <- 0 until words(idx).length - 1)
+      addPair((words(idx)(i), words(idx)(i + 1)), wcnt(idx), idx)
+
+    // max-heap by (freq, then left/right ASCENDING in utf8 order)
+    val ord: Ordering[(Long, String, String)] = (p, q) => {
+      if (p._1 != q._1) java.lang.Long.compare(p._1, q._1)
+      else {
+        val c = utf8Cmp(q._2, p._2)
+        if (c != 0) c else utf8Cmp(q._3, p._3)
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    for (((a, b), f) <- counts) heap.enqueue((f, a, b))
+
+    val out = mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // pop until the entry matches the LIVE count (lazy deletion)
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.get((e._2, e._3)).contains(e._1) && e._1 > 0) best = Some(e)
+      }
+      best match {
+        case Some((f, a, b)) if f >= 2 =>
+          out += ((rank, a, b, a + b, f))
+          val merged = a + b
+          val touched = mutable.HashSet[(String, String)]()
+          for (idx <- occ.getOrElse((a, b), mutable.HashSet[Int]()).toArray) {
+            val s = words(idx); val c = wcnt(idx)
+            // verify non-stale (lazy occurrence index)
+            var has = false
+            var i = 0
+            while (!has && i < s.length - 1) { has = s(i) == a && s(i + 1) == b; i += 1 }
+            if (has) {
+              // subtract the word's old pairs, re-segment, add the new ones
+              for (i <- 0 until s.length - 1) {
+                val p = (s(i), s(i + 1))
+                counts.updateWith(p)(v => Some(v.getOrElse(0L) - c)); touched += p
+              }
+              val ns = mutable.ArrayBuffer[String]()
+              for (x <- s) {
+                if (ns.nonEmpty && ns.last == a && x == b) ns(ns.length - 1) = merged
+                else ns += x
+              }
+              words(idx) = ns
+              for (i <- 0 until ns.length - 1) {
+                val p = (ns(i), ns(i + 1))
+                counts.updateWith(p)(v => Some(v.getOrElse(0L) + c)); touched += p
+                occ.getOrElseUpdate(p, mutable.HashSet[Int]()) += idx
+              }
+            }
+          }
+          occ.remove((a, b))
+          for (p <- touched) counts.get(p) match {
+            case Some(f2) if f2 > 0 => heap.enqueue((f2, p._1, p._2))
+            case _ => counts.remove(p); ()
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
   }
 
   /** The composed DSIR selection chain under ONE oracle: importance

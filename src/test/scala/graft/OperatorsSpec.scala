@@ -1597,6 +1597,46 @@ class BpeSpec extends AnyFunSuite {
     assert(gate.head.getLong(0) == 16L, s"expected 16 productive merges: ${gate.head}")
     assert(gate.head.getBoolean(1), "distributed BPE diverged from the reference implementation")
   }
+
+  test("r9: driver-side incremental trainer == distributed fold on the real corpus") {
+    def table(threshold: Int) =
+      graft.operators.TextAnalysis.bpeMerges(spark, SparkSpec.testDataDir,
+          numMerges = 12, driverMergeThreshold = threshold).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val driver = table(threshold = 4) // 12 > 4 -> driver path
+    val dist = table(threshold = Int.MaxValue) // always distributed
+    assert(driver == dist, s"driver-only=${driver.diff(dist).take(3)} dist-only=${dist.diff(driver).take(3)}")
+    assert(driver.length == 12)
+  }
+
+  test("r9: supplementary (non-BMP) characters — code-point symbols, UTF-8 tie order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-nonbmp").toString
+    // U+E000 (BMP private use) vs U+1D400 (supplementary): UTF-16 order
+    // puts the surrogate pair FIRST (0xD835 < 0xE000); UTF-8/code-point
+    // order puts U+E000 first. A tie between pairs led by the two symbols
+    // is decided differently under the two orderings — both paths must
+    // agree on the UTF-8 (Spark binary) answer, and neither may split the
+    // supplementary char into surrogate halves.
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x1D400)) // 𝐀
+    val text = (Seq.fill(3)(bmp + "x") ++ Seq.fill(3)(supp + "x")).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def table(threshold: Int) =
+      graft.operators.TextAnalysis.bpeMerges(spark, tmp,
+          numMerges = 4, driverMergeThreshold = threshold).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).sortBy(_._1).toSeq
+    val dist = table(Int.MaxValue)
+    val driver = table(1)
+    assert(dist == driver, s"dist=$dist driver=$driver")
+    // round 1: (x,</w>) f=6; round 2: tie at 3 -> UTF-8 order picks U+E000
+    assert(dist(0) == ((1, "x", "</w>", 6L)), s"got $dist")
+    assert(dist(1) == ((2, bmp, "x</w>", 3L)),
+      s"tie must break in UTF-8 byte order (U+E000 before U+1D400): $dist")
+    assert(dist(2) == ((3, supp, "x</w>", 3L)), s"supplementary char must stay whole: $dist")
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
