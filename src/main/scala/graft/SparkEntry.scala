@@ -59,6 +59,13 @@ object SparkEntry {
     "text_decontaminate_bloom_check" -> ((s, d) => TextAnalysis.decontaminateBloomCheck(s, d)),
     // CCNet-style corpus-self-trained bigram LM cross-entropy (micro-nats)
     "text_lm_xent" -> ((s, d) => TextAnalysis.lmCrossEntropy(s, d)),
+    // top-K-successors pruned LM twin: model capped at (K+1)|contexts|
+    // rows; pruned occurrences take the context's backoff cost (r9)
+    "text_lm_xent_pruned" -> ((s, d) => TextAnalysis.lmCrossEntropyPruned(s, d)),
+    // delta gate: zero monotonicity violations + total delta <= 450 permille
+    // (the sf fixture's successor fan-out is near-UNIFORM -- ~30/context --
+    // the worst case for pruning; Zipfian real text sits far under this)
+    "text_lm_xent_pruned_check" -> ((s, d) => TextAnalysis.lmCrossEntropyPrunedCheck(s, d)),
     // DSIR hashed-ngram importance weights toward the en slice (r8)
     "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     // composed: weights -> heap top-200 -> per-lang rollup, one oracle (r8)
@@ -454,6 +461,66 @@ object SparkEntry {
   /** Shared by `text_dsir` and the composed `pipeline_dsir` (which selects
     * on top of these exact weights), so the two rows cannot drift.
     */
+  /** Exact corpus-self-trained bigram-LM cross-entropy (micro-nats). */
+  private val LmXentOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(w) AS tok FROM t)),
+      |b AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |   i -> [w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]])) AS bg
+      | FROM t WHERE len(w) >= 2),
+      |bb AS (SELECT doc_id, bg[1] AS prev, bg[1] || ' ' || bg[2] AS bigram FROM b),
+      |cp AS (SELECT bigram, count(*) AS c_pair FROM bb GROUP BY 1),
+      |cx AS (SELECT prev, count(*) AS c_prev FROM bb GROUP BY 1),
+      |cost AS (
+      | SELECT bb.doc_id,
+      |  CAST(round(ln((cp.c_pair + 1.0) / (cx.c_prev + v.vocab)) * 1000000) AS BIGINT) AS c
+      | FROM bb JOIN cp USING (bigram) JOIN cx USING (prev) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST((-sum(c)) // count(*) AS BIGINT) AS xent_micronats
+      |FROM cost GROUP BY doc_id""".stripMargin
+
+  /** The pruned-LM twin: top-8 successors per context by (count desc,
+    * 60-bit fingerprint asc) — the fingerprint (mirroring
+    * `Portable.polyHash60Native`: base-31 mod 1e9+7 shifted by 2^30,
+    * plus base-37 mod 998244353 low bits) exists ONLY to replicate
+    * `graft_topk`'s id tie-break; pruned occurrences cost the add-one
+    * backoff `ln(1/(c_prev+V))`. K = 16 mirrors the Spark default.
+    */
+  private val LmXentPrunedOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(w) AS tok FROM t)),
+      |b AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |   i -> [w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]])) AS bg
+      | FROM t WHERE len(w) >= 2),
+      |bb AS (SELECT doc_id, bg[1] AS prev, bg[1] || ' ' || bg[2] AS bigram FROM b),
+      |cp AS (SELECT bigram, min(prev) AS prev, count(*) AS c_pair FROM bb GROUP BY 1),
+      |cx AS (SELECT prev, count(*) AS c_prev FROM bb GROUP BY 1),
+      |fp AS (
+      | SELECT bigram,
+      |  (list_reduce(list_transform(string_split(bigram, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |     (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824)
+      |  + (list_reduce(list_transform(string_split(bigram, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |     (acc, x) -> (acc * 37 + x) % 998244353) % 1073741824) AS fp_pair
+      | FROM cp),
+      |kept AS (
+      | SELECT bigram FROM (
+      |  SELECT cp.bigram,
+      |   row_number() OVER (PARTITION BY cp.prev ORDER BY cp.c_pair DESC, fp.fp_pair ASC) AS rn
+      |  FROM cp JOIN fp USING (bigram))
+      | WHERE rn <= 16),
+      |cost AS (
+      | SELECT bb.doc_id,
+      |  CASE WHEN kept.bigram IS NOT NULL
+      |   THEN CAST(round(ln((cp.c_pair + 1.0) / (cx.c_prev + v.vocab)) * 1000000) AS BIGINT)
+      |   ELSE CAST(round(ln(1.0 / (cx.c_prev + v.vocab)) * 1000000) AS BIGINT) END AS c
+      | FROM bb JOIN cp USING (bigram) JOIN cx ON bb.prev = cx.prev
+      |  LEFT JOIN kept USING (bigram) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST((-sum(c)) // count(*) AS BIGINT) AS xent_micronats
+      |FROM cost GROUP BY doc_id""".stripMargin
+
   private val DsirOracle: String =
     """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
@@ -872,23 +939,20 @@ object SparkEntry {
     // bigram LM cross-entropy: identical tokenization, counts, smoothing and
     // micro-nat quantization — the exact-string form of the engine's
     // fingerprinted plan, so a fingerprint collision would hash-mismatch
-    "text_lm_xent" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(w) AS tok FROM t)),
-        |b AS (
-        | SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |   i -> [w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]])) AS bg
-        | FROM t WHERE len(w) >= 2),
-        |bb AS (SELECT doc_id, bg[1] AS prev, bg[1] || ' ' || bg[2] AS bigram FROM b),
-        |cp AS (SELECT bigram, count(*) AS c_pair FROM bb GROUP BY 1),
-        |cx AS (SELECT prev, count(*) AS c_prev FROM bb GROUP BY 1),
-        |cost AS (
-        | SELECT bb.doc_id,
-        |  CAST(round(ln((cp.c_pair + 1.0) / (cx.c_prev + v.vocab)) * 1000000) AS BIGINT) AS c
-        | FROM bb JOIN cp USING (bigram) JOIN cx USING (prev) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        | CAST((-sum(c)) // count(*) AS BIGINT) AS xent_micronats
-        |FROM cost GROUP BY doc_id""".stripMargin,
+    "text_lm_xent" -> LmXentOracle,
+    "text_lm_xent_pruned" -> LmXentPrunedOracle,
+    // integer delta rollup of the two scorers above — all-integer, so the
+    // monotone invariant (violations = 0) and the permille bound are exact
+    "text_lm_xent_pruned_check" ->
+      s"""WITH e AS ($LmXentOracle), p AS ($LmXentPrunedOracle)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN p.xent_micronats < e.xent_micronats THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_violations,
+        | CAST(sum(e.xent_micronats) AS BIGINT) AS sum_exact,
+        | CAST(sum(p.xent_micronats - e.xent_micronats) AS BIGINT) AS sum_delta,
+        | sum(p.xent_micronats - e.xent_micronats) * 1000 <= sum(e.xent_micronats) * 450
+        |  AS delta_within_bound
+        |FROM e JOIN p USING (doc_id)""".stripMargin,
     // mirrors dsirWeights bit-for-bit: same poly-hash buckets, same
     // per-bucket micro-nat quantization of both lns before the difference
     "text_dsir" -> DsirOracle,

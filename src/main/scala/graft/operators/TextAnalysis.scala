@@ -976,18 +976,7 @@ object TextAnalysis {
     */
   def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val d0 = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
-    // vocabulary over ALL token occurrences (single-token docs included)
-    val vocab = d0.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct(col("tok")).as("vocab"))
-    val bg = d0.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS prev, " +
-          "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram))")).as("bg"))
-      .select(col("doc_id"),
-        Portable.polyHash60Native("bg.prev").as("fp_prev"),
-        Portable.polyHash60Native("bg.bigram").as("fp_pair"))
+    val (bg, vocab) = lmBigramRelation(spark, dir)
     // one row per distinct bigram; min(fp_prev) is exact (all equal)
     val pairStats = bg.groupBy("fp_pair")
       .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
@@ -1005,6 +994,109 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("sum_cost"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("(-sum_cost) div n_bigrams").as("xent_micronats"))
+  }
+
+  /** The fingerprinted bigram-occurrence relation + 1-row vocabulary —
+    * shared corpus prep of the exact and pruned LM scorers (identical
+    * relation, so the pruned twin cannot drift from the exact contract).
+    */
+  private def lmBigramRelation(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d0 = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
+    // vocabulary over ALL token occurrences (single-token docs included)
+    val vocab = d0.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val bg = d0.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS prev, " +
+          "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram))")).as("bg"))
+      .select(col("doc_id"),
+        Portable.polyHash60Native("bg.prev").as("fp_prev"),
+        Portable.polyHash60Native("bg.bigram").as("fp_pair"))
+    (bg, vocab)
+  }
+
+  /** [[lmCrossEntropy]]'s PRUNED-MODEL twin — the scale answer for the
+    * regime where the corpus-self-trained bigram table itself becomes a
+    * shuffle burden (the model grows with the corpus; DESIGN.md's one
+    * honestly-linear row): keep only the TOP-`topK` successors per
+    * context (by pair count, ties to the smaller fingerprint — exactly
+    * `graft_topk`'s (score desc, id asc) heap order, mirrored by the
+    * oracle's `row_number` form), and score every pruned-away bigram
+    * occurrence with the context's add-one BACKOFF cost
+    * `ln(1/(c_prev+V))` — i.e. as if unseen. The deployed model is then
+    * ≤ topK rows per distinct context plus ONE backoff row per context —
+    * capped at `(topK+1)·|contexts|` regardless of how many distinct
+    * continuations the corpus accumulates.
+    *
+    * Guarantee (gated by [[lmCrossEntropyPrunedCheck]]): backoff
+    * probability `1/(c_prev+V)` is ≤ the true `(c_pair+1)/(c_prev+V)`
+    * for every observed pair, and micro-nat quantization preserves ≤, so
+    * the pruned score can only move UP (never scores garbled text as
+    * more corpus-typical). Exactness contract is [[lmCrossEntropy]]'s:
+    * both `ln`s quantize per distinct probability; everything after is
+    * exact integer arithmetic, oracle bit-for-bit.
+    *
+    * Scale: the top-k selection is the bounded-heap `graft_topk`
+    * partial/merge aggregate over the DISTINCT-pair table (map tasks
+    * forward ≤ topK rows per context — no window, no sort); score joins
+    * stay on 8-byte fingerprints, AQE-sized, nothing corpus-derived is
+    * force-broadcast.
+    */
+  def lmCrossEntropyPruned(spark: SparkSession, dir: String,
+      topK: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (bg, vocab) = lmBigramRelation(spark, dir)
+    val pairStats = bg.groupBy("fp_pair")
+      .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
+    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
+    val kept = pairStats.groupBy("fp_prev")
+      .agg(expr(s"graft_topk(fp_pair, CAST(c_pair AS DOUBLE), $topK)").as("top"))
+      .select(explode(col("top.id")).as("fp_pair"))
+    // the deployed pruned model: ≤ topK cost rows per context…
+    val keptModel = pairStats.join(kept, Seq("fp_pair"), "left_semi")
+      .join(ctxStats, Seq("fp_prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("fp_pair"), expr(
+        "CAST(round(ln((c_pair + 1.0) / (c_prev + vocab)) * 1000000) AS BIGINT)").as("cost"))
+    // …plus ONE backoff row per context
+    val backoff = ctxStats.crossJoin(broadcast(vocab))
+      .select(col("fp_prev"), expr(
+        "CAST(round(ln(1.0 / (c_prev + vocab)) * 1000000) AS BIGINT)").as("b_cost"))
+    bg.select("doc_id", "fp_prev", "fp_pair")
+      .join(keptModel, Seq("fp_pair"), "left")
+      .join(backoff, Seq("fp_prev"))
+      .withColumn("c", coalesce(col("cost"), col("b_cost")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_cost"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(-sum_cost) div n_bigrams").as("xent_micronats"))
+  }
+
+  /** The cross-entropy DELTA gate for [[lmCrossEntropyPruned]]: joins the
+    * pruned and exact per-doc scores and pins (a) the monotone invariant —
+    * pruning can NEVER lower a doc's cross-entropy (zero violations), and
+    * (b) the quality bound — the total delta stays within
+    * `maxDeltaPermille` (‰) of the exact total, i.e. the pruned model
+    * still scores essentially like the exact one. All-integer outputs, so
+    * the DuckDB oracle (both scorers re-derived in SQL) matches
+    * bit-for-bit.
+    */
+  def lmCrossEntropyPrunedCheck(spark: SparkSession, dir: String,
+      topK: Int = 16, maxDeltaPermille: Int = 450): DataFrame = {
+    val exact = lmCrossEntropy(spark, dir)
+      .select(col("doc_id"), col("xent_micronats").as("xe"))
+    val pruned = lmCrossEntropyPruned(spark, dir, topK)
+      .select(col("doc_id"), col("xent_micronats").as("xp"))
+    exact.join(pruned, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("xp") < col("xe"), 1L).otherwise(0L)).as("n_violations"),
+        sum(col("xe")).as("sum_exact"),
+        sum(col("xp") - col("xe")).as("sum_delta"))
+      .select(col("n_docs"), col("n_violations"), col("sum_exact"), col("sum_delta"),
+        (col("sum_delta") * 1000 <= col("sum_exact") * maxDeltaPermille)
+          .as("delta_within_bound"))
   }
 
   /** DSIR importance weighting (Xie et al. 2023, "Data Selection for

@@ -168,6 +168,15 @@ class PlanSpec extends AnyFunSuite {
       s"count/join exchanges must carry 60-bit fingerprints, not token strings:\n$plan")
     assert(plan.contains("hashpartitioning(fp_pair"),
       s"expected pair-count / score-join exchanges on fp_pair:\n$plan")
+    // r9 pruned twin: same fingerprint discipline, and the per-context
+    // top-K selection must be the bounded-heap partial/merge aggregate —
+    // never a row_number window over the pair table
+    val pruned = executedPlan("text_lm_xent_pruned")
+    assert(!pruned.contains("Window "), s"pruned top-K fell back to a window:\n$pruned")
+    assert(pruned.contains("partial_topk") || pruned.contains("partial_graft_topk"),
+      s"pruned top-K missing map-side partial heap:\n$pruned")
+    assert(!pruned.contains("hashpartitioning(bigram") && !pruned.contains("hashpartitioning(prev"),
+      s"pruned exchanges must carry fingerprints, not token strings:\n$pruned")
   }
 
   test("bloom decontamination probes map-side: no join against the eval-gram set") {
