@@ -160,6 +160,16 @@ object Bench {
     // file source (one committed batch under AvailableNow). Best-of-2 with
     // a FRESH checkpoint/output dir per run, so both runs execute the full
     // cold protocol and the reported number is the low-variance estimator.
+    //
+    // shuffle.partitions is sized to STATE VOLUME for this section (r9):
+    // StreamJoinProbe proved the stateful rows' cost is the per-partition
+    // state-store commit (32 partitions ≈ 5.4 s of which ~3.3 s is store
+    // commits; 8 partitions ≈ 2.1 s, outputs identical), and at bench state
+    // sizes 8 instances amortize fine — exactly how production sizes a
+    // streaming job. Fresh checkpoints per run mean the conf takes effect
+    // every time; restored to the engine default after the section.
+    val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val eventsSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def eventsStream() = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -246,6 +256,30 @@ object Bench {
       q.stop()
       graft.streaming.StreamSketch.estimates(spark, store, "event_type").count()
     }
+    // r9 twins: the same versioned store protocol for theta (distinct
+    // estimates via retained-hash union) and KLL (value quantiles)
+    results("stream_sketch_rollup_theta") = time2 {
+      val store = tempDir("graft-bench-stream-theta")
+      val ckpt = tempDir("graft-bench-stream-theta-ckpt")
+      val q = graft.streaming.StreamSketch.start(
+        eventsStream().select("event_type", "user_id"), store, ckpt,
+        "event_type", "user_id", kind = "theta")
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamSketch.estimates(spark, store, "event_type", kind = "theta").count()
+    }
+    results("stream_sketch_rollup_kll") = time2 {
+      val store = tempDir("graft-bench-stream-kll")
+      val ckpt = tempDir("graft-bench-stream-kll-ckpt")
+      val q = graft.streaming.StreamSketch.start(
+        eventsStream().select("event_type", "value"), store, ckpt,
+        "event_type", "value", kind = "kll")
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamSketch.quantiles(spark, store, "event_type", Seq(0.5, 0.95)).count()
+    }
+
+    spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
 
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
       val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -263,7 +297,8 @@ object Bench {
     println(jsonLine(results))
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
-        "stream_incremental_dedup", "stream_sketch_rollup")
+        "stream_incremental_dedup", "stream_sketch_rollup",
+        "stream_sketch_rollup_theta", "stream_sketch_rollup_kll")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

@@ -810,6 +810,16 @@ object GraftFunctions {
     "graft_theta_merge_est" -> { exprs =>
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       ThetaMergeEstimate(exprs.head, lgK).toAggregateExpression()
+    },
+    // merged blob (not quantiles/estimate): the store-update step of the
+    // rolling KLL / theta rollups — HLL's graft_hll_merge_sketch twin
+    "graft_kll_merge_sketch" -> { exprs =>
+      val k = if (exprs.length > 1) num(exprs(1)).intValue() else 200
+      KllMergeQuantiles(exprs.head, Seq.empty, k, emitBlob = true).toAggregateExpression()
+    },
+    "graft_theta_merge_sketch" -> { exprs =>
+      val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
+      ThetaMergeEstimate(exprs.head, lgK, emitBlob = true).toAggregateExpression()
     })
 
   /** Imperative registration for an already-running session. */

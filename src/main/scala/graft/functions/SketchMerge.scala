@@ -91,13 +91,15 @@ case class KllMergeQuantiles(
     child: Expression,
     ranks: Seq[Double],
     k: Int = 200,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (emitBlob) BinaryType else ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -121,7 +123,8 @@ case class KllMergeQuantiles(
   }
 
   override def eval(buffer: KllDoublesSketch): Any =
-    if (buffer.isEmpty) ArrayData.toArrayData(Array.fill(ranks.length)(Double.NaN))
+    if (emitBlob) buffer.toByteArray
+    else if (buffer.isEmpty) ArrayData.toArrayData(Array.fill(ranks.length)(Double.NaN))
     else ArrayData.toArrayData(
       ranks.map(r => buffer.getQuantile(r, QuantileSearchCriteria.INCLUSIVE)).toArray)
 
@@ -146,13 +149,14 @@ case class KllMergeQuantiles(
 case class ThetaMergeEstimate(
     child: Expression,
     lgK: Int = 12,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ThetaUnion] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (emitBlob) BinaryType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -175,7 +179,8 @@ case class ThetaMergeEstimate(
   }
 
   override def eval(buffer: ThetaUnion): Any =
-    Math.round(buffer.getResult(true, null).getEstimate)
+    if (emitBlob) buffer.getResult(true, null).toByteArray
+    else Math.round(buffer.getResult(true, null).getEstimate)
 
   override def serialize(buffer: ThetaUnion): Array[Byte] =
     buffer.getResult(true, null).toByteArray

@@ -5,13 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming sketch rollup — per micro-batch, per-key HLL blobs are merged
-  * into a PERSISTED, VERSIONED sketch store: the standing
-  * corpus-statistics artifact a 100 TB ingest pipeline maintains ("distinct
-  * users per event type, so far, updated as data lands") without ever
-  * re-scanning history. The batch-side building blocks are the round-8
-  * merge surface (`graft_hll_sketch` to emit blobs, `graft_hll_merge_sketch`
-  * to fold them), so the streaming path cannot drift from the batch rollup
+/** Streaming sketch rollup — per micro-batch, per-key sketch blobs (HLL,
+  * KLL or theta, r9) are merged into a PERSISTED, VERSIONED sketch store:
+  * the standing corpus-statistics artifact a 100 TB ingest pipeline
+  * maintains ("distinct users / value quantiles per event type, so far,
+  * updated as data lands") without ever re-scanning history. The
+  * batch-side building blocks are the round-8 merge surface
+  * (`graft_<kind>_sketch` to emit blobs, `graft_<kind>_merge_sketch` to
+  * fold them), so the streaming path cannot drift from the batch rollup
   * it composes.
   *
   * Delivery semantics: foreachBatch is AT-LEAST-ONCE (a failed batch can be
@@ -32,12 +33,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamSketch {
 
+  /** (build-blob expr, store-merge-blob expr) per sketch kind. */
+  private def exprsFor(kind: String, valCol: String): (String, String) = kind match {
+    case "hll" => (s"graft_hll_sketch($valCol)", "graft_hll_merge_sketch(sk)")
+    case "kll" => (s"graft_kll_sketch($valCol)", "graft_kll_merge_sketch(sk)")
+    case "theta" => (s"graft_theta_sketch($valCol)", "graft_theta_merge_sketch(sk)")
+    case other => throw new IllegalArgumentException(
+      s"StreamSketch kind must be hll|kll|theta, got $other")
+  }
+
   /** Starts the rollup: `newRows` is a STREAMING frame; each micro-batch
-    * folds `graft_hll_sketch(valCol)` per `keyCol` into the latest store
-    * version and writes `storeDir/v<batchId>`.
+    * folds `graft_<kind>_sketch(valCol)` per `keyCol` into the latest
+    * store version and writes `storeDir/v<batchId>`.
+    *
+    * Replay-safety per kind: HLL and theta merges are IDEMPOTENT
+    * (register maxima / retained-hash-set union), so a re-merged batch
+    * cannot change any estimate. KLL merge is NOT layout-idempotent —
+    * re-merging the same blob inflates the internal weight of its items —
+    * but the versioned layout makes replay safe anyway: a re-delivered
+    * batch N rebuilds `v<N>` FROM `v<latest < N>` (never from its own
+    * failed half-write), so each batch's rows enter the lineage exactly
+    * once and the KLL rank-error bound (±1.65% at k=200, 99% conf) holds
+    * for every published version regardless of merge order. That bound —
+    * not byte equality — is KLL's guarantee under merge, and it is what
+    * the gates assert.
     */
   def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
-      keyCol: String, valCol: String, keepVersions: Int = 2): StreamingQuery =
+      keyCol: String, valCol: String, keepVersions: Int = 2,
+      kind: String = "hll"): StreamingQuery = {
+    val (buildExpr, mergeExpr) = exprsFor(kind, valCol)
     newRows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -45,29 +69,53 @@ object StreamSketch {
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
         val newBlobs = batch.groupBy(col(keyCol))
-          .agg(expr(s"graft_hll_sketch($valCol)").as("sk"))
+          .agg(expr(buildExpr).as("sk"))
         val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
           case Some(prev) =>
             spark.read.parquet(prev).select(col(keyCol), col("sk"))
               .union(newBlobs)
               .groupBy(col(keyCol))
-              .agg(expr("graft_hll_merge_sketch(sk)").as("sk"))
+              .agg(expr(mergeExpr).as("sk"))
           case None => newBlobs
         }
         merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
         prune(spark, storeDir, keepVersions)
       }
       .start()
-
-  /** Per-key distinct-count estimates from the newest store version. */
-  def estimates(spark: SparkSession, storeDir: String, keyCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val latest = latestVersion(spark, storeDir, below = None).getOrElse(
-      throw new IllegalStateException(s"no sketch store versions under $storeDir"))
-    spark.read.parquet(latest)
-      .groupBy(col(keyCol))
-      .agg(expr("graft_hll_merge(sk)").as("approx_distinct"))
   }
+
+  /** Per-key distinct-count estimates from the newest store version
+    * (HLL or theta stores).
+    */
+  def estimates(spark: SparkSession, storeDir: String, keyCol: String,
+      kind: String = "hll"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val estExpr = kind match {
+      case "hll" => "graft_hll_merge(sk)"
+      case "theta" => "graft_theta_merge_est(sk)"
+      case other => throw new IllegalArgumentException(
+        s"estimates() reads hll|theta stores, got $other — use quantiles() for kll")
+    }
+    spark.read.parquet(latest(spark, storeDir))
+      .groupBy(col(keyCol))
+      .agg(expr(estExpr).as("approx_distinct"))
+  }
+
+  /** Per-key quantiles from the newest version of a KLL store. */
+  def quantiles(spark: SparkSession, storeDir: String, keyCol: String,
+      ranks: Seq[Double]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // 'D' suffix: a bare 0.5 parses as DECIMAL, which the rank-array
+    // reader (toDoubleArray) rejects
+    val rankArr = ranks.map(r => s"${r}D").mkString("array(", ", ", ")")
+    spark.read.parquet(latest(spark, storeDir))
+      .groupBy(col(keyCol))
+      .agg(expr(s"graft_kll_merge_quantiles(sk, $rankArr)").as("qs"))
+  }
+
+  private def latest(spark: SparkSession, storeDir: String): String =
+    latestVersion(spark, storeDir, below = None).getOrElse(
+      throw new IllegalStateException(s"no sketch store versions under $storeDir"))
 
   /** Newest `v<id>` dir (optionally with id < `below`, for replay safety:
     * a re-delivered batch must fold the version BEFORE its own, not the

@@ -113,6 +113,63 @@ class SketchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("r9: streaming THETA rollup across overlapping micro-batches == one-shot == exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-theta").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-theta-ckpt").toString
+    try {
+      val b1 = (1 to 40).map(u => ("click", u.toLong)) ++ (1 to 10).map(u => ("buy", u.toLong))
+      val b2 = (21 to 60).map(u => ("click", u.toLong)) ++ (5 to 15).map(u => ("buy", u.toLong))
+      val mem = MemoryStream[(String, Long)]
+      val q = graft.streaming.StreamSketch.start(
+        mem.toDF().toDF("event_type", "user_id"), store, ckpt,
+        "event_type", "user_id", kind = "theta")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = graft.streaming.StreamSketch.estimates(spark, store, "event_type", kind = "theta")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // theta union is idempotent AND exact below 2^12 retained entries
+      assert(got == Map("click" -> 60L, "buy" -> 15L), s"got $got")
+    } finally {
+      for (d <- Seq(store, ckpt))
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
+  test("r9: streaming KLL rollup — merged quantiles honor the exact rank bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-kll").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-kll-ckpt").toString
+    try {
+      // two batches over one key: values 1..100 then 101..300 — the exact
+      // combined distribution is known, so the 45-55% rank window for q50
+      // is [135, 165] (KLL k=200 keeps rank error ~1.65% — well inside)
+      val b1 = (1 to 100).map(v => ("a", v.toDouble))
+      val b2 = (101 to 300).map(v => ("a", v.toDouble))
+      val mem = MemoryStream[(String, Double)]
+      val q = graft.streaming.StreamSketch.start(
+        mem.toDF().toDF("k", "v"), store, ckpt, "k", "v", kind = "kll")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val qs = graft.streaming.StreamSketch.quantiles(spark, store, "k", Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val q50 = qs("a").head
+      assert(q50 >= 135.0 && q50 <= 165.0,
+        s"q50=$q50 outside the exact 45-55% rank window [135, 165]")
+    } finally {
+      for (d <- Seq(store, ckpt))
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
   test("all three merge-check catalog rows come back all-true") {
     for ((name, boolIdx) <- Seq(
         ("sketch_hll_merge_check", 2), ("sketch_theta_merge_check", 2))) {
