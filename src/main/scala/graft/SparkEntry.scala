@@ -46,6 +46,14 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_token_budget" -> ((s, d) => TextAnalysis.selectTokenBudget(s, d)),
     "text_quality" -> (TextAnalysis.qualityScore _),
+    // Gopher rule battery: named per-rule flags + composed keep, all
+    // thresholds in integer arithmetic (r9)
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
+    // apply the trained BPE table to every doc: per-doc token accounting
+    // under a broadcast merge table bounded by the numMerges parameter (r9)
+    "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // distributed lossless round trip: rebuild every word from its tokens
+    "text_bpe_encode_check" -> ((s, d) => TextAnalysis.bpeEncodeCheck(s, d)),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii" -> (TextAnalysis.piiFilter _),
@@ -698,6 +706,37 @@ object SparkEntry {
         | CAST(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
         |   / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
         |FROM documents""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> len(t))) AS BIGINT) AS sum_word_chars,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |    l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT) AS n_bullet_lines,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |    l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], lower(t)))) AS BIGINT) AS n_stopword_hits,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words
+        | FROM documents)
+        |SELECT *,
+        | (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND
+        |  rule_bullet_lines AND rule_ellipsis_lines AND rule_stopwords AND
+        |  rule_alpha_words) AS keep
+        |FROM (
+        | SELECT *,
+        |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |  sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS rule_mean_word_len,
+        |  n_symbols * 10 <= n_words AS rule_symbol_ratio,
+        |  n_bullet_lines * 10 <= n_lines * 9 AS rule_bullet_lines,
+        |  n_ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis_lines,
+        |  n_stopword_hits >= 2 AS rule_stopwords,
+        |  n_alpha_words * 5 >= n_words * 4 AS rule_alpha_words
+        | FROM g)""".stripMargin,
     "text_langid" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_en,
@@ -961,6 +1000,13 @@ object SparkEntry {
     "text_bpe_check" ->
       """SELECT CAST(16 AS BIGINT) AS n_merges,
         | TRUE AS merge_table_matches_reference""".stripMargin,
+    // encode itself has no single-statement SQL form (iterative rank-order
+    // merging); the gate pins the lossless round trip over every word
+    "text_bpe_encode_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(0 AS BIGINT) AS n_roundtrip_mismatches,
+        | TRUE AS encoder_lossless
+        |FROM documents""".stripMargin,
     // the composed selection: exact top-N docs by those weights (ties to
     // lower doc_id — the heap's order), rolled up per lang
     "pipeline_dsir" ->

@@ -52,6 +52,64 @@ object TextAnalysis {
         (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
   }
 
+  /** Gopher-style quality RULE SET (Rae et al. 2021, Appendix A — the
+    * filter battery most crawl pipelines run after language ID):
+    * per-document NAMED rule flags plus the composed `keep` decision, so
+    * a pipeline can both filter and AUDIT which rule fired. Rules:
+    * word count in [50, 100k]; mean word length in [3, 10]; symbol
+    * (`#`/`...`) to word ratio ≤ 0.1; ≤ 90% of lines bullet-started;
+    * ≤ 30% of lines ellipsis-ended; ≥ 2 stopword hits; ≥ 80% of words
+    * containing an alphabetic character.
+    *
+    * Exactness: every ratio threshold is evaluated in INTEGER arithmetic
+    * (`10·n_symbols ≤ n_words`, `3·n_words ≤ sum_word_chars ≤
+    * 10·n_words`, …) — no float division anywhere, so the DuckDB oracle
+    * matches bit-for-bit including boundary documents.
+    *
+    * Scale: map-only (HOF filters + regexp counts over each doc — no
+    * UDF, no shuffle, partitioning preserved); composes in front of
+    * [[selectTokenBudget]] / [[domainMix]] the way the published
+    * pipelines chain it.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_word_chars"),
+        expr("regexp_count(text, '#|\\\\.\\\\.\\\\.')").cast("bigint").as("n_symbols"),
+        size(col("lines")).cast("bigint").as("n_lines"),
+        expr("size(filter(lines, l -> ltrim(l) RLIKE '^[-*]'))").cast("bigint")
+          .as("n_bullet_lines"),
+        expr("size(filter(lines, l -> rtrim(l) LIKE '%...'))").cast("bigint")
+          .as("n_ellipsis_lines"),
+        expr(s"size(filter(toks, t -> lower(t) IN ($sw)))").cast("bigint")
+          .as("n_stopword_hits"),
+        expr("size(filter(toks, t -> t RLIKE '[a-zA-Z]'))").cast("bigint")
+          .as("n_alpha_words"))
+      .withColumn("rule_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_word_len",
+        col("sum_word_chars") >= col("n_words") * 3 &&
+          col("sum_word_chars") <= col("n_words") * 10)
+      .withColumn("rule_symbol_ratio", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("rule_bullet_lines",
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9)
+      .withColumn("rule_ellipsis_lines",
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("rule_stopwords", col("n_stopword_hits") >= 2)
+      .withColumn("rule_alpha_words",
+        col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_bullet_lines") &&
+          col("rule_ellipsis_lines") && col("rule_stopwords") &&
+          col("rule_alpha_words"))
+  }
+
   private val LangMarkers: Seq[(String, String)] = Seq(
     "en" -> "\\\\b(the|and|of|to|in|is)\\\\b",
     "de" -> "\\\\b(der|die|und|das|ist|nicht)\\\\b",
@@ -1351,6 +1409,125 @@ object TextAnalysis {
     import spark.implicits._
     Seq((dist.length.toLong, dist.toSeq == ref))
       .toDF("n_merges", "merge_table_matches_reference")
+  }
+
+  /** BPE ENCODE at corpus scale — the APPLY half of the tokenizer story
+    * ([[bpeMerges]] trains the merge table; this encodes every document
+    * with it, the per-doc token accounting a token-budget pipeline runs):
+    * the canonical encoder — split each word into code-point symbols +
+    * `</w>`, then repeatedly merge the pair with the LOWEST RANK present
+    * (ties to the leftmost occurrence) until no ranked pair remains.
+    * Rank-order encoding (not training-order re-scan) is what real BPE
+    * tokenizers ship.
+    *
+    * Output: (doc_id, n_words, n_tokens, n_chars_tokenized) — the doc's
+    * token count under the TRAINED tokenizer, exact.
+    *
+    * Scale: the merge table is bounded by the `numMerges` PARAMETER, so
+    * its broadcast is safe by construction; encoding is one
+    * `mapPartitions` pass (per-doc work ∝ text length × merges applied,
+    * no shuffle, partitioning preserved). The gate
+    * ([[bpeEncodeCheck]]) asserts the lossless round trip distributed-ly:
+    * concatenating each word's tokens and stripping `</w>` must rebuild
+    * the exact word, for EVERY word of EVERY doc — plus token counts
+    * bounded by [1, chars+1] per word.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      numMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      bpeMerges(spark, dir, numMerges).collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+")
+          var nTokens = 0L
+          var nChars = 0L
+          for (w <- words) {
+            val toks = encodeWord(w, r)
+            nTokens += toks.length
+            nChars += w.length.toLong
+          }
+          (id, words.length.toLong, nTokens, nChars)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars_tokenized")
+  }
+
+  /** One word through the rank-order BPE encoder (code-point symbols +
+    * `</w>` terminal; lowest rank first, leftmost on equal rank — the
+    * leftmost rule is unreachable for a well-formed table since ranks are
+    * unique, but pinned for safety).
+    */
+  private[graft] def encodeWord(w: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    buf += "</w>"
+    var done = false
+    while (!done && buf.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < buf.length - 1) {
+        val rk = ranks.getOrElse((buf(j), buf(j + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        buf(bestIdx) = buf(bestIdx) + buf(bestIdx + 1)
+        buf.remove(bestIdx + 1)
+      }
+    }
+    buf.toVector
+  }
+
+  /** Oracle-checked gate for [[bpeEncode]]: re-encodes every word of
+    * every document and asserts, DISTRIBUTED (no corpus-sized collect),
+    * that (a) concatenating the word's tokens and stripping the `</w>`
+    * terminal rebuilds the word EXACTLY (the encoder is lossless), and
+    * (b) each word's token count sits in [1, code-points + 1]. A green
+    * row proves the broadcast-table encoder inverts cleanly over the
+    * whole corpus; the oracle pins the constants (rows, zero mismatches)
+    * the way `text_bpe_check` does.
+    */
+  def bpeEncodeCheck(spark: SparkSession, dir: String,
+      numMerges: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      bpeMerges(spark, dir, numMerges).collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val perDoc = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+")
+          var bad = 0L
+          for (w <- words) {
+            val toks = encodeWord(w, r)
+            val rebuilt = toks.mkString("")
+            val nCp = w.codePointCount(0, w.length)
+            if (rebuilt != w + "</w>" || toks.length < 1 || toks.length > nCp + 1)
+              bad += 1
+          }
+          (id, bad)
+        }
+      }
+    perDoc.toDF("doc_id", "bad")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_roundtrip_mismatches"))
+      .select(col("n_docs"), col("n_roundtrip_mismatches"),
+        (col("n_roundtrip_mismatches") === 0L).as("encoder_lossless"))
   }
 
   /** The collected, maxVocab-guarded word-type histogram — BPE's bounded

@@ -1374,6 +1374,7 @@ class EntryContractSpec extends AnyFunSuite {
       "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
       "ann_ivfpq" -> "ann_ivfpq_check",
       "text_bpe" -> "text_bpe_check",
+      "text_bpe_encode" -> "text_bpe_encode_check",
       "sketch_distinct" -> "sketch_distinct_check",
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
@@ -1596,6 +1597,31 @@ class BpeSpec extends AnyFunSuite {
     assert(gate.length == 1)
     assert(gate.head.getLong(0) == 16L, s"expected 16 productive merges: ${gate.head}")
     assert(gate.head.getBoolean(1), "distributed BPE diverged from the reference implementation")
+  }
+
+  test("r9: rank-order BPE encode — hand-computed tokens + exact corpus accounting") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-enc").toString
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // trained table: (e,s)(es,t)(est,</w>)(l,o)(lo,w) — see the classic test
+    val ranks = graft.operators.TextAnalysis.bpeMerges(spark, tmp, 5).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    def enc(w: String) = graft.operators.TextAnalysis.encodeWord(w, ranks)
+    assert(enc("low") == Vector("low", "</w>"))
+    assert(enc("lower") == Vector("low", "e", "r", "</w>"))
+    assert(enc("newest") == Vector("n", "e", "w", "est</w>"))
+    assert(enc("widest") == Vector("w", "i", "d", "est</w>"))
+    assert(enc("unseen") == Vector("u", "n", "s", "e", "e", "n", "</w>"))
+    // corpus accounting: 5*2 + 2*4 + 6*4 + 3*4 = 54 tokens over 16 words
+    val row = graft.operators.TextAnalysis.bpeEncode(spark, tmp, 5).collect().head
+    assert((row.getLong(1), row.getLong(2)) == ((16L, 54L)), s"got $row")
+    // gate: lossless round trip on the REAL corpus
+    val gate = graft.operators.TextAnalysis.bpeEncodeCheck(spark, SparkSpec.testDataDir)
+      .collect().head
+    assert(gate.getLong(1) == 0L && gate.getBoolean(2), s"gate: $gate")
   }
 
   test("r9: driver-side incremental trainer == distributed fold on the real corpus") {
