@@ -234,6 +234,9 @@ object SparkEntry {
     // REAL audio feature extraction: WAV PCM bytes built per doc, int16
     // samples decoded back, exact integer features; torn files quarantine (r8)
     "mm_audio_pcm" -> (Multimodal.audioPcmQuery _),
+    // REAL pixel decode: planted 9x8 BMPs parsed byte-by-byte back to
+    // pixels, reduced to the 64-bit perceptual dHash; torn files -1 (r9)
+    "mm_image_dhash" -> (Multimodal.imageDhashQuery _),
     // frame-level twin: fixed 32-sample windows -> per-frame energy rows
     "mm_audio_frames" -> ((s, d) => Multimodal.audioFrameQuery(s, d)),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
@@ -1740,6 +1743,32 @@ object SparkEntry {
         | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.peak END AS BIGINT) AS peak,
         | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.zc END AS BIGINT) AS zero_cross
         |FROM par p JOIN z USING (doc_id)""".stripMargin,
+    "mm_image_dhash" ->
+      """WITH par AS (SELECT doc_id, doc_id % 7 = 0 AS corrupt FROM documents),
+        |grid AS (
+        | SELECT doc_id, tx.range AS x, ty.range AS y,
+        |  (299 * ((doc_id * 5 + tx.range * 19 + ty.range * 29) % 256)
+        |   + 587 * ((doc_id * 11 + tx.range * 17 + ty.range * 23) % 256)
+        |   + 114 * ((doc_id * 7 + tx.range * 13 + ty.range * 31) % 256)) // 1000 AS gray
+        | FROM par, range(0, 9) tx, range(0, 8) ty
+        | WHERE NOT corrupt),
+        |bits AS (
+        | SELECT a.doc_id, a.x, a.y,
+        |  CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        | FROM grid a JOIN grid b
+        |  ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+        | WHERE a.x < 8),
+        |hash AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS hi,
+        |  sum(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x)) ELSE 0 END) AS lo
+        | FROM bits GROUP BY doc_id)
+        |SELECT p.doc_id, NOT p.corrupt AS parsed,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE 9 END AS BIGINT) AS width,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE 8 END AS BIGINT) AS height,
+        | CAST(COALESCE(h.hi, -1) AS BIGINT) AS dhash_hi,
+        | CAST(COALESCE(h.lo, -1) AS BIGINT) AS dhash_lo
+        |FROM par p LEFT JOIN hash h USING (doc_id)""".stripMargin,
     "mm_audio_frames" ->
       """WITH par AS (
         | SELECT doc_id, 2 * (32 + doc_id % 64) AS n, doc_id % 7 = 0 AS corrupt

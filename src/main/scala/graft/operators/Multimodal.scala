@@ -665,6 +665,143 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Builds a REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, positive height ⇒ BOTTOM-UP rows, BGR byte order,
+    * rows padded to 4 bytes — every quirk a real decoder must handle).
+    * With `truncate=true` the headers declare the full pixel array but the
+    * payload ends halfway through the pixel data — the torn-file shape.
+    * `rgb(x, y)` is addressed in TOP-DOWN image coordinates.
+    */
+  private[graft] def bmpBytes(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      truncate: Boolean = false): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val imageSize = stride * h
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    w32(14 + 40 + imageSize) // file size
+    w16(0); w16(0)
+    w32(54) // offBits
+    w32(40); w32(w); w32(h) // positive height: bottom-up
+    w16(1); w16(24) // planes, bpp
+    w32(0); w32(imageSize) // BI_RGB, image size
+    w32(2835); w32(2835); w32(0); w32(0)
+    val full = new Array[Byte](imageSize)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row // bottom-up: first stored row is the image's last
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        val off = row * stride + x * 3
+        full(off) = b.toByte; full(off + 1) = g.toByte; full(off + 2) = r.toByte
+        x += 1
+      }
+      row += 1
+    }
+    out.write(full, 0, if (truncate) imageSize / 2 else imageSize)
+    out.toByteArray
+  }
+
+  /** Full PIXEL decode of a 24-bit uncompressed BMP — headers validated
+    * ('BM' magic, BI_RGB, 24 bpp), `bfOffBits` honored, bottom-up vs
+    * top-down height handled, 4-byte row padding skipped, and the entire
+    * pixel array read back as TOP-DOWN (r, g, b) rows. A pixel array whose
+    * declared size overruns the payload (torn file) quarantines to None —
+    * this is the real codec-free leg of the image-decode story (PPM and
+    * BMP need no external library; JPEG et al. remain the documented
+    * stub).
+    */
+  def bmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Array[(Int, Int, Int)]])] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val offBits = le32(payload, 10)
+    val hdrSize = le32(payload, 14)
+    val w = le32(payload, 18)
+    val hRaw = le32(payload, 22)
+    val planes = le16(payload, 26)
+    val bpp = le16(payload, 28)
+    val compression = le32(payload, 30)
+    if (hdrSize < 40 || planes != 1 || bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (offBits < 54 || offBits.toLong + stride.toLong * h > payload.length) return None
+    val rows = Array.ofDim[(Int, Int, Int)](h, w)
+    var row = 0
+    while (row < h) {
+      val y = if (bottomUp) h - 1 - row else row
+      var x = 0
+      while (x < w) {
+        val off = offBits + row * stride + x * 3
+        rows(y)(x) = ((payload(off + 2) & 0xff, payload(off + 1) & 0xff, payload(off) & 0xff))
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, rows))
+  }
+
+  /** One planted-image dHash row ([[imageDhashQuery]]); −1s when torn. */
+  final case class ImageDhash(doc_id: Long, parsed: Boolean, width: Long,
+      height: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference-hash over REAL decoded BMP pixels — the
+    * near-dup fingerprint image pipelines compute right after decode
+    * (dHash: Krawetz 2013): per doc a spec-conformant 9×8 24-bit BMP is
+    * built ([[bmpBytes]]) whose channels follow planted arithmetic
+    * (`b = (id·7 + x·13 + y·31) mod 256`, `g = (id·11 + x·17 + y·23) mod
+    * 256`, `r = (id·5 + x·19 + y·29) mod 256`), parsed BACK byte-by-byte
+    * ([[bmpPixels]] — bottom-up rows, BGR, padding honored), reduced to
+    * integer luma `(299r + 587g + 114b) div 1000`, and hashed as the 64
+    * horizontal-gradient bits `gray(x+1, y) > gray(x, y)`, packed into
+    * two 32-bit halves (BIGINT-safe on both engines). The 9×8 canvas is
+    * dHash's native resample target, so the hash here measures DECODE
+    * exactness (the resampler is [[resize]]'s contract). Every 7th doc is
+    * a torn file (headers declare the full pixel array, payload ends
+    * halfway) and must quarantine to −1s. The DuckDB oracle recomputes
+    * every bit from the planting arithmetic — a green row proves the
+    * byte-level pixel decode inverts the builder exactly.
+    * Per-partition, no shuffle, constant memory.
+    */
+  def imageDhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val corrupt = id % 7 == 0
+          def chan(x: Int, y: Int): (Int, Int, Int) = (
+            (((id * 5 + x * 19 + y * 29) % 256 + 256) % 256).toInt,
+            (((id * 11 + x * 17 + y * 23) % 256 + 256) % 256).toInt,
+            (((id * 7 + x * 13 + y * 31) % 256 + 256) % 256).toInt)
+          val payload = bmpBytes(9, 8, chan, truncate = corrupt)
+          bmpPixels(payload) match {
+            case Some((w, h, px)) =>
+              def gray(x: Int, y: Int): Long = {
+                val (r, g, b) = px(y)(x)
+                (299L * r + 587L * g + 114L * b) / 1000L
+              }
+              var hi = 0L; var lo = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (gray(x + 1, y) > gray(x, y)) {
+                    if (y < 4) hi |= 1L << (y * 8 + x)
+                    else lo |= 1L << ((y - 4) * 8 + x)
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              ImageDhash(id, parsed = true, w.toLong, h.toLong, hi, lo)
+            case None => ImageDhash(id, parsed = false, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF()
+  }
+
   /** One fixed-width PCM analysis frame ([[audioFrameQuery]]). */
   final case class AudioFrame(doc_id: Long, frame_idx: Long, n_in_frame: Long, frame_energy: Long)
 

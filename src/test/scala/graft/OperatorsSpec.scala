@@ -1478,6 +1478,48 @@ class AudioPcmSpec extends AnyFunSuite {
     assert(s.toSeq == samples.toSeq, "decoded samples must be bit-identical")
   }
 
+  test("r9: bmpPixels inverts bmpBytes exactly — bottom-up, padding, torn files") {
+    def rgb(x: Int, y: Int): (Int, Int, Int) = ((x * 37 + y) % 256, (y * 53 + x) % 256, (x + y * 7) % 256)
+    // width 9: stride 27 -> padded to 28, exercising the row-padding path
+    val Some((w, h, px)) = Multimodal.bmpPixels(Multimodal.bmpBytes(9, 8, rgb))
+    assert(w == 9 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(px(y)(x) == rgb(x, y), s"pixel ($x, $y) decoded wrong")
+    // torn pixel array quarantines, garbage quarantines
+    assert(Multimodal.bmpPixels(Multimodal.bmpBytes(9, 8, rgb, truncate = true)).isEmpty)
+    assert(Multimodal.bmpPixels(Array.fill[Byte](60)(0x42)).isEmpty)
+    // TOP-DOWN BMP (negative height) must decode to the same image
+    val bottomUp = Multimodal.bmpBytes(4, 3, rgb)
+    val topDown = bottomUp.clone()
+    // flip height sign to -3 (little-endian at offset 22)...
+    topDown(22) = (-3 & 0xff).toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    val Some((_, _, tdPx)) = Multimodal.bmpPixels(topDown)
+    val Some((_, _, buPx)) = Multimodal.bmpPixels(bottomUp)
+    // ...which reverses the row order relative to the bottom-up read
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(tdPx(y)(x) == buPx(3 - 1 - y)(x), s"top-down row order at ($x, $y)")
+  }
+
+  test("r9: planted image dHash — corrupt rows -1, hashes deterministic and varied") {
+    val rows = Multimodal.imageDhashQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 0) assert(!r.getBoolean(1) && r.getLong(4) == -1L, s"torn doc $id")
+      else {
+        assert(r.getBoolean(1) && r.getLong(2) == 9L && r.getLong(3) == 8L, s"doc $id dims")
+        assert(r.getLong(4) >= 0L && r.getLong(4) < (1L << 32), s"doc $id hi half out of range")
+        assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 32), s"doc $id lo half out of range")
+      }
+    }
+    // the planted gradient pattern must not hash every image identically
+    val distinct = rows.values.filter(_.getBoolean(1))
+      .map(r => (r.getLong(4), r.getLong(5))).toSet
+    assert(distinct.size > 10, s"suspiciously few distinct hashes: ${distinct.size}")
+  }
+
   test("torn data chunk (declared size overruns payload) quarantines, never throws") {
     val samples = Array.tabulate(64)(i => (i * 3).toShort)
     val torn = Multimodal.wavPcmBytes(8000, 1, samples, truncate = true)
