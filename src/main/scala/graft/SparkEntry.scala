@@ -159,6 +159,9 @@ object SparkEntry {
     // backward as-of against a reference-shaped workload: last-touch
     // attribution purchases->clicks with a synthesized hot user (r9)
     "events_attribution_lasttouch" -> (Relational.attributionLastTouch _),
+    // cohort retention triangle: one user_id exchange builds cohort week +
+    // calendar-bounded active-week set in the same aggregate (r9)
+    "events_retention" -> (Relational.eventsRetention _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -1417,6 +1420,20 @@ object SparkEntry {
         | WHERE c.event_type = 'click' AND c.uid = p.uid
         |  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id <= p.event_id))
         | ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE""".stripMargin,
+    "events_retention" ->
+      """WITH w AS (
+        | SELECT user_id, epoch_us(ts) // CAST(604800000000 AS BIGINT) AS week
+        | FROM events),
+        |pu AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+        |act AS (
+        | SELECT pu.cohort_week, dw.week - pu.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active_users
+        | FROM (SELECT DISTINCT user_id, week FROM w) dw JOIN pu USING (user_id)
+        | GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active_users,
+        | c.n_active_users AS cohort_size
+        |FROM act a JOIN act c
+        | ON a.cohort_week = c.cohort_week AND c.week_offset = 0""".stripMargin,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,
     "events_interval_left_join" ->

@@ -563,6 +563,36 @@ object Relational {
         count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
 
+  /** COHORT RETENTION — the product-analytics triangle: users cohorted by
+    * first-seen week, counted per (cohort, week-offset) of later activity,
+    * plus the cohort size (offset-0 count is the cohort size by
+    * definition — every user is active in their own first week).
+    *
+    * Scale: ONE exchange on user_id builds both the cohort week and the
+    * user's distinct active-week SET in the same aggregate — the set is
+    * bounded by the CALENDAR (weeks in the data's time span), never by
+    * event volume, so per-user state is a few dozen longs at any corpus
+    * size; the explode + second map-combined aggregate exchanges one row
+    * per (cohort, offset) pair. No window, no distinct-then-join (which
+    * would shuffle (user, week) pairs twice on different keys). All
+    * integer outputs — the DuckDB oracle matches bit-for-bit.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events(spark, dir)
+      .withColumn("week", expr(s"unix_micros(ts) div $weekUs"))
+    val perUser = e.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"), collect_set(col("week")).as("weeks"))
+    val active = perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+    val cohortSize = active.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active_users").as("cohort_size"))
+    active.join(cohortSize, Seq("cohort_week"))
+      .select("cohort_week", "week_offset", "n_active_users", "cohort_size")
+  }
+
   /** LEFT SEMI join: customers having at least one order above 200k.
     * The probe side (orders, filtered) can be broadcast; at 100 TB a semi
     * join ships only the distinct keys of the filtered side — never the

@@ -1707,6 +1707,34 @@ class BpeSpec extends AnyFunSuite {
   }
 }
 
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: cohort retention triangle on a decaying fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("retention").toString
+    val weekUs = 7L * 86400L * 1000000L
+    // cohort week 0: users 1..4 — u1 active weeks {0,1,2}, u2 {0,1},
+    // u3 {0}, u4 {0,2}; cohort week 1: users 5..6 — u5 {1,2}, u6 {1}
+    val activity = Seq(
+      1L -> Seq(0, 1, 2), 2L -> Seq(0, 1), 3L -> Seq(0), 4L -> Seq(0, 2),
+      5L -> Seq(1, 2), 6L -> Seq(1))
+    val rows = for {
+      (u, weeks) <- activity; w <- weeks
+      r <- 0 to 1 // two events per active week — distinctness must dedup
+    } yield (u * 100 + w * 10 + r, u, w.toLong * weekUs + u * 1000L + r, "click")
+    rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.eventsRetention(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((4L, 4L)), (0L, 1L) -> ((2L, 4L)), (0L, 2L) -> ((2L, 4L)),
+      (1L, 0L) -> ((2L, 2L)), (1L, 1L) -> ((1L, 2L))), s"got $got")
+  }
+}
+
 class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
