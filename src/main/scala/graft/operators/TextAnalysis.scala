@@ -1359,10 +1359,15 @@ object TextAnalysis {
         .toDF("rank", "left", "right", "merged", "freq")
     }
     var syms = wordTypes(docs(spark, dir))
-      // regexp '(?s).' splits into CODE POINTS (a supplementary char is one
-      // symbol, never a surrogate half) — matching the driver reference
+      // CODE-POINT split (a supplementary char is one symbol, never a
+      // surrogate half) — matching the driver reference. ASCII words (the
+      // overwhelming majority of any real vocabulary) take the cheap
+      // split('') path, which is identical there (1 byte = 1 code point);
+      // only words with non-ASCII bytes pay the regexp walk.
       .select(col("cnt"), concat(
-        expr("regexp_extract_all(w, '(?s).', 0)"), array(lit("</w>"))).as("s"))
+        when(expr("w RLIKE '^[\\\\x01-\\\\x7F]*$'"), split(col("w"), ""))
+          .otherwise(expr("regexp_extract_all(w, '(?s).', 0)")),
+        array(lit("</w>"))).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var exhausted = false // a best pair under freq 2 ends training early

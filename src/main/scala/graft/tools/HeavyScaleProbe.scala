@@ -130,7 +130,10 @@ object HeavyScaleProbe {
       ("ann_ivfpq", (s, d) => graft.operators.Similarity.ivfPqTopK(s, d).count()),
       // r8: DSIR — occurrence stream scales with tokens, model stays 1024
       // buckets; exponent proves the bounded-broadcast apply join scales
-      ("text_dsir", (s, d) => graft.operators.TextAnalysis.dsirWeights(s, d).count()))
+      ("text_dsir", (s, d) => graft.operators.TextAnalysis.dsirWeights(s, d).count()),
+      // r9: the pruned-LM twin — top-K heap caps the model side; probe it
+      // NEXT TO the exact scorer so the two exponents read side by side
+      ("text_lm_xent_pruned", (s, d) => graft.operators.TextAnalysis.lmCrossEntropyPruned(s, d).count()))
 
     val results = scala.collection.mutable.Map[(String, Int), (Double, Long)]()
     for (kRep <- Seq(1, bigK)) {
