@@ -60,6 +60,33 @@ object ExportCli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 
+      // --incrementalColumn + --stateDir: high-watermark delta export —
+      // only rows strictly above the persisted max; state written after
+      // success (see IncrementalExport for the exactly-once argument).
+      // NOTE: handled as an if/else, NOT an early return — a `return`
+      // inside this `try` would throw NonLocalReturnControl into the
+      // catch-all and exit 49.
+      if (opts.contains("incrementalColumn")) {
+        val incCol = opts("incrementalColumn")
+        val stateDir = opts.getOrElse("stateDir",
+          throw new IllegalArgumentException("--incrementalColumn requires --stateDir"))
+        val schemaCfgInc = AvroSchemaGen.Config(
+          tableName = table,
+          schemaName = sinkArgs.avroSchemaName,
+          namespace = sinkArgs.avroSchemaNamespace,
+          doc = sinkArgs.avroDoc,
+          connectionUrl = s"parquet:$input",
+          useLogicalTypes = sinkArgs.useAvroLogicalTypes,
+          nullableArrayItems = opts.contains("nullableArrayItems"))
+        val result = IncrementalExport.run(
+          spark, input, output, stateDir, incCol,
+          sinkArgs = sinkArgs, schemaCfg = schemaCfgInc,
+          minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
+          dataOnly = opts.contains("dataOnly"))
+        println(ExportJob.metricsJson(result.metrics.toMap))
+        spark.stop()
+      } else {
+
       // --sqlFile: dbeam's user-query path (exactly one of --table /
       // --sqlFile drives the base query, reference
       // `JdbcExportArgsFactory.java:154-156`).
@@ -131,6 +158,7 @@ object ExportCli {
 
       println(ExportJob.metricsJson(result.metrics.toMap))
       spark.stop()
+      }
     } catch {
       case t: Throwable =>
         System.err.println(s"Export failed: ${t.getMessage}")

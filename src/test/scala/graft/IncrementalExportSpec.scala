@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.IncrementalExport
+
+/** High-watermark incremental export: consecutive successful runs are
+  * non-overlapping, their union is the full table, the watermark never
+  * regresses, and an empty delta is a clean no-op export.
+  */
+class IncrementalExportSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def readIds(outDir: String): Seq[Long] = {
+    val files = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.endsWith(".avro")).sortBy(_.getName)
+    files.flatMap { f =>
+      import scala.jdk.CollectionConverters._
+      val r = new org.apache.avro.file.DataFileReader(f,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val ids = r.iterator().asScala.map(_.get("id").asInstanceOf[Long]).toVector
+      r.close(); ids
+    }.toSeq.sorted
+  }
+
+  test("r9: three-run incremental protocol over a growing table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    (1L to 100L).toDF("id").withColumn("payload", col("id") * 2)
+      .write.mode("overwrite").parquet(in)
+    val r1 = IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    assert(r1.metrics.recordCount == 100)
+    assert(readIds(s"$root/run1") == (1L to 100L))
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "100")))
+
+    // append a second file — only the delta may export
+    (101L to 150L).toDF("id").withColumn("payload", col("id") * 2)
+      .write.mode("append").parquet(in)
+    val r2 = IncrementalExport.run(spark, in, s"$root/run2", state, "id")
+    assert(r2.metrics.recordCount == 50)
+    assert(readIds(s"$root/run2") == (101L to 150L))
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "150")))
+
+    // no new data: zero rows, watermark unchanged
+    val r3 = IncrementalExport.run(spark, in, s"$root/run3", state, "id")
+    assert(r3.metrics.recordCount == 0)
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "150")))
+  }
+
+  test("r9: timestamp watermark round-trips through the state literal") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-ts").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    (0L until 10L).toDF("n")
+      .select(col("n").as("id"), timestamp_micros(col("n") * 3600000000L).as("ts"))
+      .write.mode("overwrite").parquet(in)
+    val r1 = IncrementalExport.run(spark, in, s"$root/run1", state, "ts")
+    assert(r1.metrics.recordCount == 10)
+    val s1 = IncrementalExport.readState(conf, state).get
+    assert(s1.column == "ts" && s1.maxLiteral.nonEmpty)
+
+    (10L until 15L).toDF("n")
+      .select(col("n").as("id"), timestamp_micros(col("n") * 3600000000L).as("ts"))
+      .write.mode("append").parquet(in)
+    val r2 = IncrementalExport.run(spark, in, s"$root/run2", state, "ts")
+    assert(r2.metrics.recordCount == 5, s"state literal $s1 must parse back exactly")
+  }
+
+  test("r9: mixed-column state refuses, unsupported type refuses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-bad").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    (1L to 5L).toDF("id").withColumn("v", col("id") * 0.5)
+      .write.mode("overwrite").parquet(in)
+    IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    intercept[IllegalArgumentException] {
+      IncrementalExport.run(spark, in, s"$root/run2", state, "v") // double: unsupported
+    }
+    intercept[IllegalArgumentException] {
+      // different (supported) column against the same state dir
+      (1L to 5L).toDF("id").withColumn("w", col("id") + 10)
+        .write.mode("overwrite").parquet(s"$root/in2")
+      IncrementalExport.run(spark, s"$root/in2", s"$root/run3", state, "w")
+    }
+  }
+}
