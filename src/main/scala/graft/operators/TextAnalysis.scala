@@ -71,9 +71,17 @@ object TextAnalysis {
     * [[selectTokenBudget]] / [[domainMix]] the way the published
     * pipelines chain it.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(docs(spark, dir))
+
+  /** [[gopherRules]] body over any (doc_id, text) frame — shared verbatim
+    * by the STREAMING filter ([[graft.streaming.StreamQuality]]), so the
+    * online path cannot drift from the batch contract. Pure per-row
+    * function: stateless on a stream, idempotent under re-delivery.
+    */
+  def gopherRulesOn(d: DataFrame): DataFrame = {
     val sw = Stopwords.map(s => s"'$s'").mkString(", ")
-    docs(spark, dir)
+    d
       .withColumn("toks", Portable.tokens("text"))
       .withColumn("lines", split(col("text"), "\n"))
       .select(

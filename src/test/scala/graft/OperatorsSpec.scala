@@ -1707,6 +1707,42 @@ class BpeSpec extends AnyFunSuite {
   }
 }
 
+class StreamQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: streaming gopher rules across micro-batches == batch on the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream-quality").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-quality-ckpt").toString
+    try {
+      val good = (1 to 30).map(i => s"token$i words the data of system").mkString(" ")
+      val b1 = Seq((1L, good), (2L, "### ### ###"), (3L, "tiny doc"))
+      val b2 = Seq((4L, good + " more the of and tokens"), (5L, ("x " * 60).trim))
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamQuality.start(
+        mem.toDF().toDF("doc_id", "text"), out, ckpt)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.read.parquet(s"$out/batch_0", s"$out/batch_1")
+        .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+      val batch = graft.operators.TextAnalysis.gopherRulesOn(
+          (b1 ++ b2).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+      assert(streamed == batch, "stream and batch gopher rules diverged")
+      val keeps = spark.read.parquet(s"$out/batch_0", s"$out/batch_1")
+        .filter(org.apache.spark.sql.functions.col("keep")).collect().map(_.getLong(0)).toSet
+      assert(keeps.contains(1L) && !keeps.contains(2L) && !keeps.contains(3L),
+        s"rule outcomes off: $keeps")
+    } finally {
+      for (d <- Seq(out, ckpt))
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+}
+
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 

@@ -313,6 +313,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$plan")
   }
 
+  test("r9: retention reuses the single user_id exchange; no window anywhere") {
+    val df = SparkEntry.queries("events_retention")(spark, dir)
+    df.collect() // AQE: exchange reuse appears in the FINAL plan only
+    // the adaptive plan string appends an "== Initial Plan ==" section —
+    // assert on the final section alone
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window "), s"retention must not use a window:\n$plan")
+    // a ReusedExchange line quotes its target ("ReusedExchange [...],
+    // Exchange hashpartitioning(user_id...") — count only real exchanges
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+    assert(userExchanges == 1,
+      s"expected exactly ONE user_id exchange (cohort-size branch must reuse it), got $userExchanges:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+        plan.contains("TableCacheQueryStage"),
+      s"cohort-size branch must reuse the corpus exchange, not rescan:\n$plan")
+  }
+
   test("r9: the as-of catalog family routes through the native AsOfJoinExec") {
     // events_asof_purchase / _skew (backward strict) and the last-touch
     // attribution row (backward inclusive, hot-key fixture) must all plan
