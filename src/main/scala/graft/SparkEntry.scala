@@ -54,6 +54,17 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // distributed lossless round trip: rebuild every word from its tokens
     "text_bpe_encode_check" -> ((s, d) => TextAnalysis.bpeEncodeCheck(s, d)),
+    // same encode through the persisted merge-table artifact (train once,
+    // apply everywhere); spec pins store == direct bit-equal
+    "text_bpe_encode_store" -> ((s, d) => {
+      val store = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
+      TextAnalysis.writeBpeModel(s, d, store)
+      TextAnalysis.bpeEncodeViaStore(s, d, store)
+    }),
+    // first-fit-decreasing whole-document packing into capacity-token bins
+    "text_pack_bins" -> ((s, d) => TextAnalysis.packBins(s, d)),
+    // gate: zero overfilled bins + bin count within 2*LB+1 per chunk
+    "text_pack_bins_check" -> ((s, d) => TextAnalysis.packBinsCheck(s, d)),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii" -> (TextAnalysis.piiFilter _),
@@ -1012,6 +1023,15 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(0 AS BIGINT) AS n_roundtrip_mismatches,
         | TRUE AS encoder_lossless
+        |FROM documents""".stripMargin,
+    // FFD assignment itself has no SQL form; n_docs/n_oversize are
+    // independently derivable and the two invariants are pinned TRUE
+    "text_pack_bins_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 1024
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        | TRUE AS zero_overflow_bins,
+        | TRUE AS bins_within_2x
         |FROM documents""".stripMargin,
     // the composed selection: exact top-N docs by those weights (ties to
     // lower doc_id — the heap's order), rolled up per lang

@@ -517,6 +517,87 @@ object TextAnalysis {
       .withColumn("bin_id", expr(s"start_offset div ${capacity}L"))
   }
 
+  /** FIRST-FIT-DECREASING sequence packing — [[packSequences]]' quality
+    * upgrade: instead of slicing the shard's doc stream at running-offset
+    * boundaries (simple, but bins straddle documents), FFD packs WHOLE
+    * documents into `capacity`-token bins, the packing real training
+    * pipelines run so attention never crosses document boundaries without
+    * masking. Classic guarantee: FFD uses ≤ 11/9·OPT + 1 bins; the gate
+    * asserts the (looser, parameter-free) 2·LB + 1 bound per chunk plus
+    * zero bin overflows.
+    *
+    * Scale contract: packing is sequential by nature, so it runs per
+    * (shard, chunk) — shards are the parallelism knob, and each shard's
+    * ranked doc stream is cut into `chunkDocs`-sized chunks so the
+    * in-memory FFD state (the open-bin list) is bounded by a PARAMETER,
+    * never the corpus. Oversize docs (> capacity tokens) get a flagged
+    * singleton bin instead of poisoning the fit. Deterministic: ranking
+    * and the in-chunk sort share the (tokens desc, doc_id) order, so the
+    * same corpus packs identically on any engine/partitioning.
+    */
+  def packBins(spark: SparkSession, dir: String, capacity: Long = 1024,
+      shards: Int = 8, chunkDocs: Int = 4096): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(desc("n_tokens"), col("doc_id"))
+    val ranked = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
+        size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
+      .withColumn("chunk", ((row_number().over(w) - 1) / chunkDocs).cast("int"))
+      .as[(Long, Int, Long, Int)]
+    ranked
+      .groupByKey { case (_, shard, _, chunk) => (shard, chunk) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Long, Int, Long, Int)]) =>
+        val (shard, chunk) = key
+        val ds = it.toArray.sortBy { case (id, _, n, _) => (-n, id) }
+        val remaining = scala.collection.mutable.ArrayBuffer[Long]()
+        ds.iterator.map { case (id, _, n, _) =>
+          if (n > capacity) {
+            remaining += 0L // flagged singleton bin, never re-filled
+            (id, shard, chunk, remaining.length - 1, n, true)
+          } else {
+            var b = 0
+            while (b < remaining.length && remaining(b) < n) b += 1
+            if (b == remaining.length) remaining += capacity
+            remaining(b) -= n
+            (id, shard, chunk, b, n, false)
+          }
+        }
+      }
+      .toDF("doc_id", "shard", "chunk", "bin_id", "n_tokens", "oversize")
+  }
+
+  /** Oracle-checked gate for [[packBins]]: zero overfilled bins (each
+    * non-oversize bin's token sum ≤ capacity), and per (shard, chunk) the
+    * bin count within 2·⌈tokens/capacity⌉ + 1 of the lower bound — both
+    * computed DISTRIBUTED over the packed output; n_docs / n_oversize are
+    * independently SQL-derivable, so the oracle checks the whole row.
+    */
+  def packBinsCheck(spark: SparkSession, dir: String,
+      capacity: Long = 1024): DataFrame = {
+    val packed = packBins(spark, dir, capacity)
+    val fills = packed.filter(!col("oversize"))
+      .groupBy("shard", "chunk", "bin_id")
+      .agg(sum(col("n_tokens")).as("fill"))
+    val overflows = fills.agg(
+      sum(when(col("fill") > capacity, 1L).otherwise(0L)).as("n_overflow"))
+    val perChunk = packed.filter(!col("oversize"))
+      .groupBy("shard", "chunk")
+      .agg(countDistinct(col("bin_id")).as("n_bins"), sum(col("n_tokens")).as("toks"))
+      .agg(sum(when(
+        col("n_bins") > (col("toks") + capacity - 1) / capacity * 2 + 1, 1L)
+        .otherwise(0L)).as("n_loose"))
+    val counts = packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
+    counts.crossJoin(overflows).crossJoin(perChunk)
+      .select(col("n_docs"), col("n_oversize"),
+        (col("n_overflow") === 0L).as("zero_overflow_bins"),
+        (col("n_loose") === 0L).as("bins_within_2x"))
+  }
+
   /** Within-document repetition (a Gopher-style quality filter): the
     * fraction of word 3-grams that are repeats of an earlier gram in the
     * same document. High ratios flag boilerplate/spam for removal before
@@ -1447,27 +1528,10 @@ object TextAnalysis {
     */
   def bpeEncode(spark: SparkSession, dir: String,
       numMerges: Int = 16): DataFrame = {
-    import spark.implicits._
     val ranks: Map[(String, String), Int] =
       bpeMerges(spark, dir, numMerges).collect()
         .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
-    val bc = spark.sparkContext.broadcast(ranks)
-    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val r = bc.value
-        it.map { case (id, text) =>
-          val words = text.trim.split("\\s+")
-          var nTokens = 0L
-          var nChars = 0L
-          for (w <- words) {
-            val toks = encodeWord(w, r)
-            nTokens += toks.length
-            nChars += w.length.toLong
-          }
-          (id, words.length.toLong, nTokens, nChars)
-        }
-      }
-      .toDF("doc_id", "n_words", "n_tokens", "n_chars_tokenized")
+    encodeDocsWith(spark, dir, ranks)
   }
 
   /** One word through the rank-order BPE encoder (code-point symbols +
@@ -1541,6 +1605,51 @@ object TextAnalysis {
         sum(col("bad")).as("n_roundtrip_mismatches"))
       .select(col("n_docs"), col("n_roundtrip_mismatches"),
         (col("n_roundtrip_mismatches") === 0L).as("encoder_lossless"))
+  }
+
+  /** Persists the trained BPE merge table — ≤ `numMerges` rows of parquet,
+    * the tokenizer artifact a deployment trains once on a frozen corpus
+    * snapshot and applies to every new shard and stream (the
+    * `writeDsirModel` discipline for the tokenizer).
+    */
+  def writeBpeModel(spark: SparkSession, dir: String, storeDir: String,
+      numMerges: Int = 16): Unit =
+    bpeMerges(spark, dir, numMerges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/bpe_merges.parquet")
+
+  /** [[bpeEncode]] against a PERSISTED merge table — loads the ≤ numMerges
+    * artifact (bounded by the training parameter, never the corpus) and
+    * encodes through the identical rank-order encoder, so store and
+    * in-session paths cannot drift (spec-pinned bit-equal).
+    */
+  def bpeEncodeViaStore(spark: SparkSession, dir: String, storeDir: String): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      spark.read.parquet(s"$storeDir/bpe_merges.parquet").collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    encodeDocsWith(spark, dir, ranks)
+  }
+
+  /** Shared encode body of [[bpeEncode]] and [[bpeEncodeViaStore]]. */
+  private def encodeDocsWith(spark: SparkSession, dir: String,
+      ranks: Map[(String, String), Int]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+")
+          var nTokens = 0L
+          var nChars = 0L
+          for (w <- words) {
+            val toks = encodeWord(w, r)
+            nTokens += toks.length
+            nChars += w.length.toLong
+          }
+          (id, words.length.toLong, nTokens, nChars)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "n_chars_tokenized")
   }
 
   /** The collected, maxVocab-guarded word-type histogram — BPE's bounded

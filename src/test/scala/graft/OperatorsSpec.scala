@@ -1375,6 +1375,8 @@ class EntryContractSpec extends AnyFunSuite {
       "ann_ivfpq" -> "ann_ivfpq_check",
       "text_bpe" -> "text_bpe_check",
       "text_bpe_encode" -> "text_bpe_encode_check",
+      "text_bpe_encode_store" -> "text_bpe_encode_check",
+      "text_pack_bins" -> "text_pack_bins_check",
       "sketch_distinct" -> "sketch_distinct_check",
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
@@ -1666,6 +1668,23 @@ class BpeSpec extends AnyFunSuite {
     assert(gate.getLong(1) == 0L && gate.getBoolean(2), s"gate: $gate")
   }
 
+  test("r9: persisted BPE model — store encode bit-equal to direct encode") {
+    val store = java.nio.file.Files.createTempDirectory("bpe-model-store").toString
+    try {
+      graft.operators.TextAnalysis.writeBpeModel(spark, SparkSpec.testDataDir, store)
+      val direct = graft.operators.TextAnalysis.bpeEncode(spark, SparkSpec.testDataDir)
+        .collect().map(_.toSeq.toVector).toSet
+      val viaStore = graft.operators.TextAnalysis
+        .bpeEncodeViaStore(spark, SparkSpec.testDataDir, store)
+        .collect().map(_.toSeq.toVector).toSet
+      assert(viaStore == direct, "store path diverged from direct encode")
+      // artifact is the merge table: <= numMerges rows
+      assert(spark.read.parquet(s"$store/bpe_merges.parquet").count() <= 16)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("r9: driver-side incremental trainer == distributed fold on the real corpus") {
     def table(threshold: Int) =
       graft.operators.TextAnalysis.bpeMerges(spark, SparkSpec.testDataDir,
@@ -1704,6 +1723,43 @@ class BpeSpec extends AnyFunSuite {
     assert(dist(1) == ((2, bmp, "x</w>", 3L)),
       s"tie must break in UTF-8 byte order (U+E000 before U+1D400): $dist")
     assert(dist(2) == ((3, supp, "x</w>", 3L)), s"supplementary char must stay whole: $dist")
+  }
+}
+
+class PackBinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: FFD packs whole docs, flags oversize, and meets the gate bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("packbins").toString
+    // one shard (ids all ≡ 0 mod 8): token counts 6,5,4,3,2,2 at capacity 8
+    // FFD order: 6,5,4,3,2,2 -> bins [6,2] [5,3] [4,2] = 3 bins (LB=ceil(22/8)=3)
+    // plus one oversize doc (10 tokens) in its own flagged bin
+    val docsRows = Seq(
+      (0L, 6), (8L, 5), (16L, 4), (24L, 3), (32L, 2), (40L, 2), (48L, 10))
+    docsRows.map { case (id, n) => (id, (1 to n).map(i => s"t$i").mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val packed = graft.operators.TextAnalysis.packBins(spark, tmp, capacity = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(packed(48L)._3, "oversize doc must be flagged")
+    // bin contents: group non-oversize docs by bin
+    val byBin = packed.filter(!_._2._3).groupBy(_._2._1).view
+      .mapValues(_.map { case (id, (_, n, _)) => n }.toSeq.sorted).toMap
+    assert(byBin.values.map(_.sum).forall(_ <= 8), s"overfilled bin: $byBin")
+    assert(byBin.size == 3, s"FFD should need exactly 3 bins here: $byBin")
+    assert(byBin.values.toSet == Set(Seq(2L, 6L), Seq(3L, 5L), Seq(2L, 4L)), s"$byBin")
+    val gate = graft.operators.TextAnalysis.packBinsCheck(spark, tmp, capacity = 8)
+      .collect().head
+    assert(gate.getLong(0) == 7 && gate.getLong(1) == 1 &&
+      gate.getBoolean(2) && gate.getBoolean(3), s"gate: $gate")
+  }
+
+  test("r9: gate holds on the real corpus at the default capacity") {
+    val gate = graft.operators.TextAnalysis.packBinsCheck(spark, SparkSpec.testDataDir)
+      .collect().head
+    assert(gate.getBoolean(2) && gate.getBoolean(3), s"gate: $gate")
   }
 }
 
