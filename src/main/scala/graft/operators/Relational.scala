@@ -587,9 +587,14 @@ object Relational {
       .select(col("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active_users"))
-    val cohortSize = active.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("n_active_users").as("cohort_size"))
-    active.join(cohortSize, Seq("cohort_week"))
+    // cohort size = the offset-0 count, pulled across the cohort's rows
+    // with a window OVER THE AGGREGATE (≤ weeks² rows total — calendar-
+    // bounded, never corpus-sized): structurally one corpus scan, instead
+    // of a self-join whose exchange reuse is AQE-timing-dependent
+    val wCohort = Window.partitionBy("cohort_week")
+    active
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active_users"))).over(wCohort))
       .select("cohort_week", "week_offset", "n_active_users", "cohort_size")
   }
 

@@ -313,22 +313,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected exactly 2 hash exchanges (one per side), got $exchanges:\n$plan")
   }
 
-  test("r9: retention reuses the single user_id exchange; no window anywhere") {
+  test("r9: retention scans the corpus once; the only window sits above the aggregate") {
     val df = SparkEntry.queries("events_retention")(spark, dir)
-    df.collect() // AQE: exchange reuse appears in the FINAL plan only
-    // the adaptive plan string appends an "== Initial Plan ==" section —
-    // assert on the final section alone
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(!plan.contains("Window "), s"retention must not use a window:\n$plan")
-    // a ReusedExchange line quotes its target ("ReusedExchange [...],
-    // Exchange hashpartitioning(user_id...") — count only real exchanges
+    val plan = df.queryExecution.executedPlan.toString
+    // structurally ONE corpus pipeline: a single user_id exchange, a
+    // single events scan — no self-join branch whose exchange reuse
+    // would be AQE-timing-dependent
     val userExchanges = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
-    assert(userExchanges == 1,
-      s"expected exactly ONE user_id exchange (cohort-size branch must reuse it), got $userExchanges:\n$plan")
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
-        plan.contains("TableCacheQueryStage"),
-      s"cohort-size branch must reuse the corpus exchange, not rescan:\n$plan")
+    assert(userExchanges == 1, s"expected exactly ONE user_id exchange, got $userExchanges:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans == 1, s"retention must scan events exactly once, got $scans:\n$plan")
+    // the cohort-size window runs over the (cohort, offset) AGGREGATE —
+    // calendar-bounded — so every Window node must have an aggregate below
+    val lines = plan.linesIterator.toVector
+    for ((l, i) <- lines.zipWithIndex if l.contains("Window ")) {
+      assert(lines.drop(i).exists(_.contains("HashAggregate")),
+        s"retention window must sit above the aggregate, never the raw scan:\n$plan")
+    }
   }
 
   test("r9: the as-of catalog family routes through the native AsOfJoinExec") {
