@@ -18,7 +18,13 @@ import graft.sql.QueryBuilder
   *   [--partitionColumn=c --partition=2026-08-01 [--partitionPeriod=P1D]] \
   *   [--useAvroLogicalTypes] [--avroSchemaNamespace=ns] [--avroDoc=..]
   *   [--avroSchemaFilePath=/path/schema.avsc]
+  *   [--incrementalColumn=c --stateDir=/path/state]   # high-watermark deltas
   * }}}
+  *
+  * `--incrementalColumn` switches to the high-watermark delta mode
+  * ([[IncrementalExport]]) and is mutually exclusive with the
+  * `--sqlFile` / `--partitionColumn` / `--limit` query-shaping options
+  * (the watermark filter IS the query).
   *
   * Exits with the reference's exit codes (`ExceptionHandling.java:37-59`).
   */
