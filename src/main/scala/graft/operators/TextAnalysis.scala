@@ -527,25 +527,27 @@ object TextAnalysis {
     * zero bin overflows.
     *
     * Scale contract: packing is sequential by nature, so it runs per
-    * (shard, chunk) — shards are the parallelism knob, and each shard's
-    * ranked doc stream is cut into `chunkDocs`-sized chunks so the
-    * in-memory FFD state (the open-bin list) is bounded by a PARAMETER,
-    * never the corpus. Oversize docs (> capacity tokens) get a flagged
-    * singleton bin instead of poisoning the fit. Deterministic: ranking
-    * and the in-chunk sort share the (tokens desc, doc_id) order, so the
+    * (shard, chunk) — shards are the parallelism knob, and chunks come
+    * from PURE ID ARITHMETIC (`doc_id div (shards·chunkDocs)`): the id
+    * range of one chunk holds at most `chunkDocs` ids of each shard, so
+    * the in-memory FFD state (the open-bin list) is bounded by a
+    * PARAMETER for ANY id distribution — and chunk assignment is
+    * map-side, no ranking window over a corpus-sized per-shard partition
+    * anywhere. Oversize docs (> capacity tokens) get a flagged singleton
+    * bin instead of poisoning the fit. Deterministic: chunking is id
+    * arithmetic and the in-chunk sort is (tokens desc, doc_id), so the
     * same corpus packs identically on any engine/partitioning.
     */
   def packBins(spark: SparkSession, dir: String, capacity: Long = 1024,
       shards: Int = 8, chunkDocs: Int = 4096): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy(desc("n_tokens"), col("doc_id"))
     val ranked = docs(spark, dir)
       .select(
         col("doc_id"),
         pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
         size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
-      .withColumn("chunk", ((row_number().over(w) - 1) / chunkDocs).cast("int"))
+      .withColumn("chunk",
+        expr(s"CAST(doc_id div ${shards.toLong * chunkDocs}L AS INT)"))
       .as[(Long, Int, Long, Int)]
     ranked
       .groupByKey { case (_, shard, _, chunk) => (shard, chunk) }
