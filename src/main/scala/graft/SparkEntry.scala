@@ -251,6 +251,9 @@ object SparkEntry {
     // REAL pixel decode: planted 9x8 BMPs parsed byte-by-byte back to
     // pixels, reduced to the 64-bit perceptual dHash; torn files -1 (r9)
     "mm_image_dhash" -> (Multimodal.imageDhashQuery _),
+    // the PPM leg: planted P6 payloads (comment in header) decoded back
+    // to pixels, reduced to channel sums + position-weighted checksum (r9)
+    "mm_image_ppm" -> (Multimodal.imagePpmQuery _),
     // frame-level twin: fixed 32-sample windows -> per-frame energy rows
     "mm_audio_frames" -> ((s, d) => Multimodal.audioFrameQuery(s, d)),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
@@ -1806,6 +1809,27 @@ object SparkEntry {
         | CAST(COALESCE(h.hi, -1) AS BIGINT) AS dhash_hi,
         | CAST(COALESCE(h.lo, -1) AS BIGINT) AS dhash_lo
         |FROM par p LEFT JOIN hash h USING (doc_id)""".stripMargin,
+    "mm_image_ppm" ->
+      """WITH par AS (SELECT doc_id, doc_id % 5 = 0 AS corrupt FROM documents),
+        |px AS (
+        | SELECT doc_id, tx.range AS x, ty.range AS y,
+        |  (doc_id * 5 + tx.range * 19 + ty.range * 29) % 256 AS r,
+        |  (doc_id * 11 + tx.range * 17 + ty.range * 23) % 256 AS g,
+        |  (doc_id * 7 + tx.range * 13 + ty.range * 31) % 256 AS b
+        | FROM par, range(0, 8) tx, range(0, 6) ty
+        | WHERE NOT corrupt),
+        |agg AS (
+        | SELECT doc_id, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |  sum(((299 * r + 587 * g + 114 * b) // 1000) * (1 + x + 7 * y)) AS cks
+        | FROM px GROUP BY doc_id)
+        |SELECT p.doc_id, NOT p.corrupt AS parsed,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE 8 END AS BIGINT) AS width,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE 6 END AS BIGINT) AS height,
+        | CAST(COALESCE(a.sr, -1) AS BIGINT) AS sum_r,
+        | CAST(COALESCE(a.sg, -1) AS BIGINT) AS sum_g,
+        | CAST(COALESCE(a.sb, -1) AS BIGINT) AS sum_b,
+        | CAST(COALESCE(a.cks, -1) AS BIGINT) AS luma_checksum
+        |FROM par p LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "mm_audio_frames" ->
       """WITH par AS (
         | SELECT doc_id, 2 * (32 + doc_id % 64) AS n, doc_id % 7 = 0 AS corrupt

@@ -611,6 +611,119 @@ object Multimodal {
     else None
   }
 
+  /** Builds a binary P6 PPM (header `P6\n<w> <h>\n255\n` with a comment
+    * line — parsers must skip comments — followed by raw RGB triplets,
+    * top-down). `truncate` drops half the pixel bytes (torn file).
+    */
+  private[graft] def ppmBytes(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      truncate: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n# graft planted\n$w $h\n255\n".getBytes("US-ASCII"))
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val off = (y * w + x) * 3
+      px(off) = r.toByte; px(off + 1) = g.toByte; px(off + 2) = b.toByte
+    }
+    out.write(px, 0, if (truncate) px.length / 2 else px.length)
+    out.toByteArray
+  }
+
+  /** Full PIXEL decode of a binary P6 PPM — the whitespace/comment-tolerant
+    * header walk of [[ppmDims]] extended through maxval and the single
+    * whitespace byte that separates header from raster, then a raw RGB
+    * read of every pixel (top-down — no BMP-style row inversion, no
+    * padding). Declared raster overrunning the payload (torn file)
+    * quarantines to None; only maxval 255 (1 byte/sample) is accepted.
+    * With this, BOTH codec-free image formats (PPM here, BMP in
+    * [[bmpPixels]]) have REAL bytes-to-pixels decodes.
+    */
+  def ppmPixels(payload: Array[Byte]): Option[(Int, Int, Array[Array[(Int, Int, Int)]])] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    var i = 2
+    val nums = new Array[Int](3)
+    var found = 0
+    while (found < 3 && i < payload.length) {
+      val c = payload(i) & 0xff
+      if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+      else if (Character.isWhitespace(c)) i += 1
+      else if (c >= '0' && c <= '9') {
+        var v = 0L
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1
+        }
+        if (v > Int.MaxValue) return None
+        nums(found) = v.toInt
+        found += 1
+      } else return None
+    }
+    if (found < 3) return None
+    val (w, h, maxval) = (nums(0), nums(1), nums(2))
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || maxval != 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= payload.length || !Character.isWhitespace(payload(i) & 0xff)) return None
+    i += 1
+    if (i.toLong + 3L * w * h > payload.length) return None // torn raster
+    val rows = Array.ofDim[(Int, Int, Int)](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val off = i + (y * w + x) * 3
+        rows(y)(x) = ((payload(off) & 0xff, payload(off + 1) & 0xff, payload(off + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rows))
+  }
+
+  /** One parsed planted-PPM row ([[imagePpmQuery]]); −1s when torn. */
+  final case class PpmProbe(doc_id: Long, parsed: Boolean, width: Long,
+      height: Long, sum_r: Long, sum_g: Long, sum_b: Long, luma_checksum: Long)
+
+  /** The PPM twin of [[imageDhashQuery]] — planted 8×6 P6 payloads
+    * (comment line included, so decoders must walk the header properly)
+    * parsed BACK to pixels and reduced to exact integer features: per-
+    * channel sums and a position-weighted luma checksum
+    * `Σ gray(x,y)·(1 + x + 7y)` that breaks under any pixel transposition
+    * or row-order mistake. Channels follow the [[imageDhashQuery]]
+    * planting arithmetic; every 5th doc is torn (raster declared, half
+    * delivered) and must quarantine to −1s. DuckDB oracle recomputes
+    * every feature from the arithmetic. Per-partition, no shuffle.
+    */
+  def imagePpmQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val corrupt = id % 5 == 0
+          def chan(x: Int, y: Int): (Int, Int, Int) = (
+            (((id * 5 + x * 19 + y * 29) % 256 + 256) % 256).toInt,
+            (((id * 11 + x * 17 + y * 23) % 256 + 256) % 256).toInt,
+            (((id * 7 + x * 13 + y * 31) % 256 + 256) % 256).toInt)
+          ppmPixels(ppmBytes(8, 6, chan, truncate = corrupt)) match {
+            case Some((w, h, px)) =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var cks = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val (r, g, b) = px(y)(x)
+                  sr += r; sg += g; sb += b
+                  val gray = (299L * r + 587L * g + 114L * b) / 1000L
+                  cks += gray * (1L + x + 7L * y)
+                  x += 1
+                }
+                y += 1
+              }
+              PpmProbe(id, parsed = true, w.toLong, h.toLong, sr, sg, sb, cks)
+            case None => PpmProbe(id, parsed = false, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }.toDF()
+  }
+
   /** One parsed planted-audio row ([[audioPcmQuery]]): doc-level PCM
     * features, all exact integers. −1 everywhere when quarantined.
     */

@@ -1522,6 +1522,18 @@ class AudioPcmSpec extends AnyFunSuite {
     assert(distinct.size > 10, s"suspiciously few distinct hashes: ${distinct.size}")
   }
 
+  test("r9: ppmPixels inverts ppmBytes exactly — comments, torn rasters, garbage") {
+    def rgb(x: Int, y: Int): (Int, Int, Int) = ((x * 41 + y) % 256, (y * 59 + x) % 256, (x * 3 + y * 11) % 256)
+    val Some((w, h, px)) = Multimodal.ppmPixels(Multimodal.ppmBytes(8, 6, rgb))
+    assert(w == 8 && h == 6)
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(px(y)(x) == rgb(x, y), s"pixel ($x, $y) decoded wrong")
+    assert(Multimodal.ppmPixels(Multimodal.ppmBytes(8, 6, rgb, truncate = true)).isEmpty)
+    assert(Multimodal.ppmPixels("P6\n8 6\n65535\n".getBytes("US-ASCII")).isEmpty,
+      "16-bit maxval must quarantine, not misread")
+    assert(Multimodal.ppmPixels(Array.fill[Byte](30)(0x50)).isEmpty)
+  }
+
   test("torn data chunk (declared size overruns payload) quarantines, never throws") {
     val samples = Array.tabulate(64)(i => (i * 3).toShort)
     val torn = Multimodal.wavPcmBytes(8000, 1, samples, truncate = true)
