@@ -177,6 +177,9 @@ object SparkEntry {
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
     "events_funnel_skew" -> ((s, d) => Relational.eventsFunnelSkewSafe(s, d)),
+    // the funnel IS a forward as-of from the per-user first click - the
+    // native exec answers it with one min-struct agg + streamed merge (r9)
+    "events_funnel_native" -> (Relational.eventsFunnelNative _),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     // the FAISS IndexIVFPQ composition: coarse cells prune the scan, PQ
@@ -1459,6 +1462,7 @@ object SparkEntry {
         | ON a.cohort_week = c.cohort_week AND c.week_offset = 0""".stripMargin,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,
+    "events_funnel_native" -> FunnelOracle,
     "events_interval_left_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         | c.ts AS c_ts, p.ts AS p_ts

@@ -488,6 +488,44 @@ object Relational {
           unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
   }
 
+  /** [[eventsFunnel]] answered by the NATIVE as-of exec (r9): the funnel's
+    * "first purchase at-or-after the first click" IS a forward as-of whose
+    * left side is the per-user FIRST-CLICK row — one min-struct aggregate
+    * (map-combined) instead of a corpus-wide window pass, then the
+    * streamed merge. Users with no click carry a null time and the exec's
+    * null-key rule pads them with nulls — exactly the oracle's clickless
+    * rows. The lexicographically-first qualifying purchase has the minimum
+    * qualifying ts, so the as-of's match ts equals the oracle's
+    * `min(purchase ts | click at-or-before)`. Shares [[eventsFunnel]]'s
+    * oracle verbatim.
+    */
+  def eventsFunnelNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val left = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "click",
+        struct(col("ts"), col("event_id")))).as("fc"))
+      .select(col("user_id"), col("fc.ts").as("first_click_ts"),
+        col("fc.event_id").as("fc_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val lp = left.queryExecution.analyzed
+    val rp = purchases.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(0), rightKey = ro(1), // user_id
+        leftTime = lo(1), rightTime = ro(2), // first click ts / purchase ts
+        leftTie = lo(2), rightTie = ro(0))) // event ids
+      .select(col("user_id"), col("first_click_ts"),
+        col("p_ts").as("first_conversion_ts"))
+      .withColumn("converted", col("first_conversion_ts").isNotNull)
+      .withColumn("conversion_us",
+        when(col("converted"),
+          unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
+  }
+
   /** [[asofLastPurchase]] made SKEW-SAFE by the same time-chunk
     * decomposition as [[eventsFunnelSkewSafe]] — running `max(purchase
     * ts)` is associative, so the strictly-earlier frame splits into a

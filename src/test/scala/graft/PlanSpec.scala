@@ -340,7 +340,7 @@ class PlanSpec extends AnyFunSuite {
     // the streamed-merge exec — no window machinery, no generic join, one
     // hash exchange per side.
     for (q <- Seq("events_asof_purchase", "events_asof_purchase_skew",
-        "events_attribution_lasttouch")) {
+        "events_attribution_lasttouch", "events_funnel_native")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(plan.contains("AsOfJoin"), s"$q: custom strategy did not fire:\n$plan")
       assert(!plan.contains("Window "), s"$q must not fall back to a window:\n$plan")
