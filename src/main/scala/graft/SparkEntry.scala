@@ -164,6 +164,8 @@ object SparkEntry {
     "events_asof_native" -> (Relational.asofNativeNextPurchase _),
     // same exec, backward scan rule: last purchase at-or-before (r8)
     "events_asof_native_backward" -> (Relational.asofNativeLastPurchase _),
+    // the TOLERANCE clause: match only within 1 hour, else nulls (r9)
+    "events_asof_tolerance" -> ((s, d) => Relational.asofNativeNextPurchaseTolerance(s, d)),
     // same native path under the hot-key fixture contract: the exec is
     // skew-proof by construction (one linear merge pass per partition)
     "events_asof_purchase_skew" -> (Relational.asofLastPurchaseNative _),
@@ -1429,6 +1431,16 @@ object SparkEntry {
         | WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
         |  AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id <= c.event_id))
         | ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON TRUE""".stripMargin,
+    // the at-or-after match must also land within the 1-hour tolerance
+    "events_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        | SELECT event_id AS purchase_id, ts AS purchase_ts FROM events p
+        | WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id >= c.event_id))
+        |  AND p.ts <= c.ts + INTERVAL 1 HOUR
+        | ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE""".stripMargin,
     "events_asof_purchase_skew" -> AsofOracle,
     // last-touch attribution: per purchase, the last click at-or-before by
     // (ts, event_id) of the same HOT-COLLAPSED user (user_id%16==0 -> -1),

@@ -422,6 +422,36 @@ object Relational {
       .select("event_id", "user_id", "ts", "last_purchase_ts")
   }
 
+  /** [[asofNativeNextPurchase]] with a TOLERANCE bound (the kdb/pandas
+    * ASOF TOLERANCE clause, r9): the first purchase at-or-after the click
+    * matches only if it lands within one hour — farther matches pad with
+    * nulls. Same streamed-merge plan; only the emission test changes.
+    * Equivalent to the LATERAL oracle's `p.ts <= c.ts + 1 hour` bound
+    * because the lexicographically-first at-or-after purchase has the
+    * minimum qualifying ts (if IT is out of tolerance, every candidate
+    * is).
+    */
+  def asofNativeNextPurchaseTolerance(spark: SparkSession, dir: String,
+      toleranceUs: Long = 3600000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val lp = clicks.queryExecution.analyzed
+    val rp = purchases.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1),
+        leftTime = lo(2), rightTime = ro(2),
+        leftTie = lo(0), rightTie = ro(0),
+        toleranceUs = toleranceUs))
+      .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+  }
+
   /** LAST-TOUCH ATTRIBUTION over a deliberately SKEWED user domain — the
     * reference-shaped backward as-of workload beyond the twin fixture
     * (r9): for every purchase, the last click of the same user at-or-

@@ -25,6 +25,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * candidate blow-up, skew-proof by construction (a hot key still costs
   * its linear scan, never quadratic candidates).
   *
+  * `toleranceUs` bounds the match distance (the kdb/pandas ASOF
+  * TOLERANCE clause): a candidate farther than `toleranceUs` on the
+  * time axis pads with nulls instead of matching — the scan stays the
+  * same single pass, only the emission test changes. Default unbounded.
+  *
   * `strict = true` excludes the equal `(time, tie)` position: FORWARD
   * becomes "first right STRICTLY after", BACKWARD "last right STRICTLY
   * before" — the self-as-of catalog rows ("most recent strictly-earlier
@@ -47,7 +52,8 @@ final case class AsOfJoinPlan(
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
     forward: Boolean = true,
-    strict: Boolean = false) extends BinaryNode {
+    strict: Boolean = false,
+    toleranceUs: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -60,8 +66,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb, fwd, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb, fwd, strict) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltb, rtb, fwd, strict, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltb, rtb, fwd, strict, tol) :: Nil
     case _ => Nil
   }
 }
@@ -87,7 +93,8 @@ final case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     leftTie: Expression, rightTie: Expression,
     forward: Boolean = true,
-    strict: Boolean = false) extends BinaryExecNode {
+    strict: Boolean = false,
+    toleranceUs: Long = Long.MaxValue) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -154,6 +161,7 @@ final case class AsOfJoinExec(
       // consumed by the scan — the candidate "at-or-before" match
       var candRow: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
       var candHas = false
 
       lIter.map { l =>
@@ -171,7 +179,8 @@ final case class AsOfJoinExec(
                 (rKey == key && (rTime < time || (rTime == time &&
                   (if (strict) rTie <= tie else rTie < tie))))))
               advanceRight()
-            if (rHas && rKey == key) proj(joined(l, rRow))
+            if (rHas && rKey == key && rTime - time <= toleranceUs)
+              proj(joined(l, rRow))
             else proj(joined(l, nullRight))
           } else {
             // consume rights up to the left position (at-or-before, or
@@ -180,10 +189,13 @@ final case class AsOfJoinExec(
             while (rHas && (rKey < key ||
                 (rKey == key && (rTime < time || (rTime == time &&
                   (if (strict) rTie < tie else rTie <= tie)))))) {
-              if (rKey == key) { candRow = rRow; candKey = key; candHas = true }
+              if (rKey == key) {
+                candRow = rRow; candKey = key; candTime = rTime; candHas = true
+              }
               advanceRight()
             }
-            if (candHas && candKey == key) proj(joined(l, candRow))
+            if (candHas && candKey == key && time - candTime <= toleranceUs)
+              proj(joined(l, candRow))
             else proj(joined(l, nullRight))
           }
         }

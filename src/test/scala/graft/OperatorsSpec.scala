@@ -1971,6 +1971,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(3L).isEmpty, "t=500 is past the only right row -> NULL, not 0")
   }
 
+  test("r9: TOLERANCE bounds the match distance in both directions") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 1000L), (2L, 5L, 5000L)).toDF("id", "key", "t")
+    val right = Seq((7L, 5L, 1400L), (8L, 5L, 4000L)).toDF("rid", "rkey", "rt")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    def run(forward: Boolean, tol: Long): Map[Long, Option[Long]] =
+      org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+        graft.plans.AsOfJoinPlan(lp, rp,
+          leftKey = lo(1), rightKey = ro(1),
+          leftTime = lo(2), rightTime = ro(2),
+          leftTie = lo(0), rightTie = ro(0),
+          forward = forward, toleranceUs = tol))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // forward: id 1 -> rid 7 at +400 (inside 400, outside 399)
+    assert(run(forward = true, tol = 400L) == Map(1L -> Some(7L), 2L -> None),
+      "inclusive boundary: +400 must match at tol=400; id 2's nearest (+?) none ahead")
+    assert(run(forward = true, tol = 399L) == Map(1L -> None, 2L -> None))
+    // backward: id 2 -> rid 8 at -1000 (inside 1000, outside 999)
+    assert(run(forward = false, tol = 1000L) == Map(1L -> None, 2L -> Some(8L)),
+      "id 1 has no right at-or-before within 1000")
+    assert(run(forward = false, tol = 999L) == Map(1L -> None, 2L -> None))
+  }
+
   test("r9: STRICT mode excludes the equal (time, tie) position in both directions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
