@@ -126,6 +126,9 @@ object SparkEntry {
     "text_domain_mix_scale" -> ((s, d) => TextAnalysis.domainMixScale(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(s, d)),
+    // EXACT prefix-filtering twin (AllPairs/PPJoin): same contract with no
+    // probabilistic step — shares the minhash oracle verbatim (r9)
+    "dedup_jaccard_exact" -> ((s, d) => Dedup.jaccardPrefixNearDups(s, d)),
     // routed through the O(log n) large-star/small-star CC (spec-proven
     // equal to the min-label BSP, which remains available as
     // Dedup.nearDupClusters)
@@ -461,6 +464,26 @@ object SparkEntry {
       | FROM n CROSS JOIN c
       | WHERE n.norm > 0 AND c.norm > 0)
       |WHERE cosine >= 0.7""".stripMargin
+
+  /** All-pairs exact word-3-gram Jaccard ground truth at τ=0.6 — shared by
+    * `dedup_minhash` (LSH candidates + exact verify) and
+    * `dedup_jaccard_exact` (prefix filtering, deterministic): the two
+    * algorithms answer the identical contract, so sharing the SQL verbatim
+    * proves they cannot drift from each other either.
+    */
+  private val JaccardPairsOracle: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      | WHERE len(w) >= 3)
+      |SELECT * FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.6""".stripMargin
 
   /** Shared by `events_asof_purchase` and its time-chunked skew twin. */
   private val AsofOracle: String =
@@ -840,19 +863,8 @@ object SparkEntry {
         |  fp31_old, fp31_new
         | FROM f1 FULL JOIN f2 USING (doc_id))
         |WHERE status != 'unchanged'""".stripMargin,
-    "dedup_minhash" ->
-      """WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3)
-        |SELECT * FROM (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_minhash" -> JaccardPairsOracle,
+    "dedup_jaccard_exact" -> JaccardPairsOracle,
     // exact ground truth for the incremental path: every new×corpus pair
     "dedup_incremental" -> IncrementalDedupOracle,
     // the store round trip must be lossless: the SAME ground-truth value,

@@ -367,6 +367,112 @@ object Dedup {
     materializeAndRelease(arrays +: caches, verified)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW 2007; Xiao et al., WWW
+    * 2008): every pair of documents whose word-3-gram Jaccard is at or
+    * above `tauNum/tauDen`, with NO probabilistic step anywhere. The
+    * deterministic complement to [[minhashNearDups]]: LSH trades a
+    * (vanishing) miss probability for bucket-size control; prefix
+    * filtering is provably complete and pays for it with data-dependent
+    * candidate counts. Same output contract, so the catalog oracle is
+    * shared verbatim with `dedup_minhash`.
+    *
+    * Why the candidates are complete: Jaccard ≥ τ ⟹ |a∩b| ≥ τ·|a∪b| ≥
+    * τ·max(|a|,|b|), so at least ceil(τ·|a|) shingles are shared. With
+    * every doc's shingle set sorted by ONE global total order (document
+    * frequency asc, fingerprint asc — rare first), let g be the smallest
+    * shared shingle. If g sat outside a's prefix of length
+    * |a| − ceil(τ·|a|) + 1, then ALL shared shingles would sit in a's last
+    * ceil(τ·|a|) − 1 positions — fewer than the required intersection.
+    * Hence g lies in a's prefix, and symmetrically in b's: joining prefix
+    * tokens finds every qualifying pair.
+    *
+    * Scale design:
+    *   - Shingles fold to 60-bit fingerprints before ANY exchange — the
+    *     df aggregation, the ordering join, the prefix self-join, and the
+    *     verification all shuffle longs, never text.
+    *   - The rare-first order is the candidate-count control: each doc
+    *     contributes only its (1−τ) RAREST shingles to the join key space,
+    *     so high-frequency boilerplate grams never become join keys.
+    *   - The integer length filter (τ·|a| ≤ |b| ∧ τ·|b| ≤ |a|) prunes
+    *     inside the join condition, before the distinct.
+    *   - Verification is candidate-proportional: one `array_intersect`
+    *     over the two fingerprint arrays per surviving pair.
+    * The honest trade vs LSH at 100 TB: a corpus whose documents share
+    * even their rarest grams (near-identical boilerplate) makes some
+    * prefix bucket large, and exactness forbids dropping it — that regime
+    * is what [[minhashNearDups]]'s `MaxBucketSize` guard is for.
+    */
+  def jaccardPrefixNearDups(spark: SparkSession, dir: String,
+      tauNum: Int = 3, tauDen: Int = 5,
+      forPlanInspection: Boolean = false): DataFrame =
+    jaccardPrefixFromArrays(docShingleArrays(spark, dir), tauNum, tauDen,
+      forPlanInspection)
+
+  private[graft] def jaccardPrefixFromArrays(
+      shingleArrays: DataFrame, tauNum: Int, tauDen: Int,
+      forPlanInspection: Boolean = false): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0, 1]: $tauNum/$tauDen")
+    graft.functions.GraftFunctions.register(shingleArrays.sparkSession)
+    // 60-bit fingerprints immediately; array_distinct guards the (≈2^-60)
+    // within-doc collision so |array| is exactly the set size m
+    val ghArrays = shingleArrays.select(
+      col("doc_id"),
+      array_distinct(expr(
+        s"transform(shingles, s -> (graft_poly_hash(s, 31, ${Portable.P1}L) * 1073741824L) + " +
+          s"(graft_poly_hash(s, 37, ${Portable.P2}L) % 1073741824L))")).as("ghs"))
+    val exploded = ghArrays.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    // global document frequency per fingerprint — defines the rare-first
+    // total order (df asc, gh asc); map-side partial agg, 8-byte keys
+    val dfCounts = exploded.groupBy("gh").agg(count(lit(1)).as("df"))
+    // per-doc shingle array re-sorted by the global order + set size;
+    // collect_list is order-nondeterministic but array_sort restores a
+    // canonical order ((df, gh) is unique within a doc)
+    val sorted = exploded.join(dfCounts, "gh")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("gh"))).as("pairs"),
+        count(lit(1)).as("m"))
+      .select(
+        col("doc_id"),
+        expr("transform(array_sort(pairs), s -> s.gh)").as("ghs"),
+        col("m"))
+      // p = m − ceil(τ·m) + 1, exact integer ceil — never off by the
+      // 1-ulp of a double τ
+      .withColumn("p",
+        col("m") - expr(s"(m * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .cache()
+    // eager fill: feeds the self-join (twice) + verification
+    if (!forPlanInspection) sorted.count()
+    val pref = sorted.select(col("doc_id"), col("m"),
+      explode(expr("slice(ghs, 1, CAST(p AS INT))")).as("gh"))
+    val a = pref.as("a")
+    val b = pref.as("b")
+    val cand = a.join(b,
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.m") * tauNum <= col("b.m") * tauDen &&
+          col("b.m") * tauNum <= col("a.m") * tauDen)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification — same contract and double comparison as the
+    // minhash twin, so both answer the identical oracle
+    val threshold = tauNum.toDouble / tauDen
+    val verified = cand
+      .join(sorted.select(col("doc_id").as("id_a"), col("ghs").as("gh_a"),
+        col("m").as("m_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("ghs").as("gh_b"),
+        col("m").as("m_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("m_a") + col("m_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+    if (forPlanInspection) { sorted.unpersist(false); verified }
+    else materializeAndRelease(Seq(sorted), verified)
+  }
+
   /** INCREMENTAL near-dup detection — the daily-increment shape of a
     * production pipeline: NEW documents (`doc_id >= splitId`) are checked
     * against the EXISTING corpus (`doc_id < splitId`); corpus×corpus pairs

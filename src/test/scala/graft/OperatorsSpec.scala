@@ -180,6 +180,48 @@ class DedupSpec extends AnyFunSuite {
     info(s"near-dup pairs at 0.6: ${nearDups.length}")
   }
 
+  test("prefix-filter exact Jaccard join equals brute force on a boundary fixture") {
+    import spark.implicits._
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val docsFx = Seq(
+      1L -> mk(base), // reference doc
+      2L -> mk(base), // exact dup: jaccard 1.0
+      3L -> mk(base.updated(10, "zz")), // near dup: 3 of 28 shingles changed
+      4L -> mk((1 to 30).map(i => s"q$i")), // disjoint
+      5L -> mk(base.take(18)), // prefix of 1: length-filtered territory
+      6L -> "a b", // < 3 tokens: no shingles, excluded entirely
+      7L -> mk(base.map(w => w) ++ Seq("extra")) // superset by one token
+    ).toDF("doc_id", "text")
+    // brute-force ground truth over distinct word-3-gram sets
+    val sets = docsFx.collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+")
+      r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.6
+    } yield (ia, ib, inter.toLong)).toSet
+    val got = Dedup.jaccardPrefixFromArrays(
+        Dedup.shingleArraysOf(docsFx), 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.exists { case (a, b, _) => a == 1L && b == 2L }, "fixture must contain an exact dup")
+    assert(expected.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) }, "fixture must contain a near dup")
+  }
+
+  test("prefix-filter join equals the LSH+verify twin on the real corpus") {
+    val exact = Dedup.jaccardPrefixNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val lsh = Dedup.minhashNearDups(spark, dir, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exact == lsh,
+      s"prefix-exact and LSH-verified answers diverge: only-exact=${(exact -- lsh).take(5)} only-lsh=${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty, "corpus should contain near-dups at 0.6")
+  }
+
   test("incremental dedup finds new-vs-corpus pairs only, with exact jaccard") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

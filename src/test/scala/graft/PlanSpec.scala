@@ -147,6 +147,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("prefix-filter exact Jaccard join: fingerprint-keyed equi-joins, no nested loop") {
+    val plan = graft.operators.Dedup.jaccardPrefixNearDups(spark, dir, 3, 5,
+      forPlanInspection = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix filtering must candidate-join on the prefix fingerprint:\n$plan")
+    // every exchange keys on the 60-bit gh fingerprint or doc ids — the
+    // shingle text must be folded before any shuffle
+    assert(plan.contains("hashpartitioning(gh"),
+      s"expected df-count/prefix-join exchanges on the gh fingerprint:\n$plan")
+    assert(!plan.contains("hashpartitioning(shingle"),
+      s"shuffles must never carry shingle text:\n$plan")
+  }
+
   test("substring dup score: no nested loop, no raw window text in any shuffle") {
     val plan = executedPlan("text_substring_dup")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
