@@ -264,6 +264,9 @@ object SparkEntry {
     "mm_image_ppm" -> (Multimodal.imagePpmQuery _),
     // frame-level twin: fixed 32-sample windows -> per-frame energy rows
     "mm_audio_frames" -> ((s, d) => Multimodal.audioFrameQuery(s, d)),
+    // REAL radix-2 FFT per frame; Parseval + DC fold the spectrum back to
+    // integers the oracle derives from the planted samples (r9)
+    "mm_audio_spectrum" -> ((s, d) => Multimodal.audioSpectrumQuery(s, d)),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
@@ -1810,6 +1813,24 @@ object SparkEntry {
         | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.abs_sum END AS BIGINT) AS abs_sum,
         | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.peak END AS BIGINT) AS peak,
         | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.zc END AS BIGINT) AS zero_cross
+        |FROM par p JOIN z USING (doc_id)""".stripMargin,
+    // frequency-domain gate: energy_freq is computed THROUGH the FFT in
+    // Spark (Parseval) but derived straight from the planted samples here
+    // — equality proves the transform conserves energy; dc_sum pins X_0
+    "mm_audio_spectrum" ->
+      """WITH par AS (
+        | SELECT doc_id, 2 * (32 + doc_id % 64) AS n, doc_id % 7 = 0 AS corrupt
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, ((doc_id * 31 + i * 131) % 2003) - 1001 AS v
+        | FROM (SELECT doc_id, unnest(range(0, 32 * (n // 32))) AS i FROM par)),
+        |z AS (
+        | SELECT doc_id, sum(v * v) AS e, sum(v) AS dc FROM v GROUP BY doc_id)
+        |SELECT p.doc_id, NOT p.corrupt AS parsed,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE p.n // 32 END AS BIGINT) AS n_fft_frames,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.e END AS BIGINT) AS energy_time,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.e END AS BIGINT) AS energy_freq,
+        | CAST(CASE WHEN p.corrupt THEN -1 ELSE z.dc END AS BIGINT) AS dc_sum
         |FROM par p JOIN z USING (doc_id)""".stripMargin,
     "mm_image_dhash" ->
       """WITH par AS (SELECT doc_id, doc_id % 7 = 0 AS corrupt FROM documents),

@@ -1522,6 +1522,53 @@ class AudioPcmSpec extends AnyFunSuite {
     assert(s.toSeq == samples.toSeq, "decoded samples must be bit-identical")
   }
 
+  test("r9: fft matches the naive O(N^2) DFT on an integer frame") {
+    val n = 32
+    val x = Array.tabulate(n)(i => (((i * 131 + 997) % 2003) - 1001).toDouble)
+    val re = x.clone(); val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    for (k <- 0 until n) {
+      var dr = 0.0; var di = 0.0
+      for (j <- 0 until n) {
+        val ang = -2.0 * math.Pi * k * j / n
+        dr += x(j) * math.cos(ang)
+        di += x(j) * math.sin(ang)
+      }
+      assert(math.abs(re(k) - dr) < 1e-6 && math.abs(im(k) - di) < 1e-6,
+        s"bin $k: fft (${re(k)}, ${im(k)}) vs dft ($dr, $di)")
+    }
+  }
+
+  test("r9: fft frequency selectivity — a pure k=5 tone peaks at bins 5 and 27") {
+    val n = 32
+    val re = Array.tabulate(n)(i => 1000.0 * math.cos(2.0 * math.Pi * 5 * i / n))
+    val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    val mags = Array.tabulate(n)(k => re(k) * re(k) + im(k) * im(k))
+    val top2 = mags.zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+    assert(top2 == Set(5, 27), s"expected conjugate-pair peaks {5, 27}, got $top2")
+    // impulse: flat unit spectrum
+    val ir = new Array[Double](n); ir(0) = 1.0
+    val ii = new Array[Double](n)
+    Multimodal.fft(ir, ii)
+    assert(ir.forall(v => math.abs(v - 1.0) < 1e-12) && ii.forall(v => math.abs(v) < 1e-12))
+  }
+
+  test("r9: spectrum query conserves energy through the FFT, quarantines torn docs") {
+    val rows = Multimodal.audioSpectrumQuery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, parsed) = (r.getLong(0), r.getBoolean(1))
+      if (parsed) {
+        assert(r.getLong(3) == r.getLong(4),
+          s"doc $id: Parseval violated — energy_time=${r.getLong(3)} energy_freq=${r.getLong(4)}")
+        assert(r.getLong(2) >= 2, s"doc $id: expected >=2 full frames")
+      } else {
+        assert(id % 7 == 0 && (2 to 5).forall(i => r.getLong(i) == -1L))
+      }
+    }
+  }
+
   test("r9: bmpPixels inverts bmpBytes exactly — bottom-up, padding, torn files") {
     def rgb(x: Int, y: Int): (Int, Int, Int) = ((x * 37 + y) % 256, (y * 53 + x) % 256, (x + y * 7) % 256)
     // width 9: stride 27 -> padded to 28, exercising the row-padding path
