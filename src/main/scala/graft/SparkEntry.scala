@@ -224,6 +224,9 @@ object SparkEntry {
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
     // Z-order (Morton) interleave for multi-dimensional data skipping
     "layout_zorder" -> (Layout.zorderQuery _),
+    // Hilbert-curve layout key via the native codegen graft_hilbert; the
+    // oracle replays the xy2d recurrence as a recursive CTE (r9)
+    "layout_hilbert" -> (Layout.hilbertQuery _),
     // explicit runtime filter: broadcast bloom prune + exact semi-join
     "q_bloom_semi_join" -> (Relational.bloomSemiJoin _),
     // bloom no-false-negative / FPR gate (sketch_*_check pattern)
@@ -1599,6 +1602,27 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         | ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS zval
         |FROM lineitem""".stripMargin,
+    // the identical xy2d recurrence replayed as a recursive CTE: per level
+    // b the quadrant digit (3*rx) XOR ry weighs s^2 into d, then the
+    // coordinates reflect/transpose into the canonical sub-quadrant
+    "layout_hilbert" ->
+      """WITH RECURSIVE hc AS (
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_partkey AS BIGINT) & 65535 AS x, CAST(l_suppkey AS BIGINT) & 65535 AS y,
+        |  15 AS b, CAST(0 AS BIGINT) AS d
+        | FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END,
+        |  b - 1,
+        |  d + s * s * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END)
+        | FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, x, y, b, d,
+        |   CAST(1 AS BIGINT) << b AS s, (x >> b) & 1 AS rx, (y >> b) & 1 AS ry
+        |  FROM hc WHERE b >= 0))
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d AS hval
+        |FROM hc WHERE b = -1""".stripMargin,
     // the bloom stage is pruning-only: output is the exact semi-join
     "q_bloom_semi_join" ->
       """SELECT l_returnflag,

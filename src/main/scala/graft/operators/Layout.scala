@@ -73,17 +73,69 @@ object Layout {
     * partitioner's reservoir sampling over the actual z distribution.
     */
   def cluster(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    val (sx, sy) = normalized(df, xCol, yCol, (1L << BitsPerKey) - 1)
+    df.withColumn("__z", zValue(sx, sy))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** Bits per key for the Hilbert index: 16+16 → a 32-bit curve index.
+    * Narrower than the Morton 21 because the index must also be cheap to
+    * recompute in the oracle's recursive formulation; 2^16 per dimension
+    * is far finer than any file-count granularity needs.
+    */
+  val HilbertBits = 16
+
+  /** Catalog query: per-row Hilbert indexes for lineitem's
+    * (l_partkey, l_suppkey) via the native codegen `graft_hilbert`
+    * ([[graft.functions.HilbertIndex]]). The oracle replays the identical
+    * xy2d recurrence as a recursive CTE — bit-exact across engines
+    * because every step is integer arithmetic.
+    */
+  def hilbertQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        expr(s"graft_hilbert(CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT), $HilbertBits)")
+          .as("hval"))
+  }
+
+  /** [[cluster]] with the Hilbert index as the layout key: same min/max
+    * normalization, range exchange, and in-partition sort — only the curve
+    * differs. Why offer both: Morton is cheaper to compute and good
+    * enough when both predicates are equally selective; Hilbert's
+    * no-jump adjacency yields strictly tighter per-file bounding boxes
+    * (LayoutSpec measures the tile perimeter difference), which is the
+    * metric that decides how many row groups a 2-D predicate can skip at
+    * 100 TB.
+    */
+  def clusterHilbert(df: DataFrame, xCol: String, yCol: String, numFiles: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val (sx, sy) = normalized(df, xCol, yCol, (1L << HilbertBits) - 1)
+    df.withColumn("__sx", sx).withColumn("__sy", sy)
+      .withColumn("__h", expr(s"graft_hilbert(__sx, __sy, $HilbertBits)"))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h", "__sx", "__sy")
+  }
+
+  /** Min/max-normalizes two key columns onto [0, full] — shared by
+    * [[cluster]] (Morton) and [[clusterHilbert]]; see [[cluster]]'s doc
+    * for why raw-bit interleaves break on asymmetric domains. Exact integer
+    * scaling while (x-lo)·full fits a long (domain width ≤ ~2^42); wider
+    * domains divide FIRST in double — the multiply-first form silently
+    * overflows and scrambles curve values (layout degrades to no skipping
+    * with no error). The double path's ulp-level rounding moves a value at
+    * most one bucket — irrelevant for layout, which only needs
+    * rank-preserving bucketing.
+    */
+  private def normalized(df: DataFrame, xCol: String, yCol: String, full: Long): (Column, Column) = {
     val s = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    val full = (1L << BitsPerKey) - 1
-    // Exact integer scaling while (x-lo)*full fits a long (domain width ≤
-    // ~2^42); wider domains divide FIRST in double — the multiply-first
-    // form silently overflows and scrambles z-values (layout degrades to
-    // no skipping with no error). The double path's ulp-level rounding
-    // moves a value at most one 21-bit bucket — irrelevant for layout,
-    // which only needs rank-preserving bucketing, and the exact path keeps
-    // narrow-domain results bit-identical to previous rounds.
     def scaled(c: String, lo: Long, hi: Long): Column = {
       val width = hi - lo // overflows to ≤ 0 for domains wider than 2^63
       if (hi <= lo) lit(0L)
@@ -93,13 +145,7 @@ object Layout {
         ((col(c).cast("double") - lit(lo.toDouble))
           / lit(hi.toDouble - lo.toDouble) * lit(full.toDouble)).cast("long")
     }
-    val withZ = df.withColumn("__z", zValue(
-      scaled(xCol, s.getLong(0), s.getLong(1)),
-      scaled(yCol, s.getLong(2), s.getLong(3))))
-    withZ
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    (scaled(xCol, s.getLong(0), s.getLong(1)), scaled(yCol, s.getLong(2), s.getLong(3)))
   }
 
   /** DuckDB formulation of [[zValue]] over the same low-21-bit interleave —

@@ -205,7 +205,9 @@ class ExpressionsSpec extends AnyFunSuite {
       // persisted-blob emit + merge surface (round 8)
       "graft_hll_sketch", "graft_hll_merge", "graft_hll_merge_sketch",
       "graft_kll_sketch", "graft_kll_merge_quantiles", "graft_theta_merge_est",
-      "graft_kll_merge_sketch", "graft_theta_merge_sketch")
+      "graft_kll_merge_sketch", "graft_theta_merge_sketch",
+      // Hilbert layout key (round 9)
+      "graft_hilbert")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>

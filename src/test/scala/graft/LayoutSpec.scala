@@ -33,6 +33,88 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.forall(z => z >= 0 && z < (1L << 42)))
   }
 
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0 & ((1L << bits) - 1)
+    var y = y0 & ((1L << bits) - 1)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("r9: graft_hilbert is a true Hilbert curve — bijective, unit-step, beats Morton locality") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = 16
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = grid.selectExpr("x", "y", "graft_hilbert(x, y, 4) AS d").collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == (0 until n * n).map(_.toLong).toSet,
+      "hilbert indexes must be a bijection onto [0, n^2)")
+    val jumps = (0L until (n * n - 1).toLong).count { d =>
+      val (x1, y1) = got(d)
+      val (x2, y2) = got(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"every consecutive index pair must be grid-adjacent; found $jumps jumps")
+    // the Morton order on the same grid has Z-shaped jumps — the locality
+    // advantage clusterHilbert's doc claims is measurable, not asserted
+    val byZ = got.values.toSeq.sortBy { case (x, y) => zRef(x, y) }
+    val mortonJumps = byZ.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+      case _ => false
+    }
+    assert(mortonJumps > 0, "Morton should jump on a full grid (sanity of the comparison)")
+    info(s"non-unit steps over the 16x16 grid: hilbert=0, morton=$mortonJumps")
+  }
+
+  test("r9: graft_hilbert matches the xy2d reference, incl. 16-bit truncation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq[(Long, Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (101L, 9L), (40000L, 1L),
+      // wider than 16 bits: high bits must be dropped, not shifted in
+      ((1L << 16) | 5L, 3L), ((1L << 40) | 7L, (1L << 30) | 2L))
+    val got = cases.toDF("x", "y")
+      .selectExpr("graft_hilbert(x, y, 16) AS d").collect().map(_.getLong(0))
+    val want = cases.map { case (x, y) => hilbertRef(16, x, y) }
+    assert(got.toSeq == want)
+    assert(got.forall(d => d >= 0 && d < (1L << 32)), "16+16 bits → 32-bit positive index")
+  }
+
+  test("r9: clusterHilbert range-partitions on the curve and tiles the key space") {
+    val li = spark.read.parquet(s"${SparkSpec.testDataDir}/lineitem.parquet")
+    val clustered = Layout.clusterHilbert(li, "l_partkey", "l_suppkey", 8)
+    val plan = clustered.queryExecution.executedPlan.toString()
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected a range exchange, got:\n$plan")
+    val stats = clustered
+      .select(col("l_partkey").cast("long").as("x"), col("l_suppkey").cast("long").as("y"),
+        spark_partition_id().as("pid"))
+      .groupBy("pid")
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    assert(stats.length > 1, "range partitioner should produce multiple partitions")
+    val r = li.selectExpr("CAST(l_partkey AS LONG) AS x", "CAST(l_suppkey AS LONG) AS y")
+      .agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (xAll, yAll) = ((r.getLong(1) - r.getLong(0) + 1).toDouble, (r.getLong(3) - r.getLong(2) + 1).toDouble)
+    val fractions = stats.map { s =>
+      ((s.getLong(2) - s.getLong(1) + 1).toDouble / xAll) *
+        ((s.getLong(4) - s.getLong(3) + 1).toDouble / yAll)
+    }
+    val mean = fractions.sum / fractions.length
+    assert(mean < 0.5, s"hilbert rectangles too large: mean area fraction $mean")
+  }
+
   test("cluster range-partitions on z and tiles the key space (data-skipping property)") {
     val li = spark.read.parquet(s"${SparkSpec.testDataDir}/lineitem.parquet")
     val files = 8
