@@ -81,6 +81,9 @@ object SparkEntry {
     // top-K-successors pruned LM twin: model capped at (K+1)|contexts|
     // rows; pruned occurrences take the context's backoff cost (r9)
     "text_lm_xent_pruned" -> ((s, d) => TextAnalysis.lmCrossEntropyPruned(s, d)),
+    // CCNet head/middle/tail perplexity terciles with value-atomic
+    // boundaries; histogram-decomposed cum counts, map-only assign (r9)
+    "pipeline_ppl_buckets" -> ((s, d) => TextAnalysis.pipelinePplBuckets(s, d)),
     // delta gate: zero monotonicity violations + total delta <= 450 permille
     // (the sf fixture's successor fan-out is near-UNIFORM -- ~30/context --
     // the worst case for pruning; Zipfian real text sits far under this)
@@ -1023,6 +1026,24 @@ object SparkEntry {
     // fingerprinted plan, so a fingerprint collision would hash-mismatch
     "text_lm_xent" -> LmXentOracle,
     "text_lm_xent_pruned" -> LmXentPrunedOracle,
+    // shares LmXentOracle verbatim as its CTE so the scores cannot drift;
+    // value-atomic terciles: b_k = smallest xent whose cumulative count
+    // (RANGE frame — peers included) reaches k*n/3
+    "pipeline_ppl_buckets" ->
+      s"""WITH ppl AS ($LmXentOracle),
+        |c AS (
+        | SELECT *, count(*) OVER (ORDER BY xent_micronats) AS cum,
+        |  count(*) OVER () AS n
+        | FROM ppl),
+        |b AS (
+        | SELECT min(CASE WHEN cum * 3 >= n THEN xent_micronats END) AS b1,
+        |  min(CASE WHEN cum * 3 >= n * 2 THEN xent_micronats END) AS b2
+        | FROM c)
+        |SELECT doc_id, n_bigrams, xent_micronats,
+        | CASE WHEN xent_micronats <= b1 THEN 'head'
+        |      WHEN xent_micronats <= b2 THEN 'middle'
+        |      ELSE 'tail' END AS ppl_bucket
+        |FROM ppl CROSS JOIN b""".stripMargin,
     // integer delta rollup of the two scorers above — all-integer, so the
     // monotone invariant (violations = 0) and the permille bound are exact
     "text_lm_xent_pruned_check" ->

@@ -1145,6 +1145,62 @@ object TextAnalysis {
         expr("(-sum_cost) div n_bigrams").as("xent_micronats"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): every document
+    * lands in `head` / `middle` / `tail` by its LM cross-entropy tercile —
+    * the standard corpus-quality partition (head ≈ most fluent third)
+    * that decides which slice trains and which gets filtered or
+    * down-weighted.
+    *
+    * Tercile boundaries are VALUE-ATOMIC: boundary b_k is the smallest
+    * xent value whose cumulative doc count reaches k·n/3, and every doc
+    * sharing a boundary value lands in the same bucket (head can exceed
+    * n/3 only by ties). This removes rank-tie ambiguity entirely — both
+    * engines compute identical buckets from identical integers.
+    *
+    * Scale: the boundary search runs on the VALUE HISTOGRAM (one
+    * map-combined aggregate), with the cumulative count decomposed
+    * chunk-locally + an explode prefix-sum over ≤ `maxChunks` chunk
+    * totals — the same two-level recipe as `stats_histogram_eqdepth`; no
+    * window ever sees a corpus-sized single partition. The two boundary
+    * values then broadcast (1 row) and bucket assignment is map-only.
+    */
+  def pipelinePplBuckets(spark: SparkSession, dir: String,
+      maxChunks: Int = 1024, forPlanInspection: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val xent = lmCrossEntropy(spark, dir).cache()
+    // feeds the histogram AND the final assignment
+    if (!forPlanInspection) xent.count()
+    val hist0 = xent.groupBy(col("xent_micronats").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hist0.agg(min("v").as("mn"), max("v").as("mx"))
+    val hist = hist0.join(broadcast(span))
+      .withColumn("cb", expr(s"(v - mn) div ((mx - mn) div $maxChunks + 1)"))
+      .select("v", "cnt", "cb")
+    val wLocal = Window.partitionBy("cb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
+    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot"))
+    val bounds = totals.agg(max("cb").as("cb_max"), sum("tot").as("n"))
+    val prefix = totals.join(broadcast(bounds))
+      .filter(col("cb") < col("cb_max"))
+      .select(explode(expr("sequence(cb + 1, cb_max)")).as("cb"), col("tot"))
+      .groupBy("cb").agg(sum("tot").as("prev_cum"))
+    val boundaries = local.join(prefix, Seq("cb"), "left")
+      .join(broadcast(bounds.select("n")))
+      .withColumn("cum", col("local_cum") + coalesce(col("prev_cum"), lit(0L)))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("v"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("v"))).as("b2"))
+    val out = xent.crossJoin(broadcast(boundaries))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("xent_micronats"),
+        when(col("xent_micronats") <= col("b1"), "head")
+          .when(col("xent_micronats") <= col("b2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    if (forPlanInspection) { xent.unpersist(false); out }
+    else graft.operators.Dedup.materializeAndRelease(Seq(xent), out)
+  }
+
   /** The fingerprinted bigram-occurrence relation + 1-row vocabulary —
     * shared corpus prep of the exact and pruned LM scorers (identical
     * relation, so the pruned twin cannot drift from the exact contract).

@@ -1440,6 +1440,29 @@ class EntryContractSpec extends AnyFunSuite {
 class LmXentSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
+  test("r9: perplexity buckets are value-atomic terciles partitioning the corpus") {
+    val dir = SparkSpec.testDataDir
+    val rows = graft.operators.TextAnalysis.pipelinePplBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // value-atomic cumulative terciles: head reaches >= n/3 and head+middle
+    // >= 2n/3, each overshooting only by ties on the boundary value
+    val nHead = byBucket.getOrElse("head", Array.empty[Long]).length
+    val nMid = byBucket.getOrElse("middle", Array.empty[Long]).length
+    assert(nHead * 3 >= n, s"head must reach the first tercile: $nHead of $n")
+    assert((nHead + nMid) * 3 >= 2 * n, s"head+middle must reach the second tercile")
+    // the partition is monotone in xent: max(head) <= min(middle) <= max(middle) <= min(tail)
+    for {
+      h <- byBucket.get("head"); m <- byBucket.get("middle")
+    } assert(h.max <= m.min, "head/middle boundary must be a clean value cut")
+    for {
+      m <- byBucket.get("middle"); t <- byBucket.get("tail")
+    } assert(m.max < t.min, "middle/tail boundary must be a clean value cut")
+  }
+
   test("bigram LM cross-entropy: hand-computed micro-nat costs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("lm-xent").toString

@@ -147,6 +147,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("perplexity bucketing: no window over a corpus-sized single partition") {
+    // boundary search runs on the chunked value histogram; the only
+    // windows are per-cb local cums — a SinglePartition window would mean
+    // the whole xent distribution sorts on one task
+    val plan = graft.operators.TextAnalysis
+      .pipelinePplBuckets(spark, dir, forPlanInspection = true)
+      .queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(!windows.exists(_.contains("SinglePartition")),
+      s"tercile cum-count must stay chunk-partitioned:\n${windows.mkString("\n")}")
+    // boundary row broadcasts; only the deliberate 1-row cross joins exist
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("prefix-filter exact Jaccard join: fingerprint-keyed equi-joins, no nested loop") {
     val plan = graft.operators.Dedup.jaccardPrefixNearDups(spark, dir, 3, 5,
       forPlanInspection = true).queryExecution.executedPlan.toString
