@@ -181,6 +181,9 @@ object SparkEntry {
     // cohort retention triangle: one user_id exchange builds cohort week +
     // calendar-bounded active-week set in the same aggregate (r9)
     "events_retention" -> (Relational.eventsRetention _),
+    // record linkage: multi-probe blocking + integer agreement scoring +
+    // per-record argmax resolution over a deterministic dirty feed (r9)
+    "link_customers" -> (Relational.linkCustomers _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -1511,6 +1514,39 @@ object SparkEntry {
         | c.n_active_users AS cohort_size
         |FROM act a JOIN act c
         | ON a.cohort_week = c.cohort_week AND c.week_offset = 0""".stripMargin,
+    // linkage replayed without the key: same dirty derivation, same
+    // blocks (both probe buckets), same integer weights, ROW_NUMBER
+    // resolution with the identical (score desc, key asc) tie order
+    "link_customers" ->
+      """WITH c AS (
+        | SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS mkt
+        | FROM customer),
+        |d AS (
+        | SELECT k AS d_key,
+        |  CASE WHEN k % 3 = 0 THEN lower(nm) ELSE nm END AS d_name,
+        |  nat AS d_nat,
+        |  cents + CASE WHEN k % 5 = 0 THEN 7 ELSE 0 END AS d_cents,
+        |  CASE WHEN k % 11 = 0 THEN 'UNKNOWN' ELSE mkt END AS d_mkt
+        | FROM c),
+        |p AS (
+        | SELECT d.*, unnest([(d_cents + 100000) // 10000, (d_cents + 100000) // 10000 - 1]) AS blk
+        | FROM d),
+        |s AS (
+        | SELECT p.d_key, c.k AS cand_key,
+        |  (CASE WHEN p.d_name = c.nm THEN 40
+        |        WHEN p.d_name = lower(c.nm) THEN 30 ELSE 0 END
+        |   + CASE WHEN p.d_cents = c.cents THEN 30
+        |          WHEN abs(p.d_cents - c.cents) <= 10 THEN 25 ELSE 0 END
+        |   + CASE WHEN p.d_mkt = c.mkt THEN 15 ELSE 0 END) AS score
+        | FROM p JOIN c ON p.d_nat = c.nat AND p.blk = (c.cents + 100000) // 10000),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY d_key ORDER BY score DESC, cand_key ASC) AS rn,
+        |  count(*) OVER (PARTITION BY d_key) AS n_candidates
+        | FROM s)
+        |SELECT d_key, cand_key AS best_key, CAST(score AS BIGINT) AS best_score,
+        | n_candidates, score >= 45 AS matched
+        |FROM r WHERE rn = 1""".stripMargin,
     "events_funnel" -> FunnelOracle,
     "events_funnel_skew" -> FunnelOracle,
     "events_funnel_native" -> FunnelOracle,

@@ -645,6 +645,68 @@ object Relational {
     * would shuffle (user, week) pairs twice on different keys). All
     * integer outputs — the DuckDB oracle matches bit-for-bit.
     */
+  /** RECORD LINKAGE — blocking + Fellegi–Sunter-style agreement scoring,
+    * the entity-resolution shape every ingestion pipeline needs when two
+    * feeds describe the same entities without a shared key.
+    *
+    * A "dirty" feed is synthesized in-query, deterministically, from the
+    * customer table (lowercased name every 3rd key, account balance off
+    * by 7 cents every 5th, segment lost every 11th) so the oracle can
+    * replay the exact same records. Linkage then runs WITHOUT the key:
+    *   - BLOCKING: candidates meet only inside (nationkey, balance-bucket)
+    *     blocks; because the balance perturbation can cross a bucket
+    *     edge, the dirty side probes its own bucket AND the one below
+    *     (multi-probe blocking) — completeness by construction, candidate
+    *     count ∝ block sizes, never n².
+    *   - SCORING: pure-integer agreement weights (name exact 40 /
+    *     case-folded 30; balance exact 30 / within 10 cents 25;
+    *     segment 15); threshold 45 ≤ the worst true pair's 55, while a
+    *     non-match tops out at 45 (names are unique) — so the best link
+    *     is always the true record.
+    *   - RESOLUTION: one best link per dirty record via a single
+    *     `max(struct(score, -key))` aggregate (ties → smallest key), no
+    *     per-record window.
+    * Scale: the dirty derivation is map-only; the only exchanges are the
+    * block equi-join and the per-record argmax aggregate.
+    */
+  def linkCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_name").as("nm"),
+      col("c_nationkey").as("nat"),
+      round(col("c_acctbal") * 100).cast("bigint").as("cents"),
+      col("c_mktsegment").as("mkt"))
+    // +100000 keeps bucket arithmetic on non-negative values: Spark `div`
+    // truncates toward zero while DuckDB `//` floors — identical only ≥ 0
+    val orig = c.withColumn("blk", expr("(cents + 100000) div 10000"))
+    val dirty = c.select(
+      col("k").as("d_key"),
+      when(col("k") % 3 === 0, lower(col("nm"))).otherwise(col("nm")).as("d_name"),
+      col("nat").as("d_nat"),
+      (col("cents") + when(col("k") % 5 === 0, 7L).otherwise(0L)).as("d_cents"),
+      when(col("k") % 11 === 0, lit("UNKNOWN")).otherwise(col("mkt")).as("d_mkt"))
+    val probes = dirty.select(col("*"),
+      explode(expr("array((d_cents + 100000) div 10000, (d_cents + 100000) div 10000 - 1)"))
+        .as("blk"))
+    val scored = probes.join(orig, probes("d_nat") === orig("nat") && probes("blk") === orig("blk"))
+      .withColumn("score",
+        when(col("d_name") === col("nm"), 40)
+          .when(col("d_name") === lower(col("nm")), 30).otherwise(0) +
+          when(col("d_cents") === col("cents"), 30)
+            .when(abs(col("d_cents") - col("cents")) <= 10, 25).otherwise(0) +
+          when(col("d_mkt") === col("mkt"), 15).otherwise(0))
+    scored.groupBy("d_key")
+      .agg(
+        max(struct(col("score").as("s"), (-col("k")).as("negk"))).as("best"),
+        count(lit(1)).as("n_candidates"))
+      .select(
+        col("d_key"),
+        (-col("best.negk")).as("best_key"),
+        col("best.s").cast("bigint").as("best_score"),
+        col("n_candidates"),
+        (col("best.s") >= 45).as("matched"))
+  }
+
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
     val e = events(spark, dir)

@@ -1951,6 +1951,29 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class LinkageSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("r9: every dirty record links back to its true original through blocking + scoring") {
+    val n = spark.read.parquet(s"$dir/customer.parquet").count()
+    val rows = graft.operators.Relational.linkCustomers(spark, dir).collect()
+    assert(rows.length == n, s"one resolved link per dirty record: ${rows.length} vs $n")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0),
+        s"dirty ${r.getLong(0)} resolved to ${r.getLong(1)} (score ${r.getLong(2)})")
+      assert(r.getBoolean(4), s"true pair under threshold for ${r.getLong(0)}")
+      assert(r.getLong(3) >= 1L)
+    }
+    // the perturbation classes must actually be exercised: a fully-clean
+    // record scores 85; each degradation drops a known amount
+    val scores = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores.exists(_._2 == 85L), "clean records must score 40+30+15")
+    assert(scores.filter(_._1 % 3 == 0).exists(_._2 <= 75L), "name-folded records must lose 10")
+    assert(scores.filter(_._1 % 5 == 0).exists(_._2 <= 80L), "balance-shifted records must lose 5")
+  }
+}
+
 class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
