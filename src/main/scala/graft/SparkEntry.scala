@@ -278,6 +278,10 @@ object SparkEntry {
     "mm_audio_spectrum" -> ((s, d) => Multimodal.audioSpectrumQuery(s, d)),
     // a green row == proof that LSH ANN achieved recall 1.0 vs brute force
     "ann_recall" -> ((s, d) => Similarity.lshRecallTable(s, d)),
+    // SQ8 scalar quantization: 1 byte/dim, min/max quantizer (r9)
+    "ann_sq" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "ann_sq_check" -> ((s, d) => Similarity.sqRecallFloor(s, d)),
+    "ann_sq_store_check" -> ((s, d) => Similarity.sqStoreRecallFloor(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
     // same floor through the PERSISTED index round trip (build -> parquet
     // -> read back -> query; bit-equal to the direct path by spec) (r7)
@@ -2002,6 +2006,12 @@ object SparkEntry {
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_sq_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_sq_store_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_ivfpq_check" ->

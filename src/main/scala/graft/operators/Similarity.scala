@@ -880,4 +880,172 @@ object Similarity {
       new Directory(new java.io.File(store)).deleteRecursively()
     }
   }
+
+  // --- SQ8 scalar quantization (round 9) --------------------------------
+
+  /** Trains the SQ8 quantizer: per-dimension (min, max) over the
+    * normalized corpus — ONE explode + dim-bounded aggregate (64 rows
+    * collect to the driver, bounded by the embedding dimension, never the
+    * corpus). Returns (mn, scale) where scale maps [mn, mx] onto [0, 255];
+    * a degenerate dimension (mn == mx) gets scale 0 and encodes to 0.
+    */
+  private def trainSqParams(normed: DataFrame): (Array[Double], Array[Double]) = {
+    val stats = normed.select(posexplode(col("nemb")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val mn = stats.map(_.getDouble(1))
+    val mx = stats.map(_.getDouble(2))
+    val scale = mn.indices.map(d =>
+      if (mx(d) > mn(d)) 255.0 / (mx(d) - mn(d)) else 0.0).toArray
+    (mn, scale)
+  }
+
+  /** Encodes the normalized corpus to 1-byte-per-dimension codes:
+    * `code[d] = round((v[d] − mn[d]) · scale[d])` ∈ [0, 255]. The (mn,
+    * scale) row rides as a broadcast 1-row frame (not string literals —
+    * doubles stay bit-exact), so encoding is map-only.
+    */
+  private def sqEncode(normed: DataFrame, mn: Array[Double], scale: Array[Double]): DataFrame = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val params = broadcast(Seq((mn.toSeq, scale.toSeq)).toDF("mn_arr", "sc_arr"))
+    normed.crossJoin(params)
+      .withColumn("codes", expr(
+        "transform(sequence(1, size(nemb)), i -> CAST(round(" +
+          "(element_at(nemb, i) - element_at(mn_arr, i)) * element_at(sc_arr, i)) AS INT))"))
+      .select("vec_id", "codes")
+  }
+
+  /** The SQ query stage over a coded corpus — shared by the direct and
+    * store-backed paths. The dequantized dot product decomposes as
+    * `q·v̂ = Σ_d q[d]·mn[d] + Σ_d (q[d]/scale[d])·code[d]`, so each query
+    * broadcasts one per-dim weight array + a scalar bias and the scan is
+    * one codegen `zip_with` fold over integer codes — no per-row
+    * dequantization into doubles arrays. Shortlist via the bounded-heap
+    * `graft_topk` (map tasks forward ≤ `sqShortlist` rows per query),
+    * then the exact cosine re-rank touches shortlist rows only.
+    */
+  private def sqQueryStage(e: DataFrame, normed: DataFrame, coded: DataFrame,
+      mn: Array[Double], scale: Array[Double],
+      k: Int, nQueries: Int, sqShortlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val queries = normed.filter(col("vec_id") < nQueries)
+      .select("vec_id", "nemb").collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val w = q.indices.map(d => if (scale(d) > 0) q(d) / scale(d) else 0.0).toSeq
+        val bias = q.indices.map(d => q(d) * mn(d)).sum
+        (r.getLong(0), w, bias)
+      }
+    val qdf = broadcast(queries.toSeq.toDF("q_id", "qw", "qbias"))
+    val shortlist = coded.join(qdf, col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        expr("qbias + aggregate(zip_with(codes, qw, (c, w) -> c * w), 0.0D, (a, v) -> a + v)"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(vec_id, approx, $sqShortlist)").as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    topKPerQuery(
+      shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cosine", cosine),
+      col("cosine"), k)
+  }
+
+  /** SQ8 scalar-quantized ANN — the `IndexScalarQuantizer` member of the
+    * index family: 1 byte per dimension (4× compression vs float32, vs
+    * PQ's 8 bytes per 64-dim vector), no codebook training beyond one
+    * min/max pass, and a per-dim quantization error ≤ half a step — the
+    * simplest compressed index and often the accuracy/simplicity sweet
+    * spot before PQ. Approximate scores rank a `sqShortlist` candidate
+    * set; the exact cosine re-rank makes the output contract identical to
+    * the rest of the family.
+    */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      sqShortlist: Int = 100, forPlanInspection: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = normedOf(e).cache()
+    if (!forPlanInspection) normed.count()
+    val (mn, scale) = trainSqParams(normed)
+    val coded = sqEncode(normed, mn, scale).cache()
+    if (!forPlanInspection) coded.count()
+    val out = sqQueryStage(e, normed, coded, mn, scale, k, nQueries, sqShortlist)
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(e, normed, coded), out)
+    else { Seq(e, normed, coded).foreach(_.unpersist(false)); out }
+  }
+
+  /** Persists the SQ8 index: the per-dim quantizer (`params.parquet`,
+    * 64 rows of (dim, mn, scale)) + the 1-byte-per-dim coded corpus
+    * (`codes.parquet`) — the artifact a nightly build writes once and
+    * every query job reads.
+    */
+  def writeSqIndex(spark: SparkSession, dir: String, storeDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val normed = normedOf(e).cache()
+    normed.count()
+    val (mn, scale) = trainSqParams(normed)
+    import spark.implicits._
+    mn.indices.map(d => (d, mn(d), scale(d))).toDF("dim", "mn", "scale")
+      .write.mode("overwrite").parquet(s"$storeDir/params.parquet")
+    sqEncode(normed, mn, scale)
+      .write.mode("overwrite").parquet(s"$storeDir/codes.parquet")
+    e.unpersist(false)
+    normed.unpersist(false)
+  }
+
+  /** Queries a PERSISTED SQ8 index without re-encoding: the 64-row
+    * quantizer loads onto the driver, codes read straight from parquet,
+    * and the shared [[sqQueryStage]] runs bit-equal to [[sqTopK]]
+    * (AnnSpec).
+    */
+  def sqTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
+      k: Int = 10, nQueries: Int = 5, sqShortlist: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.read.parquet(s"$storeDir/params.parquet")
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val mn = Array.tabulate(rows.size)(d => rows(d)._1)
+    val scale = Array.tabulate(rows.size)(d => rows(d)._2)
+    val coded = spark.read.parquet(s"$storeDir/codes.parquet")
+    val e = withNorm(embeddings(spark, dir))
+    sqQueryStage(e, normedOf(e), coded, mn, scale, k, nQueries, sqShortlist)
+  }
+
+  /** Driver-checkable SQ8 recall floor — the family contract: per query,
+    * at least `minHits` of the exact top-k survive quantization +
+    * shortlist + re-rank. Oracle asserts TRUE per query.
+    */
+  def sqRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      minHits: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    val approx = sqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+  }
+
+  /** Recall floor through the persisted round trip: build → parquet →
+    * read back → query ([[pqStoreRecallFloor]] contract).
+    */
+  def sqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 5): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-sq-index").toString
+    try {
+      writeSqIndex(spark, dir, store)
+      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+      val approx = sqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
+      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id")
+        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      // materialize before the temp index is deleted
+      Dedup.materializeAndRelease(Seq.empty, out)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
 }

@@ -83,6 +83,38 @@ class AnnSpec extends AnyFunSuite {
     assert(run1.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 10)))
   }
 
+  test("r9: sqTopK recall floor >= 5/10 per query, store path bit-equal to direct") {
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    direct.map(t => (t._1, t._2)).groupBy(_._1).foreach { case (q, rows) =>
+      val hits = rows.count(exact.contains)
+      info(s"SQ8 recall q=$q: $hits/10")
+      assert(hits >= 5, s"SQ8 recall for query $q below floor: $hits/10")
+    }
+    assert(direct.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 10)))
+    // persisted round trip: params + codes parquet must reproduce the
+    // direct path exactly (same quantizer, same codes, same shortlist)
+    val store = java.nio.file.Files.createTempDirectory("sq-index-spec").toString
+    try {
+      Similarity.writeSqIndex(spark, dir, store)
+      val params = spark.read.parquet(s"$store/params.parquet")
+      assert(params.count() == 64, "one quantizer row per dimension")
+      val viaStore = Similarity.sqTopKViaStore(spark, dir, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(viaStore.sorted.toSeq == direct.sorted.toSeq,
+        "store-backed SQ path must be bit-equal to the direct path")
+      // codes are genuinely 1-byte range
+      val codes = spark.read.parquet(s"$store/codes.parquet")
+        .selectExpr("max(array_max(codes)) AS mx", "min(array_min(codes)) AS mn").head()
+      assert(codes.getInt(0) <= 255 && codes.getInt(1) >= 0, "codes must fit [0, 255]")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("pqRecallFloor gate rows are all true on the fixture") {
     val rows = Similarity.pqRecallFloor(spark, dir).collect()
     assert(rows.length == 5)
