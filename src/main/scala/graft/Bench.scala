@@ -279,6 +279,23 @@ object Bench {
       graft.streaming.StreamSketch.quantiles(spark, store, "event_type", Seq(0.5, 0.95)).count()
     }
 
+    // r9: streaming last-touch attribution — one 16-byte state per user,
+    // AvailableNow over the events file feeds the flatMapGroupsWithState
+    results("stream_attribution") = time2 {
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      val ckpt = tempDir("graft-bench-stream-attr-ckpt")
+      val ds = eventsStream()
+        .transform(graft.operators.Relational.normalizeEventTs)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.EventStream.AttrEvent]
+      val q = graft.streaming.EventStream.attributionStream(ds)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
     spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
 
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
@@ -298,7 +315,8 @@ object Bench {
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
         "stream_incremental_dedup", "stream_sketch_rollup",
-        "stream_sketch_rollup_theta", "stream_sketch_rollup_kll")
+        "stream_sketch_rollup_theta", "stream_sketch_rollup_kll",
+        "stream_attribution")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

@@ -211,6 +211,57 @@ object EventStream {
       user_id: Long, session_seq: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
+  final case class AttrEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+  final case class ClickState(click_id: Long, click_us: Long)
+  final case class AttributionOut(
+      purchase_id: Long, user_id: Long, purchase_ts: Timestamp,
+      click_id: Option[Long], click_ts: Option[Timestamp])
+
+  /** STREAMING last-touch attribution — the online form of the backward
+    * as-of join (`Relational.attributionLastTouch`): every purchase is
+    * attributed, as it arrives, to the user's latest click at-or-before
+    * it (ties on equal timestamps break by event_id, exactly the
+    * non-strict backward `AsOfJoinExec` rule: a same-microsecond click
+    * with a SMALLER id attributes, a larger id does not).
+    *
+    * State is ONE (click_id, click_us) pair per user — the latest click —
+    * so memory is keys × 16 bytes regardless of event volume, and there
+    * is no watermark-bounded buffer at all (contrast with the
+    * stream-stream interval join, whose state holds every click in the
+    * join window). No timeout: last-touch lookback is unbounded by
+    * contract; a production deployment with a finite attribution window
+    * would add an event-time timeout evicting stale clicks.
+    *
+    * Ordering contract (the [[graft.streaming.StreamDedup]] discipline):
+    * rows WITHIN a trigger are sorted by (ts, event_id) before folding,
+    * so any in-batch arrival order is correct; across triggers the
+    * micro-batches must partition event time (a click later re-delivered
+    * with an event time before an already-emitted purchase cannot
+    * retro-attribute it — append mode has emitted the row).
+    */
+  def attributionStream(events: Dataset[AttrEvent]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[AttrEvent], state: GroupState[ClickState]) => {
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[AttributionOut]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" => st = Some(ClickState(e.event_id, micros(e.ts)))
+              case "purchase" =>
+                out += AttributionOut(e.event_id, userId, e.ts,
+                  st.map(_.click_id), st.map(s => toTs(s.click_us)))
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   private[streaming] def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
   /** THE session state machine, shared by both stateful sessionizers

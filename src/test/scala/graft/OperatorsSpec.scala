@@ -815,6 +815,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.subsetOf(streamed), s"closed sessions missing from stream: ${batch -- streamed}")
   }
 
+  test("r9: streaming last-touch attribution equals the backward as-of reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    import EventStream.AttrEvent
+
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    // independent reference: per purchase, the latest click with
+    // (us, id) <= (purchase_us, purchase_id) — the non-strict backward rule
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val byUser = ev.groupBy(_.user_id)
+    val expected = byUser.toSeq.flatMap { case (_, es) =>
+      val clicks = es.filter(_.event_type == "click").map(e => (us(e.ts), e.event_id)).sorted
+      es.filter(_.event_type == "purchase").toSeq.map { p =>
+        val key = (us(p.ts), p.event_id)
+        val last = clicks.filter(c => c._1 < key._1 || (c._1 == key._1 && c._2 <= key._2))
+          .sorted.lastOption
+        (p.event_id, last.map(_._2))
+      }
+    }.toSet
+
+    // feed in 3 micro-batches that partition event time — the ordering
+    // contract the operator documents
+    val sortedEv = ev.sortBy(e => (us(e.ts), e.event_id))
+    val batches = sortedEv.grouped(math.max(1, sortedEv.length / 3 + 1)).toSeq
+    val mem = MemoryStream[AttrEvent]
+    val q = EventStream.attributionStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(streamed == expected,
+      s"stream diverged: only-stream=${(streamed -- expected).take(5)} only-ref=${(expected -- streamed).take(5)}")
+    assert(expected.exists(_._2.isDefined) && expected.exists(_._2.isEmpty),
+      "fixture should contain both attributed and unattributed purchases")
+  }
+
   test("stream-static enrichment join equals the batch join, dim broadcast per micro-batch") {
     import org.apache.spark.sql.streaming.Trigger
     val customers = spark.read.parquet(s"$dir/customer.parquet")
