@@ -209,6 +209,8 @@ object SparkEntry {
     "multimodal_frames" -> (Multimodal.frameSample _),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "text_term_stats" -> (TextAnalysis.termStats _),
+    // TF-IDF keyword extraction, micro-nat-quantized idf (r9)
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfIdfTop(s, d)),
     "embedding_centroid" -> (Similarity.labelCentroids _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
@@ -1654,6 +1656,23 @@ object SparkEntry {
       """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE len(text) > 0),
+        |n AS (SELECT count(*) AS n FROM d),
+        |tf AS (
+        | SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(w) AS tok FROM d) GROUP BY 1, 2),
+        |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |s AS (
+        | SELECT tf.doc_id, tf.tok AS token, tf.tf, dfc.df,
+        |  tf.tf * CAST(round(ln((n.n + 1.0) / (dfc.df + 1.0)) * 1000000) AS BIGINT) AS tfidf_micro
+        | FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, token ASC) AS BIGINT) AS rank
+        | FROM s)
+        |SELECT doc_id, token, tf, df, tfidf_micro, rank FROM r WHERE rank <= 5""".stripMargin,
     "events_salted_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

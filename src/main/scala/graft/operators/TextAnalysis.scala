@@ -430,6 +430,39 @@ object TextAnalysis {
       .orderBy(desc("df"), col("token"))
       .limit(20)
 
+  /** TF-IDF top-terms — the classic IR weighting as a per-document keyword
+    * extractor: term frequency × smoothed inverse document frequency,
+    * quantized to integer micro-nats (`round(ln((N+1)/(df+1))·1e6)`, the
+    * `text_lm_xent` quantization discipline — ln computed once per
+    * DISTINCT df value, all downstream arithmetic exact so both engines
+    * rank identically), top `k` terms per doc by (tfidf desc, token asc).
+    *
+    * Scale: tf is one map-combined aggregate over exploded tokens; df is
+    * a second aggregate over the (doc, token)-distinct tf table; the join
+    * back is an equi-join on token (AQE-sized — the token text must
+    * travel anyway because it IS the output); the corpus count broadcasts
+    * as one row; the rank window partitions by doc_id, whose partitions
+    * are bounded by a document's distinct-token count, never the corpus.
+    */
+  def tfIdfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).filter(length(col("text")) > 0)
+      .withColumn("toks", Portable.tokens("text"))
+    val nDocs = d.agg(count(lit(1)).as("n"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfCounts, "token")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf_micro",
+        col("tf") * expr("CAST(round(ln((n + 1.0) / (df + 1.0)) * 1000000) AS BIGINT)"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_micro"), col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "tfidf_micro", "rank")
+  }
+
   /** Benchmark decontamination: distinct word `n`-gram overlap between every
     * training document and the eval/benchmark set (docs with `doc_id <
     * evalDocs` stand in for the benchmark). Output per train doc: how many

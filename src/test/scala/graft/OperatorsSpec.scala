@@ -2026,6 +2026,33 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class TfIdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: tf-idf ranks a hand-computed fixture exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    // N=3; "rare" appears in 1 doc, "shared" in 2, "common" in all 3
+    Seq(
+      (0L, "common shared rare rare"),
+      (1L, "common shared"),
+      (2L, "common common")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.tfIdfTop(spark, tmp, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def idf(df: Long) = math.round(math.log(4.0 / (df + 1.0)) * 1e6)
+    val expect = Set(
+      (0L, "rare", 2L, 1L, 2 * idf(1), 1L), // tf=2 × idf(df=1) ranks first
+      (0L, "shared", 1L, 2L, idf(2), 2L),
+      (1L, "shared", 1L, 2L, idf(2), 1L),
+      (1L, "common", 1L, 3L, idf(3), 2L),
+      (2L, "common", 2L, 3L, 2 * idf(3), 1L))
+    assert(out.toSet == expect, s"got ${out.toSet}")
+    // idf(df=N) = ln(4/4) = 0: ubiquitous terms carry zero weight
+    assert(idf(3) == 0L)
+  }
+}
+
 class LinkageSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = SparkSpec.testDataDir
