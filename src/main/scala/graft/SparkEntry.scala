@@ -184,6 +184,8 @@ object SparkEntry {
     // record linkage: multi-probe blocking + integer agreement scoring +
     // per-record argmax resolution over a deterministic dirty feed (r9)
     "link_customers" -> (Relational.linkCustomers _),
+    // median/MAD hourly-count anomaly monitor, calendar-bounded windows (r9)
+    "events_anomaly_mad" -> (Relational.eventsAnomalyMad _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -1520,6 +1522,30 @@ object SparkEntry {
         | c.n_active_users AS cohort_size
         |FROM act a JOIN act c
         | ON a.cohort_week = c.cohort_week AND c.week_offset = 0""".stripMargin,
+    // lower medians selected by rank over the same deterministic
+    // (value, hour) order — integer arithmetic end to end
+    "events_anomaly_mad" ->
+      """WITH hc AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_hours
+        | FROM hc),
+        |med AS (
+        | SELECT *, min(CASE WHEN rn * 2 >= n_hours THEN n END)
+        |   OVER (PARTITION BY event_type) AS med
+        | FROM m),
+        |d AS (
+        | SELECT *, abs(n - med) AS dev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY abs(n - med), hour) AS rn2
+        | FROM med),
+        |mad AS (
+        | SELECT *, min(CASE WHEN rn2 * 2 >= n_hours THEN dev END)
+        |   OVER (PARTITION BY event_type) AS mad
+        | FROM d)
+        |SELECT event_type, hour, n, med, mad, dev > mad * 3 AS is_anomaly
+        |FROM mad""".stripMargin,
     // linkage replayed without the key: same dirty derivation, same
     // blocks (both probe buckets), same integer weights, ROW_NUMBER
     // resolution with the identical (score desc, key asc) tie order

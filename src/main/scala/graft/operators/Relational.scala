@@ -645,6 +645,47 @@ object Relational {
     * would shuffle (user, week) pairs twice on different keys). All
     * integer outputs — the DuckDB oracle matches bit-for-bit.
     */
+  /** ANOMALY DETECTION over the hourly event-count series — the
+    * robust-statistics monitor a pipeline runs over its own telemetry:
+    * per event type, hours whose count deviates from the type's median by
+    * more than 3× the median absolute deviation (MAD) are flagged.
+    * Median/MAD instead of mean/stddev because a single broken hour
+    * shifts a mean but not a median — the detector doesn't desensitize
+    * itself to exactly the anomalies it exists to find.
+    *
+    * Exactness: both medians are LOWER medians selected by rank
+    * (`min(v) where row_number·2 ≥ n` over the deterministic (value, hour)
+    * order) — pure integer arithmetic, no interpolation, so the oracle
+    * matches bit-for-bit, MAD = 0 degenerates safely (any deviation
+    * flags).
+    *
+    * Scale: the corpus collapses to (type, hour) counts in one
+    * map-combined aggregate; every window after that runs over the
+    * CALENDAR-bounded aggregate (hours × types rows), never event volume
+    * — the `events_retention` discipline.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val hc = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wCnt = Window.partitionBy("event_type").orderBy(col("n"), col("hour"))
+    val wType = Window.partitionBy("event_type")
+    val withMed = hc
+      .withColumn("rn", row_number().over(wCnt))
+      .withColumn("n_hours", count(lit(1)).over(wType))
+      .withColumn("med",
+        min(when(col("rn") * 2 >= col("n_hours"), col("n"))).over(wType))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val wDev = Window.partitionBy("event_type").orderBy(col("dev"), col("hour"))
+    withMed
+      .withColumn("rn2", row_number().over(wDev))
+      .withColumn("mad",
+        min(when(col("rn2") * 2 >= col("n_hours"), col("dev"))).over(wType))
+      .select(
+        col("event_type"), col("hour"), col("n"), col("med"), col("mad"),
+        (col("dev") > col("mad") * 3).as("is_anomaly"))
+  }
+
   /** RECORD LINKAGE — blocking + Fellegi–Sunter-style agreement scoring,
     * the entity-resolution shape every ingestion pipeline needs when two
     * feeds describe the same entities without a shared key.

@@ -2026,6 +2026,31 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class AnomalySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: MAD monitor flags a planted spike hour and only it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("anomaly").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // clicks: 20 quiet hours of 2-3 events, one spike hour of 40
+    val quiet = (0 until 20).flatMap { h =>
+      (0 until (2 + h % 2)).map(i => (h * 100L + i, ts(h, i), 1L, "click", 1.0, "{}"))
+    }
+    val spike = (0 until 40).map(i => (9000L + i, ts(21, i), 1L, "click", 1.0, "{}"))
+    (quiet ++ spike).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = graft.operators.Relational.eventsAnomalyMad(spark, tmp).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getBoolean(5)))
+    val flagged = rows.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(ts(21, 0)), s"only the spike hour may flag: $flagged")
+    // median of {2,3}x10 + 40 is robust: the spike does not move it
+    val med = graft.operators.Relational.eventsAnomalyMad(spark, tmp)
+      .select("med").distinct().collect().map(_.getLong(0)).toSet
+    assert(med == Set(3L) || med == Set(2L), s"median must stay in the quiet band: $med")
+  }
+}
+
 class TfIdfSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
