@@ -186,6 +186,8 @@ object SparkEntry {
     "link_customers" -> (Relational.linkCustomers _),
     // median/MAD hourly-count anomaly monitor, calendar-bounded windows (r9)
     "events_anomaly_mad" -> (Relational.eventsAnomalyMad _),
+    // 3-step funnel composed from TWO native as-of execs (r9)
+    "events_funnel3_native" -> (Relational.eventsFunnel3Native _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
     "events_funnel" -> (Relational.eventsFunnel _),
     // time-chunked twin: hot-user window bounded by chunk volume
@@ -1522,6 +1524,33 @@ object SparkEntry {
         | c.n_active_users AS cohort_size
         |FROM act a JOIN act c
         | ON a.cohort_week = c.cohort_week AND c.week_offset = 0""".stripMargin,
+    // the 3-step funnel replayed as two LATERAL first-at-or-after probes
+    // with the exec's (ts, event_id) lexicographic rule
+    "events_funnel3_native" ->
+      """WITH fv AS (
+        | SELECT user_id, ts AS view_ts, event_id AS view_id FROM (
+        |  SELECT user_id, ts, event_id,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |c AS (
+        | SELECT fv.*, cl.ts AS click_ts, cl.event_id AS click_id
+        | FROM fv LEFT JOIN LATERAL (
+        |  SELECT ts, event_id FROM events e
+        |  WHERE e.user_id = fv.user_id AND e.event_type = 'click'
+        |   AND (e.ts > fv.view_ts OR (e.ts = fv.view_ts AND e.event_id >= fv.view_id))
+        |  ORDER BY e.ts, e.event_id LIMIT 1) cl ON TRUE),
+        |p AS (
+        | SELECT c.*, pu.ts AS purchase_ts
+        | FROM c LEFT JOIN LATERAL (
+        |  SELECT ts FROM events e
+        |  WHERE c.click_ts IS NOT NULL AND e.user_id = c.user_id AND e.event_type = 'purchase'
+        |   AND (e.ts > c.click_ts OR (e.ts = c.click_ts AND e.event_id >= c.click_id))
+        |  ORDER BY e.ts, e.event_id LIMIT 1) pu ON TRUE)
+        |SELECT user_id, view_ts, click_ts, purchase_ts,
+        | purchase_ts IS NOT NULL AS completed,
+        | CASE WHEN purchase_ts IS NOT NULL
+        |  THEN CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) END AS funnel_us
+        |FROM p""".stripMargin,
     // lower medians selected by rank over the same deterministic
     // (value, hour) order — integer arithmetic end to end
     "events_anomaly_mad" ->

@@ -556,6 +556,61 @@ object Relational {
           unix_micros(col("first_conversion_ts")) - unix_micros(col("first_click_ts"))))
   }
 
+  /** THREE-STEP funnel (view → click → purchase) COMPOSED from two native
+    * as-of joins — the n-step generalization of [[eventsFunnelNative]],
+    * and the demonstration that the custom exec composes: step 2 is a
+    * forward as-of from each user's first view to their first click
+    * at-or-after it, step 3 re-enters the exec with the CLICK position as
+    * the new left time, and a user who never clicked flows through with
+    * nulls (the exec passes null left times straight to the null-right
+    * output — no filter/union split needed).
+    *
+    * Scale: the first-view table is one min-struct aggregate (already
+    * exchanged on user_id, which satisfies the exec's distribution); each
+    * as-of step is one exchange + sort per NEW side and a streamed merge
+    * holding one buffered row — the whole 3-step funnel is 4 exchanges
+    * total, where the window formulation would sort the full corpus
+    * per step.
+    */
+  def eventsFunnel3Native(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val firstView = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view",
+        struct(col("ts"), col("event_id")))).as("fv"))
+      .filter(col("fv").isNotNull) // the funnel starts at a view
+      .select(col("user_id"), col("fv.ts").as("view_ts"),
+        col("fv.event_id").as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    def asofForward(left: DataFrame, right: DataFrame,
+        names: (String, String, String, String, String, String)): DataFrame = {
+      val lp = left.queryExecution.analyzed
+      val rp = right.queryExecution.analyzed
+      def a(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], n: String) =
+        out.find(_.name == n).get
+      org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+        graft.plans.AsOfJoinPlan(lp, rp,
+          leftKey = a(lp.output, names._1), rightKey = a(rp.output, names._4),
+          leftTime = a(lp.output, names._2), rightTime = a(rp.output, names._5),
+          leftTie = a(lp.output, names._3), rightTie = a(rp.output, names._6)))
+    }
+    val withClick = asofForward(firstView, clicks,
+      ("user_id", "view_ts", "view_id", "c_user", "click_ts", "click_id"))
+      .select("user_id", "view_ts", "view_id", "click_ts", "click_id")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    asofForward(withClick, purchases,
+      ("user_id", "click_ts", "click_id", "p_user", "purchase_ts", "p_id"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"))
+      .withColumn("completed", col("purchase_ts").isNotNull)
+      .withColumn("funnel_us",
+        when(col("completed"),
+          unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))))
+  }
+
   /** [[asofLastPurchase]] made SKEW-SAFE by the same time-chunk
     * decomposition as [[eventsFunnelSkewSafe]] — running `max(purchase
     * ts)` is associative, so the strictly-earlier frame splits into a

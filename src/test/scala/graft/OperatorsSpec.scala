@@ -2026,6 +2026,39 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class Funnel3Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: 3-step funnel handles every drop-off stage through the composed as-of execs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel3").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    Seq(
+      // user 1: full funnel; the click BEFORE the view must not count
+      (10L, ts(1), 1L, "click", 0.0, "{}"),
+      (11L, ts(2), 1L, "view", 0.0, "{}"),
+      (12L, ts(3), 1L, "click", 0.0, "{}"),
+      (13L, ts(4), 1L, "purchase", 0.0, "{}"),
+      // user 2: view + click, never purchases (purchase BEFORE click)
+      (20L, ts(1), 2L, "purchase", 0.0, "{}"),
+      (21L, ts(2), 2L, "view", 0.0, "{}"),
+      (22L, ts(5), 2L, "click", 0.0, "{}"),
+      // user 3: view only
+      (30L, ts(1), 3L, "view", 0.0, "{}"),
+      // user 4: clicks and purchases but never views -> not in the funnel
+      (40L, ts(1), 4L, "click", 0.0, "{}"),
+      (41L, ts(2), 4L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = graft.operators.Relational.eventsFunnel3Native(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), r.getBoolean(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"funnel rows: ${rows.keySet}")
+    assert(rows(1L) == ((Some(ts(3)), Some(ts(4)), true)), s"user 1: ${rows(1L)}")
+    assert(rows(2L) == ((Some(ts(5)), None, false)), s"user 2 must not match the pre-click purchase: ${rows(2L)}")
+    assert(rows(3L) == ((None, None, false)), s"user 3 drops at view: ${rows(3L)}")
+  }
+}
+
 class AnomalySpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 

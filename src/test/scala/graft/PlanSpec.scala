@@ -147,6 +147,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("r9: the 3-step funnel composes TWO native as-of execs, no window, no generic join") {
+    val plan = executedPlan("events_funnel3_native")
+    val asofs = "AsOfJoin ".r.findAllIn(plan).size
+    assert(asofs == 2, s"expected both funnel steps on the native exec, got $asofs:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no window/generic-join fallback allowed:\n$plan")
+  }
+
   test("perplexity bucketing: no window over a corpus-sized single partition") {
     // boundary search runs on the chunked value histogram; the only
     // windows are per-cb local cums — a SinglePartition window would mean
