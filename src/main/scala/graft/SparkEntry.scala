@@ -215,6 +215,9 @@ object SparkEntry {
     "text_term_stats" -> (TextAnalysis.termStats _),
     // TF-IDF keyword extraction, micro-nat-quantized idf (r9)
     "text_tfidf" -> ((s, d) => TextAnalysis.tfIdfTop(s, d)),
+    // Unicode NFC normalization (native graft_nfc) over planted
+    // decomposed combining sequences (r9)
+    "text_normalize" -> (TextAnalysis.normalizeText _),
     "embedding_centroid" -> (Similarity.labelCentroids _),
     // approximate → no SQL oracle; accuracy spec-checked in KllSpec
     "sketch_quantiles" -> (Relational.sketchQuantiles _),
@@ -1711,6 +1714,22 @@ object SparkEntry {
       """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring:
+    // the same decomposed plants; nfc_normalize implements the same
+    // Unicode standard as the engine's graft_nfc
+    "text_normalize" ->
+      """WITH a AS (
+        | SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+        |   WHEN 0 THEN ' Cafe' || chr(769)
+        |   WHEN 1 THEN ' A' || chr(778)
+        |   ELSE '' END AS aug
+        | FROM documents),
+        |n AS (SELECT doc_id, aug, nfc_normalize(aug) AS norm FROM a)
+        |SELECT doc_id, aug != norm AS changed,
+        | CAST(len(aug) AS BIGINT) AS n_chars_raw,
+        | CAST(len(norm) AS BIGINT) AS n_chars_nfc,
+        | right(norm, 6) AS tail_nfc
+        |FROM n""".stripMargin,
     "text_tfidf" ->
       """WITH d AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -598,6 +598,41 @@ case class Hash60Array(child: Expression) extends UnaryExpression {
   * tight loop instead of `tables × bits` giant literal-array expressions
   * (the literal form compiled ~100 KB of generated Java per operator).
   */
+/** Unicode NFC normalization — the canonical-composition pass every text
+  * pipeline needs before fingerprinting or deduplication: "é" typed as
+  * `e` + COMBINING ACUTE and "é" typed precomposed are the SAME document
+  * to a reader but different bytes to every hash in this engine, so
+  * normalization must run first or near-dup recall silently degrades on
+  * non-ASCII corpora. Delegates to the JDK's `java.text.Normalizer`
+  * (the Unicode-conformant implementation already in the runtime — the
+  * DuckDB oracle's `nfc_normalize` implements the same standard, which
+  * is the point: NFC output is defined by Unicode, not by an engine).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a string, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Hilbert-curve index of the low `bits` bits of two non-negative bigint
   * keys — the space-filling-curve layout key with strictly better locality
   * than the Morton interleave: every unit step along the curve is a unit
@@ -801,6 +836,10 @@ object GraftFunctions {
     "graft_hash60_array" -> { exprs =>
       require(exprs.length == 1, "graft_hash60_array(arr)")
       Hash60Array(exprs.head)
+    },
+    "graft_nfc" -> { exprs =>
+      require(exprs.length == 1, "graft_nfc(str)")
+      NfcNormalize(exprs.head)
     },
     "graft_hilbert" -> { exprs =>
       require(exprs.length == 3, "graft_hilbert(x, y, bits)")

@@ -430,6 +430,33 @@ object TextAnalysis {
       .orderBy(desc("df"), col("token"))
       .limit(20)
 
+  /** Unicode NFC normalization over the corpus — the canonical-composition
+    * pass that must precede fingerprinting/dedup on non-ASCII text (see
+    * [[graft.functions.NfcNormalize]]). The synthetic corpus is ASCII, so
+    * the query PLANTS decomposed sequences deterministically (a combining
+    * acute on every 3rd doc, a combining ring on every 3rd+1) — the
+    * engine must actually compose them ("e"+◌́ → "é") for the oracle's
+    * `nfc_normalize` to agree on the changed flag, char counts, and the
+    * normalized tail. Map-only, codegen.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      // the literals below are DECOMPOSED: 'e'+U+0301 and 'A'+U+030A
+      // (combining marks) — NFC must compose them to the precomposed forms
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" Café"))
+          .when(col("doc_id") % 3 === 1, lit(" Å"))
+          .otherwise(lit(""))))
+      .withColumn("norm", expr("graft_nfc(aug)"))
+      .select(
+        col("doc_id"),
+        (col("aug") =!= col("norm")).as("changed"),
+        length(col("aug")).cast("bigint").as("n_chars_raw"),
+        length(col("norm")).cast("bigint").as("n_chars_nfc"),
+        expr("right(norm, 6)").as("tail_nfc"))
+  }
+
   /** TF-IDF top-terms — the classic IR weighting as a per-document keyword
     * extractor: term frequency × smoothed inverse document frequency,
     * quantized to integer micro-nats (`round(ln((N+1)/(df+1))·1e6)`, the

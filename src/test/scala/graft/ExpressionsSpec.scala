@@ -186,6 +186,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("r9: graft_nfc composes decomposed sequences, is idempotent, codegen == eval") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "Café Å x"
+    val composed = "Café Å x"
+    val rows = Seq(decomposed, composed, "", "plain ascii").toDF("s")
+      .selectExpr("s", "graft_nfc(s) AS n", "length(s) AS ls", "length(n) AS ln")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(rows(0)._2 == composed, s"decomposed must compose: ${rows(0)}")
+    assert(rows(0)._3 == rows(0)._4 + 2, "composition removes the two combining marks")
+    assert(rows(1)._2 == composed, "already-NFC input is a fixed point")
+    assert(rows(2)._2 == "" && rows(3)._2 == "plain ascii")
+    // interpreted path (eval without codegen) agrees
+    val interp = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed))).eval()
+    assert(interp.toString == composed)
+  }
+
   test("GraftExtensions registers functions in a fresh session") {
     val s2 = SparkSpec.spark.newSession()
     new graft.functions.GraftExtensions().apply(
@@ -206,8 +225,8 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_hll_sketch", "graft_hll_merge", "graft_hll_merge_sketch",
       "graft_kll_sketch", "graft_kll_merge_quantiles", "graft_theta_merge_est",
       "graft_kll_merge_sketch", "graft_theta_merge_sketch",
-      // Hilbert layout key (round 9)
-      "graft_hilbert")
+      // Hilbert layout key + NFC normalization (round 9)
+      "graft_hilbert", "graft_nfc")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>
