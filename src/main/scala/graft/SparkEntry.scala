@@ -49,6 +49,10 @@ object SparkEntry {
     // Gopher rule battery: named per-rule flags + composed keep, all
     // thresholds in integer arithmetic (r9)
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
+    // C4-style chain: gopher keep -> exact fp dedup -> langid -> rollup (r9)
+    "pipeline_c4" -> (TextAnalysis.pipelineC4 _),
+    // provenance dashboard keyed on the source column (r9)
+    "text_source_stats" -> (TextAnalysis.sourceStats _),
     // apply the trained BPE table to every doc: per-doc token accounting
     // under a broadcast merge table bounded by the numMerges parameter (r9)
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
@@ -490,6 +494,41 @@ object SparkEntry {
       | WHERE n.norm > 0 AND c.norm > 0)
       |WHERE cosine >= 0.7""".stripMargin
 
+  /** Gopher rule battery ground truth — shared by `text_gopher_rules`,
+    * the composed `pipeline_c4` chain, and `text_source_stats`.
+    */
+  private val GopherOracle: String =
+    """WITH g AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> len(t))) AS BIGINT) AS sum_word_chars,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |    l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT) AS n_bullet_lines,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |    l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], lower(t)))) AS BIGINT) AS n_stopword_hits,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words
+        | FROM documents)
+        |SELECT *,
+        | (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND
+        |  rule_bullet_lines AND rule_ellipsis_lines AND rule_stopwords AND
+        |  rule_alpha_words) AS keep
+        |FROM (
+        | SELECT *,
+        |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |  sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS rule_mean_word_len,
+        |  n_symbols * 10 <= n_words AS rule_symbol_ratio,
+        |  n_bullet_lines * 10 <= n_lines * 9 AS rule_bullet_lines,
+        |  n_ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis_lines,
+        |  n_stopword_hits >= 2 AS rule_stopwords,
+        |  n_alpha_words * 5 >= n_words * 4 AS rule_alpha_words
+        | FROM g)""".stripMargin
+
   /** All-pairs exact word-3-gram Jaccard ground truth at τ=0.6 — shared by
     * `dedup_minhash` (LSH candidates + exact verify) and
     * `dedup_jaccard_exact` (prefix filtering, deterministic): the two
@@ -779,37 +818,51 @@ object SparkEntry {
         | CAST(len(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1) AS DOUBLE)
         |   / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
         |FROM documents""".stripMargin,
-    "text_gopher_rules" ->
-      """WITH g AS (
-        | SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> len(t))) AS BIGINT) AS sum_word_chars,
-        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_symbols,
-        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |  CAST(len(list_filter(string_split(text, chr(10)),
-        |    l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT) AS n_bullet_lines,
-        |  CAST(len(list_filter(string_split(text, chr(10)),
-        |    l -> rtrim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis_lines,
-        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], lower(t)))) AS BIGINT) AS n_stopword_hits,
-        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words
-        | FROM documents)
-        |SELECT *,
-        | (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio AND
-        |  rule_bullet_lines AND rule_ellipsis_lines AND rule_stopwords AND
-        |  rule_alpha_words) AS keep
-        |FROM (
-        | SELECT *,
-        |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
-        |  sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS rule_mean_word_len,
-        |  n_symbols * 10 <= n_words AS rule_symbol_ratio,
-        |  n_bullet_lines * 10 <= n_lines * 9 AS rule_bullet_lines,
-        |  n_ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis_lines,
-        |  n_stopword_hits >= 2 AS rule_stopwords,
-        |  n_alpha_words * 5 >= n_words * 4 AS rule_alpha_words
-        | FROM g)""".stripMargin,
+    "text_gopher_rules" -> GopherOracle,
+    // the composed chain: gopher keep -> exact dedup (min-id per text) ->
+    // langid -> per-language rollup; every stage shares its standalone
+    // row's SQL so composition == composition of the pieces
+    "pipeline_c4" ->
+      s"""WITH g AS ($GopherOracle),
+        |k AS (
+        | SELECT d.doc_id, d.text FROM documents d
+        | JOIN g ON d.doc_id = g.doc_id WHERE g.keep),
+        |c AS (SELECT min(doc_id) AS doc_id, text FROM k GROUP BY text),
+        |l AS (
+        | SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS BIGINT) AS n_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|una)\b')) AS BIGINT) AS n_es,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|dans)\b')) AS BIGINT) AS n_fr
+        | FROM c)
+        |SELECT CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+        |            WHEN n_es >= n_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        |FROM l GROUP BY 1""".stripMargin,
+    // per-source accounting: counts, token share and alpha ratio in
+    // integer permille, gopher keep counts — the provenance dashboard
+    "text_source_stats" ->
+      s"""WITH g AS ($GopherOracle),
+        |j AS (
+        | SELECT d.source, d.text, g.n_words, g.keep,
+        |  CAST(len(regexp_extract_all(d.text, '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+        |  CAST(len(d.text) AS BIGINT) AS n_chars
+        | FROM documents d JOIN g ON d.doc_id = g.doc_id),
+        |s AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_alpha) AS BIGINT) AS sum_alpha,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM j GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS corpus_tokens FROM s)
+        |SELECT source, n_docs, n_tokens, n_kept,
+        | CAST(n_tokens * 1000 // corpus_tokens AS BIGINT) AS token_share_permille,
+        | CAST(sum_alpha * 1000 // sum_chars AS BIGINT) AS alpha_permille
+        |FROM s CROSS JOIN t""".stripMargin,
     "text_langid" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_en,

@@ -127,18 +127,24 @@ object TextAnalysis {
   /** Language-ID heuristic: stopword-marker counts per language, argmax with
     * a fixed preference order (en > de > es > fr on ties).
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val withCounts = LangMarkers.foldLeft(docs(spark, dir)) { case (df, (lang, re)) =>
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(docs(spark, dir)).select(
+      col("doc_id"), col("n_en"), col("n_de"), col("n_es"), col("n_fr"),
+      col("lang_pred"))
+
+  /** [[langId]] body over any frame with a `text` column — shared by the
+    * composed C4-style pipeline so the two rows cannot drift.
+    */
+  def langIdOn(d: DataFrame): DataFrame = {
+    val withCounts = LangMarkers.foldLeft(d) { case (df, (lang, re)) =>
       df.withColumn(s"n_$lang", expr(s"regexp_count(lower(text), '$re')").cast("bigint"))
     }
-    withCounts.select(
-      col("doc_id"),
-      col("n_en"), col("n_de"), col("n_es"), col("n_fr"),
+    withCounts.withColumn("lang_pred",
       expr(
         """CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
           |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
           |     WHEN n_es >= n_fr THEN 'es'
-          |     ELSE 'fr' END""".stripMargin).as("lang_pred"))
+          |     ELSE 'fr' END""".stripMargin))
   }
 
   /** Deterministic train/test splitting + stratified sampling by portable
@@ -429,6 +435,69 @@ object TextAnalysis {
         count(lit(1)).as("tf"))
       .orderBy(desc("df"), col("token"))
       .limit(20)
+
+  /** C4/Dolma-style CLEANING CHAIN composed end-to-end — the order real
+    * corpus builds use: quality filter FIRST (Gopher rule battery), exact
+    * dedup on the survivors (min-id representative per identical text,
+    * grouped on the 16-byte double fingerprint so the shuffle never
+    * carries documents), language ID on the deduplicated set, and a
+    * per-language rollup. One oracle over the whole chain: each stage
+    * shares its body with the standalone catalog row
+    * ([[gopherRulesOn]], [[langIdOn]]), so the composition cannot drift
+    * from the pieces.
+    */
+  def pipelineC4(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    val kept = gopherRulesOn(d).filter(col("keep")).select("doc_id")
+    val keptDocs = d.join(kept, "doc_id").select("doc_id", "text")
+    val canon = keptDocs
+      .withColumn("fp31", Portable.polyHashNative("text", 31, Portable.P1))
+      .withColumn("fp37", Portable.polyHashNative("text", 37, Portable.P2))
+      .groupBy("fp31", "fp37")
+      // texts in a group are identical (collision ≈ 1e-18) — max is a
+      // deterministic way to carry the one text through the aggregate
+      .agg(min(col("doc_id")).as("doc_id"), max(col("text")).as("text"))
+    langIdOn(canon.select("doc_id", "text"))
+      .withColumn("toks", Portable.tokens("text"))
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("n_tokens"))
+  }
+
+  /** PROVENANCE DASHBOARD — per-source corpus accounting over the
+    * `source` column (the Common-Crawl-dump / curated-set axis every
+    * mixture decision keys on): document and token counts, token share of
+    * the whole corpus in integer permille, mean quality in integer
+    * permille (alpha-chars per char, the `text_quality` core), and the
+    * Gopher keep rate as exact counts. One corpus scan + one
+    * source-keyed aggregate (sources are few — the exchange is trivial);
+    * the corpus-total join broadcasts one row.
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source", "text")
+    // gopherRulesOn projects text away; join its verdict back on doc_id
+    val g = gopherRulesOn(d.select("doc_id", "text"))
+      .select("doc_id", "n_words", "keep")
+    val j = d.join(g, "doc_id")
+      .withColumn("n_alpha",
+        expr("CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val perSource = j.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_alpha")).as("sum_alpha"),
+        sum(col("n_chars")).as("sum_chars"))
+    val total = perSource.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    perSource.join(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
+        expr("n_tokens * 1000 div corpus_tokens").as("token_share_permille"),
+        expr("sum_alpha * 1000 div sum_chars").as("alpha_permille"))
+  }
 
   /** Unicode NFC normalization over the corpus — the canonical-composition
     * pass that must precede fingerprinting/dedup on non-ASCII text (see

@@ -2026,6 +2026,31 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class C4PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: C4 chain filters, dedups, then classifies — in that order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("c4").toString
+    // 60 stopword-bearing words pass every gopher rule
+    val good = (1 to 30).flatMap(i => Seq("the", s"word$i")).mkString(" ")
+    // gopher's stopword rule is English-centric: two English stopwords
+    // keep the doc while the de markers still dominate langid
+    val german = ((1 to 30).flatMap(i => Seq("der", "und", "das", s"wort$i")) ++
+      Seq("the", "the")).mkString(" ")
+    Seq(
+      (1L, good), // kept, en
+      (2L, good), // exact dup of 1 — must collapse
+      (3L, "too short"), // fails gopher word count
+      (4L, german) // kept, de
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.TextAnalysis.pipelineC4(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map("en" -> ((1L, 60L)), "de" -> ((1L, 122L))),
+      s"chain must keep one en doc (dup collapsed) and one de doc: $rows")
+  }
+}
+
 class Funnel3Spec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
