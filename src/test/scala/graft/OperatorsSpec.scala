@@ -1490,6 +1490,7 @@ class EntryContractSpec extends AnyFunSuite {
     val exempt = Map(
       "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
       "ann_ivfpq" -> "ann_ivfpq_check",
+      "ann_sq" -> "ann_sq_check",
       "text_bpe" -> "text_bpe_check",
       "text_bpe_encode" -> "text_bpe_encode_check",
       "text_bpe_encode_store" -> "text_bpe_encode_check",
