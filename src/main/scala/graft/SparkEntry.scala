@@ -190,6 +190,10 @@ object SparkEntry {
     "link_customers" -> (Relational.linkCustomers _),
     // median/MAD hourly-count anomaly monitor, calendar-bounded windows (r9)
     "events_anomaly_mad" -> (Relational.eventsAnomalyMad _),
+    // per-user transition matrix with integer-permille conditionals (r9)
+    "events_markov" -> (Relational.eventsMarkov _),
+    // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
+    "sample_weighted" -> ((s, d) => TextAnalysis.sampleWeighted(s, d)),
     // 3-step funnel composed from TWO native as-of execs (r9)
     "events_funnel3_native" -> (Relational.eventsFunnel3Native _),
     // two-step funnel: first click -> first purchase at-or-after it (r7)
@@ -1607,6 +1611,35 @@ object SparkEntry {
         | CASE WHEN purchase_ts IS NOT NULL
         |  THEN CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) END AS funnel_us
         |FROM p""".stripMargin,
+    "events_markov" ->
+      """WITH p AS (
+        | SELECT event_type AS prev_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (
+        | SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        | FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST(n * 1000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_permille
+        |FROM c""".stripMargin,
+    // identical integer clock pipeline: Knuth hash -> exact rational u ->
+    // quantized -ln(u) micro-nats -> scaled integer division by weight
+    "sample_weighted" ->
+      """WITH s AS (
+        | SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, w, (doc_id * 2654435761) % 1000000007 + 1 AS num FROM s),
+        |k AS (
+        | SELECT doc_id, w,
+        |  CAST(round(-ln(CAST(num AS DOUBLE) / 1000000008) * 1000000) AS BIGINT) AS lnu_micro
+        | FROM c),
+        |r AS (
+        | SELECT doc_id, w, (lnu_micro * 1048576) // w AS clock,
+        |  row_number() OVER (ORDER BY (lnu_micro * 1048576) // w ASC, doc_id ASC) AS rank
+        | FROM k)
+        |SELECT doc_id, w, CAST(clock AS BIGINT) AS clock, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 100""".stripMargin,
     // lower medians selected by rank over the same deterministic
     // (value, hour) order — integer arithmetic end to end
     "events_anomaly_mad" ->

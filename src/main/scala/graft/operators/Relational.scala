@@ -700,6 +700,32 @@ object Relational {
     * would shuffle (user, week) pairs twice on different keys). All
     * integer outputs — the DuckDB oracle matches bit-for-bit.
     */
+  /** MARKOV TRANSITION MINING over per-user event sequences — the
+    * click-path / sequence-mining primitive: for every ordered pair of
+    * consecutive events of a user ((ts, event_id) order), count the
+    * (prev_type → next_type) transition and derive the row-conditional
+    * probability in integer permille. The transition matrix is what
+    * funnels, next-action prediction, and bot detection all read.
+    *
+    * Scale: one user_id exchange + the per-user lead window (the
+    * documented skew caveat and chunk-bounded rewrite of
+    * `q_window_lead_lag` apply verbatim); the normalization window runs
+    * over the TYPE×TYPE aggregate — ≤ |types|² rows, never event volume.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total", sum("n").over(Window.partitionBy("prev_type")))
+      .select(
+        col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000 div row_total").as("p_permille"))
+  }
+
   /** ANOMALY DETECTION over the hourly event-count series — the
     * robust-statistics monitor a pipeline runs over its own telemetry:
     * per event type, hours whose count deviates from the type's median by

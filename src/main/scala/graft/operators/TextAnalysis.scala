@@ -179,6 +179,44 @@ object TextAnalysis {
     * top-k aggregate (`graft_topk` forwards ≤ perStratum rows per lang
     * from each map task, nothing global ever sorts).
     */
+  /** WEIGHTED sampling WITHOUT replacement — Efraimidis–Spirtakis
+    * exponential clocks made engine-portable: each doc draws a
+    * deterministic pseudo-uniform `u ∈ (0,1)` from a Knuth-multiplicative
+    * hash of its id, its clock is `-ln(u)/w` (smaller clock = sampled
+    * earlier; heavier docs get proportionally smaller clocks — the
+    * classic reduction of weighted sampling to a minimum over
+    * exponentials), and the k smallest clocks win. Every step is pinned
+    * to integers BOTH engines compute identically: `u = num/(P1+1)` as an
+    * exact rational, `lnu_micro = round(-ln(u)·1e6)` (the `text_lm_xent`
+    * ln-quantization discipline), `clock = (lnu_micro · 2^20) div w`.
+    * Weights here are token counts — sample ∝ length, the standard
+    * token-budget draw.
+    *
+    * Scale: map-only scoring + ONE bounded-heap `graft_topk` aggregate —
+    * map tasks forward ≤ k rows each; nothing global ever sorts, and
+    * the determinism means re-runs and re-partitions reproduce the
+    * sample bit-for-bit (a `rand()` sample would not).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val scored = docs(spark, dir)
+      .withColumn("toks", Portable.tokens("text"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("w"))
+      .withColumn("num", (col("doc_id") * lit(2654435761L)) % lit(Portable.P1) + 1)
+      .withColumn("lnu_micro",
+        expr(s"CAST(round(-ln(CAST(num AS DOUBLE) / ${Portable.P1 + 1}) * 1000000) AS BIGINT)"))
+      .withColumn("clock", expr("(lnu_micro * 1048576) div w"))
+    scored
+      .groupBy()
+      .agg(expr(s"graft_topk(doc_id, -clock, $k)").as("top"))
+      .select(posexplode(col("top.id")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("rank"))
+      .join(scored.select("doc_id", "w", "clock"), "doc_id")
+      .select("doc_id", "w", "clock", "rank")
+  }
+
   def sampleStratified(spark: SparkSession, dir: String, perStratum: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val w = org.apache.spark.sql.expressions.Window

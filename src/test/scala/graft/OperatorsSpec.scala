@@ -2027,6 +2027,64 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class WeightedSampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: weighted sampling matches a driver reference and favors weight") {
+    val dir = SparkSpec.testDataDir
+    import spark.implicits._
+    // driver reference: identical integer clock pipeline
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val ref = docs.map { case (id, w) =>
+      val num = (id * 2654435761L) % graft.functions.Portable.P1 + 1
+      val lnu = math.round(-math.log(num.toDouble / (graft.functions.Portable.P1 + 1)) * 1e6)
+      (id, w, (lnu * 1048576L) / w)
+    }.sortBy(t => (t._3, t._1)).take(100)
+      .zipWithIndex.map { case ((id, w, c), i) => (id, w, c, i + 1L) }.toSet
+    val got = graft.operators.TextAnalysis.sampleWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref, s"only-got=${(got -- ref).take(3)} only-ref=${(ref -- got).take(3)}")
+    // direction: the clock is inverse in weight — a doc a million times
+    // heavier than another with the same draw must sort first
+    val sel = got.map(_._1)
+    val heaviest = docs.sortBy(-_._2).take(10).map(_._1)
+    val meanSel = got.toSeq.map(_._2).sum / got.size
+    val meanAll = docs.map(_._2).sum / docs.length
+    info(s"heaviest-10 docs selected: ${heaviest.count(sel.contains)}/10 " +
+      s"(mean w selected = $meanSel, corpus mean = $meanAll)")
+    assert(meanSel >= meanAll,
+      "length-weighted sample must skew above the corpus mean length")
+  }
+}
+
+class MarkovSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: transition matrix matches a driver reference; conditionals floor-sum under 1000") {
+    val dir = SparkSpec.testDataDir
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val refCounts = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (us(e._2), e._3)).map(_._4).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Relational.eventsMarkov(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap == refCounts,
+      s"counts diverge: ${got.keySet -- refCounts.keySet} / ${refCounts.keySet -- got.keySet}")
+    got.groupBy(_._1._1).foreach { case (prev, rows) =>
+      val s = rows.values.map(_._2).sum
+      assert(s <= 1000 && s > 1000 - rows.size,
+        s"permille floor-sum out of range for $prev: $s")
+    }
+  }
+}
+
 class C4PipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
