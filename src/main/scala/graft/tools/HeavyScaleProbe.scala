@@ -133,7 +133,13 @@ object HeavyScaleProbe {
       ("text_dsir", (s, d) => graft.operators.TextAnalysis.dsirWeights(s, d).count()),
       // r9: the pruned-LM twin — top-K heap caps the model side; probe it
       // NEXT TO the exact scorer so the two exponents read side by side
-      ("text_lm_xent_pruned", (s, d) => graft.operators.TextAnalysis.lmCrossEntropyPruned(s, d).count()))
+      ("text_lm_xent_pruned", (s, d) => graft.operators.TextAnalysis.lmCrossEntropyPruned(s, d).count()),
+      // r9 continuation: the EXACT prefix-filter Jaccard join — its
+      // candidate count is data-dependent (rare-first prefixes); the
+      // exponent shows whether replication's duplicated grams (df scales
+      // with kRep, prefixes stay rare RELATIVE to the corpus) keep the
+      // join subquadratic the way the LSH twin is
+      ("dedup_jaccard_exact", (s, d) => graft.operators.Dedup.jaccardPrefixNearDups(s, d).count()))
 
     val results = scala.collection.mutable.Map[(String, Int), (Double, Long)]()
     for (kRep <- Seq(1, bigK)) {
