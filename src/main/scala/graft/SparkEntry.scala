@@ -192,6 +192,10 @@ object SparkEntry {
     "events_anomaly_mad" -> (Relational.eventsAnomalyMad _),
     // per-user transition matrix with integer-permille conditionals (r9)
     "events_markov" -> (Relational.eventsMarkov _),
+    // p01/p99 value-atomic clipping via the chunked value histogram (r9)
+    "stats_winsorize" -> ((s, d) => Relational.statsWinsorize(s, d)),
+    // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
+    "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
     "sample_weighted" -> ((s, d) => TextAnalysis.sampleWeighted(s, d)),
     // 3-step funnel composed from TWO native as-of execs (r9)
@@ -1611,6 +1615,47 @@ object SparkEntry {
         | CASE WHEN purchase_ts IS NOT NULL
         |  THEN CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) END AS funnel_us
         |FROM p""".stripMargin,
+    // value-atomic p01/p99 via RANGE-frame cumulative counts (peers
+    // included), then clip-and-aggregate — all integers
+    "stats_winsorize" ->
+      """WITH x AS (
+        | SELECT l_returnflag AS flag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem),
+        |c AS (
+        | SELECT flag, cents,
+        |  count(*) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+        |  count(*) OVER (PARTITION BY flag) AS n
+        | FROM x),
+        |b AS (
+        | SELECT flag,
+        |  min(CASE WHEN cum * 100 >= n THEN cents END) AS p01_cents,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99_cents
+        | FROM c GROUP BY flag)
+        |SELECT x.flag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN cents < p01_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        | CAST(sum(CASE WHEN cents > p99_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        | CAST(sum(greatest(p01_cents, least(p99_cents, cents))) AS BIGINT) AS sum_clipped_cents,
+        | min(p01_cents) AS p01_cents, min(p99_cents) AS p99_cents
+        |FROM x JOIN b ON x.flag = b.flag
+        |GROUP BY x.flag""".stripMargin,
+    "text_cooccur" ->
+      """WITH d AS (
+        | SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        | FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |td AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY token),
+        |freq AS (SELECT token, df FROM dfc ORDER BY df DESC, token LIMIT 32),
+        |h AS (SELECT td.doc_id, td.token, f.df FROM td JOIN freq f USING (token)),
+        |p AS (
+        | SELECT a.token AS tok_a, b.token AS tok_b,
+        |  CAST(count(*) AS BIGINT) AS support, min(a.df) AS df_a, min(b.df) AS df_b
+        | FROM h a JOIN h b ON a.doc_id = b.doc_id AND a.token < b.token
+        | GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, support, df_a, df_b,
+        | CAST(support * n_docs * 1000 // (df_a * df_b) AS BIGINT) AS lift_permille
+        |FROM p CROSS JOIN n
+        |WHERE support >= 10""".stripMargin,
     "events_markov" ->
       """WITH p AS (
         | SELECT event_type AS prev_type,

@@ -700,6 +700,56 @@ object Relational {
     * would shuffle (user, week) pairs twice on different keys). All
     * integer outputs — the DuckDB oracle matches bit-for-bit.
     */
+  /** WINSORIZED robust statistics — the outlier-clipping pass that makes
+    * mean-based metrics usable on heavy-tailed money columns: per
+    * returnflag, l_extendedprice cents are clipped at the exact
+    * value-atomic p01/p99 (b = smallest value whose cumulative count
+    * reaches the rank — the `pipeline_ppl_buckets` boundary rule, so ties
+    * cannot diverge between engines), then aggregated.
+    *
+    * Scale: percentile boundaries come from the per-flag VALUE histogram
+    * with the two-level chunked prefix-sum (`stats_histogram_eqdepth`
+    * recipe, partition keys (flag, value-chunk)) — no window ever sees a
+    * corpus-sized or even domain-sized single partition; the ≤|flags|
+    * boundary rows broadcast and clipping is map-only.
+    */
+  def statsWinsorize(spark: SparkSession, dir: String,
+      maxChunks: Int = 1024): DataFrame = {
+    val x = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val hist0 = x.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+    val span = hist0.groupBy("flag")
+      .agg(min("cents").as("mn"), max("cents").as("mx"), sum("cnt").as("n"))
+    val hist = hist0.join(broadcast(span), "flag")
+      .withColumn("cb", expr(s"(cents - mn) div ((mx - mn) div $maxChunks + 1)"))
+    val wLocal = Window.partitionBy("flag", "cb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
+    val totals = hist.groupBy("flag", "cb").agg(sum("cnt").as("tot"))
+    val bounds = totals.groupBy("flag").agg(max("cb").as("cb_max"))
+    val prefix = totals.join(broadcast(bounds), "flag")
+      .filter(col("cb") < col("cb_max"))
+      .select(col("flag"), explode(expr("sequence(cb + 1, cb_max)")).as("cb"), col("tot"))
+      .groupBy("flag", "cb").agg(sum("tot").as("prev_cum"))
+    val boundaries = local.join(prefix, Seq("flag", "cb"), "left")
+      .withColumn("cum", col("local_cum") + coalesce(col("prev_cum"), lit(0L)))
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") * 100 >= col("n"), col("cents"))).as("p01_cents"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("cents"))).as("p99_cents"))
+    x.join(broadcast(boundaries), "flag")
+      .withColumn("clipped", greatest(col("p01_cents"), least(col("p99_cents"), col("cents"))))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") < col("p01_cents"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("cents") > col("p99_cents"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("clipped")).as("sum_clipped_cents"),
+        min(col("p01_cents")).as("p01_cents"),
+        min(col("p99_cents")).as("p99_cents"))
+  }
+
   /** MARKOV TRANSITION MINING over per-user event sequences — the
     * click-path / sequence-mining primitive: for every ordered pair of
     * consecutive events of a user ((ts, event_id) order), count the

@@ -179,6 +179,43 @@ object TextAnalysis {
     * top-k aggregate (`graft_topk` forwards ≤ perStratum rows per lang
     * from each map task, nothing global ever sorts).
     */
+  /** FREQUENT-PAIR CO-OCCURRENCE mining — the market-basket primitive
+    * (a-priori pruned to one level): support counts and integer-permille
+    * lift for pairs of FREQUENT tokens appearing in the same document.
+    * The candidate space is bounded by a PARAMETER, not the vocabulary:
+    * only the top-`maxTokens` tokens by document frequency (ties by token
+    * asc) can form pairs, so the per-doc pair fan-out is ≤ maxTokens² and
+    * the frequent set broadcasts (the a-priori principle — a pair can
+    * only be frequent if both members are).
+    *
+    * Scale: one df aggregate + TakeOrdered for the frequent set; the
+    * within-doc pair join is an equi-join on doc_id between two
+    * broadcast-filtered exploded sides; support counting is map-combined.
+    * `lift_permille = support·n_docs·1000 div (df_a·df_b)` — exact
+    * integers end to end.
+    */
+  def cooccurrence(spark: SparkSession, dir: String,
+      maxTokens: Int = 32, minSupport: Int = 10): DataFrame = {
+    val d = docs(spark, dir).withColumn("toks", Portable.tokens("text"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tokDocs = d.select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+    val dfCounts = tokDocs.groupBy("token").agg(count(lit(1)).as("df"))
+    val frequent = dfCounts.orderBy(desc("df"), col("token")).limit(maxTokens)
+    val hits = tokDocs.join(broadcast(frequent), "token")
+    val a = hits.select(col("doc_id"), col("token").as("tok_a"), col("df").as("df_a"))
+    val b = hits.select(col("doc_id"), col("token").as("tok_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("support"),
+        min(col("df_a")).as("df_a"), min(col("df_b")).as("df_b"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(nDocs))
+      .select(
+        col("tok_a"), col("tok_b"), col("support"), col("df_a"), col("df_b"),
+        expr("support * n_docs * 1000 div (df_a * df_b)").as("lift_permille"))
+  }
+
   /** WEIGHTED sampling WITHOUT replacement — Efraimidis–Spirtakis
     * exponential clocks made engine-portable: each doc draws a
     * deterministic pseudo-uniform `u ∈ (0,1)` from a Knuth-multiplicative

@@ -2027,6 +2027,62 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class WinsorizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: winsorize clips at exact value-atomic p01/p99 per flag") {
+    val dir = SparkSpec.testDataDir
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_returnflag AS flag", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = raw.groupBy(_._1).map { case (flag, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length
+      def boundary(pct: Int): Long = {
+        // smallest v whose cumulative count reaches ceil(pct*n/100)
+        val need = (pct * n + 99) / 100
+        vs(need - 1)
+      }
+      val p01 = boundary(1); val p99 = boundary(99)
+      val clipped = vs.map(v => math.max(p01, math.min(p99, v)))
+      (flag, (n.toLong, vs.count(_ < p01).toLong, vs.count(_ > p99).toLong,
+        clipped.sum, p01, p99))
+    }
+    val got = graft.operators.Relational.statsWinsorize(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == ref.toMap, s"got $got\nref ${ref.toMap}")
+    got.values.foreach { case (n, lo, hi, _, _, _) =>
+      assert(lo < n / 100 + 1 && hi <= n / 100 + 1, s"clip counts out of band: $lo/$hi of $n")
+    }
+  }
+}
+
+class CooccurSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: co-occurrence support and lift on a hand-built basket fixture") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cooccur").toString
+    // a+b co-occur in 12 docs; a alone in 4; b alone in 2; c everywhere
+    val docsFx =
+      (1 to 12).map(i => (i.toLong, "a b c")) ++
+        (13 to 16).map(i => (i.toLong, "a c")) ++
+        (17 to 18).map(i => (i.toLong, "b c")) ++
+        (19 to 20).map(i => (i.toLong, "c"))
+    docsFx.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.cooccurrence(spark, tmp, maxTokens = 3, minSupport = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // support >= 10 keeps (a,b): 12, (a,c): 16, (b,c): 14
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")), s"$got")
+    assert(got(("a", "b")) == ((12L, 16L, 14L, 12L * 20 * 1000 / (16 * 14))))
+    assert(got(("a", "c")) == ((16L, 16L, 20L, 16L * 20 * 1000 / (16 * 20))))
+    // independence baseline: a,c fully nested in c -> lift exactly 1000
+    assert(got(("a", "c"))._4 == 1000L)
+  }
+}
+
 class WeightedSampleSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
