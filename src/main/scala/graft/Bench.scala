@@ -279,6 +279,19 @@ object Bench {
       graft.streaming.StreamSketch.quantiles(spark, store, "event_type", Seq(0.5, 0.95)).count()
     }
 
+    // r9: streaming MAD monitor — versioned hourly-count store + shared
+    // batch flags body
+    results("stream_monitor") = time2 {
+      val store = tempDir("graft-bench-stream-monitor")
+      val ckpt = tempDir("graft-bench-stream-monitor-ckpt")
+      val q = graft.streaming.StreamMonitor.start(
+        eventsStream().transform(graft.operators.Relational.normalizeEventTs)
+          .select("ts", "event_type"), store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamMonitor.flags(spark, store).count()
+    }
+
     // r9: streaming last-touch attribution — one 16-byte state per user,
     // AvailableNow over the events file feeds the flatMapGroupsWithState
     results("stream_attribution") = time2 {
@@ -316,7 +329,7 @@ object Bench {
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
         "stream_incremental_dedup", "stream_sketch_rollup",
         "stream_sketch_rollup_theta", "stream_sketch_rollup_kll",
-        "stream_attribution")
+        "stream_attribution", "stream_monitor")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

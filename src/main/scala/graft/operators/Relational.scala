@@ -795,10 +795,18 @@ object Relational {
     * CALENDAR-bounded aggregate (hours × types rows), never event volume
     * — the `events_retention` discipline.
     */
-  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val hc = events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromCounts(
+      events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n")))
+
+  /** [[eventsAnomalyMad]] body over any (event_type, hour, n) counts frame
+    * — shared by the STREAMING monitor
+    * ([[graft.streaming.StreamMonitor]]), so the online flags cannot
+    * drift from the batch contract.
+    */
+  def anomalyFromCounts(hc: DataFrame): DataFrame = {
     val wCnt = Window.partitionBy("event_type").orderBy(col("n"), col("hour"))
     val wType = Window.partitionBy("event_type")
     val withMed = hc

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming pipeline-health MONITOR — the online form of
+  * `events_anomaly_mad`: each micro-batch folds its (event_type, hour)
+  * counts into a persisted, VERSIONED count store (the
+  * [[StreamSketch]] layout), and `flags()` reads the newest version
+  * through the SHARED `Relational.anomalyFromCounts` body — so the
+  * median/MAD flags a dashboard polls are always computed by exactly the
+  * batch operator's arithmetic over everything seen so far.
+  *
+  * Replay safety: hourly counts are plain sums (NOT idempotent under
+  * re-merge, unlike HLL), so safety rests entirely on the versioned
+  * layout — a re-delivered batch N rebuilds `v<N>` FROM
+  * `v<latest < N>`, never from its own failed half-write, so each
+  * batch's rows enter the totals exactly once (the KLL argument in
+  * [[StreamSketch]], which this store reuses verbatim).
+  *
+  * Scale: store rows ∝ |types| × calendar hours — bounded by the
+  * CALENDAR, never event volume; the per-batch merge is one
+  * map-combined aggregate over (type, hour) keys.
+  */
+object StreamMonitor {
+
+  def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
+      keepVersions: Int = 2): StreamingQuery = {
+    newRows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val newCounts = batch
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+          case Some(prev) =>
+            spark.read.parquet(prev).select("event_type", "hour", "n")
+              .union(newCounts)
+              .groupBy("event_type", "hour")
+              .agg(sum("n").as("n"))
+          case None => newCounts
+        }
+        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+        prune(spark, storeDir, keepVersions)
+      }
+      .start()
+  }
+
+  /** Median/MAD anomaly flags over everything the store has seen —
+    * the batch operator's body, verbatim, over the newest version.
+    */
+  def flags(spark: SparkSession, storeDir: String): DataFrame =
+    graft.operators.Relational.anomalyFromCounts(
+      spark.read.parquet(latest(spark, storeDir)).select("event_type", "hour", "n"))
+
+  private def latest(spark: SparkSession, storeDir: String): String =
+    latestVersion(spark, storeDir, below = None).getOrElse(
+      throw new IllegalStateException(s"no monitor store versions under $storeDir"))
+
+  private def latestVersion(spark: SparkSession, storeDir: String,
+      below: Option[Long]): Option[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(storeDir)
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .filter(id => below.forall(id < _))
+    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
+  }
+
+  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new Path(storeDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .sorted
+    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
+  }
+}

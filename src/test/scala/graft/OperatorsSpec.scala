@@ -2027,6 +2027,42 @@ class RetentionSpec extends AnyFunSuite {
   }
 }
 
+class StreamMonitorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: streaming MAD monitor equals the batch twin across arbitrary batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkSpec.testDataDir
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("ts", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val store = java.nio.file.Files.createTempDirectory("monitor-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("monitor-ckpt").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamMonitor.start(
+      mem.toDF().toDF("ts", "event_type"), store, ckpt)
+    // arbitrary (non-time-partitioned) split: counts are order-independent
+    // sums, so ANY batch boundary must give identical flags
+    val (b1, b2) = ev.splitAt(ev.length / 3)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = graft.streaming.StreamMonitor.flags(spark, store).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val batch = graft.operators.Relational.eventsAnomalyMad(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    // versioned store pruned to keepVersions
+    val versions = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"store must prune old versions: ${versions.toSeq}")
+  }
+}
+
 class WinsorizeSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
