@@ -194,6 +194,8 @@ object SparkEntry {
     "events_markov" -> (Relational.eventsMarkov _),
     // p01/p99 value-atomic clipping via the chunked value histogram (r9)
     "stats_winsorize" -> ((s, d) => Relational.statsWinsorize(s, d)),
+    // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
@@ -1615,6 +1617,26 @@ object SparkEntry {
         | CASE WHEN purchase_ts IS NOT NULL
         |  THEN CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) END AS funnel_us
         |FROM p""".stripMargin,
+    "q8_market_share" ->
+      """WITH rev AS (
+        | SELECT year(o.o_orderdate) AS o_year,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+        |  sn.n_name AS sup_nation
+        | FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        | JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) AS BIGINT) AS nation_rev,
+        | CAST(sum(rev) AS BIGINT) AS total_rev,
+        | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
+        |   // sum(rev) AS BIGINT) AS share_permille
+        |FROM rev GROUP BY o_year""".stripMargin,
     // value-atomic p01/p99 via RANGE-frame cumulative counts (peers
     // included), then clip-and-aggregate — all integers
     "stats_winsorize" ->

@@ -700,6 +700,53 @@ object Relational {
     * would shuffle (user, week) pairs twice on different keys). All
     * integer outputs — the DuckDB oracle matches bit-for-bit.
     */
+  /** TPC-H Q8-shaped NATIONAL MARKET SHARE — the deepest join tree in the
+    * relational family (6 tables): per order year, the revenue share (in
+    * integer permille) of one supplier nation within PROMO-part revenue
+    * ordered by ASIA-region customers. Revenue is exact integer
+    * cents×percent (`round(price·100) · (100 − round(discount·100))`) —
+    * the integer-cents money discipline, so the oracle matches
+    * bit-for-bit with no float summation order concerns.
+    *
+    * Scale: every dimension chain broadcasts (PROMO parts, ASIA
+    * customers via nation⋈region, supplier→nation); the only possibly
+    * big-big join is lineitem⋈orders on the order key, and the share
+    * needs no second pass — one conditional-sum aggregate computes the
+    * nation numerator and the total in the same exchange.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      supplierNation: String = "NATION_1"): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("bigint"))
+      .withColumn("dpct", round(col("l_discount") * 100).cast("bigint"))
+      .withColumn("rev", col("cents") * (lit(100L) - col("dpct")))
+    val promo = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val asiaCust = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("c_custkey")
+    val supNation = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("sup_nation"))
+    li
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("sup_nation") === supplierNation, col("rev")).otherwise(0L))
+          .as("nation_rev"),
+        sum(col("rev")).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        expr("nation_rev * 1000 div total_rev").as("share_permille"))
+  }
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

@@ -2496,3 +2496,49 @@ class AsOfJoinSpec extends AnyFunSuite {
       Map(1L -> None, 2L -> Some(1L), 3L -> Some(2L)), "strict backward takes the previous row")
   }
 }
+
+class Q8MarketShareSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: q8 market share matches an all-integer driver reference") {
+    val dir = SparkSpec.testDataDir
+    def load(t: String) = spark.read.parquet(s"$dir/$t.parquet")
+    // driver reference: join maps built from collected dimension tables,
+    // the same integer cents x percent revenue discipline
+    val promo = load("part").filter("p_type = 'PROMO'")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val nationName = load("nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val asiaNations = load("nation")
+      .join(load("region").filter("r_name = 'ASIA'"), expr("n_regionkey = r_regionkey"))
+      .selectExpr("CAST(n_nationkey AS BIGINT)").collect().map(_.getLong(0)).toSet
+    val asiaCust = load("customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)").collect()
+      .filter(r => asiaNations(r.getLong(1))).map(_.getLong(0)).toSet
+    val supNation = load("supplier")
+      .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> nationName(r.getLong(1))).toMap
+    val orderOf = load("orders")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(year(o_orderdate) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    load("lineitem").selectExpr("l_orderkey", "l_partkey", "l_suppkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(round(l_discount * 100) AS BIGINT) AS dpct")
+      .collect().foreach { r =>
+        val (custkey, year) = orderOf(r.getLong(0))
+        if (promo(r.getLong(1)) && asiaCust(custkey)) {
+          val rev = r.getLong(3) * (100L - r.getLong(4))
+          val nat = if (supNation(r.getLong(2)) == "NATION_1") rev else 0L
+          val (n0, t0) = acc.getOrElse(year, (0L, 0L))
+          acc(year) = (n0 + nat, t0 + rev)
+        }
+      }
+    val ref = acc.map { case (y, (n, t)) => y -> (n, t, n * 1000 / t) }.toMap
+    val got = graft.operators.Relational.q8MarketShare(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.nonEmpty, "fixture must produce at least one year")
+  }
+}

@@ -488,4 +488,14 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("q8: all dimension chains broadcast; no cartesian; one agg exchange") {
+    val plan = executedPlan("q8_market_share")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"promo/asia-cust/sup-nation chains must broadcast (got $bhj):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the PROMO filter must reach the part scan as a pushed filter
+    val fmt = formatted("q8_market_share")
+    assert(fmt.contains("EqualTo(p_type,PROMO)"), fmt)
+  }
 }
