@@ -196,6 +196,8 @@ object SparkEntry {
     "stats_winsorize" -> ((s, d) => Relational.statsWinsorize(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
@@ -1637,6 +1639,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        | SELECT l_partkey, p_brand,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand = 'Brand#1'),
+        |w AS (
+        | SELECT p_brand, qty, cents,
+        |  CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty,
+        |  count(*) OVER (PARTITION BY l_partkey) AS cnt
+        | FROM li)
+        |SELECT p_brand, count(*) AS n_small,
+        | CAST(sum(cents) AS BIGINT) AS small_revenue_cents,
+        | CAST(sum(cents) AS BIGINT) * 10 // 7 AS avg_yearly_decicents
+        |FROM w WHERE qty * 5 * cnt < sum_qty
+        |GROUP BY p_brand""".stripMargin,
     // value-atomic p01/p99 via RANGE-frame cumulative counts (peers
     // included), then clip-and-aggregate — all integers
     "stats_winsorize" ->

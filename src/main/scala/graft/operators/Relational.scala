@@ -747,6 +747,50 @@ object Relational {
         expr("nation_rev * 1000 div total_rev").as("share_permille"))
   }
 
+  /** TPC-H Q17-shaped SMALL-QUANTITY-ORDER revenue — the correlated scalar
+    * aggregate decorrelated the way Catalyst would: "lineitems whose
+    * quantity is below 20% of their part's average quantity". The
+    * correlated subquery `0.2 · avg(l_quantity) WHERE same part` becomes a
+    * per-part aggregate joined back to the fact table; the fractional
+    * comparison is kept exactly integral:
+    * `qty < sum_qty / (5·cnt)  ⇔  5·qty·cnt < sum_qty`
+    * (quantities are whole; everything stays BIGINT, so the oracle agrees
+    * bit-for-bit with no division-rounding hazard on either engine).
+    *
+    * Scale: the textbook decorrelation (per-part aggregate joined back to
+    * the fact) scans lineitem TWICE — at 100 TB the second scan is the
+    * dominant cost. Instead the per-part aggregate rides a whole-partition
+    * window over the SAME scan: one pruned lineitem read (brand keys
+    * broadcast into the scan's join filter), ONE exchange on `l_partkey`,
+    * and the per-part sums are computed next to the rows they gate.
+    * Per-part groups are ~30 rows, so the window buffer is trivially
+    * bounded and skew-free.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey"), col("p_brand"))
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_brand"),
+        round(col("l_quantity")).cast("bigint").as("qty"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val perPart = Window.partitionBy("l_partkey")
+    li
+      .withColumn("sum_qty", sum(col("qty")).over(perPart))
+      .withColumn("cnt", count(lit(1)).over(perPart))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("cents")).as("small_revenue_cents"))
+      // TPC-H's avg_yearly analogue, floored into deci-cents-per-7-years
+      // (all-positive, so Spark div == DuckDB // — the floor/trunc trap
+      // from the build conventions doesn't bite)
+      .withColumn("avg_yearly_decicents",
+        expr("small_revenue_cents * 10 div 7"))
+  }
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

@@ -2542,3 +2542,29 @@ class Q8MarketShareSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must produce at least one year")
   }
 }
+
+class Q17SmallQtySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: q17 small-quantity revenue matches an integer driver reference") {
+    val dir = SparkSpec.testDataDir
+    val brandParts = spark.read.parquet(s"$dir/part.parquet")
+      .filter("p_brand = 'Brand#1'").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_partkey", "CAST(round(l_quantity) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(r => brandParts(r._1))
+    val perPart = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (g.map(_._2).sum, g.length.toLong) }
+    val small = rows.filter { case (k, qty, _) =>
+      val (sumQty, cnt) = perPart(k); qty * 5 * cnt < sumQty }
+    val expRev = small.map(_._3).sum
+    val got = graft.operators.Relational.q17SmallQty(spark, dir).collect()
+    assert(got.length == 1 && got(0).getString(0) == "Brand#1")
+    assert(got(0).getLong(1) == small.length.toLong, "n_small")
+    assert(got(0).getLong(2) == expRev, "small_revenue_cents")
+    assert(got(0).getLong(3) == expRev * 10 / 7, "avg_yearly_decicents")
+  }
+}

@@ -498,4 +498,13 @@ class PlanSpec extends AnyFunSuite {
     val fmt = formatted("q8_market_share")
     assert(fmt.contains("EqualTo(p_type,PROMO)"), fmt)
   }
+
+  test("q17: correlated-avg via ONE lineitem scan + one partkey exchange") {
+    val plan = executedPlan("q17_small_qty")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"lineitem once + part once, no re-scan (got $scans):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"brand keys must broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"one partkey + one final-agg exchange, got $exchanges:\n$plan")
+  }
 }
