@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Layout, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -198,6 +198,9 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
+    // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
+    "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
@@ -2351,6 +2354,56 @@ object SparkEntry {
         |GROUP BY label, dim""".stripMargin
   )
 
+  /** Shared CTE prefix for the graph oracles: the symmetric trade graph
+    * (see [[graft.operators.Graph]]). */
+  private val tradeGraphCtes: String =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
+
+  /** Unrolled fixed-iteration integer-PageRank oracle — the recursive-CTE-
+    * free twin of [[graft.operators.Graph.pageRank]]: each superstep is one
+    * CTE, so DuckDB executes literally the same integer recurrence.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         | CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+         | FROM nodes n LEFT JOIN (
+         |  SELECT ed.dst AS node, sum(r.pr // ed.outdeg) AS s
+         |  FROM r${i - 1} r JOIN ed ON r.node = ed.src GROUP BY 1) c
+         | ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCtes,
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON e.src = deg.src),
+       |nodes AS (SELECT c_custkey * 2 AS node FROM customer
+       | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+       |$steps
+       |SELECT node, pr FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled bounded-hop BFS oracle twin of
+    * [[graft.operators.Graph.reachability]]. */
+  private def reachOracle(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node
+         | FROM f${i - 1} JOIN e ON f${i - 1}.node = e.src
+         | WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS (SELECT * FROM v${i - 1}
+         | UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCtes,
+       |seeds AS (SELECT c_custkey * 2 AS node
+       | FROM customer JOIN nation ON c_nationkey = n_nationkey
+       | WHERE n_name = 'NATION_1'),
+       |f0 AS (SELECT node FROM seeds),
+       |v0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds),
+       |$steps
+       |SELECT node, hop FROM v$maxHops""".stripMargin
+  }
+
   /** The skew-safe window variants compute EXACTLY the same result as
     * their plain twins, so each shares its twin's oracle — a green row is
     * a driver-level proof the chunked rewrite changed the plan, not the
@@ -2359,5 +2412,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_range_frame_skew" -> baseOracleSql("q_range_frame"),
     "q_window_lead_lag_skew" -> baseOracleSql("q_window_lead_lag"),
-    "events_sessionize_skew" -> baseOracleSql("events_sessionize"))
+    "events_sessionize_skew" -> baseOracleSql("events_sessionize"),
+    "graph_pagerank" -> pageRankOracle(5),
+    "graph_reach" -> reachOracle(3))
 }

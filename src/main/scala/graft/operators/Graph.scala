@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over the trade graph the TPC-H-ish fixture
+  * implies: an undirected customer⇄supplier edge for every (customer,
+  * supplier) pair that ever traded (orders ⋈ lineitem, distinct pairs,
+  * both directions materialized so the random walk is symmetric). Node
+  * ids disambiguate the two populations arithmetically
+  * (`c_custkey·2` / `s_suppkey·2+1`) — no strings on any shuffle.
+  *
+  * Everything is fixed-iteration and ALL-INTEGER (ranks in integer
+  * "nano-mass" units, truncating division), so results are bit-equal to
+  * the DuckDB oracle's unrolled-CTE twin regardless of partitioning,
+  * summation order, or engine — the same money-in-cents discipline the
+  * relational family uses, applied to iterative state.
+  *
+  * Scale notes (100 TB thinking):
+  *   - the edge table (src, dst, outdeg) is built ONCE, hash-partitioned
+  *     on `src`, and persisted; every iteration reuses that layout so the
+  *     per-iteration cost is one shuffle of the (node, rank) pairs to the
+  *     edge partitioning plus one aggregation exchange on `dst` — the
+  *     classic two-exchange Pregel superstep, rows never wider than
+  *     24 bytes
+  *   - iteration count is a bounded parameter; lineage is truncated with
+  *     a localCheckpoint every `checkpointEvery` supersteps so the plan
+  *     does not deepen linearly with iterations (the classic iterative-
+  *     Spark OOM trap)
+  *   - rank SCALE must satisfy `N · SCALE · dampPct < 2^63`: the default
+  *     1e9 is safe to ~10^8 nodes; callers at larger N pass a smaller
+  *     scale (documented, asserted nowhere at runtime — the overflow
+  *     would need a single node absorbing the whole graph's mass)
+  *   - truncating division leaks ≤ outdeg−1 nano-units per node per
+  *     superstep ("dropped mass" semantics, identical in the oracle);
+  *     dangling nodes cannot exist here because edges are symmetric
+  */
+object Graph {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Rank scale: the uniform vector is `SCALE` per node. */
+  val Scale = 1000000000L
+
+  /** Symmetric trade edges with out-degree, one row per directed edge:
+    * (src, dst, outdeg). Distinct pairs only — edge weight is ignored by
+    * design (the oracle does the same).
+    */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val directed = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    directed.join(deg, "src")
+  }
+
+  /** All graph nodes (isolated customers/suppliers included — they keep
+    * the base rank, identically in the oracle). */
+  def tradeNodes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select((col("c_custkey") * 2).as("node"))
+      .unionAll(t(spark, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).as("node")))
+
+  /** Fixed-iteration integer PageRank:
+    * `pr' = SCALE·(100−dampPct)/100 + dampPct · Σ_in (pr div outdeg) div 100`.
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      dampPct: Long = 85, scale: Long = Scale,
+      checkpointEvery: Int = 4): DataFrame = {
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = tradeEdges(spark, dir)
+      .repartition(shuffleN, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = tradeNodes(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100L - dampPct) / 100L
+    var ranks = nodes.withColumn("pr", lit(scale))
+    for (i <- 1 to iters) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampPct * coalesce(s, 0L)) div 100"))
+            .as("pr"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.select(col("node").cast("bigint").as("node"),
+      col("pr").cast("bigint").as("pr"))
+    Dedup.materializeAndRelease(Seq(edges, nodes), out)
+  }
+
+  /** Bounded-hop BFS reachability: minimum hop count (≤ maxHops) from the
+    * seed set — customers of one nation — over the symmetric trade graph.
+    * Per superstep the frontier is the NEWLY reached nodes only
+    * (anti-join against the visited set), so work per hop is proportional
+    * to the frontier, not the graph.
+    */
+  def reachability(spark: SparkSession, dir: String, maxHops: Int = 3,
+      nation: String = "NATION_1"): DataFrame = {
+    val edges = tradeEdges(spark, dir).select("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .select((col("c_custkey") * 2).as("node"))
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    var visited = seeds.withColumn("hop", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    caches += visited
+    var frontier = visited.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += next
+      visited = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+      caches += visited
+      frontier = next.select("node")
+    }
+    val out = visited.select(col("node").cast("bigint").as("node"), col("hop"))
+    Dedup.materializeAndRelease(caches.toSeq, out)
+  }
+}
