@@ -194,6 +194,8 @@ object SparkEntry {
     "events_markov" -> (Relational.eventsMarkov _),
     // p01/p99 value-atomic clipping via the chunked value histogram (r9)
     "stats_winsorize" -> ((s, d) => Relational.statsWinsorize(s, d)),
+    // SCD2 validity intervals via gaps-and-islands, one user_id exchange (r9)
+    "events_scd2" -> (Relational.eventsScd2 _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1642,6 +1644,28 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_scd2" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |y AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM x),
+        |z AS (
+        | SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+        | FROM y),
+        |isl AS (
+        | SELECT user_id, version, event_type,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        | FROM z GROUP BY user_id, version, event_type)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+        | valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        | CAST(n_events AS BIGINT) AS n_events
+        |FROM isl""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         | SELECT l_partkey, p_brand,

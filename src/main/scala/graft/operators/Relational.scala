@@ -791,6 +791,41 @@ object Relational {
         expr("small_revenue_cents * 10 div 7"))
   }
 
+  /** SCD TYPE-2 dimension build — the warehouse pattern that turns an
+    * append-only event feed into versioned validity intervals: per user,
+    * consecutive runs of the same `event_type` collapse into one row with
+    * `[valid_from, valid_to)` (half-open; the current version has
+    * `valid_to IS NULL`). Gaps-and-islands: a change flag against
+    * `lag(event_type)`, a running sum for the island id, one aggregate per
+    * island, then `lead(valid_from)` closes each interval.
+    *
+    * Scale: every window and the aggregate key on `user_id` — ONE
+    * exchange; the island windows after the first only re-sort within
+    * already-co-located partitions. Ordering ties break on `event_id`, so
+    * the result is bit-deterministic on any partitioning (same tiebreak
+    * in the oracle).
+    */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val islands = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy("user_id", "version", "event_type")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1)
+        .over(Window.partitionBy("user_id").orderBy("version")))
+      .select(col("user_id"), col("version").cast("bigint").as("version"),
+        col("event_type"), col("valid_from"), col("valid_to"),
+        col("n_events").cast("bigint").as("n_events"))
+  }
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

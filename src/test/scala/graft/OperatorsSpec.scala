@@ -2568,3 +2568,49 @@ class Q17SmallQtySpec extends AnyFunSuite {
     assert(got(0).getLong(3) == expRev * 10 / 7, "avg_yearly_decicents")
   }
 }
+
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: SCD2 intervals on a hand-built feed: runs merge, changes cut, last open") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd2").toString
+    def us(n: Long) = new java.sql.Timestamp(n / 1000) // micros -> ms
+    // user 1: A A B A ; user 2: single C
+    Seq(
+      (10L, 1000000L, 1L, "A", 0.0, "{}"),
+      (11L, 2000000L, 1L, "A", 0.0, "{}"),
+      (12L, 3000000L, 1L, "B", 0.0, "{}"),
+      (13L, 4000000L, 1L, "A", 0.0, "{}"),
+      (20L, 5000000L, 2L, "C", 0.0, "{}")
+    ).map { case (id, tus, u, ty, v, p) => (id, us(tus), u, ty, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.eventsScd2(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getTimestamp(3).getTime,
+          Option(r.getTimestamp(4)).map(_.getTime), r.getLong(5)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (("A", 1000L, Some(3000L), 2L)), // two A events merged
+      (1L, 2L) -> (("B", 3000L, Some(4000L), 1L)),
+      (1L, 3L) -> (("A", 4000L, None, 1L)),        // current version open-ended
+      (2L, 1L) -> (("C", 5000L, None, 1L))), s"$got")
+  }
+
+  test("r9: SCD2 intervals tile each user's timeline with no overlap") {
+    val dir = SparkSpec.testDataDir
+    val rows = graft.operators.Relational.eventsScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3).getTime,
+        Option(r.getTimestamp(4)).map(_.getTime)))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: interval ${a._2} must close at ${b._2}'s start")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty, s"user $u: last version must be open")
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"user $u: dense versions")
+    }
+  }
+}

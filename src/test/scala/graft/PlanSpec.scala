@@ -507,4 +507,10 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"one partkey + one final-agg exchange, got $exchanges:\n$plan")
   }
+
+  test("scd2: gaps-and-islands runs on ONE user_id exchange end-to-end") {
+    val plan = executedPlan("events_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"windows + island agg must share the user_id exchange, got $exchanges:\n$plan")
+  }
 }
