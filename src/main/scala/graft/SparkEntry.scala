@@ -196,6 +196,8 @@ object SparkEntry {
     "stats_winsorize" -> ((s, d) => Relational.statsWinsorize(s, d)),
     // SCD2 validity intervals via gaps-and-islands, one user_id exchange (r9)
     "events_scd2" -> (Relational.eventsScd2 _),
+    // batch rollup states merged through a parquet store == full rescan (r9)
+    "agg_incremental_merge" -> ((s, d) => Relational.incrementalAggMerge(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1644,6 +1646,17 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "agg_incremental_merge" ->
+      """SELECT l_returnflag,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | count(*) AS n,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(max(cents) AS BIGINT) AS max_cents,
+        | CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
     "events_scd2" ->
       """WITH x AS (
         | SELECT user_id, ts, event_id, event_type,

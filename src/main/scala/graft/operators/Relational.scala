@@ -826,6 +826,48 @@ object Relational {
         col("n_events").cast("bigint").as("n_events"))
   }
 
+  /** INCREMENTAL AGGREGATE-STATE MERGE — the partitioned-rollup discipline
+    * a 100 TB warehouse lives by: never rescan history. Each ingest batch
+    * reduces to a tiny MERGEABLE state table (sum/count/min/max per key —
+    * the exact-aggregate analogue of the sketch-blob store in
+    * [[graft.functions]]), persisted to the rollup store; the serving
+    * aggregate re-aggregates the states, never the rows.
+    *
+    * Here the lineitem fixture is split at `splitDate` into a "historical"
+    * and a "new" batch, each folded to per-flag state and round-tripped
+    * through parquet (the store layout is `store/batch=<id>`), then merged:
+    * `sum+=sum, n+=n, min=min(min), max=max(max)`, with the derived
+    * average reconstructed as `sum div n`. The DuckDB oracle computes the
+    * same numbers from a FULL rescan — a green row is the proof the merge
+    * is lossless.
+    *
+    * Scale: batch states are O(|keys|) rows regardless of batch size; the
+    * merge shuffles only states. Min/max/sum/count are the states that
+    * merge exactly; non-decomposable metrics ride the sketch store
+    * (`sketch_*_merge_check`) instead.
+    */
+  def incrementalAggMerge(spark: SparkSession, dir: String,
+      splitDate: String = "1998-07-01"): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_shipdate"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    def state(batch: DataFrame): DataFrame = batch
+      .groupBy("l_returnflag")
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val store = java.nio.file.Files.createTempDirectory("graft-rollup-store").toString
+    state(li.filter(col("l_shipdate") < lit(splitDate)))
+      .write.mode("overwrite").parquet(s"$store/batch=hist")
+    state(li.filter(col("l_shipdate") >= lit(splitDate)))
+      .write.mode("overwrite").parquet(s"$store/batch=new")
+    spark.read.parquet(s"$store/batch=hist", s"$store/batch=new")
+      .groupBy("l_returnflag")
+      .agg(sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("n"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+  }
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

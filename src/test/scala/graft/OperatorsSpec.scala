@@ -2614,3 +2614,25 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 }
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: merged batch states equal the full-rescan aggregate for ANY split") {
+    val dir = SparkSpec.testDataDir
+    val full = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, g) =>
+        val vs = g.map(_._2)
+        f -> (vs.sum, vs.length.toLong, vs.min, vs.max, vs.sum / vs.length)
+      }
+    // three very different splits: empty delta, balanced, empty base
+    for (split <- Seq("1990-01-01", "1998-07-01", "2009-01-01")) {
+      val got = graft.operators.Relational.incrementalAggMerge(spark, dir, split)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == full, s"split=$split: $got")
+    }
+  }
+}
