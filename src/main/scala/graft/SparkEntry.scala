@@ -198,6 +198,8 @@ object SparkEntry {
     "events_scd2" -> (Relational.eventsScd2 _),
     // batch rollup states merged through a parquet store == full rescan (r9)
     "agg_incremental_merge" -> ((s, d) => Relational.incrementalAggMerge(s, d)),
+    // min/max chunk-pruning simulation: natural vs z-order layout (r9)
+    "layout_skipping" -> ((s, d) => Layout.skippingGain(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1646,6 +1648,43 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "layout_skipping" ->
+      s"""WITH li AS (
+        | SELECT l_orderkey, l_partkey, l_suppkey,
+        |  ${graft.operators.Layout.zValueSql("l_partkey", "l_suppkey")} AS zval
+        | FROM lineitem),
+        |b AS (
+        | SELECT min(zval) AS zmin, max(zval) AS zmax,
+        |  min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+        |  min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        | FROM li),
+        |zc AS (
+        | SELECT (li.zval - b.zmin) // greatest(1, (b.zmax - b.zmin + 32) // 32) AS chunk,
+        |  min(l_partkey) AS cpmin, max(l_partkey) AS cpmax,
+        |  min(l_suppkey) AS csmin, max(l_suppkey) AS csmax
+        | FROM li, b GROUP BY 1),
+        |oc AS (
+        | SELECT (li.l_orderkey - b.omin) // greatest(1, (b.omax - b.omin + 32) // 32) AS chunk,
+        |  min(l_partkey) AS cpmin, max(l_partkey) AS cpmax,
+        |  min(l_suppkey) AS csmin, max(l_suppkey) AS csmax
+        | FROM li, b GROUP BY 1),
+        |pr AS (
+        | SELECT CAST(i AS BIGINT) AS probe_id,
+        |  b.pmin + (i * (b.pmax - b.pmin)) // 15 AS pk,
+        |  b.smin + (((i * 7) % 16) * (b.smax - b.smin)) // 15 AS sk
+        | FROM range(0, 16) t(i), b)
+        |SELECT 'natural' AS layout, probe_id, pk, sk,
+        | count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN cpmin <= pk AND pk <= cpmax
+        |   AND csmin <= sk AND sk <= csmax THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned
+        |FROM pr CROSS JOIN oc GROUP BY 1, 2, 3, 4
+        |UNION ALL
+        |SELECT 'zorder' AS layout, probe_id, pk, sk,
+        | count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN cpmin <= pk AND pk <= cpmax
+        |   AND csmin <= sk AND sk <= csmax THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned
+        |FROM pr CROSS JOIN zc GROUP BY 1, 2, 3, 4""".stripMargin,
     "agg_incremental_merge" ->
       """SELECT l_returnflag,
         | CAST(sum(cents) AS BIGINT) AS sum_cents,

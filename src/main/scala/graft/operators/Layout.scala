@@ -148,6 +148,64 @@ object Layout {
     (scaled(xCol, s.getLong(0), s.getLong(1)), scaled(yCol, s.getLong(2), s.getLong(3)))
   }
 
+  /** SKIPPING-GAIN simulator — puts a NUMBER on why layout matters: how
+    * many chunks would a point query `(l_partkey = pk AND l_suppkey = sk)`
+    * have to scan under min/max pruning, comparing the ingest-order layout
+    * (chunked by `l_orderkey` value ranges) against the Z-order layout
+    * (chunked by `zval` value ranges)? This is exactly the row-group
+    * pruning decision a parquet reader makes from footer statistics, run
+    * as a query so the gain is measurable and oracle-checkable.
+    *
+    * Chunking is VALUE-ATOMIC (`(key − min) div ceil(width/nChunks)`), not
+    * row-counted — deterministic on any partitioning with no global
+    * row_number window, and the same rule a range-partitioned write
+    * produces physically. Probes are a deterministic lattice over the
+    * observed key bounds (`i·7 mod nProbes` decorrelates the two dims so
+    * probes don't sit on the diagonal).
+    *
+    * Scale: one stats row (bounded head), one value-keyed aggregate per
+    * layout (map-side combine), then probes × chunk-stats — a
+    * metadata-sized cross join (nProbes · nChunks rows) regardless of
+    * table size.
+    */
+  def skippingGain(spark: SparkSession, dir: String,
+      nChunks: Long = 32L, nProbes: Long = 16L): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("zval", zValue(col("l_partkey"), col("l_suppkey")))
+    val b = li.agg(
+      min(col("zval")), max(col("zval")),
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (zmin, zmax) = (b.getLong(0), b.getLong(1))
+    val (omin, omax) = (b.getLong(2), b.getLong(3))
+    val (pmin, pmax) = (b.getLong(4), b.getLong(5))
+    val (smin, smax) = (b.getLong(6), b.getLong(7))
+    def chunkStats(key: String, lo: Long, hi: Long): DataFrame = {
+      val w = math.max(1L, (hi - lo + nChunks) / nChunks) // ceil((hi-lo+1)/n)
+      // integer div, not `/`: double division would round, not floor
+      li.groupBy(expr(s"($key - $lo) div $w").as("chunk"))
+        .agg(min(col("l_partkey")).as("cpmin"), max(col("l_partkey")).as("cpmax"),
+          min(col("l_suppkey")).as("csmin"), max(col("l_suppkey")).as("csmax"))
+    }
+    val probes = spark.range(nProbes).select(
+      col("id").as("probe_id"),
+      (lit(pmin) + expr(s"(id * ${pmax - pmin}) div ${nProbes - 1}")).as("pk"),
+      (lit(smin) + expr(s"(((id * 7) % $nProbes) * ${smax - smin}) div ${nProbes - 1}")).as("sk"))
+    def scanCount(layout: String, stats: DataFrame): DataFrame =
+      probes.crossJoin(broadcast(stats))
+        .groupBy("probe_id", "pk", "sk")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cpmin") <= col("pk") && col("pk") <= col("cpmax") &&
+            col("csmin") <= col("sk") && col("sk") <= col("csmax"), 1L)
+            .otherwise(0L)).as("chunks_scanned"))
+        .select(lit(layout).as("layout"), col("probe_id"), col("pk"),
+          col("sk"), col("n_chunks"), col("chunks_scanned"))
+    scanCount("natural", chunkStats("l_orderkey", omin, omax))
+      .unionAll(scanCount("zorder", chunkStats("zval", zmin, zmax)))
+  }
+
   /** DuckDB formulation of [[zValue]] over the same low-21-bit interleave —
     * bits never overlap, so the OR-fold is a plain sum in SQL. Every term
     * is fully parenthesized: DuckDB's `<<`/`|` precedence differs from

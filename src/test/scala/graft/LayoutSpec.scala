@@ -243,4 +243,19 @@ class LayoutSpec extends AnyFunSuite {
         s"zval mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
     }
   }
+
+  test("r9: skipping gain: z-order prunes, ingest order cannot") {
+    val rows = graft.operators.Layout.skippingGain(spark, SparkSpec.testDataDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    val (nat, zo) = rows.partition(_._1 == "natural")
+    assert(nat.length == 16 && zo.length == 16, s"16 probes per layout: ${rows.length}")
+    val natScan = nat.map(_._4).sum; val zoScan = zo.map(_._4).sum
+    // ingest order is uncorrelated with (partkey, suppkey): every chunk
+    // spans nearly the full key rectangle, so pruning barely helps
+    assert(natScan * 10 >= nat.map(_._3).sum * 8, s"natural should scan >=80%: $natScan")
+    // the z-layout gives each chunk a small rectangle: most probes prune
+    assert(zoScan * 4 <= natScan, s"z-order must scan <=25% of natural: $zoScan vs $natScan")
+    // a probe never scans more chunks than exist
+    rows.foreach { case (l, p, n, s) => assert(s <= n, s"$l probe $p: $s > $n") }
+  }
 }
