@@ -292,6 +292,19 @@ object Bench {
       graft.streaming.StreamMonitor.flags(spark, store).count()
     }
 
+    // r9: streaming SCD2 maintenance — versioned run store + shared batch
+    // interval body
+    results("stream_scd2") = time2 {
+      val store = tempDir("graft-bench-stream-scd2")
+      val ckpt = tempDir("graft-bench-stream-scd2-ckpt")
+      val q = graft.streaming.StreamScd2.start(
+        eventsStream().select("event_id", "ts", "user_id", "event_type"),
+        store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamScd2.intervals(spark, store).count()
+    }
+
     // r9: streaming last-touch attribution — one 16-byte state per user,
     // AvailableNow over the events file feeds the flatMapGroupsWithState
     results("stream_attribution") = time2 {
@@ -329,7 +342,7 @@ object Bench {
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
         "stream_incremental_dedup", "stream_sketch_rollup",
         "stream_sketch_rollup_theta", "stream_sketch_rollup_kll",
-        "stream_attribution", "stream_monitor")
+        "stream_attribution", "stream_monitor", "stream_scd2")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)
     println(jsonLine(compact, s""","queries_omitted":${results.size - compact.size}"""))

@@ -805,24 +805,70 @@ object Relational {
     * the result is bit-deterministic on any partitioning (same tiebreak
     * in the oracle).
     */
-  def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2RunsToIntervals(scd2Runs(events(spark, dir)))
+
+  /** Gaps-and-islands fold of an event chunk into maximal RUNS —
+    * `(user_id, event_type, first_ts, first_eid, n_events)`. Runs are the
+    * MERGEABLE state behind SCD2: [[scd2MergeRuns]] re-islands run tables,
+    * so a runs table folded per ingest batch and merged equals the runs of
+    * the whole feed (the monoid [[graft.streaming.StreamScd2]] exploits),
+    * provided batches split each user's timeline into prefixes — the
+    * ordered-log delivery contract.
+    */
+  def scd2Runs(ev: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val islands = ev
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTime).isNull ||
           lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
           .otherwise(0L))
-      .withColumn("version", sum(col("chg"))
+      .withColumn("run", sum(col("chg"))
         .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands
-      .groupBy("user_id", "version", "event_type")
-      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-      .withColumn("valid_to", lead(col("valid_from"), 1)
-        .over(Window.partitionBy("user_id").orderBy("version")))
-      .select(col("user_id"), col("version").cast("bigint").as("version"),
-        col("event_type"), col("valid_from"), col("valid_to"),
+      .groupBy("user_id", "run", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("first.ts").as("first_ts"), col("first.event_id").as("first_eid"),
+        col("n_events").cast("bigint").as("n_events"))
+  }
+
+  /** Merges a runs table: adjacent same-type runs (in `(first_ts,
+    * first_eid)` order per user) collapse into one. Idempotent; the run
+    * monoid's associative op.
+    */
+  def scd2MergeRuns(runs: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("first_ts"), col("first_eid"))
+    runs
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byStart).isNull ||
+          lag(col("event_type"), 1).over(byStart) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run", "event_type")
+      .agg(min(struct(col("first_ts"), col("first_eid"))).as("first"),
+        sum(col("n_events")).as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("first.first_ts").as("first_ts"),
+        col("first.first_eid").as("first_eid"),
+        col("n_events").cast("bigint").as("n_events"))
+  }
+
+  /** Runs → SCD2 intervals: dense versions by run start, `valid_to` =
+    * next run's start, current version open. Merges first (idempotent), so
+    * any valid runs table — batch-folded or stream-folded — yields the
+    * identical dimension table.
+    */
+  def scd2RunsToIntervals(runs: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("first_ts"), col("first_eid"))
+    scd2MergeRuns(runs)
+      .withColumn("version", row_number().over(byStart).cast("bigint"))
+      .withColumn("valid_to", lead(col("first_ts"), 1).over(byStart))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("first_ts").as("valid_from"), col("valid_to"),
         col("n_events").cast("bigint").as("n_events"))
   }
 

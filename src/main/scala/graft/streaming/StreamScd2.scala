@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Relational
+
+/** Streaming SCD TYPE-2 maintenance — the online form of `events_scd2`:
+  * each micro-batch folds its events into maximal runs
+  * ([[Relational.scd2Runs]] — the SHARED batch body), merges them with the
+  * persisted runs table ([[Relational.scd2MergeRuns]], the run monoid's
+  * associative op), and writes a new version of the store. A dashboard
+  * reads [[intervals]] — [[Relational.scd2RunsToIntervals]] over the
+  * newest version — so the dimension a consumer sees is always computed by
+  * exactly the batch operator's arithmetic over everything ingested.
+  *
+  * Delivery contract: run-stitching is correct when batch boundaries cut
+  * each user's timeline into PREFIXES (an ordered log / CDC feed — the
+  * shape checkpointed sources deliver). Out-of-order events across batch
+  * boundaries would interleave runs and need the batch operator over the
+  * raw feed instead.
+  *
+  * Replay safety: run counts are plain sums (not idempotent under
+  * re-merge), so safety rests on the versioned layout — a re-delivered
+  * batch N rebuilds `v<N>` from `v<latest < N>`, never from its own
+  * half-write (the [[StreamSketch]] argument, layout reused verbatim).
+  *
+  * Scale: the store holds one row per (user, run) — bounded by type
+  * CHANGES, not event volume; each fold is the same one-exchange
+  * gaps-and-islands the batch operator runs, over the batch plus the
+  * bounded store.
+  */
+object StreamScd2 {
+
+  def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
+      keepVersions: Int = 2): StreamingQuery = {
+    newRows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val newRuns = Relational.scd2Runs(Relational.normalizeEventTs(batch)
+          .select("user_id", "ts", "event_id", "event_type"))
+        val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+          case Some(prev) =>
+            Relational.scd2MergeRuns(
+              spark.read.parquet(prev)
+                .select("user_id", "event_type", "first_ts", "first_eid", "n_events")
+                .union(newRuns))
+          case None => newRuns
+        }
+        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+        prune(spark, storeDir, keepVersions)
+      }
+      .start()
+  }
+
+  /** The SCD2 dimension over everything the store has seen — the batch
+    * operator's interval body, verbatim, over the newest version. */
+  def intervals(spark: SparkSession, storeDir: String): DataFrame =
+    Relational.scd2RunsToIntervals(
+      spark.read.parquet(latest(spark, storeDir))
+        .select("user_id", "event_type", "first_ts", "first_eid", "n_events"))
+
+  private def latest(spark: SparkSession, storeDir: String): String =
+    latestVersion(spark, storeDir, below = None).getOrElse(
+      throw new IllegalStateException(s"no scd2 store versions under $storeDir"))
+
+  private def latestVersion(spark: SparkSession, storeDir: String,
+      below: Option[Long]): Option[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(storeDir)
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .filter(id => below.forall(id < _))
+    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
+  }
+
+  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new Path(storeDir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .sorted
+    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
+  }
+}

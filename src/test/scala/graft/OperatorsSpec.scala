@@ -2636,3 +2636,65 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 }
+
+class StreamScd2Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: streaming SCD2 equals the batch twin across ts-prefix batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = SparkSpec.testDataDir
+    // ordered-log contract: feed events in global ts order; any split of
+    // that order cuts each user's timeline into prefixes
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+      .orderBy("ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val store = java.nio.file.Files.createTempDirectory("scd2-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2-ckpt").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamScd2.start(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type"), store, ckpt)
+    // three uneven prefix batches, the last one tiny (open-run stitching)
+    val (b1, rest) = ev.splitAt(ev.length / 2)
+    val (b2, b3) = rest.splitAt(rest.length - 7)
+    Seq(b1, b2, b3).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime,
+        Option(r.getTimestamp(4)).map(_.getTime), r.getLong(5))
+    val streamed = graft.streaming.StreamScd2.intervals(spark, store)
+      .collect().map(key).toSet
+    val batch = graft.operators.Relational.eventsScd2(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    // the store is bounded by runs, not events
+    val runRows = graft.operators.Relational.scd2MergeRuns(
+      graft.operators.Relational.scd2Runs(
+        graft.operators.Relational.events(spark, dir))).count()
+    assert(streamed.size == runRows, "one interval per merged run")
+    val versions = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"store must prune old versions: ${versions.toSeq}")
+  }
+
+  test("r9: run monoid: merge of per-chunk runs equals whole-feed runs") {
+    val dir = SparkSpec.testDataDir
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+    // split by a ts threshold: a prefix per user
+    val cut = ev.selectExpr("percentile_approx(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
+    val a = ev.filter(s"CAST(ts AS DOUBLE) <= $cut")
+    val b = ev.filter(s"CAST(ts AS DOUBLE) > $cut")
+    val R = graft.operators.Relational
+    val merged = R.scd2MergeRuns(R.scd2Runs(a).union(R.scd2Runs(b)))
+      .collect().map(_.toString).sorted.toSeq
+    val whole = R.scd2MergeRuns(R.scd2Runs(ev))
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == whole)
+  }
+}
