@@ -207,6 +207,7 @@ object SparkEntry {
     // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
+    "graph_components" -> ((s, d) => Graph.components(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
@@ -2480,6 +2481,26 @@ object SparkEntry {
        |SELECT node, hop FROM v$maxHops""".stripMargin
   }
 
+  /** Unrolled k-superstep min-label-propagation oracle twin of
+    * [[graft.operators.Graph.components]]. */
+  private def componentsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT p.node,
+         | least(p.label, COALESCE(m.nmin, p.label)) AS label
+         | FROM c${i - 1} p LEFT JOIN (
+         |  SELECT e.dst AS node, min(p2.label) AS nmin
+         |  FROM c${i - 1} p2 JOIN e ON p2.node = e.src GROUP BY 1) m
+         | ON p.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCtes,
+       |nodes AS (SELECT c_custkey * 2 AS node FROM customer
+       | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+       |c0 AS (SELECT node, node AS label FROM nodes),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       |FROM c$iters""".stripMargin
+  }
+
   /** The skew-safe window variants compute EXACTLY the same result as
     * their plain twins, so each shares its twin's oracle — a green row is
     * a driver-level proof the chunked rewrite changed the plan, not the
@@ -2490,5 +2511,6 @@ object SparkEntry {
     "q_window_lead_lag_skew" -> baseOracleSql("q_window_lead_lag"),
     "events_sessionize_skew" -> baseOracleSql("events_sessionize"),
     "graph_pagerank" -> pageRankOracle(5),
-    "graph_reach" -> reachOracle(3))
+    "graph_reach" -> reachOracle(3),
+    "graph_components" -> componentsOracle(4))
 }

@@ -98,6 +98,40 @@ object Graph {
     Dedup.materializeAndRelease(Seq(edges, nodes), out)
   }
 
+  /** Min-label propagation — connected components once converged (k ≥
+    * graph diameter; the dense trade graph converges in 2-3 supersteps,
+    * and the SEMANTICS are "after exactly `iters` supersteps", so the
+    * oracle is exact whether or not convergence happened). Per superstep
+    * each node takes the min of its own label and its in-neighbors'
+    * labels — the HashToMin/large-star building block every distributed CC
+    * uses; the [[graft.operators.Dedup]] cluster path applies the same
+    * idea edge-wise for unbounded diameters.
+    *
+    * Scale: same two-exchange superstep as [[pageRank]] over the same
+    * persisted src-partitioned edges; labels are 16-byte rows.
+    */
+  def components(spark: SparkSession, dir: String, iters: Int = 4,
+      checkpointEvery: Int = 4): DataFrame = {
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = tradeEdges(spark, dir).select("src", "dst")
+      .repartition(shuffleN, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = tradeNodes(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val nbrMin = labels.join(edges, labels("node") === edges("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nmin"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
+    }
+    val out = labels.select(col("node").cast("bigint").as("node"),
+      col("label").cast("bigint").as("label"))
+    Dedup.materializeAndRelease(Seq(edges, nodes), out)
+  }
+
   /** Bounded-hop BFS reachability: minimum hop count (≤ maxHops) from the
     * seed set — customers of one nation — over the symmetric trade graph.
     * Per superstep the frontier is the NEWLY reached nodes only

@@ -80,4 +80,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) > got(2L) && got(4L) > got(6L), s"$got")
     assert(got(8L) == graft.operators.Graph.Scale * 15L / 100L, s"$got")
   }
+
+  test("r9: min-label propagation finds both components of the path graph") {
+    val got = graft.operators.Graph.components(spark, pathDir, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain c1-s1-c2-s2-c3 all collapse to min node id 2; isolated c4 keeps its own
+    assert(got == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 2L, 8L -> 8L), s"$got")
+  }
+
+  test("r9: one superstep only propagates one hop (semantics are k-step, not CC)") {
+    val got = graft.operators.Graph.components(spark, pathDir, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after 1 step c3 (node 6) has only seen s2's label (5), not the chain min
+    assert(got(6L) == 5L && got(2L) == 2L, s"$got")
+  }
 }
