@@ -49,8 +49,13 @@ object Graph {
     * design (the oracle does the same).
     */
   def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    // dedupe (order, supplier) BEFORE the join: the distinct shuffles on
+    // l_orderkey — the join key the rows need anyway — and shrinks the
+    // join output ~4x (multi-lineitem orders) ahead of the wide pair
+    // distinct; at fact-table scale this is the difference between
+    // shuffling lineitem once and shuffling the joined pairs too
     val pairs = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+      .join(t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cnode"),
         (col("l_suppkey") * 2 + 1).as("snode"))
