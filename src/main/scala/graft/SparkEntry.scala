@@ -200,6 +200,8 @@ object SparkEntry {
     "agg_incremental_merge" -> ((s, d) => Relational.incrementalAggMerge(s, d)),
     // min/max chunk-pruning simulation: natural vs z-order layout (r9)
     "layout_skipping" -> ((s, d) => Layout.skippingGain(s, d)),
+    // declarative DQ constraints: one scan for row-local checks (r9)
+    "dq_battery" -> (Relational.dqBattery _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1649,6 +1651,34 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "dq_battery" ->
+      """WITH b AS (
+        | SELECT count(*) AS n,
+        |  sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+        |  sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS dom,
+        |  sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1 ELSE 0 END) AS rng
+        | FROM lineitem),
+        |u AS (
+        | SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS matched, sum(c) AS total
+        | FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |r AS (
+        | SELECT count(*) AS matched FROM lineitem
+        | WHERE l_orderkey IN (SELECT o_orderkey FROM orders)),
+        |rows_out AS (
+        | SELECT 'not_null:l_shipdate' AS check_name, nn AS matched, n AS total FROM b
+        | UNION ALL
+        | SELECT 'domain:l_returnflag', dom, n FROM b
+        | UNION ALL
+        | SELECT 'range:l_quantity:1..50', rng, n FROM b
+        | UNION ALL
+        | SELECT 'unique:l_orderkey+l_linenumber', matched, total FROM u
+        | UNION ALL
+        | SELECT 'ref:l_orderkey->orders', r.matched, b.n FROM r, b)
+        |SELECT check_name, CAST(matched AS BIGINT) AS matched,
+        | CAST(total AS BIGINT) AS total,
+        | CAST(matched AS BIGINT) * 1000 // CAST(total AS BIGINT) AS metric_permille,
+        | matched = total AS passed
+        |FROM rows_out""".stripMargin,
     "layout_skipping" ->
       s"""WITH li AS (
         | SELECT l_orderkey, l_partkey, l_suppkey,

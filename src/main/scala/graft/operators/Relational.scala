@@ -914,6 +914,56 @@ object Relational {
       .withColumn("avg_cents", expr("sum_cents div n"))
   }
 
+  /** DATA-QUALITY CONSTRAINT BATTERY — the declarative pre-publish checks
+    * a production table carries (the Deequ/expectations idea, run as one
+    * query): each constraint reports `(matched, total, metric_permille,
+    * passed)` with uniform semantics `passed ⇔ matched == total`.
+    *
+    *   - `not_null` / `domain` / `range` fold into ONE conditional-sum
+    *     aggregate — a single scan regardless of how many row-local
+    *     constraints are registered
+    *   - `unique` is one composite-key aggregate (count==1 keys)
+    *   - `ref` (referential integrity) is a left-semi join against the
+    *     parent's key — broadcast or shuffled as AQE sizes it
+    *
+    * Scale: output is |constraints| rows; nothing driver-side. The one
+    * scan for row-local checks is the point — naive one-query-per-check
+    * DQ suites rescan the fact table per constraint.
+    */
+  def dqBattery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val rowLocal = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_shipdate").isNotNull, 1L).otherwise(0L)).as("nn"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("dom"),
+      sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 1L)
+        .otherwise(0L)).as("rng"))
+    val base = rowLocal.select(expr(
+      """stack(3,
+        | 'not_null:l_shipdate', nn,
+        | 'domain:l_returnflag', dom,
+        | 'range:l_quantity:1..50', rng) AS (check_name, matched)""".stripMargin),
+      col("n").as("total"))
+    val uniq = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") === 1L, 1L).otherwise(0L)).as("matched"),
+        sum(col("c")).as("total"))
+      .select(lit("unique:l_orderkey+l_linenumber").as("check_name"),
+        col("matched"), col("total"))
+    val ref = li.select("l_orderkey")
+      .join(t(spark, dir, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("matched"))
+      .crossJoin(rowLocal.select(col("n").as("total")))
+      .select(lit("ref:l_orderkey->orders").as("check_name"),
+        col("matched"), col("total"))
+    base.unionAll(uniq).unionAll(ref)
+      .select(col("check_name"), col("matched").cast("bigint").as("matched"),
+        col("total").cast("bigint").as("total"),
+        expr("matched * 1000 div total").as("metric_permille"),
+        (col("matched") === col("total")).as("passed"))
+  }
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

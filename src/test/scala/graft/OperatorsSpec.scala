@@ -2698,3 +2698,48 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(merged == whole)
   }
 }
+
+class DqBatterySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: each constraint counts exactly its planted violations") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 6 rows: one null shipdate, one bad flag, one qty=0, one duplicated
+    // (orderkey, linenumber) pair, one orphan orderkey
+    Seq(
+      (1L, 1, 10.0, "A", Option(ts)),
+      (1L, 2, 20.0, "X", Option(ts)),      // bad flag
+      (2L, 1, 0.0, "N", Option(ts)),       // qty out of range
+      (2L, 2, 30.0, "R", None),            // null shipdate
+      (3L, 1, 40.0, "A", Option(ts)),      // dup key with next
+      (3L, 1, 50.0, "A", Option(ts))       // dup key; 3L orphan in orders
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Seq(1L, 2L).toDF("o_orderkey").write.parquet(s"$tmp/orders.parquet")
+    val got = graft.operators.Relational.dqBattery(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == Map(
+      "not_null:l_shipdate" -> ((5L, 6L, 833L, false)),
+      "domain:l_returnflag" -> ((5L, 6L, 833L, false)),
+      "range:l_quantity:1..50" -> ((5L, 6L, 833L, false)),
+      "unique:l_orderkey+l_linenumber" -> ((4L, 6L, 666L, false)),
+      "ref:l_orderkey->orders" -> ((4L, 6L, 666L, false))), s"$got")
+  }
+
+  test("r9: a clean table passes every constraint at exactly 1000 permille") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dqclean").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, 1, 10.0, "A", ts), (1L, 2, 50.0, "R", ts), (2L, 1, 1.0, "N", ts))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Seq(1L, 2L).toDF("o_orderkey").write.parquet(s"$tmp/orders.parquet")
+    val got = graft.operators.Relational.dqBattery(spark, tmp).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(r.getLong(3) == 1000L && r.getBoolean(4), s"${r.getString(0)}: $r")
+    }
+  }
+}
