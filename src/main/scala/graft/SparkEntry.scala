@@ -202,6 +202,8 @@ object SparkEntry {
     "layout_skipping" -> ((s, d) => Layout.skippingGain(s, d)),
     // declarative DQ constraints: one scan for row-local checks (r9)
     "dq_battery" -> (Relational.dqBattery _),
+    // quasi-identifier group-size audit for publish gating (r9)
+    "dq_kanonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1651,6 +1653,17 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "dq_kanonymity" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment, count(*) AS c
+        | FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        | count(*) AS n_groups,
+        | CAST(sum(c) AS BIGINT) AS n_rows,
+        | CAST(min(c) AS BIGINT) AS k_anonymity,
+        | CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k,
+        | CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) * 1000 // CAST(sum(c) AS BIGINT) AS permille_below
+        |FROM g""".stripMargin,
     "dq_battery" ->
       """WITH b AS (
         | SELECT count(*) AS n,

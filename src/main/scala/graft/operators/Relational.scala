@@ -964,6 +964,28 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** K-ANONYMITY audit — the privacy-side twin of [[dqBattery]]: group the
+    * table by its quasi-identifier columns and report how identifiable the
+    * rows are. A row in a quasi-identifier group of size < k is
+    * re-identifiable at k-anonymity level k; publishing pipelines gate on
+    * `rows_below_k == 0` (or suppress/generalize those rows first).
+    * One aggregate on the QI key, one tiny rollup — nothing driver-side.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5L): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("c")).as("n_rows"),
+        min(col("c")).as("k_anonymity"),
+        sum(when(col("c") < k, col("c")).otherwise(0L)).as("rows_below_k"))
+      .select(lit(k).as("k"), col("n_groups").cast("bigint").as("n_groups"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("k_anonymity").cast("bigint").as("k_anonymity"),
+        col("rows_below_k").cast("bigint").as("rows_below_k"),
+        expr("rows_below_k * 1000 div n_rows").as("permille_below"))
+
   /** WINSORIZED robust statistics — the outlier-clipping pass that makes
     * mean-based metrics usable on heavy-tailed money columns: per
     * returnflag, l_extendedprice cents are clipped at the exact

@@ -2743,3 +2743,20 @@ class DqBatterySpec extends AnyFunSuite {
     }
   }
 }
+
+class KAnonymitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: k-anonymity flags exactly the rows in small QI groups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kanon").toString
+    // QI groups: (1,A) x6, (1,B) x3, (2,A) x1 -> min group 1, 4 rows below 5
+    val rows = (1 to 6).map(i => (i.toLong, 1, "A")) ++
+      (7 to 9).map(i => (i.toLong, 1, "B")) ++ Seq((10L, 2, "A"))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$tmp/customer.parquet")
+    val r = graft.operators.Relational.kAnonymity(spark, tmp).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 10L, 1L, 4L, 400L)), s"$r")
+  }
+}
