@@ -204,6 +204,8 @@ object SparkEntry {
     "dq_battery" -> (Relational.dqBattery _),
     // quasi-identifier group-size audit for publish gating (r9)
     "dq_kanonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
+    // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
+    "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1653,6 +1655,13 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "link_fuzzy_names" ->
+      """SELECT a.c_custkey AS key_a, a.c_name AS name_a,
+        | b.c_custkey AS key_b, b.c_name AS name_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        | ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "dq_kanonymity" ->
       """WITH g AS (
         | SELECT c_nationkey, c_mktsegment, count(*) AS c

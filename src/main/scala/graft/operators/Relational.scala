@@ -964,6 +964,38 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** EDIT-DISTANCE-1 FUZZY SELF-JOIN via deletion neighborhoods (FastSS /
+    * SymSpell): every string generates its |s|+1 single-deletion variants
+    * (self included); two strings within edit distance 1 ALWAYS share a
+    * variant (substitution → both delete that position; indel → the longer
+    * one's deletion hits the shorter's self), so an equi-join on the
+    * variant finds every pair — no n² comparison — and `levenshtein`
+    * verifies the survivors exactly.
+    *
+    * Scale: |s|+1 explode factor on the shuffle (bounded by string
+    * length); variant groups are alphabet-bounded (a variant of length
+    * L−1 has ≤ (L)·|Σ| possible sources), so no bucket is a skew hazard.
+    * The verify is a codegen'd `levenshtein` on co-located candidates.
+    * The DuckDB oracle brute-forces all n² pairs — a green row proves the
+    * neighborhood join LOSSLESS, not just plausible.
+    */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    def variants(keyed: DataFrame, suffix: String): DataFrame = keyed.select(
+      col("c_custkey").as(s"key_$suffix"), col("c_name").as(s"name_$suffix"),
+      explode(expr(
+        """transform(sequence(0, length(c_name)),
+          |  i -> concat(substring(c_name, 1, i), substring(c_name, i + 2)))"""
+          .stripMargin)).as(s"variant_$suffix"))
+    variants(c, "a").join(variants(c, "b"),
+        col("variant_a") === col("variant_b") && col("key_a") < col("key_b"))
+      .select("key_a", "name_a", "key_b", "name_b")
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("bigint").as("dist"))
+  }
+
   /** K-ANONYMITY audit — the privacy-side twin of [[dqBattery]]: group the
     * table by its quasi-identifier columns and report how identifiable the
     * rows are. A row in a quasi-identifier group of size < k is

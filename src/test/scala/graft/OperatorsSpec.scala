@@ -2760,3 +2760,44 @@ class KAnonymitySpec extends AnyFunSuite {
       ((3L, 10L, 1L, 4L, 400L)), s"$r")
   }
 }
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: deletion neighborhood catches sub/ins/del, rejects distance 2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    Seq((1L, "spark"), (2L, "spork"), (3L, "sparks"), (4L, "park"),
+      (5L, "quark"), (6L, "spark"))
+      .toDF("c_custkey", "c_name").write.parquet(s"$tmp/customer.parquet")
+    val got = graft.operators.Relational.fuzzyNameJoin(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    // spark~spork (sub), spark~sparks (ins), spark~park (del), spark==spark (0)
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 6L, 0L),
+      (2L, 6L, 1L), (3L, 6L, 1L), (4L, 6L, 1L)), s"$got")
+    // quark is distance 2 from spark: correctly absent
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("r9: neighborhood join is LOSSLESS vs driver brute force at sf0.001") {
+    val dir = SparkSpec.testDataDir
+    val names = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && lev(na, nb) <= 1
+    } yield (ka, kb, lev(na, nb).toLong)).toSet
+    val got = graft.operators.Relational.fuzzyNameJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture must contain near-duplicate names")
+  }
+}
