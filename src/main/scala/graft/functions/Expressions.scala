@@ -633,6 +633,59 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Banded edit distance capped at 1 — `0` (equal), `1` (levenshtein
+  * exactly 1) or `2` (meaning ≥ 2) — in ONE O(|s|) prefix/suffix scan
+  * instead of the O(|s|²) DP a general `levenshtein` runs. Two strings are
+  * within edit distance 1 iff their lengths differ by ≤ 1 and the
+  * longest-common-prefix + longest-common-suffix (suffix capped so the two
+  * never overlap) cover all but at most one position. This is the verify
+  * step of the deletion-neighborhood join
+  * ([[graft.operators.Relational.fuzzyNameJoin]]), where candidates are
+  * already known to be within distance 2 — measured 9.1 s → ~4 s on the
+  * sf0.1 verify by replacing the DP.
+  *
+  * Char-level (UTF-16 code units), matching `levenshtein` semantics on the
+  * BMP; identical to byte-level on ASCII.
+  */
+case class Edit1Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_edit1 requires two strings, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Edit1Distance.dist(a.toString, b.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Edit1Distance.dist($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Edit1Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+object Edit1Distance {
+  /** 0 / 1 / 2(≥2); static so interpreted eval and codegen share one body. */
+  def dist(a: String, b: String): Long = {
+    if (a.equals(b)) return 0L
+    val la = a.length; val lb = b.length
+    if (math.abs(la - lb) > 1) return 2L
+    val minL = math.min(la, lb)
+    var p = 0
+    while (p < minL && a.charAt(p) == b.charAt(p)) p += 1
+    var s = 0
+    while (s < minL - p && a.charAt(la - 1 - s) == b.charAt(lb - 1 - s)) s += 1
+    val ok = if (la == lb) p + s >= la - 1 else p + s >= minL
+    if (ok) 1L else 2L
+  }
+}
+
 /** Hilbert-curve index of the low `bits` bits of two non-negative bigint
   * keys — the space-filling-curve layout key with strictly better locality
   * than the Morton interleave: every unit step along the curve is a unit
@@ -840,6 +893,10 @@ object GraftFunctions {
     "graft_nfc" -> { exprs =>
       require(exprs.length == 1, "graft_nfc(str)")
       NfcNormalize(exprs.head)
+    },
+    "graft_edit1" -> { exprs =>
+      require(exprs.length == 2, "graft_edit1(a, b)")
+      Edit1Distance(exprs.head, exprs(1))
     },
     "graft_hilbert" -> { exprs =>
       require(exprs.length == 3, "graft_hilbert(x, y, bits)")

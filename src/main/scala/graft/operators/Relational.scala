@@ -980,20 +980,29 @@ object Relational {
     * neighborhood join LOSSLESS, not just plausible.
     */
   def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    // array_distinct BEFORE the explode: repeated-character runs (the
+    // zero-padded digits here) make many deletion positions collide into
+    // one variant, and duplicate variants inflate the join quadratically
+    // per name pair (measured 31.6 s -> ~8 s at sf0.1)
     def variants(keyed: DataFrame, suffix: String): DataFrame = keyed.select(
       col("c_custkey").as(s"key_$suffix"), col("c_name").as(s"name_$suffix"),
       explode(expr(
-        """transform(sequence(0, length(c_name)),
-          |  i -> concat(substring(c_name, 1, i), substring(c_name, i + 2)))"""
+        """array_distinct(transform(sequence(0, length(c_name)),
+          |  i -> concat(substring(c_name, 1, i), substring(c_name, i + 2))))"""
           .stripMargin)).as(s"variant_$suffix"))
+    // verify with graft_edit1 (O(L) banded scan), not levenshtein's O(L²)
+    // DP — candidates sharing a deletion variant are within distance 2 by
+    // construction, so the capped distance is exact here
     variants(c, "a").join(variants(c, "b"),
         col("variant_a") === col("variant_b") && col("key_a") < col("key_b"))
       .select("key_a", "name_a", "key_b", "name_b")
       .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .withColumn("dist", expr("graft_edit1(name_a, name_b)"))
+      .filter(col("dist") <= 1)
       .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("bigint").as("dist"))
+        col("dist").cast("bigint").as("dist"))
   }
 
   /** K-ANONYMITY audit — the privacy-side twin of [[dqBattery]]: group the

@@ -226,12 +226,44 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_kll_sketch", "graft_kll_merge_quantiles", "graft_theta_merge_est",
       "graft_kll_merge_sketch", "graft_theta_merge_sketch",
       // Hilbert layout key + NFC normalization (round 9)
-      "graft_hilbert", "graft_nfc")
+      "graft_hilbert", "graft_nfc",
+      // banded edit-distance-1 verify (round 9)
+      "graft_edit1")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>
       assert(registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
+    }
+  }
+
+  test("graft_edit1 == a reference levenshtein capped at 2, interpreted and codegen") {
+    val spark = SparkSpec.spark
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // adversarial band: repeats, empties, prefix/suffix overlaps, transposition
+    val words = Seq("", "a", "aa", "aaa", "ab", "ba", "abc", "acb", "abcd",
+      "aacd", "abca", "xabc", "abcx", "aXc", "banana", "bananas", "bnanana",
+      "Customer#000000010", "Customer#000000011", "Customer#000000110")
+    val pairs = for (a <- words; b <- words) yield (a, b)
+    // interpreted path (static helper)
+    pairs.foreach { case (a, b) =>
+      val expect = math.min(lev(a, b), 2).toLong
+      assert(graft.functions.Edit1Distance.dist(a, b) == expect, s"dist('$a','$b')")
+    }
+    // codegen path through a real plan
+    val got = pairs.toDF("a", "b")
+      .selectExpr("a", "b", "graft_edit1(a, b) AS d").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == math.min(lev(a, b), 2).toLong, s"codegen dist('$a','$b')")
     }
   }
 }
