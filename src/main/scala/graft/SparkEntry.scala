@@ -206,6 +206,8 @@ object SparkEntry {
     "dq_kanonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
     // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
+    // CDC compaction: latest per key via max-struct, no window sort (r9)
+    "events_compact_latest" -> (Relational.eventsCompactLatest _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1655,6 +1657,14 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_compact_latest" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        | event_type AS current_type, CAST(n AS BIGINT) AS n_events
+        |FROM (
+        | SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1""".stripMargin,
     "link_fuzzy_names" ->
       """SELECT a.c_custkey AS key_a, a.c_name AS name_a,
         | b.c_custkey AS key_b, b.c_name AS name_b,

@@ -964,6 +964,23 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** CHANGELOG COMPACTION (CDC upsert / SCD Type-1 serving): latest value
+    * per key. Deliberately NOT the `row_number() = 1` window form — a
+    * commutative `max(struct(ts, tiebreak, payload))` aggregate gets
+    * map-side partial combine and skips the per-partition sort entirely,
+    * so a hot key costs one comparison per row instead of a sort buffer.
+    * The (ts, event_id) prefix makes the struct ordering total, so the
+    * result is deterministic and the oracle's window form agrees exactly.
+    */
+  def eventsCompactLatest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"), col("last.event_type").as("current_type"),
+        col("n_events").cast("bigint").as("n_events"))
+
   /** EDIT-DISTANCE-1 FUZZY SELF-JOIN via deletion neighborhoods (FastSS /
     * SymSpell): every string generates its |s|+1 single-deletion variants
     * (self included); two strings within edit distance 1 ALWAYS share a

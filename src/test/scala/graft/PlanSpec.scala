@@ -513,4 +513,11 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"windows + island agg must share the user_id exchange, got $exchanges:\n$plan")
   }
+
+  test("compact_latest: max-struct aggregate, no window, no sort") {
+    val plan = executedPlan("events_compact_latest")
+    assert(!plan.contains("Window"), s"compaction must not use a window:\n$plan")
+    assert(!plan.contains("Sort"), s"compaction must not sort:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
