@@ -965,12 +965,15 @@ object Relational {
   }
 
   /** CHANGELOG COMPACTION (CDC upsert / SCD Type-1 serving): latest value
-    * per key. Deliberately NOT the `row_number() = 1` window form — a
-    * commutative `max(struct(ts, tiebreak, payload))` aggregate gets
-    * map-side partial combine and skips the per-partition sort entirely,
-    * so a hot key costs one comparison per row instead of a sort buffer.
-    * The (ts, event_id) prefix makes the struct ordering total, so the
-    * result is deterministic and the oracle's window form agrees exactly.
+    * per key. Deliberately NOT the `row_number() = 1` window form — the
+    * commutative `max(struct(ts, tiebreak, payload))` aggregate combines
+    * MAP-SIDE (each input partition reduces to ≤ |keys| rows before the
+    * exchange), so a hot key ships one row per upstream partition instead
+    * of its whole history. Struct-max is not hash-aggregable, so Spark
+    * runs SortAggregate — but its sort key is the GROUP KEY only
+    * (user_id), never the window form's (user_id, ts, event_id)
+    * full-history sort. The (ts, event_id) prefix makes the struct
+    * ordering total, so the oracle's window form agrees exactly.
     */
   def eventsCompactLatest(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

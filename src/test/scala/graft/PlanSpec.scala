@@ -514,10 +514,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"windows + island agg must share the user_id exchange, got $exchanges:\n$plan")
   }
 
-  test("compact_latest: max-struct aggregate, no window, no sort") {
+  test("compact_latest: aggregate with map-side partial, no window") {
     val plan = executedPlan("events_compact_latest")
     assert(!plan.contains("Window"), s"compaction must not use a window:\n$plan")
-    assert(!plan.contains("Sort"), s"compaction must not sort:\n$plan")
-    assert(plan.contains("HashAggregate"), plan)
+    // struct-max is not hash-aggregable; Spark picks SortAggregate, whose
+    // sort key is the GROUP KEY only (user_id) — never (ts, event_id)
+    assert(plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Sort [user_id") || !plan.contains("ts DESC"), plan)
+    // partial aggregate BELOW the exchange = map-side combine
+    val idxAgg = plan.indexOf("SortAggregate")
+    assert(idxAgg >= 0 && plan.indexOf("Exchange", idxAgg) >= 0, plan)
   }
 }
