@@ -208,6 +208,8 @@ object SparkEntry {
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // CDC compaction: latest per key via max-struct, no window sort (r9)
     "events_compact_latest" -> (Relational.eventsCompactLatest _),
+    // BM25 retrieval scoring, exact rational k1/b in one int division (r9)
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1657,6 +1659,25 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "text_bm25" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        | FROM documents WHERE len(text) > 0),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+        |tf AS (
+        | SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM toks WHERE tok IN ('spark', 'table', 'query') GROUP BY 1, 2),
+        |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |s AS (
+        | SELECT tf.doc_id,
+        |  (CAST(round(ln(1.0 + (2 * nd - 2 * df + 1.0) / (2 * df + 1.0)) * 1000000) AS BIGINT)
+        |    * 44 * tf * tt) // (20 * tf * tt + 6 * tt + 18 * dl.dl * nd) AS term_score_micro
+        | FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS bm25_micro,
+        | count(*) AS n_query_terms
+        |FROM s GROUP BY doc_id""".stripMargin,
     "events_compact_latest" ->
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
         | event_type AS current_type, CAST(n AS BIGINT) AS n_events

@@ -2143,4 +2143,48 @@ object TextAnalysis {
         (col("n_missed") === 0L).as("no_false_negatives"),
         (col("fp_frac") <= maxFpFrac).as("fp_frac_bounded"))
   }
+
+  /** BM25 retrieval scoring against a fixed query-term set — the ranking
+    * function a corpus search/retrieval layer runs, in EXACT integer
+    * arithmetic. With Lucene's +1 idf variant (always positive — which
+    * also keeps every division non-negative, so Spark `div` and DuckDB
+    * `//` agree) and k1 = 6/5, b = 3/4 as exact rationals, the per-term
+    * score folds to ONE integer division:
+    *
+    *   idf_micro = round(ln(1 + (2N − 2df + 1)/(2df + 1)) · 1e6)
+    *   score     = (idf_micro · 44 · tf · T) div (20·tf·T + 6·T + 18·dl·N)
+    *
+    * where T = total corpus tokens, N = docs, dl = doc length (avgdl is
+    * carried as the exact rational T/N, never a rounded double).
+    *
+    * Scale: tf is one aggregate over tokens FILTERED to the query terms
+    * (the explode never shuffles non-query tokens); df and the corpus
+    * stats are metadata-sized broadcasts; dl joins on doc_id. Overflow
+    * bound: idf_micro·44·tf·T < 2^63 — fine to ~10^9-token corpora per
+    * partition-group; larger corpora quantize avgdl to an integer first
+    * (documented trade).
+    */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "table", "query")): DataFrame = {
+    val d = docs(spark, dir).filter(length(col("text")) > 0)
+      .withColumn("toks", Portable.tokens("text"))
+    val perDoc = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dl = perDoc.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val tf = perDoc.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(corpus))
+      .withColumn("idf_micro", expr(
+        "CAST(round(ln(1.0 + (2 * nd - 2 * df + 1.0) / (2 * df + 1.0)) * 1000000) AS BIGINT)"))
+      .withColumn("term_score_micro", expr(
+        "(idf_micro * 44 * tf * tt) div (20 * tf * tt + 6 * tt + 18 * dl * nd)"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_query_terms"))
+      .select(col("doc_id"), col("bm25_micro").cast("bigint").as("bm25_micro"),
+        col("n_query_terms").cast("bigint").as("n_query_terms"))
+  }
 }

