@@ -87,14 +87,14 @@ object Graph {
     val base = scale * (100L - dampPct) / 100L
     var ranks = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
+      // nodes ride the aggregate as zero-contribution rows instead of a
+      // post-agg left join — ONE exchange per superstep, not two
       val contrib = ranks
         .join(edges, ranks("node") === edges("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampPct * coalesce(s, 0L)) div 100"))
-            .as("pr"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+      ranks = contrib.groupBy("node")
+        .agg((lit(base) + expr(s"($dampPct * sum(c)) div 100")).as("pr"))
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
@@ -124,11 +124,12 @@ object Graph {
     val nodes = tradeNodes(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
-      val nbrMin = labels.join(edges, labels("node") === edges("src"))
-        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nmin"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // min(self ∪ neighbor labels) in ONE aggregate — the self rows ride
+      // the union, so there is no post-agg join back to the node set
+      val cand = labels.join(edges, labels("node") === edges("src"))
+        .select(col("dst").as("node"), col("label").as("lbl"))
+        .unionAll(labels.select(col("node"), col("label").as("lbl")))
+      labels = cand.groupBy("node").agg(min(col("lbl")).as("label"))
       if (i % checkpointEvery == 0 && i < iters)
         labels = labels.localCheckpoint()
     }
