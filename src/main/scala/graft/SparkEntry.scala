@@ -210,6 +210,8 @@ object SparkEntry {
     "events_compact_latest" -> (Relational.eventsCompactLatest _),
     // BM25 retrieval scoring, exact rational k1/b in one int division (r9)
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    // calendar densify + exact integer lerp over hourly gaps (r9)
+    "events_gapfill" -> (Relational.eventsGapfill _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1659,6 +1661,44 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_gapfill" ->
+      """WITH counts AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |b AS (
+        | SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        | FROM events),
+        |grid AS (
+        | SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+        | FROM (SELECT DISTINCT event_type FROM counts) t, b),
+        |g AS (
+        | SELECT grid.event_type, grid.hour, counts.n
+        | FROM grid LEFT JOIN counts
+        |  ON grid.event_type = counts.event_type AND grid.hour = counts.hour),
+        |wnd AS (
+        | SELECT event_type, hour, n,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+        |  last_value(CASE WHEN n IS NOT NULL THEN hour END IGNORE NULLS)
+        |   OVER (PARTITION BY event_type ORDER BY hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        |  first_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n,
+        |  first_value(CASE WHEN n IS NOT NULL THEN hour END IGNORE NULLS)
+        |   OVER (PARTITION BY event_type ORDER BY hour
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        | FROM g)
+        |SELECT event_type, hour, n AS n_raw,
+        | CAST(CASE WHEN n IS NOT NULL THEN n
+        |  WHEN prev_n IS NULL THEN next_n
+        |  WHEN next_n IS NULL THEN prev_n
+        |  ELSE (prev_n * (((epoch_us(next_h) - epoch_us(prev_h)) // 3600000000)
+        |          - ((epoch_us(hour) - epoch_us(prev_h)) // 3600000000))
+        |      + next_n * ((epoch_us(hour) - epoch_us(prev_h)) // 3600000000))
+        |     // ((epoch_us(next_h) - epoch_us(prev_h)) // 3600000000)
+        |  END AS BIGINT) AS n_filled,
+        | n IS NULL AS filled
+        |FROM wnd""".stripMargin,
     "text_bm25" ->
       """WITH d AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -964,6 +964,55 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** CALENDAR GAP-FILL with integer linear interpolation — the resampling
+    * pass every time-series consumer needs before plotting/forecasting:
+    * the hourly count grid is DENSIFIED to every calendar hour in the
+    * observed range, and missing hours are filled by exact integer lerp
+    * between the surrounding observations
+    * (`(prev·(gap−j) + next·j) div gap` — counts are non-negative so
+    * Spark `div` and DuckDB `//` agree), with edge gaps taking the
+    * nearest observation.
+    *
+    * Scale: the grid is CALENDAR-bounded (|types| × hours), never event
+    * volume — the only event-scale work is the initial (type, hour)
+    * aggregate; the fill windows run over the tiny grid. Per-type window
+    * partitions are bounded by the calendar too.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val counts = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .withColumn("prev_n", last(col("n"), ignoreNulls = true).over(before))
+      .withColumn("prev_h",
+        last(when(col("n").isNotNull, col("hour")), ignoreNulls = true).over(before))
+      .withColumn("next_n", first(col("n"), ignoreNulls = true).over(after))
+      .withColumn("next_h",
+        first(when(col("n").isNotNull, col("hour")), ignoreNulls = true).over(after))
+      .withColumn("j", expr("(unix_micros(hour) - unix_micros(prev_h)) div 3600000000"))
+      .withColumn("gap", expr("(unix_micros(next_h) - unix_micros(prev_h)) div 3600000000"))
+      .withColumn("n_filled", expr(
+        """CASE WHEN n IS NOT NULL THEN n
+          | WHEN prev_n IS NULL THEN next_n
+          | WHEN next_n IS NULL THEN prev_n
+          | ELSE (prev_n * (gap - j) + next_n * j) div gap END""".stripMargin))
+      .select(col("event_type"), col("hour"),
+        col("n").cast("bigint").as("n_raw"),
+        col("n_filled").cast("bigint").as("n_filled"),
+        col("n").isNull.as("filled"))
+  }
+
   /** CHANGELOG COMPACTION (CDC upsert / SCD Type-1 serving): latest value
     * per key. Deliberately NOT the `row_number() = 1` window form — the
     * commutative `max(struct(ts, tiebreak, payload))` aggregate combines

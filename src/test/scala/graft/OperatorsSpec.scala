@@ -2835,3 +2835,34 @@ class Bm25Spec extends AnyFunSuite {
     assert(sample.nonEmpty)
   }
 }
+
+class GapfillSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: lerp fills interior gaps exactly; edges take nearest observation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gapfill").toString
+    def h(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00")
+    // type A observed at hours 1 (n=10) and 4 (n=4): hours 2,3 lerped;
+    // type B observed only at hour 3 (n=7): all other hours edge-fill 7
+    val rows =
+      (1 to 10).map(i => (100L + i, h(1), 1L, "A", 0.0, "{}")) ++
+        (1 to 4).map(i => (200L + i, h(4), 1L, "A", 0.0, "{}")) ++
+        (1 to 7).map(i => (300L + i, h(3), 2L, "B", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.eventsGapfill(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getHours) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getBoolean(4))).toMap
+    // grid spans hours 1..4 (global min/max)
+    assert(got(("A", 1)) == ((Some(10L), 10L, false)))
+    assert(got(("A", 2)) == ((None, 8L, true)), s"lerp (10*2+4*1) div 3 = 8: ${got(("A", 2))}")
+    assert(got(("A", 3)) == ((None, 6L, true)), s"lerp (10*1+4*2) div 3 = 6")
+    assert(got(("A", 4)) == ((Some(4L), 4L, false)))
+    assert(got(("B", 1)) == ((None, 7L, true)), "leading edge takes next")
+    assert(got(("B", 2)) == ((None, 7L, true)))
+    assert(got(("B", 3)) == ((Some(7L), 7L, false)))
+    assert(got(("B", 4)) == ((None, 7L, true)), "trailing edge takes prev")
+    assert(got.size == 8)
+  }
+}
