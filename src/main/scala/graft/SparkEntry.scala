@@ -212,6 +212,8 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // calendar densify + exact integer lerp over hourly gaps (r9)
     "events_gapfill" -> (Relational.eventsGapfill _),
+    // linear multi-touch attribution, exact micro-credit conservation (r9)
+    "events_attribution_linear" -> ((s, d) => Relational.attributionLinear(s, d)),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1661,6 +1663,30 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_attribution_linear" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, ts AS pts
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT event_id AS click_id, user_id AS cuser, ts AS cts
+        | FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        | SELECT purchase_id, cuser, click_id, cts
+        | FROM p JOIN c ON p.user_id = c.cuser
+        |  AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY),
+        |w AS (
+        | SELECT *,
+        |  count(*) OVER (PARTITION BY purchase_id) AS n,
+        |  row_number() OVER (PARTITION BY purchase_id ORDER BY cts, click_id) AS rk
+        | FROM pairs),
+        |credits AS (
+        | SELECT cuser AS user_id, click_id,
+        |  CASE WHEN rk = n THEN 1000000 - (1000000 // n) * (n - 1)
+        |   ELSE 1000000 // n END AS credit_micro
+        | FROM w)
+        |SELECT user_id, click_id, CAST(sum(credit_micro) AS BIGINT) AS credit_micro,
+        | count(*) AS n_purchases
+        |FROM credits GROUP BY user_id, click_id""".stripMargin,
     "events_gapfill" ->
       """WITH counts AS (
         | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n

@@ -964,6 +964,50 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — the fractional twin of the
+    * last-touch path: every click in the `windowDays` lookback before a
+    * purchase shares that purchase's credit equally, in integer
+    * MICRO-credits with EXACT mass conservation: each of the n touches
+    * gets `1e6 div n` and the LAST touch absorbs the remainder, so
+    * credits per purchase sum to exactly 1,000,000 (the money-in-cents
+    * discipline applied to fractional credit — no float drift, and the
+    * conservation invariant is spec-asserted).
+    *
+    * Scale: the purchase×click pairing is a per-user interval join — an
+    * equi-join on `user_id` with the time predicate applied co-located;
+    * windows partition by `purchase_id` (bounded by a purchase's touch
+    * count). Final rollup keys on the click.
+    */
+  def attributionLinear(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val e = events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+        col("ts").as("cts"))
+    val pairs = purchases.join(clicks,
+      col("user_id") === col("cuser") &&
+        col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr(s"INTERVAL $windowDays DAYS"))
+    val perPurchase = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("n", count(lit(1)).over(perPurchase))
+      .withColumn("rk", row_number()
+        .over(perPurchase.orderBy(col("cts"), col("click_id"))))
+      .withColumn("credit_micro",
+        when(col("rk") === col("n"),
+          lit(1000000L) - expr("(1000000 div n) * (n - 1)"))
+          .otherwise(expr("1000000 div n")))
+      .groupBy(col("click_id"), col("cuser").as("user_id"))
+      .agg(sum(col("credit_micro")).as("credit_micro"),
+        count(lit(1)).as("n_purchases"))
+      .select(col("user_id"), col("click_id"),
+        col("credit_micro").cast("bigint").as("credit_micro"),
+        col("n_purchases").cast("bigint").as("n_purchases"))
+  }
+
   /** CALENDAR GAP-FILL with integer linear interpolation — the resampling
     * pass every time-series consumer needs before plotting/forecasting:
     * the hourly count grid is DENSIFIED to every calendar hour in the

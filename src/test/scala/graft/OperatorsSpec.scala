@@ -2866,3 +2866,42 @@ class GapfillSpec extends AnyFunSuite {
     assert(got.size == 8)
   }
 }
+
+class LinearAttributionSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: credit mass is conserved exactly — 1e6 micro-credits per attributed purchase") {
+    val dir = SparkSpec.testDataDir
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val winMs = 7L * 24 * 3600 * 1000
+    // attributed purchases: those with >= 1 click in the lookback window
+    val attributed = ev.filter(_._4 == "purchase").count { p =>
+      clicks.exists(c => c._3 == p._3 && c._2 <= p._2 && c._2 > p._2 - winMs)
+    }
+    val rows = graft.operators.Relational.attributionLinear(spark, dir).collect()
+    val totalCredit = rows.map(_.getLong(2)).sum
+    assert(totalCredit == attributed.toLong * 1000000L,
+      s"total $totalCredit != $attributed purchases x 1e6 — remainder must go to the last touch")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("r9: remainder lands on the LAST touch on a hand-built 3-click purchase") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("linattr").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    Seq(
+      (1L, ts(1), 1L, "click", 0.0, "{}"),
+      (2L, ts(2), 1L, "click", 0.0, "{}"),
+      (3L, ts(3), 1L, "click", 0.0, "{}"),
+      (4L, ts(10), 1L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.attributionLinear(spark, tmp).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 1e6 div 3 = 333333; last click takes 333334
+    assert(got == Map(1L -> 333333L, 2L -> 333333L, 3L -> 333334L), s"$got")
+  }
+}
