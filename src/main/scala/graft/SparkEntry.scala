@@ -214,6 +214,8 @@ object SparkEntry {
     "events_gapfill" -> (Relational.eventsGapfill _),
     // linear multi-touch attribution, exact micro-credit conservation (r9)
     "events_attribution_linear" -> ((s, d) => Relational.attributionLinear(s, d)),
+    // step-function time-weighted average, integer cents x micros (r9)
+    "events_twap" -> (Relational.eventsTwap _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1663,6 +1665,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_twap" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        | FROM events),
+        |a AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN next_ts IS NOT NULL
+        |   THEN cents * (epoch_us(next_ts) - epoch_us(ts)) ELSE 0 END) AS BIGINT) AS weighted,
+        |  CAST(sum(COALESCE(epoch_us(next_ts) - epoch_us(ts), 0)) AS BIGINT) AS span_us,
+        |  count(*) AS n_events
+        | FROM x GROUP BY user_id)
+        |SELECT user_id, weighted // span_us AS twap_cents, span_us, n_events
+        |FROM a WHERE span_us > 0""".stripMargin,
     "events_attribution_linear" ->
       """WITH p AS (
         | SELECT event_id AS purchase_id, user_id, ts AS pts

@@ -964,6 +964,39 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) — the step-function mean every
+    * financial/IoT series needs: each event's `value` (in integer cents)
+    * holds until the user's next event; the average weights each value by
+    * its holding duration in microseconds:
+    * `twap = Σ value_i·(t_{i+1} − t_i)  div  (t_last − t_first)`.
+    * All integer (cents × micros — documented bound:
+    * max_cents · span_us < 2^63, fine to ~$10M held for ~30 years); the
+    * last event contributes no duration (standard closed-interval TWAP).
+    *
+    * Scale: one `lead` window and one aggregate, both keyed on `user_id`
+    * — a single exchange, the SCD2 shape.
+    */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("dur_us",
+        expr("unix_micros(next_ts) - unix_micros(ts)"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("next_ts").isNotNull, col("cents") * col("dur_us"))
+          .otherwise(0L)).as("weighted"),
+        sum(coalesce(col("dur_us"), lit(0L))).as("span_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"),
+        expr("weighted div span_us").as("twap_cents"),
+        col("span_us").cast("bigint").as("span_us"),
+        col("n_events").cast("bigint").as("n_events"))
+  }
+
   /** LINEAR MULTI-TOUCH ATTRIBUTION — the fractional twin of the
     * last-touch path: every click in the `windowDays` lookback before a
     * purchase shares that purchase's credit equally, in integer

@@ -2905,3 +2905,29 @@ class LinearAttributionSpec extends AnyFunSuite {
     assert(got == Map(1L -> 333333L, 2L -> 333333L, 3L -> 333334L), s"$got")
   }
 }
+
+class TwapSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: TWAP on a hand-built step series; constant series equals the constant") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("twap").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: 10.00 for 1 min, 20.00 for 3 min -> (1000*60 + 2000*180)/240 = 1750
+    // user 2: constant 5.00 over two events -> 500
+    // user 3: single event, zero span -> filtered out
+    Seq(
+      (1L, ts(0), 1L, "e", 10.0, "{}"), (2L, ts(1), 1L, "e", 20.0, "{}"),
+      (3L, ts(4), 1L, "e", 99.0, "{}"),
+      (4L, ts(0), 2L, "e", 5.0, "{}"), (5L, ts(7), 2L, "e", 5.0, "{}"),
+      (6L, ts(3), 3L, "e", 42.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.eventsTwap(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((1750L, 240L * 1000000, 3L)),
+      2L -> ((500L, 420L * 1000000, 2L))), s"$got")
+    assert(!got.contains(3L), "zero-span user has no TWAP")
+  }
+}
