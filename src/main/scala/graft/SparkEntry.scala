@@ -216,6 +216,8 @@ object SparkEntry {
     "events_attribution_linear" -> ((s, d) => Relational.attributionLinear(s, d)),
     // step-function time-weighted average, integer cents x micros (r9)
     "events_twap" -> (Relational.eventsTwap _),
+    // interval census: per-hour peak live sessions, two-level sweep (r9)
+    "events_concurrency" -> (Relational.eventsConcurrency _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1665,6 +1667,34 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_concurrency" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |y AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM x),
+        |z AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM y),
+        |sess AS (
+        | SELECT min(ts) AS session_start, max(ts) AS session_end
+        | FROM z GROUP BY user_id, session_seq),
+        |deltas AS (
+        | SELECT session_start AS ts, 1 AS delta FROM sess
+        | UNION ALL
+        | SELECT session_end AS ts, -1 AS delta FROM sess),
+        |runs AS (
+        | SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+        | FROM deltas)
+        |SELECT date_trunc('hour', ts) AS hour,
+        | CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM runs GROUP BY 1""".stripMargin,
     "events_twap" ->
       """WITH x AS (
         | SELECT user_id, ts, event_id,

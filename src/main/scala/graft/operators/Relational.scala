@@ -964,6 +964,44 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** PEAK CONCURRENCY SWEEP — the interval-census staple ("how many
+    * sessions were live at once, per hour?"): every session emits +1 at
+    * start and −1 at end, and the running sum of the deltas IS the live
+    * count. Per hour: `peak = (Σ deltas before the hour) + max in-hour
+    * running sum`. Ties at one instant process starts before ends
+    * (`delta DESC`), counting instant-overlap as concurrent; the in-hour
+    * prefix max is invariant to ordering among equal (ts, delta) rows, so
+    * the result is deterministic with no unique tiebreak needed. Hours
+    * with no session boundary emit nothing (documented: the census
+    * samples at boundaries).
+    *
+    * Scale: the sweep is the classic single-sort trap — a GLOBAL ordered
+    * running sum. Here it is two-level: in-hour running sums partition by
+    * the calendar hour, and the cross-hour offsets come from a triangular
+    * self-join over the CALENDAR-bounded hour totals (≤ |hours|² rows,
+    * metadata-sized) — no single-partition window anywhere.
+    */
+  def eventsConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.EventStream.sessionizeBatch(spark, dir)
+      .select("session_start", "session_end")
+    val deltas = sessions
+      .select(col("session_start").as("ts"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("session_end").as("ts"), lit(-1L).as("delta")))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val inHour = Window.partitionBy("hour").orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourAgg = deltas
+      .withColumn("run", sum(col("delta")).over(inHour))
+      .groupBy("hour")
+      .agg(max(col("run")).as("peak_in"), sum(col("delta")).as("total"))
+    hourAgg.alias("a")
+      .join(hourAgg.alias("b"), col("b.hour") < col("a.hour"), "left")
+      .groupBy(col("a.hour").as("hour"), col("a.peak_in").as("peak_in"))
+      .agg(coalesce(sum(col("b.total")), lit(0L)).as("offset"))
+      .select(col("hour"),
+        (col("offset") + col("peak_in")).cast("bigint").as("peak_concurrency"))
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) — the step-function mean every
     * financial/IoT series needs: each event's `value` (in integer cents)
     * holds until the user's next event; the average weights each value by

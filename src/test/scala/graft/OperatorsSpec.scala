@@ -2931,3 +2931,28 @@ class TwapSpec extends AnyFunSuite {
     assert(!got.contains(3L), "zero-span user has no TWAP")
   }
 }
+
+class ConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: two-level sweep equals a driver-side global sweep") {
+    val dir = SparkSpec.testDataDir
+    val sessions = graft.streaming.EventStream.sessionizeBatch(spark, dir)
+      .select("session_start", "session_end").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    // global sweep reference: starts before ends at the same instant
+    val deltas = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var run = 0L
+    val perHour = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d) =>
+      run += d
+      val hour = t - t % 3600000L
+      perHour(hour) = math.max(perHour.getOrElse(hour, Long.MinValue), run)
+    }
+    val got = graft.operators.Relational.eventsConcurrency(spark, dir).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(got == perHour.toMap, s"diff=${(got.toSet -- perHour.toSet).take(3)}")
+    assert(got.values.max >= 2, "fixture should have overlapping sessions")
+  }
+}
