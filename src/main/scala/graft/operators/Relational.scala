@@ -1095,12 +1095,23 @@ object Relational {
     */
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val counts = ev
+    gapfillFromCounts(ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
-    val bounds = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The fill body over an already-aggregated `(event_type, hour, n)`
+    * table — shared verbatim by the batch operator above and the
+    * streaming versioned count store
+    * ([[graft.streaming.StreamMonitor.filled]]), so the densified series
+    * a dashboard reads is computed by exactly the batch arithmetic. The
+    * grid bounds derive from the counts (min/max present hour ==
+    * hour-truncated min/max event ts — identical grid).
+    */
+  def gapfillFromCounts(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(
+      min(col("hour")).as("h0"),
+      max(col("hour")).as("h1"))
     val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),

@@ -57,6 +57,14 @@ object StreamMonitor {
     graft.operators.Relational.anomalyFromCounts(
       spark.read.parquet(latest(spark, storeDir)).select("event_type", "hour", "n"))
 
+  /** Densified + gap-filled hourly series over the same store — the batch
+    * `events_gapfill` body ([[graft.operators.Relational.gapfillFromCounts]]),
+    * verbatim, over the newest version.
+    */
+  def filled(spark: SparkSession, storeDir: String): DataFrame =
+    graft.operators.Relational.gapfillFromCounts(
+      spark.read.parquet(latest(spark, storeDir)).select("event_type", "hour", "n"))
+
   private def latest(spark: SparkSession, storeDir: String): String =
     latestVersion(spark, storeDir, below = None).getOrElse(
       throw new IllegalStateException(s"no monitor store versions under $storeDir"))

@@ -2060,6 +2060,14 @@ class StreamMonitorSpec extends AnyFunSuite {
     val versions = new java.io.File(store).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("v"))
     assert(versions.length <= 2, s"store must prune old versions: ${versions.toSeq}")
+    // r9: the same store serves the gap-filled series through the shared
+    // batch body — stream == batch for the densified view too
+    val filledStream = graft.streaming.StreamMonitor.filled(spark, store).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)), r.getLong(3), r.getBoolean(4))).toSet
+    val filledBatch = graft.operators.Relational.eventsGapfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)), r.getLong(3), r.getBoolean(4))).toSet
+    assert(filledStream == filledBatch,
+      s"only-stream=${(filledStream -- filledBatch).take(3)} only-batch=${(filledBatch -- filledStream).take(3)}")
   }
 }
 
