@@ -218,6 +218,9 @@ object SparkEntry {
     "events_twap" -> (Relational.eventsTwap _),
     // interval census: per-hour peak live sessions, two-level sweep (r9)
     "events_concurrency" -> (Relational.eventsConcurrency _),
+    // NATIVE keyed interval join (custom exec #2): same-user prior-30min
+    // density via the streamed sweep with a sliding buffer (r9)
+    "events_range_join_native" -> (Relational.rangeJoinNative _),
     // TPC-H Q8 shape: 6-table tree, integer cents x percent revenue (r9)
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
@@ -1667,6 +1670,14 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_range_join_native" ->
+      """SELECT a.event_id,
+        | CAST(count(b.event_id) AS BIGINT) AS n_prior_30min
+        |FROM events a LEFT JOIN events b
+        | ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts) - 1800000000
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) - 1
+        |GROUP BY a.event_id""".stripMargin,
     "events_concurrency" ->
       """WITH x AS (
         | SELECT user_id, ts, event_id,

@@ -1008,6 +1008,9 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(graft.plans.IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.IntervalJoinStrategy
   }
 }
 
@@ -1027,5 +1030,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

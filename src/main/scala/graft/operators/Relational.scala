@@ -391,6 +391,38 @@ object Relational {
       .select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
   }
 
+  /** Per-event prior-activity density through the engine's native
+    * [[graft.plans.IntervalJoinPlan]] sweep: for every event, its same-user
+    * events STRICTLY within the prior 30 minutes
+    * (`b.ts ∈ [a.ts − 30 min, a.ts − 1 µs]`), counted; events with no
+    * prior activity keep count 0 via a final equi-join back to the event
+    * set (the native exec is INNER by design). The bucketized
+    * `events_range_join` remains the composed twin — same family, global
+    * window; this one keys on the user and sweeps: one exchange + sort
+    * per side, sliding buffer bounded by the densest 30-minute burst.
+    */
+  def rangeJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = events(spark, dir)
+    val probe = e.select(col("event_id"), col("user_id"), col("ts"))
+    val build = e.select(col("event_id").as("b_event_id"),
+      col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    val lp = probe.queryExecution.analyzed
+    val rp = build.queryExecution.analyzed
+    val (lo, ro) = (lp.output, rp.output)
+    val pairs = org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.IntervalJoinPlan(lp, rp,
+        leftKey = lo(1), rightKey = ro(1),   // user_id
+        leftTime = lo(2), rightTime = ro(2), // ts (micros)
+        leftTie = lo(0), rightTie = ro(0),   // event_id
+        lowDeltaUs = -1800L * 1000000L, highDeltaUs = -1L))
+    val counts = pairs.groupBy(col("event_id").as("m_event_id"))
+      .agg(count(lit(1)).as("n"))
+    probe.join(counts, col("event_id") === col("m_event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n"), lit(0L)).cast("bigint").as("n_prior_30min"))
+  }
+
   /** The as-of CATALOG rows (`events_asof_purchase` / `_skew`) answered by
     * the NATIVE exec (r9 — the window and time-chunked forms remain as
     * bit-equal oracle twins, see WindowSkewSpec): for every event, the

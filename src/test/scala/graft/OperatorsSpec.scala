@@ -2964,3 +2964,57 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(got.values.max >= 2, "fixture should have overlapping sessions")
   }
 }
+
+class IntervalJoinNativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: native interval join equals a driver brute force at sf0.001") {
+    val dir = SparkSpec.testDataDir
+    val ev = graft.operators.Relational.events(spark, dir)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000))
+    val brute = ev.map { case (id, u, t) =>
+      id -> ev.count { case (id2, u2, t2) =>
+        u2 == u && t2 >= t - 1800000000L && t2 <= t - 1L && (id2 != id || true)
+      }.toLong
+    }.toMap
+    val got = graft.operators.Relational.rangeJoinNative(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"diff=${(got.toSet -- brute.toSet).take(5)}")
+    assert(got.values.sum > 0, "fixture should contain prior-activity bursts")
+  }
+
+  test("r9: window bounds inclusive, self excluded, keys isolated, buffer evicts on key change") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+        lo: Long, hi: Long): Map[Long, Seq[Long]] = {
+      val l = left.toDF("id", "key", "t")
+      val r = right.toDF("rid", "rkey", "rt")
+      val lp = l.queryExecution.analyzed
+      val rp = r.queryExecution.analyzed
+      val (lou, rou) = (lp.output, rp.output)
+      org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+        graft.plans.IntervalJoinPlan(lp, rp,
+          leftKey = lou(1), rightKey = rou(1),
+          leftTime = lou(2), rightTime = rou(2),
+          leftTie = lou(0), rightTie = rou(0),
+          lowDeltaUs = lo, highDeltaUs = hi))
+        .collect().map(r => r.getLong(0) -> r.getLong(3))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    }
+    // rows at t = 100, 200, 300 on key 5; left probe at t=300, window [-200,-100]
+    val rows = Seq((1L, 5L, 100L), (2L, 5L, 200L), (3L, 5L, 300L))
+    assert(run(Seq((9L, 5L, 300L)), rows, -200L, -100L) ==
+      Map(9L -> Seq(1L, 2L)), "both bounds inclusive")
+    assert(run(Seq((9L, 5L, 300L)), rows, -199L, -101L) == Map.empty,
+      "exclusive interior misses both endpoints")
+    // self-exclusion is the caller's contract via hi = -1
+    assert(run(rows, rows, -1000L, -1L) ==
+      Map(2L -> Seq(1L), 3L -> Seq(1L, 2L)), "strictly-prior excludes self")
+    // key isolation + buffer eviction when the left scan changes key
+    val multi = Seq((1L, 1L, 100L), (2L, 2L, 100L))
+    assert(run(Seq((8L, 1L, 150L), (9L, 2L, 150L)), multi, -100L, 0L) ==
+      Map(8L -> Seq(1L), 9L -> Seq(2L)), "no cross-key leakage")
+  }
+}

@@ -525,4 +525,12 @@ class PlanSpec extends AnyFunSuite {
     val idxAgg = plan.indexOf("SortAggregate")
     assert(idxAgg >= 0 && plan.indexOf("Exchange", idxAgg) >= 0, plan)
   }
+
+  test("range_join_native: IntervalJoin exec fires, no nested loop, one exchange+sort per side") {
+    val plan = executedPlan("events_range_join_native")
+    assert(plan.contains("IntervalJoin"), s"native exec must plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the bucketized twin explodes probes into buckets; the native plan must not
+    assert(!plan.contains("Generate"), s"no explode in the native sweep:\n$plan")
+  }
 }
