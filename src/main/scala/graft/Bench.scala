@@ -279,6 +279,19 @@ object Bench {
       graft.streaming.StreamSketch.quantiles(spark, store, "event_type", Seq(0.5, 0.95)).count()
     }
 
+    // r9: streaming FREQ heavy-hitters rollup — completes the versioned
+    // sketch-store family (hll/kll/theta/freq)
+    results("stream_sketch_rollup_freq") = time2 {
+      val store = tempDir("graft-bench-stream-freq")
+      val ckpt = tempDir("graft-bench-stream-freq-ckpt")
+      val q = graft.streaming.StreamSketch.start(
+        eventsStream().selectExpr("'all' AS k", "event_type AS v"),
+        store, ckpt, "k", "v", kind = "freq")
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamSketch.heavyHitters(spark, store, "k").count()
+    }
+
     // r9: streaming MAD monitor — versioned hourly-count store + shared
     // batch flags body
     results("stream_monitor") = time2 {
@@ -341,7 +354,7 @@ object Bench {
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
         "stream_incremental_dedup", "stream_sketch_rollup",
-        "stream_sketch_rollup_theta", "stream_sketch_rollup_kll",
+        "stream_sketch_rollup_theta", "stream_sketch_rollup_kll", "stream_sketch_rollup_freq",
         "stream_attribution", "stream_monitor", "stream_scd2")
     val compact = scala.collection.mutable.LinkedHashMap(
       compactKeys.collect { case k if results.contains(k) => k -> results(k) }: _*)

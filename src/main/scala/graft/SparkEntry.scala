@@ -281,6 +281,7 @@ object SparkEntry {
     // read back → merge → gate vs exact (the ann_ivf_store_check recipe
     // applied to sketches — the cross-day rollup a 100 TB pipeline runs)
     "sketch_hll_merge_check" -> (Relational.hllStoreMergeCheck _),
+    "sketch_freq_merge_check" -> (Relational.freqStoreMergeCheck _),
     "sketch_kll_merge_check" -> (Relational.kllStoreMergeCheck _),
     "sketch_theta_merge_check" -> (Relational.thetaStoreMergeCheck _),
     "events_salted_join" -> (Relational.eventsSaltedJoin _),
@@ -1291,6 +1292,10 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         | TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sketch_freq_merge_check" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
+        | TRUE AS estimate_exact
+        |FROM events GROUP BY event_type""".stripMargin,
     "sketch_hll_merge_check" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

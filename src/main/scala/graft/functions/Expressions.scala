@@ -994,6 +994,19 @@ object GraftFunctions {
     "graft_theta_merge_sketch" -> { exprs =>
       val lgK = if (exprs.length > 1) num(exprs(1)).intValue() else 12
       ThetaMergeEstimate(exprs.head, lgK, emitBlob = true).toAggregateExpression()
+    },
+    "graft_freq_sketch" -> { exprs =>
+      val maxMapSize = if (exprs.length > 1) num(exprs(1)).intValue() else 256
+      FreqItems(exprs.head, k = 0, maxMapSize, emitBlob = true).toAggregateExpression()
+    },
+    "graft_freq_merge_items" -> { exprs =>
+      val k = if (exprs.length > 1) num(exprs(1)).intValue() else 10
+      val maxMapSize = if (exprs.length > 2) num(exprs(2)).intValue() else 256
+      FreqMergeItems(exprs.head, k, maxMapSize).toAggregateExpression()
+    },
+    "graft_freq_merge_sketch" -> { exprs =>
+      val maxMapSize = if (exprs.length > 1) num(exprs(1)).intValue() else 256
+      FreqMergeItems(exprs.head, k = 0, maxMapSize, emitBlob = true).toAggregateExpression()
     })
 
   /** Imperative registration for an already-running session. */

@@ -27,13 +27,14 @@ case class FreqItems(
     child: Expression,
     k: Int = 10,
     maxMapSize: Int = 256,
+    emitBlob: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(
+  override def dataType: DataType = if (emitBlob) BinaryType else ArrayType(
     StructType(Seq(
       StructField("item", StringType, nullable = false),
       StructField("estimate", LongType, nullable = false))),
@@ -59,13 +60,15 @@ case class FreqItems(
     buffer
   }
 
-  override def eval(buffer: ItemsSketch[String]): Any = {
-    val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-      .sortBy(r => (-r.getEstimate, r.getItem))
-      .take(k)
-      .map(r => InternalRow(UTF8String.fromString(r.getItem), r.getEstimate))
-    new GenericArrayData(rows.asInstanceOf[Array[Any]])
-  }
+  override def eval(buffer: ItemsSketch[String]): Any =
+    if (emitBlob) serialize(buffer)
+    else {
+      val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .sortBy(r => (-r.getEstimate, r.getItem))
+        .take(k)
+        .map(r => InternalRow(UTF8String.fromString(r.getItem), r.getEstimate))
+      new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    }
 
   override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
     buffer.toByteArray(new ArrayOfStringsSerDe())

@@ -198,3 +198,80 @@ case class ThetaMergeEstimate(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ThetaMergeEstimate =
     copy(child = newChildren.head)
 }
+
+/** Frequent-items blob re-aggregation — completes the persisted-sketch
+  * merge surface (HLL/KLL/theta since r8, freq r9): folds serialized
+  * `ItemsSketch` blobs (`graft_freq_sketch` output) and emits either the
+  * top-`k` `(item, estimate)` structs or the merged blob. Merge is
+  * associative but NOT idempotent (counts add, like KLL weights) — under
+  * at-least-once replay, safety rests on the versioned-store layout, the
+  * same argument [[graft.streaming.StreamSketch]] documents for KLL.
+  * When the key's true distinct count stays ≤ `maxMapSize`, the sketch
+  * never evicts and every estimate is EXACT — which is what the
+  * `sketch_freq_merge_check` gate pins bit-for-bit.
+  */
+case class FreqMergeItems(
+    child: Expression,
+    k: Int = 10,
+    maxMapSize: Int = 256,
+    emitBlob: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.datasketches.frequencies.ItemsSketch[String]] {
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = if (emitBlob) BinaryType else ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("estimate", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_freq_merge requires serialized frequent-items sketch bytes, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(ItemsSketch.getInstance(
+      Memory.wrap(v.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe()))
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], input: ItemsSketch[String]): ItemsSketch[String] = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: ItemsSketch[String]): Any =
+    if (emitBlob) serialize(buffer)
+    else {
+      val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .sortBy(r => (-r.getEstimate, r.getItem))
+        .take(k)
+        .map(r => InternalRow(UTF8String.fromString(r.getItem), r.getEstimate))
+      new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    }
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(new ArrayOfStringsSerDe())
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeItems =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqMergeItems =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FreqMergeItems =
+    copy(child = newChildren.head)
+}

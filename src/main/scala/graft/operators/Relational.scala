@@ -2119,6 +2119,33 @@ object Relational {
     * (KLL's guarantee is a RANK bound; merge order may move the value
     * inside it, so the gate is the bound, not byte equality).
     */
+  /** Frequent-items blobs per user-shard → parquet → merged heavy hitters
+    * per value bucket — gated BIT-EXACTLY against the true counts: the
+    * distinct event-type count (5) is far below `maxMapSize`, so the
+    * sketch never evicts and every estimate is exact; the gate therefore
+    * pins `estimate == exact count` for every item, not a tolerance.
+    */
+  def freqStoreMergeCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    withTempStore("graft-freq-store") { store =>
+      events(spark, dir)
+        .withColumn("shard", col("user_id") % 8)
+        .groupBy("shard")
+        .agg(expr("graft_freq_sketch(event_type)").as("sk"))
+        .write.mode("overwrite").parquet(s"$store/freq.parquet")
+      val merged = spark.read.parquet(s"$store/freq.parquet")
+        .select(explode(expr("graft_freq_merge_items(sk, 10)")).as("t"))
+        .select(col("t.item").as("event_type"),
+          col("t.estimate").as("est"))
+      val exact = events(spark, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"),
+          col("exact_n").cast("bigint").as("exact_n"),
+          (col("est") === col("exact_n")).as("estimate_exact"))
+    }
+  }
+
   def kllStoreMergeCheck(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     withTempStore("graft-kll-store") { store =>

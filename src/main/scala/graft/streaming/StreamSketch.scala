@@ -38,8 +38,11 @@ object StreamSketch {
     case "hll" => (s"graft_hll_sketch($valCol)", "graft_hll_merge_sketch(sk)")
     case "kll" => (s"graft_kll_sketch($valCol)", "graft_kll_merge_sketch(sk)")
     case "theta" => (s"graft_theta_sketch($valCol)", "graft_theta_merge_sketch(sk)")
+    // freq merge adds counts (not idempotent, like KLL weights): replay
+    // safety rests on the versioned layout, argued below
+    case "freq" => (s"graft_freq_sketch($valCol)", "graft_freq_merge_sketch(sk)")
     case other => throw new IllegalArgumentException(
-      s"StreamSketch kind must be hll|kll|theta, got $other")
+      s"StreamSketch kind must be hll|kll|theta|freq, got $other")
   }
 
   /** Starts the rollup: `newRows` is a STREAMING frame; each micro-batch
@@ -99,6 +102,15 @@ object StreamSketch {
     spark.read.parquet(latest(spark, storeDir))
       .groupBy(col(keyCol))
       .agg(expr(estExpr).as("approx_distinct"))
+  }
+
+  /** Per-key heavy hitters from the newest version of a freq store. */
+  def heavyHitters(spark: SparkSession, storeDir: String, keyCol: String,
+      k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(latest(spark, storeDir))
+      .groupBy(col(keyCol))
+      .agg(expr(s"graft_freq_merge_items(sk, $k)").as("top"))
   }
 
   /** Per-key quantiles from the newest version of a KLL store. */

@@ -228,7 +228,9 @@ class ExpressionsSpec extends AnyFunSuite {
       // Hilbert layout key + NFC normalization (round 9)
       "graft_hilbert", "graft_nfc",
       // banded edit-distance-1 verify (round 9)
-      "graft_edit1")
+      "graft_edit1",
+      // frequent-items blob emit + merge surface (round 9)
+      "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>

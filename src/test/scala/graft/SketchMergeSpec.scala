@@ -170,9 +170,39 @@ class SketchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("r9: streaming FREQ rollup — merged heavy hitters are exact below maxMapSize") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-freq").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-freq-ckpt").toString
+    try {
+      // two batches, counts add across versions: a=30+20, b=10+15, c=0+5
+      val b1 = List.fill(30)(("k", "a")) ++ List.fill(10)(("k", "b"))
+      val b2 = List.fill(20)(("k", "a")) ++ List.fill(15)(("k", "b")) ++ List.fill(5)(("k", "c"))
+      val mem = MemoryStream[(String, String)]
+      val q = graft.streaming.StreamSketch.start(
+        mem.toDF().toDF("k", "v"), store, ckpt, "k", "v", kind = "freq")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val top = graft.streaming.StreamSketch.heavyHitters(spark, store, "k")
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(t => (t.getString(0), t.getLong(1)))
+        }.toMap
+      assert(top("k") == Seq(("a", 50L), ("b", 25L), ("c", 5L)), s"$top")
+    } finally {
+      for (d <- Seq(store, ckpt))
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
   test("all three merge-check catalog rows come back all-true") {
     for ((name, boolIdx) <- Seq(
-        ("sketch_hll_merge_check", 2), ("sketch_theta_merge_check", 2))) {
+        ("sketch_hll_merge_check", 2), ("sketch_theta_merge_check", 2),
+        ("sketch_freq_merge_check", 2))) {
       val rows = SparkEntry.queries(name)(spark, dir).collect()
       assert(rows.nonEmpty, name)
       rows.foreach(r => assert(r.getBoolean(boolIdx), s"$name: $r"))
