@@ -280,6 +280,8 @@ object SparkEntry {
     // persisted-blob merge round trips: per-shard sketch blobs → parquet →
     // read back → merge → gate vs exact (the ann_ivf_store_check recipe
     // applied to sketches — the cross-day rollup a 100 TB pipeline runs)
+    // exact integer Gram matrix via the bounded-buffer aggregate (r9)
+    "embedding_gram" -> (Similarity.embeddingGram _),
     "sketch_hll_merge_check" -> (Relational.hllStoreMergeCheck _),
     "sketch_freq_merge_check" -> (Relational.freqStoreMergeCheck _),
     "sketch_kll_merge_check" -> (Relational.kllStoreMergeCheck _),
@@ -2631,6 +2633,28 @@ object SparkEntry {
         |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.7""".stripMargin,
+    "embedding_gram" ->
+      """WITH e AS (
+        | SELECT list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |p AS (
+        | SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+        | FROM range(0, 64) t(i), range(0, 64) u(j) WHERE i <= j)
+        |SELECT p.i, p.j,
+        | CAST(sum(e.q[CAST(p.i + 1 AS INTEGER)] * e.q[CAST(p.j + 1 AS INTEGER)]) AS BIGINT) AS sum_qq
+        |FROM e, p GROUP BY p.i, p.j""".stripMargin,
+    "embedding_gram" ->
+      """WITH e AS (
+        | SELECT list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |p AS (
+        | SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+        | FROM range(0, 64) t(i), range(0, 64) u(j) WHERE i <= j)
+        |SELECT p.i, p.j,
+        | CAST(sum(e.q[CAST(p.i + 1 AS INTEGER)] * e.q[CAST(p.j + 1 AS INTEGER)]) AS BIGINT) AS sum_qq
+        |FROM e, p GROUP BY p.i, p.j""".stripMargin,
     "embedding_centroid" ->
       """SELECT label, dim,
         | CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,

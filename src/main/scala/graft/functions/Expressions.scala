@@ -1007,6 +1007,11 @@ object GraftFunctions {
     "graft_freq_merge_sketch" -> { exprs =>
       val maxMapSize = if (exprs.length > 1) num(exprs(1)).intValue() else 256
       FreqMergeItems(exprs.head, k = 0, maxMapSize, emitBlob = true).toAggregateExpression()
+    },
+    "graft_gram" -> { exprs =>
+      require(exprs.length >= 2, "graft_gram(embedding, dim[, scale])")
+      val scale = if (exprs.length > 2) num(exprs(2)).longValue() else 1000000L
+      GramMatrix(exprs.head, num(exprs(1)).intValue(), scale).toAggregateExpression()
     })
 
   /** Imperative registration for an already-running session. */

@@ -1048,4 +1048,20 @@ object Similarity {
       new Directory(new java.io.File(store)).deleteRecursively()
     }
   }
+
+  /** EXACT Gram (scatter) matrix of the embedding corpus via the bounded-
+    * buffer [[graft.functions.GramMatrix]] aggregate: one map-side pass,
+    * the shuffle carries one 2,080-long buffer per partition — never the
+    * d²·n exploded pairs the compositional form would. PCA/whitening
+    * follow driver-side from this d×d result (see GramSpec's power-
+    * iteration check).
+    */
+  def embeddingGram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    embeddings(spark, dir)
+      .agg(expr("graft_gram(embedding, 64)").as("g"))
+      .select(explode(col("g")).as("t"))
+      .select(col("t.i").cast("bigint").as("i"), col("t.j").cast("bigint").as("j"),
+        col("t.s").as("sum_qq"))
+  }
 }
