@@ -230,7 +230,9 @@ class ExpressionsSpec extends AnyFunSuite {
       // banded edit-distance-1 verify (round 9)
       "graft_edit1",
       // frequent-items blob emit + merge surface (round 9)
-      "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch")
+      "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch",
+      // exact Gram-matrix aggregate (round 9)
+      "graft_gram")
     assert(GraftFunctions.builders.map(_._1).toSet == expected)
     val registry = s2.sessionState.functionRegistry
     expected.foreach { name =>
