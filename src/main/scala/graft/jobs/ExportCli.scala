@@ -19,6 +19,7 @@ import graft.sql.QueryBuilder
   *   [--useAvroLogicalTypes] [--avroSchemaNamespace=ns] [--avroDoc=..]
   *   [--avroSchemaFilePath=/path/schema.avsc]
   *   [--incrementalColumn=c --stateDir=/path/state]   # high-watermark deltas
+ *   [--partitionOutputBy=col [--maxOutputPartitions=n]]  # hive-layout output
   * }}}
   *
   * `--incrementalColumn` switches to the high-watermark delta mode
@@ -150,19 +151,34 @@ object ExportCli {
       val userSchema = opts.get("avroSchemaFilePath")
         .map(p => AvroSchemaGen.parseInputAvroSchemaFile(spark.sparkContext.hadoopConfiguration, p))
 
-      val result = ExportJob.run(
-        spark,
-        df,
-        output,
-        sinkArgs = sinkArgs,
-        schemaCfg = schemaCfg,
-        queries = qArgs.buildQueries(_ => (0L, 0L)),
-        minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
-        dataOnly = opts.contains("dataOnly"),
-        exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")),
-        userSchema = userSchema)
-
-      println(ExportJob.metricsJson(result.metrics.toMap))
+      // --partitionOutputBy=col: hive-layout partitioned export — one
+      // sub-export (full side-output contract) per distinct value, plus a
+      // top-level _PARTITIONS.json manifest. Low-cardinality by contract.
+      opts.get("partitionOutputBy") match {
+        case Some(pcol) =>
+          val result = PartitionedExport.run(
+            spark, df, output, pcol,
+            sinkArgs = sinkArgs, schemaCfg = schemaCfg,
+            minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
+            dataOnly = opts.contains("dataOnly"),
+            maxPartitions = opts.get("maxOutputPartitions").map(_.toInt).getOrElse(64))
+          println(ExportJob.metricsJson(
+            Map("partitions" -> result.partitions.length.toLong,
+              "recordCount" -> result.totalRecords)))
+        case None =>
+          val result = ExportJob.run(
+            spark,
+            df,
+            output,
+            sinkArgs = sinkArgs,
+            schemaCfg = schemaCfg,
+            queries = qArgs.buildQueries(_ => (0L, 0L)),
+            minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
+            dataOnly = opts.contains("dataOnly"),
+            exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")),
+            userSchema = userSchema)
+          println(ExportJob.metricsJson(result.metrics.toMap))
+      }
       spark.stop()
       }
     } catch {
