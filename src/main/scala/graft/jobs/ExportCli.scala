@@ -20,6 +20,7 @@ import graft.sql.QueryBuilder
   *   [--avroSchemaFilePath=/path/schema.avsc]
   *   [--incrementalColumn=c --stateDir=/path/state]   # high-watermark deltas
  *   [--partitionOutputBy=col [--maxOutputPartitions=n]]  # hive-layout output
+ *   [--inputFormat=parquet|csv|json|avro]             # default: by extension
   * }}}
   *
   * `--incrementalColumn` switches to the high-watermark delta mode
@@ -114,7 +115,12 @@ object ExportCli {
         skipCheck = opts.contains("skipPartitionCheck"),
         minPartitionPeriod = opts.get("minPartitionPeriod").map(ArgParsers.parseInstant))
 
-      val source = ParquetSource(input, table, qArgs)
+      // --inputFormat=parquet|csv|json|avro (default: by extension) —
+      // the multi-format ingest path; parquet stays the default
+      val inputFormat = graft.sources.FileSource.detectFormat(input, opts.get("inputFormat"))
+      val source: graft.sources.Source =
+        if (inputFormat == "parquet") ParquetSource(input, table, qArgs)
+        else graft.sources.FileSource(input, inputFormat, table, qArgs)
       val schemaCfg = AvroSchemaGen.Config(
         tableName = table,
         schemaName = sinkArgs.avroSchemaName,
@@ -128,7 +134,10 @@ object ExportCli {
         case Some(sql) =>
           // run the wrapped user query over the input registered as a view,
           // then apply partition filter / limit like the table path
-          spark.read.parquet(input).createOrReplaceTempView(table)
+          // RAW read for the view (no query-arg filter/limit here — those
+          // apply to the user query's OUTPUT below, like the table path)
+          graft.sources.FileSource(input, inputFormat, table, QueryArgs(base = base))
+            .read(spark).createOrReplaceTempView(table)
           val wrapped = spark.sql(QueryBuilder.fromSqlQuery(sql).build)
           val filtered = (qArgs.partitionColumn, qArgs.partition) match {
             case (Some(c), Some(p)) =>

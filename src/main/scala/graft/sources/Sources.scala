@@ -190,3 +190,63 @@ final case class ParquetSource(path: String, tableName: String, args: QueryArgs)
     }
   }
 }
+
+/** Multi-format file source — the parquet path generalized to the other
+  * self-describing (or header-carrying) file formats a batch export needs
+  * to ingest: CSV (header + schema inference, microsecond-tolerant
+  * timestamp parse), JSON lines, and the engine's own Avro container
+  * output (via [[AvroSource]] — no spark-avro on this classpath). Shares
+  * the partition-filter/limit semantics with [[ParquetSource]] verbatim,
+  * so every downstream stage (schema gen, sink, side outputs, gates) is
+  * format-agnostic.
+  *
+  * Scale note: CSV/JSON scans push the partition predicate but not into
+  * row-group statistics (text formats have none) — filters still prune
+  * AFTER parse; columnar inputs remain the 100 TB path, the text formats
+  * are the ingest/one-off escape hatch.
+  */
+final case class FileSource(path: String, format: String, tableName: String,
+    args: QueryArgs) extends Source {
+
+  private def base(spark: SparkSession): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "csv" => spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .csv(path)
+    case "json" => spark.read.json(path)
+    case "avro" => AvroSource.read(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"--inputFormat must be parquet|csv|json|avro, got $other")
+  }
+
+  private def partitionFilter: Option[Column] =
+    (args.partitionColumn, args.partition) match {
+      case (Some(c), Some(p)) =>
+        val (start, end) = QueryArgs.partitionWindow(p, args.partitionPeriod)
+        Some(col(c) >= lit(start).cast("timestamp") && col(c) < lit(end).cast("timestamp"))
+      case _ => None
+    }
+
+  override def read(spark: SparkSession): DataFrame = {
+    val b = base(spark)
+    val filtered = partitionFilter.map(b.filter).getOrElse(b)
+    args.limit.map(n => filtered.limit(n.toInt)).getOrElse(filtered)
+  }
+
+  override def queries(spark: SparkSession): Seq[String] =
+    Seq(s"-- $format source: $path")
+}
+
+object FileSource {
+  /** Format from an explicit option or the path extension (default parquet). */
+  def detectFormat(path: String, explicit: Option[String]): String =
+    explicit.getOrElse {
+      val name = path.stripSuffix("/").split("/").last.toLowerCase
+      if (name.endsWith(".csv")) "csv"
+      else if (name.endsWith(".json") || name.endsWith(".jsonl")) "json"
+      else if (name.endsWith(".avro")) "avro"
+      else "parquet"
+    }
+}
