@@ -218,6 +218,8 @@ object SparkEntry {
     "events_twap" -> (Relational.eventsTwap _),
     // interval census: per-hour peak live sessions, two-level sweep (r9)
     "events_concurrency" -> (Relational.eventsConcurrency _),
+    // top session paths: per-session type sequence -> heavy paths (r9)
+    "events_top_paths" -> ((s, d) => Relational.eventsTopPaths(s, d)),
     // NATIVE keyed interval join (custom exec #2): same-user prior-30min
     // density via the streamed sweep with a sliding buffer (r9)
     "events_range_join_native" -> (Relational.rangeJoinNative _),
@@ -1677,6 +1679,31 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "events_top_paths" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |y AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN prev_ts IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        | FROM x),
+        |z AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM y),
+        |paths AS (
+        | SELECT array_to_string(
+        |   list_transform(
+        |     (list({'et': event_type} ORDER BY ts, event_id))[1:8],
+        |     e -> e.et), '>') AS path,
+        |  count(*) > 8 AS truncated
+        | FROM z GROUP BY user_id, session_seq)
+        |SELECT path, truncated, count(*) AS n_sessions
+        |FROM paths GROUP BY path, truncated
+        |ORDER BY n_sessions DESC, path, truncated LIMIT 20""".stripMargin,
     "events_range_join_native" ->
       """SELECT a.event_id,
         | CAST(count(b.event_id) AS BIGINT) AS n_prior_30min

@@ -996,6 +996,42 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** TOP SESSION PATHS — the product-analytics staple: per session, the
+    * ordered `event_type` sequence (first `maxSteps` steps — longer
+    * sessions truncate deterministically, flagged by `truncated`), then
+    * the most common paths with their session counts. Path strings only
+    * exist AFTER per-session aggregation, so the shuffle carries
+    * (user, session) grouped rows, never cross-session strings; the final
+    * top-k is `TakeOrderedAndProject`-shaped (orderBy + limit), not a
+    * global sort.
+    */
+  def eventsTopPaths(spark: SparkSession, dir: String, maxSteps: Int = 8,
+      k: Int = 20): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(ts) - unix_micros(prev_ts) > 1800000000"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(
+        expr(s"array_join(transform(slice(evs, 1, $maxSteps), e -> e.event_type), '>')")
+          .as("path"),
+        (size(col("evs")) > maxSteps).as("truncated"))
+      .groupBy("path", "truncated")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"), col("truncated"))
+      .limit(k)
+  }
+
   /** PEAK CONCURRENCY SWEEP — the interval-census staple ("how many
     * sessions were live at once, per hour?"): every session emits +1 at
     * start and −1 at end, and the running sum of the deltas IS the live

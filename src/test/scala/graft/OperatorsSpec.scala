@@ -3018,3 +3018,28 @@ class IntervalJoinNativeSpec extends AnyFunSuite {
       Map(8L -> Seq(1L), 9L -> Seq(2L)), "no cross-key leakage")
   }
 }
+
+class TopPathsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: paths assemble in time order, sessions cut at the gap, truncation flagged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // user 1: A B C in one session, then (90 min later) D alone
+    // user 2: ten-step session -> truncated at 8
+    val rows =
+      Seq((1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"), (3L, ts(2), 1L, "C"),
+        (4L, ts(120), 1L, "D")) ++
+        (0 until 10).map(i => (10L + i, ts(i), 2L, s"E"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.eventsTopPaths(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("A>B>C", false, 1L),
+      ("D", false, 1L),
+      ("E>E>E>E>E>E>E>E", true, 1L)), s"$got")
+  }
+}
