@@ -213,3 +213,22 @@ object AvroCat {
     reader.close()
   }
 }
+
+/** Pre-publish schema-evolution gate: `runMain graft.jobs.SchemaCheck
+  * old.avsc new.avsc` — prints the verdict + per-field incompatibilities,
+  * exits 0 for FULL/BACKWARD (the registry-default safe evolutions) and 1
+  * for FORWARD/BREAKING. The check a daily export wraps around overwriting
+  * its `_AVRO_SCHEMA.avsc` sidecar.
+  */
+object SchemaCheck {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: SchemaCheck <old.avsc> <new.avsc>")
+    val parser = new org.apache.avro.Schema.Parser()
+    val oldS = parser.parse(new java.io.File(args(0)))
+    val newS = new org.apache.avro.Schema.Parser().parse(new java.io.File(args(1)))
+    val r = graft.schema.SchemaCompat.check(oldS, newS)
+    println(s"verdict=${r.verdict} newReadsOld=${r.newReadsOld} oldReadsNew=${r.oldReadsNew}")
+    r.incompatibilities.foreach(m => println(s"  $m"))
+    if (r.verdict.exitCode != 0) sys.exit(r.verdict.exitCode)
+  }
+}
