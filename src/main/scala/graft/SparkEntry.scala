@@ -220,6 +220,8 @@ object SparkEntry {
     "events_concurrency" -> (Relational.eventsConcurrency _),
     // top session paths: per-session type sequence -> heavy paths (r9)
     "events_top_paths" -> ((s, d) => Relational.eventsTopPaths(s, d)),
+    // least-squares hourly-volume slope, explicit floor division (r9)
+    "stats_trend" -> (Relational.statsTrend _),
     // NATIVE keyed interval join (custom exec #2): same-user prior-30min
     // density via the streamed sweep with a sliding buffer (r9)
     "events_range_join_native" -> (Relational.rangeJoinNative _),
@@ -1679,6 +1681,22 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "stats_trend" ->
+      """WITH counts AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |o AS (SELECT min(epoch_us(hour)) AS h0 FROM counts),
+        |pts AS (
+        | SELECT event_type, (epoch_us(hour) - h0) // 3600000000 AS x, y
+        | FROM counts, o),
+        |agg AS (
+        | SELECT event_type, count(*) AS n_pts,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+        | FROM pts GROUP BY event_type)
+        |SELECT event_type, n_pts, sx, sy,
+        | (1000 * (n_pts * sxy - sx * sy)) // (n_pts * sx2 - sx * sx) AS slope_milli
+        |FROM agg""".stripMargin,
     "events_top_paths" ->
       """WITH x AS (
         | SELECT user_id, ts, event_id, event_type,

@@ -996,6 +996,34 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** LINEAR TREND FIT — least-squares slope of each event type's hourly
+    * volume over time, in EXACT integer arithmetic: with x = hours since
+    * the global first hour and y = hourly count,
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, reported in
+    * milli-counts-per-hour. The numerator can be NEGATIVE (declining
+    * series) — measured here: Spark's `div` and DuckDB's integer `//`
+    * BOTH truncate toward zero (`-7 div 2 == -7 // 2 == -3`), so plain
+    * division agrees on every sign (the "shift to non-negative" folklore
+    * is only needed against floor-division engines). One counts
+    * aggregate, one five-sum aggregate per type, one broadcast scalar.
+    */
+  def statsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("y"))
+    val origin = counts.agg(min(unix_micros(col("hour"))).as("h0"))
+    counts.join(broadcast(origin))
+      .withColumn("x", expr("(unix_micros(hour) - h0) div 3600000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .select(col("event_type"), col("n_pts").cast("bigint").as("n_pts"),
+        col("sx").cast("bigint").as("sx"), col("sy").cast("bigint").as("sy"),
+        expr("(1000 * (n_pts * sxy - sx * sy)) div (n_pts * sx2 - sx * sx)")
+          .as("slope_milli"))
+  }
+
   /** TOP SESSION PATHS — the product-analytics staple: per session, the
     * ordered `event_type` sequence (first `maxSteps` steps — longer
     * sessions truncate deterministically, flagged by `truncated`), then

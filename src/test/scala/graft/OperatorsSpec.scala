@@ -3043,3 +3043,24 @@ class TopPathsSpec extends AnyFunSuite {
       ("E>E>E>E>E>E>E>E", true, 1L)), s"$got")
   }
 }
+
+class TrendSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: exact slope on planted rising and falling series") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("trend").toString
+    def h(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:30:00")
+    // UP: counts 1,2,3,4 over hours 0..3 -> slope exactly 1000 milli/hour
+    // DOWN: counts 4,3,2,1 -> slope exactly -1000 (negative-path division)
+    val rows =
+      (0 until 4).flatMap(i => (0 to i).map(j => (100L + i * 10 + j, h(i), 1L, "up"))) ++
+        (0 until 4).flatMap(i => (0 until 4 - i).map(j => (200L + i * 10 + j, h(i), 1L, "down")))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.statsTrend(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("up" -> 1000L, "down" -> -1000L), s"$got")
+  }
+}
