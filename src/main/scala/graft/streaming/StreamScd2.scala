@@ -39,21 +39,29 @@ object StreamScd2 {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val newRuns = Relational.scd2Runs(Relational.normalizeEventTs(batch)
-          .select("user_id", "ts", "event_id", "event_type"))
-        val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
-          case Some(prev) =>
-            Relational.scd2MergeRuns(
-              spark.read.parquet(prev)
-                .select("user_id", "event_type", "first_ts", "first_eid", "n_events")
-                .union(newRuns))
-          case None => newRuns
-        }
-        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-        prune(spark, storeDir, keepVersions)
+        foldBatch(batch, batchId, storeDir, keepVersions)
       }
       .start()
+  }
+
+  /** The per-batch fold, exposed so ReplaySpec can deliver the same
+    * (batch, batchId) twice and assert the store unchanged — the
+    * rebuild-from-prior-version argument, demonstrated. */
+  def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      keepVersions: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val newRuns = Relational.scd2Runs(Relational.normalizeEventTs(batch)
+      .select("user_id", "ts", "event_id", "event_type"))
+    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+      case Some(prev) =>
+        Relational.scd2MergeRuns(
+          spark.read.parquet(prev)
+            .select("user_id", "event_type", "first_ts", "first_eid", "n_events")
+            .union(newRuns))
+      case None => newRuns
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    prune(spark, storeDir, keepVersions)
   }
 
   /** The SCD2 dimension over everything the store has seen — the batch

@@ -64,27 +64,38 @@ object StreamSketch {
   def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
       keyCol: String, valCol: String, keepVersions: Int = 2,
       kind: String = "hll"): StreamingQuery = {
-    val (buildExpr, mergeExpr) = exprsFor(kind, valCol)
     newRows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        graft.functions.GraftFunctions.register(spark)
-        val newBlobs = batch.groupBy(col(keyCol))
-          .agg(expr(buildExpr).as("sk"))
-        val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
-          case Some(prev) =>
-            spark.read.parquet(prev).select(col(keyCol), col("sk"))
-              .union(newBlobs)
-              .groupBy(col(keyCol))
-              .agg(expr(mergeExpr).as("sk"))
-          case None => newBlobs
-        }
-        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-        prune(spark, storeDir, keepVersions)
+        foldBatch(batch, batchId, storeDir, keyCol, valCol, keepVersions, kind)
       }
       .start()
+  }
+
+  /** The per-batch fold, exposed so the replay-safety claim is TESTABLE:
+    * delivering the same (batch, batchId) twice rebuilds the identical
+    * `v<batchId>` from `v<latest < batchId>` — ReplaySpec calls this
+    * literally twice and asserts the store unchanged.
+    */
+  def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      keyCol: String, valCol: String, keepVersions: Int = 2,
+      kind: String = "hll"): Unit = {
+    val (buildExpr, mergeExpr) = exprsFor(kind, valCol)
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val newBlobs = batch.groupBy(col(keyCol))
+      .agg(expr(buildExpr).as("sk"))
+    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+      case Some(prev) =>
+        spark.read.parquet(prev).select(col(keyCol), col("sk"))
+          .union(newBlobs)
+          .groupBy(col(keyCol))
+          .agg(expr(mergeExpr).as("sk"))
+      case None => newBlobs
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    prune(spark, storeDir, keepVersions)
   }
 
   /** Per-key distinct-count estimates from the newest store version
