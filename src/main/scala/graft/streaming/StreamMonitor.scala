@@ -32,22 +32,30 @@ object StreamMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val newCounts = batch
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-          .agg(count(lit(1)).as("n"))
-        val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
-          case Some(prev) =>
-            spark.read.parquet(prev).select("event_type", "hour", "n")
-              .union(newCounts)
-              .groupBy("event_type", "hour")
-              .agg(sum("n").as("n"))
-          case None => newCounts
-        }
-        merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-        prune(spark, storeDir, keepVersions)
+        foldBatch(batch, batchId, storeDir, keepVersions)
       }
       .start()
+  }
+
+  /** The per-batch fold, exposed so ReplaySpec can double-deliver a batch
+    * and assert the count store unchanged (counts are plain sums — the
+    * versioned layout is the whole replay-safety story here). */
+  def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      keepVersions: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val newCounts = batch
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+      case Some(prev) =>
+        spark.read.parquet(prev).select("event_type", "hour", "n")
+          .union(newCounts)
+          .groupBy("event_type", "hour")
+          .agg(sum("n").as("n"))
+      case None => newCounts
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
+    prune(spark, storeDir, keepVersions)
   }
 
   /** Median/MAD anomaly flags over everything the store has seen —

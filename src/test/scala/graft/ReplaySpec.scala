@@ -63,4 +63,23 @@ class ReplaySpec extends AnyFunSuite {
     graft.streaming.StreamScd2.foldBatch(b1, 2L, store)
     assert(dim() != once, "a NEW batch id must change run counts")
   }
+
+  test("r9: monitor count store: double-delivered batch leaves counts unchanged") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val store = tmp("replay-monitor")
+    val b0 = Seq((ts(0), "click"), (ts(1), "click")).toDF("ts", "event_type")
+    val b1 = Seq((ts(2), "click"), (ts(3), "view")).toDF("ts", "event_type")
+    graft.streaming.StreamMonitor.foldBatch(b0, 0L, store)
+    graft.streaming.StreamMonitor.foldBatch(b1, 1L, store)
+    def counts(): Seq[String] = spark.read
+      .parquet(new java.io.File(store).listFiles().map(_.getName)
+        .filter(_.startsWith("v")).map(n => s"$store/$n").max)
+      .collect().map(_.toString).sorted.toSeq
+    val once = counts()
+    graft.streaming.StreamMonitor.foldBatch(b1, 1L, store)
+    assert(counts() == once, "count store changed under replay")
+    graft.streaming.StreamMonitor.foldBatch(b1, 2L, store)
+    assert(counts() != once, "a NEW batch id must add counts")
+  }
 }
