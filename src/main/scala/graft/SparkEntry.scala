@@ -53,6 +53,8 @@ object SparkEntry {
     "pipeline_c4" -> (TextAnalysis.pipelineC4 _),
     // provenance dashboard keyed on the source column (r9)
     "text_source_stats" -> (TextAnalysis.sourceStats _),
+    // per-source unigram KL from the corpus blend, micro-nat exact (r9)
+    "text_domain_shift" -> (TextAnalysis.domainShift _),
     // apply the trained BPE table to every doc: per-doc token accounting
     // under a broadcast merge table bounded by the numMerges parameter (r9)
     "text_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
@@ -1681,6 +1683,24 @@ object SparkEntry {
         | CAST(sum(CASE WHEN sup_nation = 'NATION_1' THEN rev ELSE 0 END) * 1000
         |   // sum(rev) AS BIGINT) AS share_permille
         |FROM rev GROUP BY o_year""".stripMargin,
+    "text_domain_shift" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        | FROM documents WHERE len(text) > 0),
+        |bs AS (
+        | SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+        | FROM toks GROUP BY 1, 2),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+        |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM bs GROUP BY 1),
+        |terms AS (
+        | SELECT bs.source, ts.ts,
+        |  bs.cs * CAST(round(ln((bs.cs * CAST(t.t AS DOUBLE)) / (ts.ts * CAST(c.c AS DOUBLE))) * 1000000) AS BIGINT) AS term
+        | FROM bs JOIN c USING (tok) JOIN ts USING (source) CROSS JOIN t)
+        |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+        | count(*) AS n_terms,
+        | CAST(sum(term) AS BIGINT) // CAST(max(ts) AS BIGINT) AS kl_micro
+        |FROM terms GROUP BY source""".stripMargin,
     "stats_trend" ->
       """WITH counts AS (
         | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS y

@@ -2187,4 +2187,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("bm25_micro").cast("bigint").as("bm25_micro"),
         col("n_query_terms").cast("bigint").as("n_query_terms"))
   }
+
+  /** DOMAIN-SHIFT measurement — per-source unigram KL divergence from the
+    * corpus distribution, the number a mixture-tuning pipeline watches
+    * ("how far is this source's token distribution from the blend?"):
+    * `KL(p_s ‖ p_c) = Σ_t p_s(t) · ln(p_s(t)/p_c(t))`, computed in EXACT
+    * integers: each term's log-ratio is one micro-nat quantization of a
+    * ratio of integer products (`ln((c_s·T) / (T_s·c))`, the lm_xent
+    * discipline), weighted by the integer count and divided ONCE at the
+    * end — so both engines agree bit-for-bit, and Gibbs' inequality keeps
+    * the result ≥ 0 up to quantization.
+    *
+    * Scale: one (source, token) aggregate, one token aggregate broadcast
+    * back on the token key, one per-source rollup — token text travels
+    * only where it is the join key.
+    */
+  def domainShift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).filter(length(col("text")) > 0)
+      .select(col("source"), explode(Portable.tokens("text")).as("tok"))
+    val bySource = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = bySource.groupBy("source").agg(sum(col("cs")).as("ts"))
+    val grand = corpus.agg(sum(col("c")).as("t")).head().getLong(0)
+    bySource
+      .join(corpus, "tok")
+      .join(broadcast(totals), "source")
+      .withColumn("term", expr(
+        s"cs * CAST(round(ln((cs * ${grand}D) / (ts * CAST(c AS DOUBLE))) * 1000000) AS BIGINT)"))
+      .groupBy("source")
+      .agg(sum(col("term")).as("num"), max(col("ts")).as("n_tokens"),
+        count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_terms").cast("bigint").as("n_terms"),
+        expr("num div n_tokens").as("kl_micro"))
+  }
 }

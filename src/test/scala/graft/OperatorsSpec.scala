@@ -3064,3 +3064,28 @@ class TrendSpec extends AnyFunSuite {
     assert(got == Map("up" -> 1000L, "down" -> -1000L), s"$got")
   }
 }
+
+class DomainShiftSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: KL is ~0 for a source matching the blend, large for a skewed one") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("shift").toString
+    // balanced: "a b" repeated; skewed: only "a"; corpus = both
+    val docsFx = (1 to 50).map(i => (i.toLong, "a b", "balanced")) ++
+      (51 to 60).map(i => (i.toLong, "a a a a a a a a a a", "skewed"))
+    docsFx.toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.domainShift(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (balTok, balTerms, balKl) = got("balanced")
+    val (skTok, skTerms, skKl) = got("skewed")
+    assert(balTok == 100L && skTok == 100L && balTerms == 2L && skTerms == 1L)
+    // corpus blend: a=150/200, b=50/200.
+    // skewed p=(1,0): KL = ln(4/3) ≈ 0.287682 nats — exactly
+    assert(math.abs(skKl - 287682L) <= 1, s"skewed KL = ln(4/3) micro-nats: $skKl")
+    // balanced p=(.5,.5): KL = .5·ln(2/3) + .5·ln(2) ≈ 0.143841 — exactly
+    assert(math.abs(balKl - 143841L) <= 1, s"balanced KL: $balKl")
+    assert(skKl > balKl && balKl >= 0, "skew dominates; Gibbs keeps both >= 0")
+  }
+}
