@@ -206,6 +206,8 @@ object SparkEntry {
     "dq_battery" -> (Relational.dqBattery _),
     // quasi-identifier group-size audit for publish gating (r9)
     "dq_kanonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
+    // staleness lag vs a pinned as-of instant, budget-gated (r9)
+    "dq_freshness" -> ((s, d) => Relational.dqFreshness(s, d)),
     // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // CDC compaction: latest per key via max-struct, no window sort (r9)
@@ -1889,6 +1891,12 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         | ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "dq_freshness" ->
+      """SELECT event_type, max(ts) AS latest_ts,
+        | count(*) AS n_rows,
+        | (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(max(ts))) // 3600000000 AS lag_hours,
+        | (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(max(ts))) // 3600000000 <= 24 AS fresh
+        |FROM events GROUP BY event_type""".stripMargin,
     "dq_kanonymity" ->
       """WITH g AS (
         | SELECT c_nationkey, c_mktsegment, count(*) AS c

@@ -1296,6 +1296,25 @@ object Relational {
         col("dist").cast("bigint").as("dist"))
   }
 
+  /** FRESHNESS audit — the third DQ member: per event type, how stale is
+    * the newest record relative to an AS-OF instant (parameterized, never
+    * `now()` — wall-clock in a query breaks determinism and the oracle),
+    * with a pass flag against a staleness budget. The fixture ends
+    * 2024-01-31, so the default as-of of 2024-02-01 00:00 UTC gives
+    * stable, meaningful lags.
+    */
+  def dqFreshness(spark: SparkSession, dir: String,
+      asOf: String = "2024-02-01 00:00:00",
+      budgetHours: Long = 24L): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(max(col("ts")).as("latest_ts"), count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("latest_ts"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        expr(s"(unix_micros(TIMESTAMP '$asOf') - unix_micros(latest_ts)) div 3600000000")
+          .as("lag_hours"))
+      .withColumn("fresh", col("lag_hours") <= budgetHours)
+
   /** K-ANONYMITY audit — the privacy-side twin of [[dqBattery]]: group the
     * table by its quasi-identifier columns and report how identifiable the
     * rows are. A row in a quasi-identifier group of size < k is

@@ -3089,3 +3089,22 @@ class DomainShiftSpec extends AnyFunSuite {
     assert(skKl > balKl && balKl >= 0, "skew dominates; Gibbs keeps both >= 0")
   }
 }
+
+class FreshnessSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: lag is exact truncated hours vs the pinned as-of; budget gates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fresh").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-31 22:30:00"), 1L, "hot", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-29 00:00:00"), 1L, "stale", 0.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-28 00:00:00"), 1L, "stale", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.operators.Relational.dqFreshness(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // hot: 1.5h before as-of -> 1 (truncated); stale: exactly 72h, fails 24h budget
+    assert(got == Map("hot" -> ((1L, 1L, true)), "stale" -> ((2L, 72L, false))), s"$got")
+  }
+}
