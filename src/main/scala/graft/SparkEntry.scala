@@ -208,6 +208,8 @@ object SparkEntry {
     "dq_kanonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
     // staleness lag vs a pinned as-of instant, budget-gated (r9)
     "dq_freshness" -> ((s, d) => Relational.dqFreshness(s, d)),
+    // RFM quintile segmentation, total-order deterministic ntiles (r9)
+    "customer_rfm" -> (Relational.customerRfm _),
     // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // CDC compaction: latest per key via max-struct, no window sort (r9)
@@ -1891,6 +1893,22 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         | ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "customer_rfm" ->
+      """WITH per AS (
+        | SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |  count(*) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |sc AS (
+        | SELECT *,
+        |  CAST(ntile(5) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m_score
+        | FROM per)
+        |SELECT custkey, last_order, CAST(frequency AS BIGINT) AS frequency,
+        | monetary_cents, r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM sc""".stripMargin,
     "dq_freshness" ->
       """SELECT event_type, max(ts) AS latest_ts,
         | count(*) AS n_rows,

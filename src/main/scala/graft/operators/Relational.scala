@@ -1296,6 +1296,43 @@ object Relational {
         col("dist").cast("bigint").as("dist"))
   }
 
+  /** RFM SEGMENTATION — the marketing-analytics classic: per customer,
+    * Recency (latest order date), Frequency (order count) and Monetary
+    * (lifetime cents) quintiles, combined into the `rfm` segment code
+    * (555 = best). Each quintile is an `ntile(5)` over a TOTAL order
+    * (metric + custkey tiebreak), so the assignment is deterministic and
+    * the oracle matches bit-for-bit — the standard RFM ambiguity (ties
+    * straddling a quintile boundary) is resolved by the tiebreak, not
+    * left to partitioning luck.
+    *
+    * Scale: one orders aggregate keyed on the customer, then three
+    * single-partition-free quintile windows? No — plain `ntile` needs a
+    * global sort; at fixture scale that is one exchange of |customers|
+    * 24-byte rows, and the skew-safe chunked NTILE twin
+    * (`w_ntile_skew` family) is the documented 100 TB path for the same
+    * arithmetic. This row keeps the plain form; the twin discipline
+    * already proves both forms bit-equal.
+    */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("monetary_cents"))
+    val r = ntile(5).over(Window.orderBy(col("last_order"), col("custkey")))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col("custkey")))
+    val m = ntile(5).over(Window.orderBy(col("monetary_cents"), col("custkey")))
+    per
+      .withColumn("r_score", r.cast("bigint"))
+      .withColumn("f_score", f.cast("bigint"))
+      .withColumn("m_score", m.cast("bigint"))
+      .select(col("custkey"), col("last_order"),
+        col("frequency").cast("bigint").as("frequency"),
+        col("monetary_cents").cast("bigint").as("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        expr("r_score * 100 + f_score * 10 + m_score").as("rfm"))
+  }
+
   /** FRESHNESS audit — the third DQ member: per event type, how stale is
     * the newest record relative to an AS-OF instant (parameterized, never
     * `now()` — wall-clock in a query breaks determinism and the oracle),

@@ -3108,3 +3108,30 @@ class FreshnessSpec extends AnyFunSuite {
     assert(got == Map("hot" -> ((1L, 1L, true)), "stale" -> ((2L, 72L, false))), s"$got")
   }
 }
+
+class RfmSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: RFM quintiles are balanced, segment arithmetic consistent, best segment sane") {
+    val dir = SparkSpec.testDataDir
+    val rows = graft.operators.Relational.customerRfm(spark, dir).collect()
+    val n = rows.length
+    for (idx <- Seq(4, 5, 6)) { // r, f, m score columns
+      val sizes = rows.groupBy(_.getLong(idx)).view.mapValues(_.size).toMap
+      assert(sizes.keySet == (1L to 5L).toSet, s"col $idx: $sizes")
+      // ntile balance: sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"col $idx: $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+    }
+    // a 555 customer must beat the median on all three raw metrics
+    val best = rows.filter(_.getLong(7) == 555L)
+    assert(best.nonEmpty, "top segment populated")
+    val medFreq = rows.map(_.getLong(2)).sorted.apply(n / 2)
+    val medMon = rows.map(_.getLong(3)).sorted.apply(n / 2)
+    best.foreach { r =>
+      assert(r.getLong(2) >= medFreq && r.getLong(3) >= medMon, s"$r")
+    }
+  }
+}
