@@ -32,6 +32,29 @@ object FuzzyProbe {
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1).count())
     time("full operator")(graft.operators.Relational.fuzzyNameJoin(spark, dir).count())
     time("full operator again")(graft.operators.Relational.fuzzyNameJoin(spark, dir).count())
+
+    // FastSS scaling: k disjoint name universes (a per-copy prefix keeps
+    // deletion neighborhoods inside copies), wall exp = log(ratio)/log(k)
+    val bigK = 8
+    def replicate(k: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"fuzzy-x$k").toString
+      val copies = spark.range(k).select(col("id").as("copy"))
+      spark.read.parquet(s"$dir/customer.parquet")
+        .crossJoin(copies)
+        .selectExpr("c_custkey + copy * 10000000 AS c_custkey",
+          "concat('C', copy, '_', c_name) AS c_name")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      out
+    }
+    val d1 = replicate(1); val dk = replicate(bigK)
+    graft.operators.Relational.fuzzyNameJoin(spark, d1).count() // warm
+    def wall(d: String): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Relational.fuzzyNameJoin(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w1 = wall(d1); val wk = wall(dk)
+    println(f"fastss x1=$w1%.2f s  x$bigK=$wk%.2f s  expW=${math.log(wk / w1) / math.log(bigK.toDouble)}%.2f")
     spark.stop()
   }
 }
