@@ -210,6 +210,8 @@ object SparkEntry {
     "dq_freshness" -> ((s, d) => Relational.dqFreshness(s, d)),
     // RFM quintile segmentation, total-order deterministic ntiles (r9)
     "customer_rfm" -> (Relational.customerRfm _),
+    // Lorenz curve: decile revenue concentration, triangular cumsum (r9)
+    "orders_lorenz" -> (Relational.ordersLorenz _),
     // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // CDC compaction: latest per key via max-struct, no window sort (r9)
@@ -1893,6 +1895,23 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         | ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "orders_lorenz" ->
+      """WITH per AS (
+        | SELECT o_custkey AS custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |dec AS (
+        | SELECT *, CAST(ntile(10) OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS decile
+        | FROM per),
+        |byd AS (
+        | SELECT decile, count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS cents
+        | FROM dec GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM byd)
+        |SELECT a.decile, CAST(a.n_customers AS BIGINT) AS n_customers,
+        | a.cents AS decile_cents,
+        | CAST(sum(b.cents) AS BIGINT) * 1000 // t.total AS cum_share_permille
+        |FROM byd a JOIN byd b ON b.decile <= a.decile CROSS JOIN t
+        |GROUP BY a.decile, a.n_customers, a.cents, t.total""".stripMargin,
     "customer_rfm" ->
       """WITH per AS (
         | SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,

@@ -1333,6 +1333,37 @@ object Relational {
         expr("r_score * 100 + f_score * 10 + m_score").as("rfm"))
   }
 
+  /** LORENZ CURVE / revenue concentration — "which share of customers
+    * carries which share of revenue": customers ranked into deciles by
+    * lifetime cents (descending, custkey tiebreak — total order), then
+    * each decile's revenue and the CUMULATIVE share in permille. Decile 1
+    * row answers the Pareto question directly ("top 10% carry X‰").
+    *
+    * Scale: the decile assignment is one `ntile` (the skew-safe chunked
+    * twin is the 100 TB path, as for RFM); the cumulative share is a
+    * triangular self-join over exactly 10 decile rows — metadata-sized,
+    * no running-sum window at all.
+    */
+  def ordersLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .withColumn("decile", ntile(10)
+        .over(Window.orderBy(desc("cents"), col("custkey"))).cast("bigint"))
+    val byDecile = per.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val total = byDecile.agg(sum(col("cents")).as("total"))
+    byDecile.alias("a")
+      .join(byDecile.alias("b"), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"),
+        col("a.n_customers").as("n_customers"), col("a.cents").as("cents"))
+      .agg(sum(col("b.cents")).as("cum_cents"))
+      .join(broadcast(total))
+      .select(col("decile"), col("n_customers").cast("bigint").as("n_customers"),
+        col("cents").cast("bigint").as("decile_cents"),
+        expr("cum_cents * 1000 div total").as("cum_share_permille"))
+  }
+
   /** FRESHNESS audit — the third DQ member: per event type, how stale is
     * the newest record relative to an AS-OF instant (parameterized, never
     * `now()` — wall-clock in a query breaks determinism and the oracle),

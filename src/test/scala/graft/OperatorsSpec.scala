@@ -3135,3 +3135,28 @@ class RfmSpec extends AnyFunSuite {
     }
   }
 }
+
+class LorenzSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("r9: Lorenz curve is monotone, ends at 1000 permille, matches driver cumsum") {
+    val dir = SparkSpec.testDataDir
+    val rows = graft.operators.Relational.ordersLorenz(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // monotone non-decreasing cumulative share, last == 1000 exactly? div
+    // truncation can land at 999; assert within the truncation bound
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 >= 999L && rows.last._4 <= 1000L)
+    // top decile concentrates more than its population share
+    assert(rows.head._4 > 100L, s"top decile carries ${rows.head._4} permille")
+    // driver reference for the cumulative arithmetic
+    val total = rows.map(_._3).sum
+    var cum = 0L
+    rows.foreach { case (_, _, cents, share) =>
+      cum += cents
+      assert(share == cum * 1000 / total)
+    }
+  }
+}
