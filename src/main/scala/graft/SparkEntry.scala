@@ -212,6 +212,8 @@ object SparkEntry {
     "customer_rfm" -> (Relational.customerRfm _),
     // Lorenz curve: decile revenue concentration, triangular cumsum (r9)
     "orders_lorenz" -> (Relational.ordersLorenz _),
+    // TPC-H Q16 shape: two-phase distinct, no Expand in the plan (r9)
+    "q16_supplier_variety" -> (Relational.q16SupplierVariety _),
     // FastSS deletion-neighborhood fuzzy join, oracle = brute force (r9)
     "link_fuzzy_names" -> (Relational.fuzzyNameJoin _),
     // CDC compaction: latest per key via max-struct, no window sort (r9)
@@ -1895,6 +1897,12 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         | ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY p_brand, p_size""".stripMargin,
     "orders_lorenz" ->
       """WITH per AS (
         | SELECT o_custkey AS custkey,

@@ -1333,6 +1333,29 @@ object Relational {
         expr("r_score * 100 + f_score * 10 + m_score").as("rfm"))
   }
 
+  /** TPC-H Q16-shaped SUPPLIER VARIETY — distinct suppliers able to serve
+    * each (brand, size) slice, written as the TWO-PHASE distinct
+    * (`groupBy(key, supp)` then `groupBy(key)`) instead of
+    * `countDistinct`: Spark plans multi-column `count(DISTINCT)` through
+    * an Expand (row multiplication per aggregate) or a positional
+    * dedup-exchange; the explicit two-phase form is one dedup aggregate +
+    * one count aggregate, both map-side combined, and AQE coalesces the
+    * tiny second exchange. Same numbers, narrower plan.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_size", "l_suppkey")
+      .distinct() // phase 1: dedup on the full key — plain hash aggregate
+    pairs.groupBy("p_brand", "p_size") // phase 2: count per slice
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_size").cast("bigint").as("p_size"),
+        col("supplier_cnt").cast("bigint").as("supplier_cnt"))
+  }
+
   /** LORENZ CURVE / revenue concentration — "which share of customers
     * carries which share of revenue": customers ranked into deciles by
     * lifetime cents (descending, custkey tiebreak — total order), then

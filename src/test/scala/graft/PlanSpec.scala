@@ -533,4 +533,11 @@ class PlanSpec extends AnyFunSuite {
     // the bucketized twin explodes probes into buckets; the native plan must not
     assert(!plan.contains("Generate"), s"no explode in the native sweep:\n$plan")
   }
+
+  test("q16: two-phase distinct — no Expand, broadcast dim, two hash-agg pairs") {
+    val plan = executedPlan("q16_supplier_variety")
+    assert(!plan.contains("Expand"), s"two-phase distinct must not Expand:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
