@@ -41,7 +41,10 @@ object ExportCli {
     }.toMap
 
     try {
-      val input = opts.getOrElse("input", throw new IllegalArgumentException("--input is required"))
+      val connectionUrl = opts.get("connectionUrl")
+      val input = opts.getOrElse("input",
+        connectionUrl.getOrElse(throw new IllegalArgumentException(
+          "either --input (file source) or --connectionUrl (JDBC source) is required")))
       val output = opts.getOrElse("output", throw new IllegalArgumentException("--output is required"))
       val table = opts.getOrElse("table",
         input.split("/").last.stripSuffix(".parquet"))
@@ -102,13 +105,19 @@ object ExportCli {
         .map(p => ExportJob.readSqlFile(spark.sparkContext.hadoopConfiguration, p))
       val base = userSql.map(QueryBuilder.fromSqlQuery).getOrElse(QueryBuilder.fromTable(table))
 
+      // JDBC mode takes the reference's split options (--splitColumn +
+      // --queryParallelism, X3-coupled); the file path keeps its write-
+      // parallelism analogue below.
+      val jdbcMode = connectionUrl.isDefined
       val qArgs = QueryArgs(
         base = base,
         limit = opts.get("limit").map(_.toLong),
         partitionColumn = opts.get("partitionColumn"),
         partition = opts.get("partition").map(ArgParsers.parseInstant),
         partitionPeriod = opts.get("partitionPeriod").map(ArgParsers.parsePeriodOrDuration)
-          .getOrElse(java.time.Period.ofDays(1)))
+          .getOrElse(java.time.Period.ofDays(1)),
+        splitColumn = if (jdbcMode) opts.get("splitColumn") else None,
+        queryParallelism = if (jdbcMode) opts.get("queryParallelism").map(_.toInt) else None)
 
       ArgParsers.validatePartitionFreshness(
         qArgs.partition, qArgs.partitionColumn, qArgs.partitionPeriod,
@@ -118,19 +127,45 @@ object ExportCli {
       // --inputFormat=parquet|csv|json|avro (default: by extension) —
       // the multi-format ingest path; parquet stays the default
       val inputFormat = graft.sources.FileSource.detectFormat(input, opts.get("inputFormat"))
-      val source: graft.sources.Source =
-        if (inputFormat == "parquet") ParquetSource(input, table, qArgs)
-        else graft.sources.FileSource(input, inputFormat, table, qArgs)
+      val source: graft.sources.Source = connectionUrl match {
+        case Some(url) =>
+          // the reference's primary input: a JDBC database. Credentials per
+          // PasswordReader priority (U9); the scheme→driver map validates
+          // the URL (JdbcConnectionUtil.java:30-48). A postgres partition
+          // export runs the replication-lag pre-flight first, like
+          // PsqlAvroJob (`jobs/PsqlAvroJob.java:36-57`).
+          val connArgs = graft.args.ConnectionArgs(
+            url,
+            username = opts.getOrElse("username", "dbeam-extractor"),
+            password = graft.args.PasswordReader.read(
+              opts.get("password"), opts.get("passwordFile")))
+          if (url.startsWith("jdbc:postgresql") && qArgs.partition.isDefined
+              && !opts.contains("skipReplicationDelayCheck")) {
+            // reference JdbcConnectionUtil.createConnection: load the
+            // scheme's driver class, then DriverManager
+            Class.forName(connArgs.driverClass)
+            val c = java.sql.DriverManager.getConnection(
+              url, connArgs.username, connArgs.password.orNull)
+            try ReplicationCheck.checkLive(c, qArgs.partition.get, qArgs.partitionPeriod)
+            finally c.close()
+          }
+          graft.sources.JdbcSource(connArgs, qArgs,
+            fetchSize = opts.get("fetchSize").map(_.toInt).getOrElse(10000),
+            preCommands = sinkArgs.preCommands)
+        case None =>
+          if (inputFormat == "parquet") ParquetSource(input, table, qArgs)
+          else graft.sources.FileSource(input, inputFormat, table, qArgs)
+      }
       val schemaCfg = AvroSchemaGen.Config(
         tableName = table,
         schemaName = sinkArgs.avroSchemaName,
         namespace = sinkArgs.avroSchemaNamespace,
         doc = sinkArgs.avroDoc,
-        connectionUrl = s"parquet:$input",
+        connectionUrl = connectionUrl.getOrElse(s"parquet:$input"),
         useLogicalTypes = sinkArgs.useAvroLogicalTypes,
         nullableArrayItems = opts.contains("nullableArrayItems"))
 
-      val df0 = userSql match {
+      val df0 = userSql.filter(_ => !jdbcMode) match {
         case Some(sql) =>
           // run the wrapped user query over the input registered as a view,
           // then apply partition filter / limit like the table path
@@ -149,9 +184,11 @@ object ExportCli {
           qArgs.limit.map(n => filtered.limit(n.toInt)).getOrElse(filtered)
         case None => source.read(spark)
       }
-      // --queryParallelism=n: ensure at least n write partitions (dbeam X1
-      // analogue for unsplittable file layouts).
-      val df = opts.get("queryParallelism")
+      // --queryParallelism=n: in JDBC mode the split predicates already set
+      // the partitioning (one partition per generated query); for file
+      // sources ensure at least n write partitions (dbeam X1 analogue for
+      // unsplittable file layouts).
+      val df = opts.get("queryParallelism").filter(_ => !jdbcMode)
         .map(n => graft.sink.AvroSink.ensureWriteParallelism(df0, n.toInt))
         .getOrElse(df0)
 
@@ -181,7 +218,8 @@ object ExportCli {
             output,
             sinkArgs = sinkArgs,
             schemaCfg = schemaCfg,
-            queries = qArgs.buildQueries(_ => (0L, 0L)),
+            queries = if (jdbcMode) source.queries(spark)
+              else qArgs.buildQueries(_ => (0L, 0L)),
             minRows = opts.get("minRows").map(_.toLong).getOrElse(-1L),
             dataOnly = opts.contains("dataOnly"),
             exportTimeout = java.time.Duration.parse(opts.getOrElse("exportTimeout", "P7D")),

@@ -162,10 +162,45 @@ object ExportJob {
   */
 object ReplicationCheck {
 
-  /** Reference `PsqlReplicationCheck.java:38-43`. */
+  /** Reference `PsqlReplicationCheck.java:38-43` verbatim (column names are
+    * part of the contract — `queryReplication` reads `last_replication` /
+    * `replication_delay` by label, `PsqlReplicationCheck.java:113-117`).
+    */
   val ReplicationQuery: String =
-    "SELECT EXTRACT(EPOCH FROM (now() - pg_last_xact_replay_timestamp())) * 1000 " +
-      "AS replication_delay, pg_last_xact_replay_timestamp() AS last_replay;"
+    "SELECT now() AS current_timestamp, " +
+      "pg_last_xact_replay_timestamp() AS last_replication, " +
+      "ROUND (( EXTRACT (EPOCH FROM now()) - " +
+      "EXTRACT (EPOCH FROM pg_last_xact_replay_timestamp()) " +
+      ") * 1000) AS replication_delay;"
+
+  /** Executes [[ReplicationQuery]] on a live connection and returns the
+    * replica's last-replay instant — reference
+    * `PsqlReplicationCheck.queryReplication` (`PsqlReplicationCheck.java:106-123`)
+    * including its two failure modes: an empty result set and a NULL
+    * `last_replication` (a primary, not a replica) both raise
+    * `IllegalStateException` with the reference's guidance message.
+    */
+  def queryLastReplication(connection: java.sql.Connection,
+      query: String = ReplicationQuery): Instant = {
+    val rs = connection.createStatement().executeQuery(query)
+    try {
+      if (!rs.next())
+        throw new IllegalStateException(
+          "Replication query returned empty results, consider using jdbc-avro-job instead")
+      val ts = rs.getTimestamp("last_replication")
+      if (ts == null)
+        throw new IllegalStateException(
+          "Empty last_replication, consider using jdbc-avro-job instead")
+      ts.toInstant
+    } finally rs.close()
+  }
+
+  /** Live pre-flight: query the replica and gate the export —
+    * `PsqlReplicationCheck.checkReplication` (`PsqlReplicationCheck.java:62-67`).
+    */
+  def checkLive(connection: java.sql.Connection, partition: Instant,
+      partitionPeriod: java.time.temporal.TemporalAmount): Unit =
+    check(partition, queryLastReplication(connection), partitionPeriod)
 
   /** True (not ready) iff `lastReplay < partition + partitionPeriod`
     * (reference `PsqlReplicationCheck.java:69-104`).

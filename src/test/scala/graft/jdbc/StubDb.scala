@@ -1,0 +1,401 @@
+package graft.jdbc
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, DatabaseMetaData, PreparedStatement, ResultSet, ResultSetMetaData, Statement, Timestamp, Types}
+import java.time.Instant
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+/** In-memory stand-in for the H2 database the reference tests against
+  * (`jobs/JdbcAvroJobTest.java:83-295` runs dbeam against
+  * `jdbc:h2:mem:test`): no driver jars ship in this offline sandbox, so the
+  * test tree provides the `org.h2.Driver` class name that
+  * `ConnectionArgs.driverFor` maps the `jdbc:h2` scheme to, backed by this
+  * registry + micro-SQL evaluator. TEST-ONLY — lives under `src/test`; the
+  * product path (`JdbcSource`, `spark.read.jdbc`, `ExportJob`) runs
+  * completely unmodified on top of it, which is the point: it upgrades the
+  * JDBC runtime path (SURVEY §2 U10, §7.5 risk 5) from compile-level to
+  * executed.
+  *
+  * The evaluator supports exactly the SQL the product path emits:
+  *   - Spark JDBC v1 scans: `SELECT <cols> FROM (<inner>) alias [WHERE p]`
+  *     including the `WHERE 1=0` schema probe and the `SELECT 1 FROM …`
+  *     zero-column count scan;
+  *   - our `QueryBuilder` inner queries: `SELECT * FROM t WHERE 1=1
+  *     [AND c >= x AND c < y] [LIMIT n]`, nested derived tables
+  *     (`(…) as user_sql_query`);
+  *   - conjunctive predicates with `>= <= < > = <> !=`, `IS [NOT] NULL`,
+  *     numeric / quoted-string / timestamp literals;
+  *   - the Postgres replication-lag query (matched on its
+  *     `pg_last_xact_replay_timestamp` call, answered from
+  *     [[replicationReply]]).
+  * Every protocol event (connect, prepareStatement, setFetchSize,
+  * pre-command execute, executeQuery) is appended to a per-database log so
+  * specs can assert the reference's writer protocol ordering
+  * (`JdbcAvroIO.java:174-201`).
+  */
+object StubDb {
+
+  final case class Col(name: String, sqlType: Int, nullable: Boolean = false)
+  final case class Table(cols: Vector[Col], rows: Vector[Vector[Any]]) {
+    def colIndex(name: String): Int = {
+      val i = cols.indexWhere(_.name.equalsIgnoreCase(name))
+      require(i >= 0, s"stub: no column $name in ${cols.map(_.name)}")
+      i
+    }
+  }
+
+  private val dbs = TrieMap[String, TrieMap[String, Table]]()
+  private val logs = TrieMap[String, ArrayBuffer[String]]()
+
+  /** (replication_delay millis, last_replication) served to the replication
+    * query; `null` timestamp models a primary (never-replayed) server.
+    */
+  @volatile var replicationReply: (Long, Timestamp) =
+    (0L, Timestamp.from(Instant.parse("2026-01-01T00:00:00Z")))
+
+  def dbName(url: String): String =
+    url.stripPrefix("jdbc:h2:mem:").stripPrefix("jdbc:h2:").takeWhile(_ != ';')
+
+  def register(db: String, name: String, table: Table): Unit =
+    dbs.getOrElseUpdate(db, TrieMap()).put(name.toUpperCase, table)
+
+  def log(db: String): ArrayBuffer[String] = logs.getOrElseUpdate(db, ArrayBuffer())
+
+  def reset(db: String): Unit = { dbs.remove(db); logs.remove(db) }
+
+  def acceptsUrl(url: String): Boolean = url != null && url.startsWith("jdbc:h2:")
+
+  // ---------------------------------------------------------------- querying
+
+  def runQuery(db: String, sql: String): Table = evalQuery(db, sql)
+
+  private def evalQuery(db: String, sql0: String): Table = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    if (sql.toLowerCase.contains("pg_last_xact_replay_timestamp")) {
+      val (delay, last) = replicationReply
+      return Table(
+        Vector(Col("current_timestamp", Types.TIMESTAMP), Col("last_replication", Types.TIMESTAMP, nullable = true),
+          Col("replication_delay", Types.BIGINT)),
+        Vector(Vector(Timestamp.from(Instant.parse("2026-01-01T01:00:00Z")), last, delay)))
+    }
+    val selMatch = "(?is)^SELECT\\s+(.*?)\\s+FROM\\s+(.*)$".r
+    sql match {
+      case selMatch(selectList, fromRest0) =>
+        val fromRest = fromRest0.trim
+        val (base, tail) =
+          if (fromRest.startsWith("(")) {
+            val close = matchingParen(fromRest, 0)
+            val inner = fromRest.substring(1, close)
+            var rest = fromRest.substring(close + 1).trim
+            // optional `as` keyword + alias token
+            if (rest.toLowerCase.startsWith("as ")) rest = rest.substring(3).trim
+            val alias = rest.takeWhile(c => !c.isWhitespace)
+            rest = rest.substring(alias.length).trim
+            (evalQuery(db, inner), rest)
+          } else {
+            val name = fromRest.takeWhile(c => !c.isWhitespace)
+            val rest = fromRest.substring(name.length).trim
+            val table = dbs.get(db).flatMap(_.get(stripQuotes(name).toUpperCase))
+              .getOrElse(throw new java.sql.SQLException(s"stub: table $name not found in $db"))
+            (table, rest)
+          }
+        // tail: [WHERE <pred>] [LIMIT n]
+        val limitMatch = "(?is)^(.*?)\\s*LIMIT\\s+(\\d+)\\s*$".r
+        val (beforeLimit, limit) = tail match {
+          case limitMatch(b, n) => (b.trim, Some(n.toInt))
+          case other => (other.trim, None)
+        }
+        val where = {
+          val lower = beforeLimit.toLowerCase
+          if (lower.startsWith("where")) Some(beforeLimit.substring(5).trim) else {
+            require(beforeLimit.isEmpty, s"stub: unsupported tail: $beforeLimit")
+            None
+          }
+        }
+        val filtered = where.map(w => base.copy(rows = base.rows.filter(evalWhere(base, w, _)))).getOrElse(base)
+        val limited = limit.map(n => filtered.copy(rows = filtered.rows.take(n))).getOrElse(filtered)
+        project(selectList.trim, limited)
+      case _ => throw new java.sql.SQLException(s"stub: unsupported query: $sql")
+    }
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new java.sql.SQLException(s"stub: unbalanced parens: $s")
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && (t.head == '"' && t.last == '"')) t.substring(1, t.length - 1) else t
+  }
+
+  private def stripOuterParens(s0: String): String = {
+    var s = s0.trim
+    while (s.startsWith("(") && matchingParen(s, 0) == s.length - 1) s = s.substring(1, s.length - 1).trim
+    s
+  }
+
+  private def evalWhere(table: Table, pred: String, row: Vector[Any]): Boolean =
+    splitTopLevel(stripOuterParens(pred), " and ").forall { term0 =>
+      val term = stripOuterParens(term0)
+      val lower = term.toLowerCase
+      if (lower.replaceAll("\\s+", "") == "1=1") true
+      else if (lower.replaceAll("\\s+", "") == "1=0") false
+      else if (lower.endsWith("is not null")) {
+        row(table.colIndex(stripQuotes(term.substring(0, lower.lastIndexOf("is not null"))))) != null
+      } else if (lower.endsWith("is null")) {
+        row(table.colIndex(stripQuotes(term.substring(0, lower.lastIndexOf("is null"))))) == null
+      } else {
+        val m = "(?s)^(.+?)(>=|<=|<>|!=|=|<|>)(.+)$".r
+        term match {
+          case m(lhs, op, rhs) =>
+            val v = row(table.colIndex(stripQuotes(lhs)))
+            if (v == null) false // SQL three-valued logic: comparisons with NULL are not true
+            else {
+              val c = compareVal(v, rhs.trim)
+              op match {
+                case ">=" => c >= 0
+                case "<=" => c <= 0
+                case "<" => c < 0
+                case ">" => c > 0
+                case "=" => c == 0
+                case "<>" | "!=" => c != 0
+              }
+            }
+          case _ => throw new java.sql.SQLException(s"stub: unsupported predicate term: $term")
+        }
+      }
+    }
+
+  /** Split on a delimiter at paren/quote depth zero (case-insensitive). */
+  private def splitTopLevel(s: String, delimLower: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQuote) { if (ch == '\'') inQuote = false; i += 1 }
+      else ch match {
+        case '\'' => inQuote = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && s.regionMatches(true, i, delimLower, 0, delimLower.length) =>
+          out += s.substring(start, i); start = i + delimLower.length; i = start
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def compareVal(v: Any, lit0: String): Int = {
+    val lit = lit0.trim
+    v match {
+      case t: Timestamp =>
+        val s = lit.stripPrefix("'").stripSuffix("'")
+        // QueryBuilder emits UTC instants / bare dates — parse in UTC
+        // always (Timestamp.valueOf would use the JVM zone).
+        val parsed: Timestamp =
+          if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+            Timestamp.from(java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+          else if (s.endsWith("Z")) Timestamp.from(Instant.parse(s))
+          else Timestamp.from(java.time.LocalDateTime.parse(s.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC))
+        t.compareTo(parsed)
+      case s: String => s.compareTo(lit.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+      case n: Number => java.lang.Double.compare(n.doubleValue(), lit.toDouble)
+      case b: java.lang.Boolean => b.compareTo(lit.toBoolean)
+      case other => throw new java.sql.SQLException(s"stub: cannot compare $other to $lit")
+    }
+  }
+
+  private def project(selectList: String, t: Table): Table =
+    if (selectList == "*") t
+    else {
+      val items = splitTopLevel(selectList, ",")
+      val picked = items.map { item =>
+        val it = item.trim
+        if (it.matches("\\d+")) // Spark's zero-column count scan: SELECT 1 FROM …
+          (Col("1", Types.INTEGER), (_: Vector[Any]) => it.toLong.asInstanceOf[Any])
+        else {
+          val idx = t.colIndex(stripQuotes(it))
+          (t.cols(idx), (r: Vector[Any]) => r(idx))
+        }
+      }
+      Table(picked.map(_._1), t.rows.map(r => picked.map(_._2(r))))
+    }
+
+  // ------------------------------------------------------------- JDBC proxies
+
+  /** A Connection proxy over the registry. Unknown interface methods return
+    * type-appropriate defaults, so minor Spark-version drift in the JDBC
+    * protocol (extra `setAutoCommit`, `getWarnings`, … calls) never breaks
+    * the stub.
+    */
+  def connect(url: String): Connection = {
+    val db = dbName(url)
+    log(db) += s"connect($db)"
+    connectionProxy(db)
+  }
+
+  private def defaultFor(cls: Class[_]): AnyRef = cls match {
+    case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+    case java.lang.Integer.TYPE => Integer.valueOf(0)
+    case java.lang.Long.TYPE => java.lang.Long.valueOf(0L)
+    case java.lang.Short.TYPE => java.lang.Short.valueOf(0.toShort)
+    case java.lang.Byte.TYPE => java.lang.Byte.valueOf(0.toByte)
+    case java.lang.Double.TYPE => java.lang.Double.valueOf(0d)
+    case java.lang.Float.TYPE => java.lang.Float.valueOf(0f)
+    case java.lang.Character.TYPE => java.lang.Character.valueOf(' ')
+    case java.lang.Void.TYPE => null
+    case _ => null
+  }
+
+  private def proxy[T](iface: Class[T])(pf: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    iface.cast(Proxy.newProxyInstance(iface.getClassLoader, Array(iface),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args0: Array[AnyRef]): AnyRef = {
+          val args = if (args0 == null) Array.empty[AnyRef] else args0
+          if (m.getDeclaringClass == classOf[Object]) m.getName match {
+            case "equals" => java.lang.Boolean.valueOf(p.asInstanceOf[AnyRef] eq args(0))
+            case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+            case _ => s"stub-${iface.getSimpleName}"
+          }
+          else pf.applyOrElse((m.getName, args), (_: (String, Array[AnyRef])) => defaultFor(m.getReturnType))
+        }
+      }))
+
+  private def connectionProxy(db: String): Connection = proxy(classOf[Connection]) {
+    case ("prepareStatement", args) =>
+      val sql = args(0).asInstanceOf[String]
+      log(db) += s"prepareStatement($sql)"
+      preparedProxy(db, sql)
+    case ("createStatement", _) => statementProxy(db)
+    case ("getMetaData", _) => proxy(classOf[DatabaseMetaData]) {
+      case ("getURL", _) => s"jdbc:h2:mem:$db"
+      case ("getDatabaseProductName", _) => "H2-stub"
+      case ("getDriverName", _) => "graft-stub-jdbc"
+    }
+    case ("isValid", _) => java.lang.Boolean.TRUE
+    case ("getAutoCommit", _) => java.lang.Boolean.TRUE
+  }
+
+  private def preparedProxy(db: String, sql: String): PreparedStatement =
+    proxy(classOf[PreparedStatement]) {
+      case ("executeQuery", _) =>
+        log(db) += "main.executeQuery"
+        resultSetProxy(runQuery(db, sql))
+      case ("execute", _) =>
+        // sessionInitStatement path: Spark prepares the init SQL and
+        // calls execute() — record it as a pre-command
+        log(db) += s"pre.execute($sql)"
+        java.lang.Boolean.valueOf(sql.trim.toLowerCase.startsWith("select"))
+      case ("setFetchSize", args) =>
+        log(db) += s"main.setFetchSize(${args(0)})"; null
+      case ("setQueryTimeout", _) => null
+      case ("getMetaData", _) => metaDataProxy(runQuery(db, sql).cols)
+    }
+
+  private def statementProxy(db: String): Statement = proxy(classOf[Statement]) {
+    case ("executeQuery", args) =>
+      val sql = args(0).asInstanceOf[String]
+      log(db) += s"stmt.executeQuery($sql)"
+      resultSetProxy(runQuery(db, sql))
+    case ("execute", args) =>
+      val sql = args(0).asInstanceOf[String]
+      log(db) += s"pre.execute($sql)"
+      java.lang.Boolean.valueOf(sql.trim.toLowerCase.startsWith("select"))
+    case ("setFetchSize", args) =>
+      log(db) += s"stmt.setFetchSize(${args(0)})"; null
+  }
+
+  private def metaDataProxy(cols: Vector[Col]): ResultSetMetaData =
+    proxy(classOf[ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(cols.size)
+      case ("getColumnLabel", args) => cols(args(0).asInstanceOf[Integer] - 1).name
+      case ("getColumnName", args) => cols(args(0).asInstanceOf[Integer] - 1).name
+      case ("getColumnType", args) => Integer.valueOf(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
+      case ("getColumnTypeName", args) => typeName(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
+      case ("getPrecision", args) => Integer.valueOf(precision(cols(args(0).asInstanceOf[Integer] - 1).sqlType))
+      case ("getScale", _) => Integer.valueOf(0)
+      case ("isSigned", args) =>
+        val t = cols(args(0).asInstanceOf[Integer] - 1).sqlType
+        java.lang.Boolean.valueOf(t == Types.INTEGER || t == Types.BIGINT || t == Types.DOUBLE)
+      case ("isNullable", args) =>
+        Integer.valueOf(if (cols(args(0).asInstanceOf[Integer] - 1).nullable)
+          ResultSetMetaData.columnNullable else ResultSetMetaData.columnNoNulls)
+    }
+
+  private def typeName(t: Int): String = t match {
+    case Types.VARCHAR => "VARCHAR"
+    case Types.INTEGER => "INTEGER"
+    case Types.BIGINT => "BIGINT"
+    case Types.DOUBLE => "DOUBLE"
+    case Types.TIMESTAMP => "TIMESTAMP"
+    case Types.BOOLEAN => "BOOLEAN"
+    case _ => "OTHER"
+  }
+
+  private def precision(t: Int): Int = t match {
+    case Types.VARCHAR => 255
+    case Types.INTEGER => 10
+    case Types.BIGINT => 19
+    case Types.DOUBLE => 17
+    case Types.TIMESTAMP => 29
+    case _ => 0
+  }
+
+  private def resultSetProxy(t: Table): ResultSet = {
+    var cursor = -1
+    var nullSeen = false
+    def value(args: Array[AnyRef]): Any = {
+      val v = args(0) match {
+        case i: Integer => t.rows(cursor)(i - 1)
+        case label: String => t.rows(cursor)(t.colIndex(label))
+      }
+      nullSeen = v == null
+      v
+    }
+    proxy(classOf[ResultSet]) {
+      case ("next", _) =>
+        cursor += 1
+        java.lang.Boolean.valueOf(cursor < t.rows.size)
+      case ("getMetaData", _) => metaDataProxy(t.cols)
+      case ("wasNull", _) => java.lang.Boolean.valueOf(nullSeen)
+      case ("getObject", args) => value(args).asInstanceOf[AnyRef]
+      case ("getString", args) => value(args) match {
+        case null => null
+        case s => s.toString
+      }
+      case ("getLong", args) => value(args) match {
+        case null => java.lang.Long.valueOf(0L)
+        case n: Number => java.lang.Long.valueOf(n.longValue())
+      }
+      case ("getInt", args) => value(args) match {
+        case null => Integer.valueOf(0)
+        case n: Number => Integer.valueOf(n.intValue())
+      }
+      case ("getDouble", args) => value(args) match {
+        case null => java.lang.Double.valueOf(0d)
+        case n: Number => java.lang.Double.valueOf(n.doubleValue())
+      }
+      case ("getBoolean", args) => value(args) match {
+        case null => java.lang.Boolean.FALSE
+        case b: java.lang.Boolean => b
+      }
+      case ("getTimestamp", args) => value(args) match {
+        case null => null
+        case ts: Timestamp => ts
+      }
+    }
+  }
+}
