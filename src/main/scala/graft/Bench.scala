@@ -44,7 +44,20 @@ import graft.streaming.EventStream
   */
 object Bench {
 
+  /** Machine load at capture time (VERDICT r9 #8): the documented 15-45%
+    * bench drift on identical code is machine-load noise; recording
+    * 1/5/15-min loadavg into every snapshot turns drift adjudication from
+    * archaeology into a field comparison. Best-effort: absent /proc (non-
+    * Linux) reports "n/a" rather than failing the bench.
+    */
+  private def readLoadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).mkString(" ") finally src.close()
+    } catch { case _: Throwable => "n/a" }
+
   def main(args: Array[String]): Unit = {
+    val loadAtStart = readLoadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -342,7 +355,8 @@ object Bench {
       val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = f"${results.values.sum}%.3f" // total is ALWAYS the full-catalog sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
-        s""""estimator":"best_of_2 (catalog, export, streaming; fresh dirs per run)","sf":"$sfDir"$extra}"""
+        s""""estimator":"best_of_2 (catalog, export, streaming; fresh dirs per run)",""" +
+        s""""loadavg_start":"$loadAtStart","loadavg_end":"${readLoadAvg()}","sf":"$sfDir"$extra}"""
     }
     // Full line first (the complete per-query map — the snapshot of record),
     // then a COMPACT line (headline + export + streaming rows only) printed

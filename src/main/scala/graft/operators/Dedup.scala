@@ -172,14 +172,15 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signaturesFrom(docShingleArrays(spark, dir))
 
-  private def signaturesFrom(shingleArrays: DataFrame): DataFrame = {
+  private def signaturesFrom(shingleArrays: DataFrame,
+      numHashes: Int = NumHashes): DataFrame = {
     graft.functions.GraftFunctions.register(shingleArrays.sparkSession)
     // shingle hashing + minhash are both native codegen — the HOF
     // `transform(shingles, s -> graft_poly_hash(...))` form computes the
     // same values but interprets the lambda per element
     shingleArrays.select(
       col("doc_id"),
-      expr(s"graft_minhash(graft_poly_hash_array(shingles, 31, ${Portable.P1}L), $NumHashes)")
+      expr(s"graft_minhash(graft_poly_hash_array(shingles, 31, ${Portable.P1}L), $numHashes)")
         .as("sig"))
   }
 
@@ -194,11 +195,12 @@ object Dedup {
   /** Returns (candidates, the cached banded intermediate) — the caller
     * unpersists the cache once the candidates are materialized.
     */
-  private def candidatesFrom(sigs: DataFrame): (DataFrame, DataFrame) = {
-    // (doc_id, band, k1, k2) — 32 small rows per doc; cached because it
-    // feeds the crowded-bucket agg, the anti-join, AND both self-join
+  private def candidatesFrom(sigs: DataFrame,
+      numHashes: Int = NumHashes, bands: Int = Bands): (DataFrame, DataFrame) = {
+    // (doc_id, band, k1, k2) — `bands` small rows per doc; cached because
+    // it feeds the crowded-bucket agg, the anti-join, AND both self-join
     // sides (uncached it recomputes the signature pipeline 4×).
-    val banded = bandedSignatures(sigs).cache()
+    val banded = bandedSignatures(sigs, numHashes = numHashes, bands = bands).cache()
     banded.count() // fill the cache before AQE fans out its 4 consumers
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
@@ -224,9 +226,19 @@ object Dedup {
 
   /** Exact-verified near-dup pairs: LSH candidates whose TRUE word-3-gram
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
+    *
+    * `numHashes`/`bands` are the signature width and band count (rows per
+    * band = numHashes/bands) — parameters since round 10, matching the
+    * IVF/PQ/LSH families: a production corpus tunes the recall/cost
+    * frontier per the (1−(1−s^r)^b) banding curve, while the exact
+    * verification step keeps the OUTPUT contract identical at every
+    * setting (banding only decides which pairs are examined). Off-default
+    * cells gated in DedupParamSpec.
     */
-  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
-    nearDupsFromArrays(docShingleArrays(spark, dir), threshold)
+  def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame =
+    nearDupsFromArrays(docShingleArrays(spark, dir), threshold,
+      numHashes = numHashes, bands = bands)
 
   /** Character 5-gram Jaccard near-dups — the n-GRAM dedup family. Same
     * MinHash-LSH candidate generation and exact verification as the word
@@ -243,8 +255,10 @@ object Dedup {
     * contract (measured at sf0.01: 78k candidates → 25 survivors, 6× faster
     * end-to-end; the gap widens quadratically with corpus size).
     */
-  def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
-    nearDupsFromArrays(charShingleArrays(spark, dir), threshold, sigFilter = true)
+  def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame =
+    nearDupsFromArrays(charShingleArrays(spark, dir), threshold, sigFilter = true,
+      numHashes = numHashes, bands = bands)
 
   /** (doc_id, shingles) with distinct character 5-grams (length < 5 →
     * one shingle: the whole text), mirroring `minGramFingerprint`'s
@@ -292,7 +306,9 @@ object Dedup {
   private def nearDupsFromArrays(
       shingleArrays: DataFrame,
       threshold: Double,
-      sigFilter: Boolean = false): DataFrame = {
+      sigFilter: Boolean = false,
+      numHashes: Int = NumHashes,
+      bands: Int = Bands): DataFrame = {
     // One shingle pass feeds signatures and verification. Materialize the
     // cache EAGERLY: AQE submits the independent downstream stages (band
     // agg, anti-join, both self-join sides, verification) concurrently,
@@ -304,7 +320,7 @@ object Dedup {
 
     val (cand, caches) =
       if (!sigFilter) {
-        val (c, banded) = candidatesFrom(signaturesFrom(arrays))
+        val (c, banded) = candidatesFrom(signaturesFrom(arrays, numHashes), numHashes, bands)
         (c, Seq(banded))
       } else {
         // Banding keeps the frozen affine signature; the FILTER signature
@@ -328,10 +344,11 @@ object Dedup {
         val base = s"graft_poly_hash_array(shingles, 31, ${Portable.P1}L)"
         val sigs = arrays.select(
           col("doc_id"),
-          expr(s"graft_minhash($base, $NumHashes)").as("sig"),
+          expr(s"graft_minhash($base, $numHashes)").as("sig"),
           expr(s"transform(graft_minhash_mix($base, $SigFilterHashes), " +
             "h -> CAST(h % 128 AS TINYINT))").as("sigb"))
-        val banded = bandedSignatures(sigs, passThrough = Seq("sigb")).cache()
+        val banded = bandedSignatures(sigs, passThrough = Seq("sigb"),
+          numHashes = numHashes, bands = bands).cache()
         banded.count()
         val crowded = banded.groupBy("band", "k1", "k2")
           .agg(count(lit(1)).as("bucket_n"))
@@ -643,11 +660,35 @@ object Dedup {
     * along unchanged (used by the sig-filter path to keep the agreement
     * residues inside the band shuffle instead of re-joining them later).
     */
-  private def bandedSignatures(sigs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        element_at(col("sig"), 2 * j + 1).as("k1"),
-        element_at(col("sig"), 2 * j + 2).as("k2"))
+  /** Explodes signatures into `(doc_id, band, k1, k2)` band rows. The
+    * `(k1, k2)` two-key schema is FROZEN (the persisted signature stores'
+    * `bands.parquet` carries it), so non-default rows-per-band settings map
+    * onto it rather than changing shape:
+    *   - r = 2 (default): the band's two minhash components verbatim —
+    *     bit-compatible with every store written so far;
+    *   - r = 1: `(component, 0)`;
+    *   - r > 2: each half of the band's components folded with a 64-bit
+    *     polynomial combine — a fold collision only ADMITS a spurious
+    *     candidate (exact verification removes it), never drops one, so
+    *     banding recall is exactly the (1−(1−s^r)^b) formula.
+    */
+  private def bandedSignatures(sigs: DataFrame, passThrough: Seq[String] = Nil,
+      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"minhash banding: bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    def fold(from: Int, len: Int): Column =
+      if (len == 1) element_at(col("sig"), from)
+      else expr(s"aggregate(slice(sig, $from, $len), 0L, (acc, x) -> acc * ${Portable.P1}L + x)")
+    val bandStructs = (0 until bands).map { j =>
+      val (k1, k2) = r match {
+        case 1 => (element_at(col("sig"), j + 1), lit(0L))
+        case 2 => (element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2))
+        case _ =>
+          val half = r / 2
+          (fold(j * r + 1, half), fold(j * r + 1 + half, r - half))
+      }
+      struct(lit(j).as("band"), k1.as("k1"), k2.as("k2"))
     }
     val keep = col("doc_id") +: passThrough.map(col)
     sigs.select(keep :+ explode(array(bandStructs: _*)).as("b"): _*)
@@ -889,14 +930,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidates via
-    * 4×15-bit band LSH (pigeonhole: ≤3 differing bits ⇒ ≥1 identical
-    * 15-bit band), verified with an exact popcount.
+    * `tables`-way band LSH over the 60 signature bits (default 4×15-bit),
+    * verified with an exact popcount.
+    *
+    * `tables` is a parameter (round 10, matching the IVF/PQ/minhash
+    * families): pigeonhole needs `tables > maxDist` (≤ maxDist differing
+    * bits cannot touch all tables, so ≥ 1 band matches exactly — recall 1
+    * at ANY partition of the bits), while FEWER bits per band (more
+    * tables) admits more candidates. A production corpus picks the
+    * fewest tables its maxDist allows, for the widest (most selective)
+    * band keys. The 60 bits are split as evenly as integer division
+    * allows; the exact verification keeps the output contract identical
+    * at every setting.
     */
-  def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(spark: SparkSession, dir: String, maxDist: Int = 3,
+      tables: Int = 4): DataFrame = {
+    require(tables > maxDist && tables <= 60,
+      s"simhash banding: need maxDist < tables <= 60 for guaranteed recall (got maxDist=$maxDist, tables=$tables)")
     val sig = simhash(spark, dir).cache()
     // (sig cache released via materializeAndRelease at the end)
-    val bands = (0 until 4).map(j =>
-      struct(lit(j).as("band"), shiftright(col("simhash"), j * 15).bitwiseAND(lit((1L << 15) - 1)).as("key")))
+    val bands = (0 until tables).map { j =>
+      val start = j * 60 / tables
+      val end = (j + 1) * 60 / tables
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << (end - start)) - 1)).as("key"))
+    }
     val banded = sig.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.key"))
     val a = banded.as("a")

@@ -116,6 +116,17 @@ final case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // NON-CODEGEN BY DESIGN: this merge runs as an interpreted doExecute —
+  // the same shape as Spark's own SortMergeJoin outer/non-codegen fallback.
+  // The iterator carries cross-row state (the one buffered right row, the
+  // current key run), which CodegenSupport's produce/consume protocol
+  // cannot express without materializing the same state object the
+  // interpreted loop already keeps; the children's sorts and projections
+  // ARE codegen'd, and the per-row work here is two bound-reference reads
+  // + one UnsafeProjection. Measured guard: tools/NativeExecGuardProbe
+  // pins the O(n·log n) time signature (scaling exponent ≈ 1 vs ≈ 2 for a
+  // BroadcastNestedLoop fallback), so a silent planner regression is
+  // caught by time as well as by PlanSpec's plan-shape grep.
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output

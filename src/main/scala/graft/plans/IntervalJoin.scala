@@ -90,6 +90,12 @@ final case class IntervalJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // NON-CODEGEN BY DESIGN — see the matching note on AsOfJoinExec: the
+  // sweep's sliding buffer is cross-row state the produce/consume codegen
+  // protocol can't express better than this interpreted loop; children
+  // stay codegen'd. tools/NativeExecGuardProbe pins the linear time
+  // signature so a fallback to BroadcastNestedLoop shows up as a scaling
+  // exponent ≈ 2, independent of plan-shape greps.
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
