@@ -239,6 +239,17 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     // TPC-H Q17 shape: decorrelated per-part avg, one reused exchange (r9)
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
+    // r10 TPC-H shape batch: the remaining classic plan shapes (see the
+    // Relational section comment) — correlated min, EXISTS semi,
+    // left-outer count histogram, max-of-agg, HAVING join-back,
+    // EXISTS+NOT-EXISTS, scalar-avg + anti join
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q4_priority_wait" -> ((s, d) => Relational.q4PriorityWait(s, d)),
+    "q13_custdist" -> ((s, d) => Relational.q13CustDist(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
+    "q22_global_sales" -> ((s, d) => Relational.q22GlobalSales(s, d)),
     // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
@@ -2068,6 +2079,94 @@ object SparkEntry {
         | CAST(sum(cents) AS BIGINT) * 10 // 7 AS avg_yearly_decicents
         |FROM w WHERE qty * 5 * cnt < sum_qty
         |GROUP BY p_brand""".stripMargin,
+    // r10 TPC-H batch — all money in integral cents, comparisons
+    // cross-multiplied where an average appears, so both engines stay
+    // on BIGINT arithmetic throughout
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        | SELECT l_partkey, l_suppkey, s_name, n_name, p_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        | WHERE r_name = 'ASIA' AND p_size = 15
+        | GROUP BY l_partkey, l_suppkey, s_name, n_name, p_name),
+        |mc AS (SELECT l_partkey AS k, min(cost_cents) AS m FROM cost GROUP BY 1)
+        |SELECT CAST(l_partkey AS BIGINT) AS p_partkey, p_name, s_name, n_name, cost_cents
+        |FROM cost JOIN mc ON l_partkey = k AND cost_cents = m""".stripMargin,
+    "q4_priority_wait" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1996-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300)
+        |SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+        | CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH pos AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS supp_late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'
+        | GROUP BY l_orderkey, l_suppkey),
+        |po AS (
+        | SELECT l_orderkey AS k, count(*) AS n_supp,
+        |  CAST(sum(supp_late) AS BIGINT) AS n_late
+        | FROM pos GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM pos JOIN po ON l_orderkey = k
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |pa AS (
+        | SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+        |  CAST(count(*) AS BIGINT) AS n_pos
+        | FROM cust WHERE bal_cents > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, pa
+        |WHERE bal_cents * n_pos > sum_pos
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     // value-atomic p01/p99 via RANGE-frame cumulative counts (peers
     // included), then clip-and-aggregate — all integers
     "stats_winsorize" ->

@@ -2374,4 +2374,207 @@ object Relational {
             col("exact_users").cast("double") * 0.05 + 1.0).as("users_within_5pct"))
     }
   }
+
+  // ------------------------------------------------------------------------
+  // Round-10 TPC-H shape batch: the remaining classic plan shapes the
+  // catalog lacked — correlated min (Q2), EXISTS semi (Q4), left-outer
+  // count distribution (Q13), max-of-agg (Q15), HAVING-subquery join-back
+  // (Q18), EXISTS + NOT-EXISTS double correlation (Q21), and scalar-avg
+  // subquery + anti join (Q22). Each is adapted to the fixture's columns
+  // (no partsupp / commit / receipt dates in the generated tables) while
+  // keeping the REFERENCE plan shape intact, and keeps money in integral
+  // cents end-to-end so the DuckDB oracles match bit-for-bit.
+  // ------------------------------------------------------------------------
+
+  /** TPC-H Q2-shaped MIN-COST SUPPLIER — the correlated scalar MIN
+    * (`ps_supplycost = (SELECT min(ps_supplycost) … WHERE same part)`)
+    * decorrelated the way Catalyst would: per-(part, supplier) cost from
+    * lineitem (the fixture has no partsupp), a per-part MIN aggregate,
+    * and an equi-join back on `(part, cost == min_cost)` — ties emit all
+    * minimal suppliers, exactly like Q2. Region restriction (ASIA) rides
+    * the supplier dimension; `p_size = 15` plays Q2's part filter.
+    *
+    * Scale: cost aggregation shuffles on (l_partkey, l_suppkey) once; the
+    * per-part MIN reuses that partitioning (partial agg upstream); the
+    * dimensions (part slice, ASIA suppliers) broadcast.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+      size: Int = 15, region: String = "ASIA"): DataFrame = {
+    val asiaSupp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region)
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val sizedParts = t(spark, dir, "part")
+      .filter(col("p_size") === size)
+      .select("p_partkey", "p_name")
+    val cost = t(spark, dir, "lineitem")
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"), col("p_name"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cost_cents"))
+    val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("cost_cents")).as("min_cost_cents"))
+    cost.join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("cost_cents") === col("min_cost_cents"))
+      .select(col("l_partkey").cast("bigint").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name"), col("cost_cents"))
+  }
+
+  /** TPC-H Q4-shaped ORDER-PRIORITY WAIT — the EXISTS-correlated semi
+    * join: orders placed in a quarter having at least one lineitem
+    * shipped more than `lateDays` after the order date (the fixture's
+    * commit/receipt-date analogue), counted per priority. The EXISTS
+    * becomes a LEFT SEMI join with the date comparison in the join
+    * condition — no decorrelation pass, no duplicate counting.
+    *
+    * Scale: the quarter filter prunes the orders scan; the semi join
+    * shuffles on orderkey and short-circuits per matched order.
+    */
+  def q4PriorityWait(spark: SparkSession, dir: String,
+      quarterStart: String = "1996-01-01", lateDays: Int = 60): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(quarterStart).cast("timestamp") &&
+        col("o_orderdate") < lit(quarterStart).cast("timestamp") + expr("INTERVAL 3 MONTHS"))
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey").as("lk"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("lk") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q13 CUSTOMER DISTRIBUTION — the left-outer count histogram:
+    * orders per customer (zero preserved via LEFT OUTER with the
+    * priority filter INSIDE the join), then the distribution of those
+    * counts. The two-phase aggregate is the shape: first keyed on the
+    * 1.5M-row side, second on the ~tens of distinct counts.
+    *
+    * Scale: phase 1 shuffles once on custkey (map-side partials); phase 2
+    * is metadata-sized. No window anywhere.
+    */
+  def q13CustDist(spark: SparkSession, dir: String,
+      excludedPriority: String = "1-URGENT"): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= excludedPriority)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = t(spark, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the null pad rows
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 TOP SUPPLIER — the max-of-aggregate: per-supplier revenue
+    * over one quarter, then the supplier(s) achieving the global maximum.
+    * The scalar `(SELECT max(total_rev) …)` becomes a one-row broadcast
+    * joined back — never a global sort.
+    *
+    * Scale: revenue aggregates in one exchange on l_suppkey; the max is a
+    * single-row reduction; supplier names broadcast.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String,
+      quarterStart: String = "1996-01-01"): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(quarterStart).cast("timestamp") &&
+        col("l_shipdate") < lit(quarterStart).cast("timestamp") + expr("INTERVAL 3 MONTHS"))
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("bigint"))
+      .withColumn("dpct", round(col("l_discount") * 100).cast("bigint"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("cents") * (lit(100L) - col("dpct"))).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("bigint").as("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** TPC-H Q18 LARGE-QUANTITY ORDERS — the HAVING-subquery join-back:
+    * orders whose lineitems sum past `minQty` units, joined to customer
+    * and order details. The IN-subquery becomes the aggregate itself
+    * joined back (they are the same rows), so lineitem is scanned once
+    * for the gate and the per-order quantity lands in the output without
+    * a second scan.
+    *
+    * Scale: one exchange on l_orderkey for the gate aggregate; survivors
+    * are rare (HAVING at the distribution tail), so the joins to orders /
+    * customer run on a tiny filtered side.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Long = 300): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("bigint")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey").cast("bigint").as("c_custkey"),
+        col("o_orderkey").cast("bigint").as("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("bigint").as("totalprice_cents"),
+        col("total_qty"))
+  }
+
+  /** TPC-H Q21-shaped WAITING SUPPLIER — the EXISTS + NOT-EXISTS double
+    * correlation: for finished orders, suppliers who shipped late
+    * (`l_shipdate > o_orderdate + lateDays` — the fixture's receipt/commit
+    * analogue) on a multi-supplier order where NO OTHER supplier was
+    * late. Both correlated quantifiers decorrelate into ONE per-order
+    * aggregate — `n_supp` carries the EXISTS (another supplier exists ⇔
+    * n_supp ≥ 2) and `n_late` the NOT EXISTS (no other late supplier ⇔
+    * n_late == 1 for a late supplier's row) — so lineitem is scanned
+    * once, where the textbook plan runs two extra correlated scans.
+    *
+    * Scale: both aggregates key on l_orderkey (the second reuses the
+    * first's partitioning); the final count keys on ~|suppliers| rows.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String, lateDays: Int = 90): DataFrame = {
+    val perOrderSupp = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+        .otherwise(0L)).as("supp_late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    perOrderSupp
+      .filter(col("supp_late") === 1L)
+      .join(perOrder, col("l_orderkey") === col("po_orderkey") &&
+        col("n_supp") >= 2L && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H Q22-shaped GLOBAL SALES OPPORTUNITY — scalar-average subquery
+    * + anti join: customers whose balance beats the positive-balance
+    * average and who placed NO ORDER since `sinceDate` (the fixture's
+    * seven-year-silence analogue — every fixture customer has SOME
+    * order), grouped by market segment. The average comparison is
+    * CROSS-MULTIPLIED (`bal_cents · n_pos > sum_pos_cents`) so both
+    * engines compare integers — no float-average rounding hazard; the
+    * NOT EXISTS is a LEFT ANTI join against the recent-orders keys.
+    *
+    * Scale: the average is a one-row broadcast; the anti join shuffles
+    * only custkeys; the segment rollup is metadata-sized.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String,
+      sinceDate: String = "2000-01-01"): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("bigint"))
+    val posAvg = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(posAvg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+  }
 }
