@@ -174,8 +174,86 @@ object Similarity {
     * float avg() would drift in the last ulp with summation order and
     * break cross-configuration reproducibility. Empty cells keep their
     * previous centroid.
+    *
+    * EXECUTION (round 10, the BPE driver-trainer precedent): when the
+    * sample fits [[MaxTrainCollect]] it is collected ONCE and refined on
+    * the driver with BIT-IDENTICAL arithmetic (same xxhash seed order,
+    * same graft_dot accumulation order, same HALF_UP integer-micros
+    * means, same tie rules) — the distributed form paid `refineIters`
+    * rounds of plan analysis + codegen of literal-centroid expressions
+    * per round (~4 s of fixed overhead at bench scale) to aggregate a few
+    * thousand rows. The distributed path remains below as the
+    * cross-check; IvfSpec asserts exact equality of the two trainers'
+    * output. Sampling keeps the collect bounded at any corpus size —
+    * callers tune `trainFraction` so `fraction·n ≤` the cap, the FAISS
+    * train-on-a-sample contract the scaladoc above already documents.
     */
-  private def trainIvfCentroids(train: DataFrame, refineIters: Int,
+  private[graft] def trainIvfCentroids(train: DataFrame, refineIters: Int,
+      numCentroids: Int): Array[(Int, Seq[Double])] = {
+    val rows = train
+      .select(xxhash64(col("vec_id")).as("h"), col("vec_id"), col("embedding"), col("norm"))
+      .limit(MaxTrainCollect + 1).collect()
+    if (rows.length > MaxTrainCollect)
+      trainIvfCentroidsDistributed(train, refineIters, numCentroids)
+    else {
+      val vecs = rows.sortBy(r => (r.getLong(0), r.getLong(1)))
+        .map(r => (r.getSeq[Float](2).toArray, r.getDouble(3)))
+      trainIvfCentroidsLocal(vecs, refineIters, numCentroids)
+    }
+  }
+
+  /** Spark's `round(double)` (BigDecimal HALF_UP), replicated exactly so
+    * the local trainers' integer-micros sums match the distributed
+    * aggregates bit-for-bit.
+    */
+  @inline private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private[graft] def trainIvfCentroidsLocal(vecs: Array[(Array[Float], Double)],
+      refineIters: Int, numCentroids: Int): Array[(Int, Seq[Double])] = {
+    require(vecs.nonEmpty, "trainIvfCentroids: training sample is empty")
+    val dims = vecs.head._1.length
+    val seeds = vecs.take(numCentroids).map { case (v, norm) => v.map(_.toDouble / norm).toSeq }
+    var centroids = Array.tabulate(numCentroids)(cid => (cid, seeds(cid % seeds.length)))
+    for (_ <- 0 until refineIters) {
+      val sums = Array.fill(numCentroids, dims)(0L)
+      val counts = Array.fill(numCentroids)(0L)
+      vecs.foreach { case (v, norm) =>
+        // argmax of (score, c): ties to the HIGHER cell id (array_max rule)
+        var best = Double.NegativeInfinity
+        var bestC = -1
+        centroids.foreach { case (cid, cv) =>
+          var acc = 0.0 // graft_dot: sequential double accumulation
+          var i = 0
+          val n = math.min(v.length, cv.length)
+          while (i < n) { acc += v(i).toDouble * cv(i); i += 1 }
+          val score = acc / norm
+          if (score > best || (score == best && cid > bestC)) { best = score; bestC = cid }
+        }
+        counts(bestC) += 1
+        var i = 0
+        while (i < dims) { sums(bestC)(i) += roundHalfUp(v(i).toDouble * 1e6); i += 1 }
+      }
+      centroids = centroids.map { case (cid, old) =>
+        if (counts(cid) == 0L) (cid, old) // empty cell keeps its centroid
+        else {
+          val mean = (0 until dims).map(i => sums(cid)(i).toDouble / counts(cid) / 1e6)
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          (cid, if (nrm > 0) mean.map(_ / nrm) else mean)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Driver-side collect cap for local quantizer training: 2^17 vectors ×
+    * 64 dims ≈ 67 MB — far under driver memory, far over any sane
+    * `trainFraction · n` training set. Above it the distributed trainer
+    * runs instead (never an error — the cap is a dispatch, not a limit).
+    */
+  val MaxTrainCollect: Int = 1 << 17
+
+  private[graft] def trainIvfCentroidsDistributed(train: DataFrame, refineIters: Int,
       numCentroids: Int): Array[(Int, Seq[Double])] = {
     var centroids: Array[(Int, Seq[Double])] = {
       val seeds = train
@@ -411,11 +489,84 @@ object Similarity {
     * reach the driver, and the full corpus is scanned exactly once (the
     * encoding pass), regardless of `refineIters`.
     */
-  private def trainCodebooks(normed: DataFrame, refineIters: Int,
+  /** PQ codebook training — local-first like [[trainIvfCentroids]]
+    * (round 10): the sample collects once and Lloyd runs on the driver
+    * with bit-identical arithmetic (argmin `|c|²−2·sub·c` with
+    * lower-code ties, HALF_UP integer-micros means, empty cells inert);
+    * the distributed form below remains the cross-check (AnnSpec pins
+    * exact equality). Rationale: each distributed round re-codegens the
+    * `subspaces × centroids` literal-dot expression to aggregate a few
+    * thousand sample rows — pure fixed overhead at any SF.
+    */
+  private[graft] def trainCodebooks(normed: DataFrame, refineIters: Int,
       trainFraction: Double, pqCentroids: Int = PqCentroids): Array[Array[Array[Double]]] = {
     val train = trainSample(normed, trainFraction).cache()
-    val nTrain = train.count()
-    require(nTrain > 0, s"pqTopK: training sample is empty (trainFraction=$trainFraction)")
+    val rows = train
+      .select(xxhash64(col("vec_id")).as("h"), col("vec_id"), col("nemb"))
+      .limit(MaxTrainCollect + 1).collect()
+    require(rows.nonEmpty, s"pqTopK: training sample is empty (trainFraction=$trainFraction)")
+    val res =
+      if (rows.length > MaxTrainCollect) trainCodebooksDistributed(train, refineIters, pqCentroids)
+      else trainCodebooksLocal(
+        rows.sortBy(r => (r.getLong(0), r.getLong(1))).map(_.getSeq[Double](2).toArray),
+        refineIters, pqCentroids)
+    train.unpersist(false)
+    res
+  }
+
+  private[graft] def trainCodebooksLocal(nembs: Array[Array[Double]],
+      refineIters: Int, pqCentroids: Int): Array[Array[Array[Double]]] = {
+    val seeds = nembs.take(pqCentroids)
+    val padded = if (seeds.length >= pqCentroids) seeds
+      else Array.tabulate(pqCentroids)(i => seeds(i % seeds.length))
+    var books = Array.tabulate(PqSubspaces) { s =>
+      padded.map(v => v.slice(s * PqSubDims, (s + 1) * PqSubDims))
+    }
+    for (_ <- 0 until refineIters) {
+      // hoist |c|² per (s, c), computed in codebook array order like the
+      // literal the distributed expression builds
+      val cNorm2 = Array.tabulate(PqSubspaces, pqCentroids)((s, c) =>
+        books(s)(c).map(x => x * x).sum)
+      val sums = Array.fill(PqSubspaces, pqCentroids, PqSubDims)(0L)
+      val counts = Array.fill(PqSubspaces, pqCentroids)(0L)
+      nembs.foreach { v =>
+        var s = 0
+        while (s < PqSubspaces) {
+          val off = s * PqSubDims
+          // argmin of (d, c): strict < while scanning ascending c = the
+          // array_min lower-code tie rule
+          var bestD = Double.PositiveInfinity
+          var bestC = 0
+          var c = 0
+          while (c < pqCentroids) {
+            val cv = books(s)(c)
+            var acc = 0.0
+            var i = 0
+            while (i < PqSubDims) { acc += v(off + i) * cv(i); i += 1 }
+            val d = cNorm2(s)(c) - 2.0 * acc
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          counts(s)(bestC) += 1
+          var i = 0
+          while (i < PqSubDims) {
+            sums(s)(bestC)(i) += roundHalfUp(v(off + i) * 1e6); i += 1
+          }
+          s += 1
+        }
+      }
+      books = Array.tabulate(PqSubspaces) { s =>
+        Array.tabulate(pqCentroids) { c =>
+          if (counts(s)(c) == 0L) books(s)(c) // empty cell keeps its centroid
+          else Array.tabulate(PqSubDims)(i => sums(s)(c)(i).toDouble / counts(s)(c) / 1e6)
+        }
+      }
+    }
+    books
+  }
+
+  private[graft] def trainCodebooksDistributed(train: DataFrame, refineIters: Int,
+      pqCentroids: Int = PqCentroids): Array[Array[Array[Double]]] = {
     var books: Array[Array[Array[Double]]] = {
       // Seeds in deterministic xxhash64 order (TakeOrdered, no global sort;
       // robust to sparse/non-contiguous vec_ids — the old stride probe
@@ -454,8 +605,7 @@ object Similarity {
         }
       }
     }
-    train.unpersist(false)
-    books
+    books // caller owns the sample's cache lifecycle
   }
 
   /** `array<int>` of [[PqSubspaces]] code ids for the normalized embedding

@@ -240,4 +240,29 @@ class IvfSpec extends AnyFunSuite {
     assert(agree >= 0.8,
       s"IVF-PQ diverged from IVF-flat beyond shortlist truncation: $agree")
   }
+
+  test("r10: local quantizer trainers are BIT-identical to the distributed cross-check") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Portable.l2NormNative("embedding").as("norm"))
+
+    // IVF coarse quantizer: the dispatch (local — the fixture is far under
+    // MaxTrainCollect) vs the distributed Lloyd, exact Double equality
+    val local = Similarity.trainIvfCentroids(e, refineIters = 2, numCentroids = 16)
+    val dist = Similarity.trainIvfCentroidsDistributed(e, refineIters = 2, numCentroids = 16)
+    assert(local.map { case (c, v) => (c, v.toList) }.toList ==
+      dist.map { case (c, v) => (c, v.toList) }.toList,
+      "IVF centroids: local Lloyd must replicate the distributed arithmetic bit-for-bit")
+
+    // PQ codebooks: same contract through the trainCodebooks dispatch
+    val normed = e.filter(col("norm") > 0)
+      .withColumn("nemb", expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+    def flat(b: Array[Array[Array[Double]]]) = b.map(_.map(_.toList).toList).toList
+    val localB = Similarity.trainCodebooks(normed, refineIters = 3, trainFraction = 1.0)
+    val distB = Similarity.trainCodebooksDistributed(normed, refineIters = 3)
+    assert(flat(localB) == flat(distB),
+      "PQ codebooks: local Lloyd must replicate the distributed arithmetic bit-for-bit")
+  }
 }
