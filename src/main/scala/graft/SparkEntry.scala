@@ -75,6 +75,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_pii" -> (TextAnalysis.piiFilter _),
     "sample_split" -> (TextAnalysis.sampleSplit _),
+    // r10: deterministic training shuffle + shard/position assignment
+    "sample_shuffle_shards" -> ((s, d) => TextAnalysis.shuffleShards(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_contamination_score" -> ((s, d) => TextAnalysis.contaminationScore(s, d)),
     // Bloom twin for the large-eval-set regime: fixed-size filter, map-side
@@ -159,6 +161,9 @@ object SparkEntry {
     // one representative per semantic cluster + unique pass-through
     "dedup_semantic" -> ((s, d) => Dedup.semanticCanonical(s, d)),
     "ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // r10: semi-hard negative mining for contrastive training (banded
+    // exact top-k — same bounded-heap plan as ann_topk)
+    "ann_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "multimodal_meta" -> (Multimodal.binaryMeta _),
     "q_rollup" -> (Relational.rollupAgg _),
@@ -1571,6 +1576,35 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         | FROM s)
         |WHERE rank <= 10""".stripMargin,
+    // the ann_topk ground truth with the semi-hard band filter applied
+    // before ranking — the mining contract is exact, not approximate
+    "ann_hard_negatives" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
+        |s AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (q.q_norm * e.norm) AS cosine
+        | FROM e CROSS JOIN q WHERE e.vec_id != q.q_id)
+        |SELECT q_id, neighbor_id, rank FROM (
+        | SELECT q_id, vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        | FROM s WHERE cosine >= 0.1 AND cosine < 0.3)
+        |WHERE rank <= 10""".stripMargin,
+    "sample_shuffle_shards" ->
+      """WITH keyed AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) AS skey
+        | FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM keyed""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
         | substr(text, 1, 1) AS head_char

@@ -67,6 +67,29 @@ object Similarity {
       col("cosine"), k)
   }
 
+  /** SEMI-HARD NEGATIVE MINING for contrastive training (round 10): per
+    * query, the top-k corpus vectors by cosine WITHIN a similarity band
+    * `[lo, hi)` — similar enough to be informative negatives, below the
+    * near-duplicate zone that would poison the loss with false negatives
+    * (the FaceNet semi-hard rule applied corpus-side). Exact contract
+    * (bit-matched by a DuckDB oracle): the band filter runs inside the
+    * scored scan, so the bounded-heap `graft_topk` sees only band rows —
+    * same single-pass, ≤k-rows-per-(task, query)-to-the-exchange plan as
+    * [[bruteForceTopK]]. At 100 TB the band filter is the point: the heap
+    * never buffers the near-dup cluster around each anchor.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
+      lo: Double = 0.1, hi: Double = 0.3): DataFrame = {
+    require(lo < hi, s"hardNegatives: empty band [$lo, $hi)")
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    topKPerQuery(scored, col("cosine"), k)
+  }
+
   /** LSH table count / key width. Sized for HIGH RECALL on corpora whose
     * "neighbors" are weak (random-ish embeddings, cosine ≈ 0.3): with 32
     * tables × 4 bits, P(candidate | cos=0.3) ≈ 0.99. For a real 100 TB

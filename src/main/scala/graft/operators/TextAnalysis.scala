@@ -165,6 +165,34 @@ object TextAnalysis {
       .withColumn("in_stratified_20pct", col("bucket") % 5 === 0)
   }
 
+  /** DETERMINISTIC TRAINING SHUFFLE + SHARDING (round 10): the step between
+    * curation and the trainer — every document gets a shard and a position
+    * within it, both functions of the portable content hash alone, so the
+    * exact same byte stream reaches the trainer from any engine, any
+    * partitioning, any rerun (RAND()-shuffles cannot give a resumable
+    * curriculum). Shard = hash mod `nShards`; position = rank of
+    * (hash, doc_id) within the shard — pseudorandom document order with a
+    * total tiebreak.
+    *
+    * Scale: one exchange (hash-partition by shard — uniform by
+    * construction) + one per-shard sort; that sort is inherent to
+    * materializing an ORDERED shard. nShards scales with trainer
+    * data-parallelism, keeping per-shard sorts bounded.
+    */
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = docs(spark, dir).select(
+      col("doc_id"),
+      // base 43: decorrelated from dedup (31/37) and split (41) hash uses
+      (graft.functions.Portable.polyHashNative("text", 43, 999999893L)).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)).cast("bigint"))
+    keyed
+      .withColumn("pos", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("skey"), col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Fixed-COUNT stratified sample: exactly `perStratum` documents per
     * language (fewer only if the stratum is smaller), selected by ranking
     * each stratum in portable-hash order — the eval-set construction

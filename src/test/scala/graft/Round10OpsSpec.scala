@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Specs for the round-10 training-pipeline additions (their DuckDB
+  * oracles are the bit-exact gate; these pin the CONTRACT properties).
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("hard negatives honor the band: disjoint from the near-dup zone, ranks contiguous") {
+    val hn = Similarity.hardNegatives(spark, dir, lo = 0.1, hi = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hn.nonEmpty)
+    // ranks are 1..k per query with no gaps
+    hn.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // band membership: every mined pair's true cosine sits in [0.1, 0.3)
+    // — the false-negative poisoning guard, checked against independent
+    // arithmetic (plain SQL aggregate, not the operator's expressions)
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+          " AS norm")
+    val cosOf = hn.map { case (q, nId, _) => (q, nId) }.toSet
+    val cosines = e.as("a").join(e.as("b"), lit(true))
+      .filter(col("a.vec_id") < 5)
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("n"),
+        (expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)") /
+          (col("a.norm") * col("b.norm"))).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cosOf.foreach { p =>
+      val c = cosines(p)
+      assert(c >= 0.1 - 1e-9 && c < 0.3 + 1e-9, s"pair $p cosine $c outside the mining band")
+    }
+    // empty band rejected
+    intercept[IllegalArgumentException](Similarity.hardNegatives(spark, dir, lo = 0.3, hi = 0.3))
+  }
+
+  test("shuffle shards: total cover, contiguous positions, partitioning-independent") {
+    val out = TextAnalysis.shuffleShards(spark, dir, nShards = 4)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.count() == n, "every document gets exactly one (shard, pos)")
+    // positions are 1..|shard| with no holes — a resumable curriculum
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), max("pos").as("mx"), min("pos").as("mn"))
+      .collect()
+    assert(perShard.length == 4)
+    perShard.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1),
+        s"shard ${r.get(0)}: positions must be contiguous 1..cnt")
+    }
+    // determinism ACROSS partition layouts: the order is a pure function
+    // of content hash, so a different parallelism must not move one row
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      TextAnalysis.shuffleShards(spark, dir, nShards = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "shuffle order drifted with partitioning")
+  }
+}
