@@ -386,6 +386,9 @@ object SparkEntry {
     // same floor through the persisted composed index (centroids +
     // codebooks + 16-byte/vector coded corpus round trip) (r8)
     "ann_ivfpq_store_check" -> ((s, d) => Similarity.ivfPqStoreRecallFloor(s, d)),
+    // r10: incremental index maintenance — build on 90%, append the newest
+    // 10% with FROZEN quantizers, recall floor across the append seam
+    "ann_ivfpq_append_check" -> ((s, d) => Similarity.ivfPqAppendRecallFloor(s, d)),
     // a green row == proof the sign-LSH embedding-dedup path (the 100 TB
     // route) recovers every planted near-dup pair the exact grid finds
     "dedup_embedding_lsh_check" -> ((s, d) => Dedup.embeddingLshRecall(s, d)),
@@ -2828,6 +2831,9 @@ object SparkEntry {
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_ivfpq_store_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "ann_ivfpq_append_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "ann_pq_store_check" ->

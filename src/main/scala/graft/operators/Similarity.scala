@@ -1006,6 +1006,99 @@ object Similarity {
     Seq(e, normed, train).foreach(_.unpersist(false))
   }
 
+  /** INCREMENTAL INDEX MAINTENANCE (round 10): encodes ONLY the vectors
+    * matching `newVecs` with the store's FROZEN quantizer models (no
+    * retraining — the FAISS `add` contract) and appends their 16-byte
+    * rows to `coded.parquet`. At 100 TB this is how the nightly ANN index
+    * absorbs an ingest increment: the day's vectors ride one map-only
+    * encode pass (cell assignment + PQ codes, both against broadcast-sized
+    * driver models), while the standing corpus is never re-read. Frozen
+    * codebooks drift from the corpus distribution as it shifts — the
+    * recall gate (`ann_ivfpq_append_check`) is the monitor that tells an
+    * operator when a rebuild is due, which is exactly the production
+    * trade: cheap daily appends, occasional full retrains.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String, storeDir: String,
+      newVecs: Column): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val (centroids, books) = loadIvfPqModels(spark, storeDir)
+    val e = withNorm(embeddings(spark, dir)).filter(newVecs)
+    normedOf(e)
+      .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
+      .withColumn("codes", codesFor(books))
+      .select("vec_id", "cell", "codes")
+      .write.mode("append").parquet(s"$storeDir/coded.parquet")
+  }
+
+  private def loadIvfPqModels(spark: SparkSession, storeDir: String)
+      : (Array[(Int, Seq[Double])], Array[Array[Array[Double]]]) = {
+    val centroids = spark.read.parquet(s"$storeDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val rows = spark.read.parquet(s"$storeDir/codebooks.parquet")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val nCentroids = rows.keys.map(_._2).max + 1
+    val books = Array.tabulate(PqSubspaces) { s =>
+      Array.tabulate(nCentroids)(c => rows((s, c)))
+    }
+    (centroids, books)
+  }
+
+  /** Driver-checkable recall floor for the APPEND path: build the index on
+    * the first 90% of the corpus, [[appendToIvfPqIndex]] the newest 10%
+    * with the frozen models, then query the composed store over the FULL
+    * corpus and require `minHits` of the exact top-k per query — the
+    * [[ivfPqStoreRecallFloor]] contract applied across the append seam.
+    */
+  def ivfPqAppendRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+    val n = embeddings(spark, dir).count()
+    val splitId = n * 9 / 10
+    val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    try {
+      writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
+      appendToIvfPqIndex(spark, dir, store, col("vec_id") >= splitId)
+      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
+      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries)
+        .select("q_id", "neighbor_id")
+      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id")
+        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      // materialize before the temp index is deleted
+      Dedup.materializeAndRelease(Seq.empty, out)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
+  /** [[writeIvfPqIndex]] restricted to `baseVecs` — the build half of the
+    * append protocol (train AND encode only the standing corpus).
+    */
+  def writeIvfPqIndexFiltered(spark: SparkSession, dir: String, storeDir: String,
+      baseVecs: Column): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).filter(baseVecs).cache()
+    val normed = normedOf(e).cache()
+    normed.count()
+    val train = trainSample(normed, TrainFraction).cache()
+    require(train.count() > 0, "writeIvfPqIndexFiltered: training sample is empty")
+    val centroids = trainIvfCentroids(train, 2, NumCentroids)
+    val books = trainCodebooks(normed, 3, TrainFraction)
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$storeDir/centroids.parquet")
+    books.zipWithIndex.flatMap { case (cells, s) =>
+      cells.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "subvector")
+      .write.mode("overwrite").parquet(s"$storeDir/codebooks.parquet")
+    normed
+      .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
+      .withColumn("codes", codesFor(books))
+      .select("vec_id", "cell", "codes")
+      .write.mode("overwrite").parquet(s"$storeDir/coded.parquet")
+    Seq(e, normed, train).foreach(_.unpersist(false))
+  }
+
   /** Queries a PERSISTED IVF-PQ index ([[writeIvfPqIndex]]) without
     * retraining, reassigning or re-encoding: both quantizer models load
     * onto the driver (numCentroids×dims + Subspaces×pqCentroids×SubDims

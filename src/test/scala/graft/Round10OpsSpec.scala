@@ -43,6 +43,36 @@ class Round10OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.hardNegatives(spark, dir, lo = 0.3, hi = 0.3))
   }
 
+  test("IVF-PQ append: frozen-model encode composes the store without touching the base rows") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("r10-append").toString
+    try {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val splitId = n * 9 / 10
+      Similarity.writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
+      val baseCoded = spark.read.parquet(s"$store/coded.parquet")
+        .collect().map(r => r.getLong(0) -> ((r.get(1), r.getSeq[Int](2)))).toMap
+      val baseBooks = spark.read.parquet(s"$store/codebooks.parquet").collect()
+        .map(_.toString).sorted.toSeq
+      Similarity.appendToIvfPqIndex(spark, dir, store, col("vec_id") >= splitId)
+      val after = spark.read.parquet(s"$store/coded.parquet")
+        .collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Int](2)))
+      // every vector coded exactly once; base rows byte-unchanged
+      assert(after.length == n, "append must cover exactly the new vectors")
+      assert(after.map(_._1).distinct.length == n)
+      after.filter(_._1 < splitId).foreach { case (id, cell, codes) =>
+        assert(baseCoded(id) == ((cell, codes)), s"append mutated base row $id")
+      }
+      // quantizer models frozen: codebooks identical after the append
+      val afterBooks = spark.read.parquet(s"$store/codebooks.parquet").collect()
+        .map(_.toString).sorted.toSeq
+      assert(afterBooks == baseBooks, "append must never retrain")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("shuffle shards: total cover, contiguous positions, partitioning-independent") {
     val out = TextAnalysis.shuffleShards(spark, dir, nShards = 4)
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
