@@ -77,6 +77,8 @@ object SparkEntry {
     "sample_split" -> (TextAnalysis.sampleSplit _),
     // r10: deterministic training shuffle + shard/position assignment
     "sample_shuffle_shards" -> ((s, d) => TextAnalysis.shuffleShards(s, d)),
+    // r10: per-shard doc/token/byte manifest (shuffle ∘ token counting)
+    "pipeline_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_contamination_score" -> ((s, d) => TextAnalysis.contaminationScore(s, d)),
     // Bloom twin for the large-eval-set regime: fixed-size filter, map-side
@@ -249,6 +251,8 @@ object SparkEntry {
     // left-outer count histogram, max-of-agg, HAVING join-back,
     // EXISTS+NOT-EXISTS, scalar-avg + anti join
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    // r10: one-pass integer-moment correlation matrix
+    "stats_correlation" -> ((s, d) => Relational.statsCorrelation(s, d)),
     "q4_priority_wait" -> ((s, d) => Relational.q4PriorityWait(s, d)),
     "q13_custdist" -> ((s, d) => Relational.q13CustDist(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
@@ -1599,6 +1603,18 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
         | FROM s WHERE cosine >= 0.1 AND cosine < 0.3)
         |WHERE rank <= 10""".stripMargin,
+    "pipeline_shard_manifest" ->
+      """WITH keyed AS (
+        | SELECT doc_id, text,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 43 + x) % 999999893) % 8 AS shard
+        | FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        | CAST(sum(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
+        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT)))) AS BIGINT) AS n_subwords_est,
+        | CAST(sum(len(text)) AS BIGINT) AS n_chars
+        |FROM keyed GROUP BY shard""".stripMargin,
     "sample_shuffle_shards" ->
       """WITH keyed AS (
         | SELECT doc_id,
@@ -2116,6 +2132,31 @@ object SparkEntry {
         | CAST(sum(cents) AS BIGINT) * 10 // 7 AS avg_yearly_decicents
         |FROM w WHERE qty * 5 * cnt < sum_qty
         |GROUP BY p_brand""".stripMargin,
+    // one-pass exact integer moments; r computed from identical bigint
+    // sums on both engines, so the doubles downstream can't diverge
+    "stats_correlation" ->
+      """WITH li AS (
+        | SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice / 100) AS BIGINT) AS prc,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS dsc,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax
+        | FROM lineitem),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS s_qty, CAST(sum(prc) AS BIGINT) AS s_prc,
+        |  CAST(sum(dsc) AS BIGINT) AS s_dsc, CAST(sum(tax) AS BIGINT) AS s_tax,
+        |  CAST(sum(qty * qty) AS BIGINT) AS s_qty_qty, CAST(sum(qty * prc) AS BIGINT) AS s_qty_prc,
+        |  CAST(sum(qty * dsc) AS BIGINT) AS s_qty_dsc, CAST(sum(qty * tax) AS BIGINT) AS s_qty_tax,
+        |  CAST(sum(prc * prc) AS BIGINT) AS s_prc_prc, CAST(sum(prc * dsc) AS BIGINT) AS s_prc_dsc,
+        |  CAST(sum(prc * tax) AS BIGINT) AS s_prc_tax, CAST(sum(dsc * dsc) AS BIGINT) AS s_dsc_dsc,
+        |  CAST(sum(dsc * tax) AS BIGINT) AS s_dsc_tax, CAST(sum(tax * tax) AS BIGINT) AS s_tax_tax
+        | FROM li)
+        |SELECT 'qty' AS var_a, 'prc' AS var_b, CAST(round(1000.0 * (n * s_qty_prc - s_qty * s_prc) / (sqrt(CAST(n * s_qty_qty - s_qty * s_qty AS DOUBLE)) * sqrt(CAST(n * s_prc_prc - s_prc * s_prc AS DOUBLE)))) AS BIGINT) AS r_milli FROM m
+        |UNION ALL SELECT 'qty', 'dsc', CAST(round(1000.0 * (n * s_qty_dsc - s_qty * s_dsc) / (sqrt(CAST(n * s_qty_qty - s_qty * s_qty AS DOUBLE)) * sqrt(CAST(n * s_dsc_dsc - s_dsc * s_dsc AS DOUBLE)))) AS BIGINT) FROM m
+        |UNION ALL SELECT 'qty', 'tax', CAST(round(1000.0 * (n * s_qty_tax - s_qty * s_tax) / (sqrt(CAST(n * s_qty_qty - s_qty * s_qty AS DOUBLE)) * sqrt(CAST(n * s_tax_tax - s_tax * s_tax AS DOUBLE)))) AS BIGINT) FROM m
+        |UNION ALL SELECT 'prc', 'dsc', CAST(round(1000.0 * (n * s_prc_dsc - s_prc * s_dsc) / (sqrt(CAST(n * s_prc_prc - s_prc * s_prc AS DOUBLE)) * sqrt(CAST(n * s_dsc_dsc - s_dsc * s_dsc AS DOUBLE)))) AS BIGINT) FROM m
+        |UNION ALL SELECT 'prc', 'tax', CAST(round(1000.0 * (n * s_prc_tax - s_prc * s_tax) / (sqrt(CAST(n * s_prc_prc - s_prc * s_prc AS DOUBLE)) * sqrt(CAST(n * s_tax_tax - s_tax * s_tax AS DOUBLE)))) AS BIGINT) FROM m
+        |UNION ALL SELECT 'dsc', 'tax', CAST(round(1000.0 * (n * s_dsc_tax - s_dsc * s_tax) / (sqrt(CAST(n * s_dsc_dsc - s_dsc * s_dsc AS DOUBLE)) * sqrt(CAST(n * s_tax_tax - s_tax * s_tax AS DOUBLE)))) AS BIGINT) FROM m""".stripMargin,
     // r10 TPC-H batch — all money in integral cents, comparisons
     // cross-multiplied where an average appears, so both engines stay
     // on BIGINT arithmetic throughout

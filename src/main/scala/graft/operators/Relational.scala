@@ -2375,6 +2375,47 @@ object Relational {
     }
   }
 
+  /** PEARSON CORRELATION MATRIX over the lineitem measures — the feature-
+    * diagnostics primitive (collinearity screening before a model eats the
+    * columns). One pass computes every moment — n, Σx per variable,
+    * Σx·y per unordered pair including squares — as EXACT integer sums
+    * over quantized features (whole units / hundred-dollar / percent), and
+    * r falls out per pair in milli-units from those sums. Because the
+    * integer moments are bit-identical on any engine and any partitioning
+    * (bigint addition commutes), the double arithmetic downstream is a
+    * pure function of identical inputs — the oracle matches bit-for-bit
+    * without float-summation hazards. Quantization bounds every moment
+    * under 2^53 AND the BIGINT range through sf100.
+    *
+    * Scale: ONE scan of the fact table, one partial-aggregated reduction
+    * to a single row of 15 moments, then a metadata-sized explode into
+    * the 6 pair rows. No shuffle carries data — only the 15 partials.
+    */
+  def statsCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(
+      round(col("l_quantity")).cast("bigint").as("qty"),
+      round(col("l_extendedprice") / 100).cast("bigint").as("prc"),
+      round(col("l_discount") * 100).cast("bigint").as("dsc"),
+      round(col("l_tax") * 100).cast("bigint").as("tax"))
+    val vars = Seq("qty", "prc", "dsc", "tax")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      vars.map(v => sum(col(v)).as(s"s_$v")) ++
+      (for { i <- vars.indices; j <- i until vars.length } yield
+        sum(col(vars(i)) * col(vars(j))).as(s"s_${vars(i)}_${vars(j)}"))
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- vars.indices; j <- (i + 1) until vars.length }
+      yield (vars(i), vars(j))
+    val structs = pairs.map { case (a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        expr(s"CAST(round(1000.0 * (n * s_${a}_$b - s_$a * s_$b) / " +
+          s"(sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE)) * " +
+          s"sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE)))) AS BIGINT)").as("r_milli"))
+    }
+    m.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("p.r_milli").as("r_milli"))
+  }
+
   // ------------------------------------------------------------------------
   // Round-10 TPC-H shape batch: the remaining classic plan shapes the
   // catalog lacked — correlated min (Q2), EXISTS semi (Q4), left-outer

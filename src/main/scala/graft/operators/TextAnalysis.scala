@@ -193,6 +193,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** SHARD MANIFEST (round 10): the artifact a trainer's data loader reads
+    * before the first batch — per shard, the document count, whitespace-
+    * token total, subword-estimate total and byte total, from
+    * [[shuffleShards]] composed with [[tokenCount]]. One join on doc_id
+    * (both sides are projections of the same scan at plan time) and one
+    * metadata-sized aggregate; the manifest itself is nShards rows.
+    */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shuffleShards(spark, dir, nShards)
+      .join(tokenCount(spark, dir), "doc_id")
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_subword_est")).as("n_subwords_est"),
+        sum(col("n_chars_measured")).as("n_chars"))
+
   /** Fixed-COUNT stratified sample: exactly `perStratum` documents per
     * language (fewer only if the stratum is smaller), selected by ranking
     * each stratum in portable-hash order — the eval-set construction
