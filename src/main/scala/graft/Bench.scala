@@ -256,6 +256,30 @@ object Bench {
       }
     }
 
+    // 3d'. Streaming ANN index ingest (r10): the newest 10% of embeddings
+    // streamed through the frozen-model encode into versioned increments
+    // of a persisted IVF-PQ store (built untimed — it is the standing
+    // nightly artifact; the timed section is the ingest protocol).
+    results("stream_ann_ingest") = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nVecs = emb.count()
+      val splitId = nVecs * 9 / 10
+      val store = tempDir("graft-bench-ann-store")
+      graft.operators.Similarity.writeIvfPqIndexFiltered(
+        spark, sfDir, store, col("vec_id") < splitId)
+      val embSchema = emb.schema
+      time2 {
+        val newVecs = spark.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+          .filter(col("vec_id") >= splitId)
+          .select("vec_id", "embedding")
+        val ckpt = tempDir("graft-bench-ann-ingest")
+        val q = graft.streaming.StreamAnnIngest.start(newVecs, store, ckpt)
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+
     // 3e. Streaming sketch rollup: micro-batch HLL blobs folded into the
     // versioned persisted store (the round-8 merge surface composed with
     // foreachBatch); fresh store + checkpoint per run.
@@ -367,7 +391,7 @@ object Bench {
     println(jsonLine(results))
     val compactKeys = Vector("export_avro", "export_avro_zstd") ++ headline ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
-        "stream_incremental_dedup", "stream_sketch_rollup",
+        "stream_incremental_dedup", "stream_ann_ingest", "stream_sketch_rollup",
         "stream_sketch_rollup_theta", "stream_sketch_rollup_kll", "stream_sketch_rollup_freq",
         "stream_attribution", "stream_monitor", "stream_scd2")
     val compact = scala.collection.mutable.LinkedHashMap(

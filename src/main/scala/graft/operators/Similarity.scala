@@ -1021,13 +1021,53 @@ object Similarity {
   def appendToIvfPqIndex(spark: SparkSession, dir: String, storeDir: String,
       newVecs: Column): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    encodeWithStoreModels(embeddings(spark, dir).filter(newVecs), storeDir)
+      .write.mode("append").parquet(s"$storeDir/coded.parquet")
+  }
+
+  /** Encodes a (vec_id, embedding) frame with a store's FROZEN quantizer
+    * models — the map-only increment pass shared by [[appendToIvfPqIndex]]
+    * and the streaming ingest ([[graft.streaming.StreamAnnIngest]]), so
+    * the batch and streaming paths cannot drift.
+    */
+  def encodeWithStoreModels(vecs: DataFrame, storeDir: String): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val (centroids, books) = loadIvfPqModels(spark, storeDir)
-    val e = withNorm(embeddings(spark, dir)).filter(newVecs)
+    val e = withNorm(vecs.select(col("vec_id"), col("embedding")))
     normedOf(e)
       .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
       .withColumn("codes", codesFor(books))
       .select("vec_id", "cell", "codes")
-      .write.mode("append").parquet(s"$storeDir/coded.parquet")
+  }
+
+  /** The composed coded corpus of a store with streaming increments:
+    * `coded.parquet` plus every `increments/v*.parquet` batch directory.
+    */
+  def codedWithIncrements(spark: SparkSession, storeDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$storeDir/coded.parquet")
+    val incRoot = new java.io.File(s"$storeDir/increments")
+    val incs = if (incRoot.isDirectory)
+      incRoot.listFiles().filter(_.getName.startsWith("v")).map(f =>
+        spark.read.parquet(f.getAbsolutePath)).toSeq
+    else Seq.empty
+    incs.foldLeft(base)(_ unionByName _)
+  }
+
+  /** [[ivfPqTopKViaStore]] over the streaming-composed corpus
+    * ([[codedWithIncrements]]) — how a reader queries an index that a
+    * [[graft.streaming.StreamAnnIngest]] job is feeding.
+    */
+  def ivfPqTopKViaStoreWithIncrements(spark: SparkSession, dir: String, storeDir: String,
+      k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
+      pqShortlist: Int = PqShortlist): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (centroids, books) = loadIvfPqModels(spark, storeDir)
+    val nCentroids = books.head.length
+    val coded = codedWithIncrements(spark, storeDir)
+    val e = withNorm(embeddings(spark, dir))
+    ivfPqQueryStage(e, normedOf(e), coded, centroids, books, k, nQueries,
+      numProbes, nCentroids, pqShortlist)
   }
 
   private def loadIvfPqModels(spark: SparkSession, storeDir: String)

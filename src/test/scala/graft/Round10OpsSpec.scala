@@ -73,6 +73,46 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN ingest: stream == batch append, replay-safe, query sees the increments") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("r10-stream-ann").toString
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val splitId = n * 9 / 10
+      Similarity.writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
+
+      // deliver the newest 10% in two batches through the shared fold body
+      val newVecs = emb.filter(col("vec_id") >= splitId).select("vec_id", "embedding")
+      val mid = splitId + (n - splitId) / 2
+      graft.streaming.StreamAnnIngest.foldBatch(newVecs.filter(col("vec_id") < mid), 0L, store)
+      graft.streaming.StreamAnnIngest.foldBatch(newVecs.filter(col("vec_id") >= mid), 1L, store)
+
+      def composed() = Similarity.codedWithIncrements(spark, store)
+        .collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+      val once = composed()
+      assert(once.length == n, "composed store must cover the full corpus")
+
+      // stream == batch: the increments encode exactly what the batch
+      // append path would (shared encodeWithStoreModels body)
+      val batchRows = Similarity.encodeWithStoreModels(newVecs, store)
+        .collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Int](2))).toSet
+      val incRows = once.filter(_._1 >= splitId).toSet
+      assert(incRows == batchRows, "streamed increments diverged from the batch append encode")
+
+      // replay: re-delivering batch 1 rewrites its own directory, no dupes
+      graft.streaming.StreamAnnIngest.foldBatch(newVecs.filter(col("vec_id") >= mid), 1L, store)
+      assert(composed() == once, "re-delivered batch changed the composed store")
+
+      // and the store query path sees the ingested vectors
+      val res = Similarity.ivfPqTopKViaStoreWithIncrements(spark, dir, store)
+      assert(res.count() > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(store)).deleteRecursively()
+    }
+  }
+
   test("shuffle shards: total cover, contiguous positions, partitioning-independent") {
     val out = TextAnalysis.shuffleShards(spark, dir, nShards = 4)
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
