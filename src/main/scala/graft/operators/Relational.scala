@@ -2449,15 +2449,21 @@ object Relational {
     val sizedParts = t(spark, dir, "part")
       .filter(col("p_size") === size)
       .select("p_partkey", "p_name")
+    // Aggregate on KEYS ONLY — the fact-side exchange carries two bigints
+    // per row; the dimension strings join onto the tiny winner set at the
+    // end instead of riding the shuffle (100 TB hygiene: never shuffle
+    // payload you can re-attach after the reduction).
     val cost = t(spark, dir, "lineitem")
-      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"), col("p_name"))
+      .join(broadcast(asiaSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sizedParts.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cost_cents"))
     val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
       .agg(min(col("cost_cents")).as("min_cost_cents"))
     cost.join(minCost,
         col("l_partkey") === col("mc_partkey") && col("cost_cents") === col("min_cost_cents"))
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey").cast("bigint").as("p_partkey"), col("p_name"),
         col("s_name"), col("n_name"), col("cost_cents"))
   }
