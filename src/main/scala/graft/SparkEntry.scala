@@ -253,6 +253,18 @@ object SparkEntry {
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     // r10: one-pass integer-moment correlation matrix
     "stats_correlation" -> ((s, d) => Relational.statsCorrelation(s, d)),
+    // r10 completion batch: with these, every TPC-H query shape (1-22,
+    // partsupp-free adaptations where the fixture lacks the table) has a
+    // bit-exact catalog row
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(s, d)),
+    "q9_profit_by_nation" -> ((s, d) => Relational.q9ProfitByNation(s, d)),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q11_important_share" -> ((s, d) => Relational.q11ImportantShare(s, d)),
+    "q12_shipmode_priority" -> ((s, d) => Relational.q12ShipmodePriority(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q19_discounted_revenue" -> ((s, d) => Relational.q19DiscountedRevenue(s, d)),
+    "q20_excess_suppliers" -> ((s, d) => Relational.q20ExcessSuppliers(s, d)),
     "q4_priority_wait" -> ((s, d) => Relational.q4PriorityWait(s, d)),
     "q13_custdist" -> ((s, d) => Relational.q13CustDist(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
@@ -2157,6 +2169,102 @@ object SparkEntry {
         |UNION ALL SELECT 'prc', 'dsc', CAST(round(1000.0 * (n * s_prc_dsc - s_prc * s_dsc) / (sqrt(CAST(n * s_prc_prc - s_prc * s_prc AS DOUBLE)) * sqrt(CAST(n * s_dsc_dsc - s_dsc * s_dsc AS DOUBLE)))) AS BIGINT) FROM m
         |UNION ALL SELECT 'prc', 'tax', CAST(round(1000.0 * (n * s_prc_tax - s_prc * s_tax) / (sqrt(CAST(n * s_prc_prc - s_prc * s_prc AS DOUBLE)) * sqrt(CAST(n * s_tax_tax - s_tax * s_tax AS DOUBLE)))) AS BIGINT) FROM m
         |UNION ALL SELECT 'dsc', 'tax', CAST(round(1000.0 * (n * s_dsc_tax - s_dsc * s_tax) / (sqrt(CAST(n * s_dsc_dsc - s_dsc * s_dsc AS DOUBLE)) * sqrt(CAST(n * s_tax_tax - s_tax * s_tax AS DOUBLE)))) AS BIGINT) FROM m""".stripMargin,
+    // r10 completion batch: the remaining TPC-H shapes, same integral
+    // conventions
+    "q6_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents_pct
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        | AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |  OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        | AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+        |  CAST(round(p_retailprice * 100) AS BIGINT) *
+        |   CAST(round(l_quantity) AS BIGINT) * 80) AS BIGINT) AS sum_profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """WITH rev AS (
+        | SELECT o_custkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        | GROUP BY o_custkey)
+        |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, revenue,
+        | CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_share" ->
+      """WITH pp AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem GROUP BY 1)
+        |SELECT CAST(l_partkey AS BIGINT) AS p_partkey, value_cents FROM pp
+        |WHERE value_cents * 10000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM pp) * 7""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """WITH x AS (
+        | SELECT CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev, p_type
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_revenue,
+        | CAST(sum(rev) AS BIGINT) AS total_revenue,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) * 1000
+        |  // CAST(sum(rev) AS BIGINT) AS promo_permille
+        |FROM x""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#2' AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#3' AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH ps AS (
+        | SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE '%red%'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | GROUP BY l_suppkey),
+        |g AS (SELECT CAST(sum(qty) AS BIGINT) AS total_qty, CAST(count(*) AS BIGINT) AS n_supp FROM ps)
+        |SELECT s_name, n_name, qty
+        |FROM ps CROSS JOIN g
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty * n_supp > total_qty""".stripMargin,
     // r10 TPC-H batch — all money in integral cents, comparisons
     // cross-multiplied where an average appears, so both engines stay
     // on BIGINT arithmetic throughout

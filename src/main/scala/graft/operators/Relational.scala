@@ -2427,6 +2427,202 @@ object Relational {
   // cents end-to-end so the DuckDB oracles match bit-for-bit.
   // ------------------------------------------------------------------------
 
+  /** TPC-H Q6 FORECAST REVENUE — the pure scan-filter-aggregate: one pass,
+    * every predicate pushed to the scan, one partial-aggregated reduction
+    * to a single row. The discount band compares on integral percent
+    * (`round(disc·100) BETWEEN 5 AND 7`) so both engines gate identically.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        round(col("l_discount") * 100).cast("bigint").between(5, 7) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint") *
+          round(col("l_discount") * 100).cast("bigint")).as("revenue_cents_pct"))
+
+  /** TPC-H Q7 VOLUME SHIPPING — revenue between a nation PAIR in both
+    * directions, by year: supplier nation and customer nation resolved
+    * through broadcast dims, the disjunctive pair filter applied before
+    * the fact-side aggregate. One exchange (the final group-by).
+    */
+  def q7NationVolume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val supN = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("revenue"))
+  }
+
+  /** TPC-H Q9-shaped PRODUCT PROFIT by supplier nation and year. The
+    * fixture has no partsupp supply cost, so profit is revenue minus 80%
+    * of the part's retail value for the shipped quantity — same plan
+    * shape (part-name filter broadcast into the fact scan, profit
+    * computed per line, nation/year rollup), integral cents·pct units.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String,
+      nameFilter: String = "red"): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_name").contains(nameFilter))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("bigint").as("retail_cents"))
+    val supN = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("amount",
+        round(col("l_extendedprice") * 100).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100).cast("bigint")) -
+          col("retail_cents") * round(col("l_quantity")).cast("bigint") * 80L)
+      .groupBy(col("nation"), year(col("l_shipdate")).cast("bigint").as("o_year"))
+      .agg(sum(col("amount")).as("sum_profit"))
+  }
+
+  /** TPC-H Q10 RETURNED-ITEM REPORTING — top customers by revenue lost to
+    * returns in a quarter: returnflag filter on the scan, customer /
+    * nation dims broadcast, top-20 with a custkey tiebreak so the cut is
+    * deterministic.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("bigint").as("acctbal_cents"),
+        col("n_name"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
+        col("revenue"), col("acctbal_cents"), col("n_name"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q11-shaped IMPORTANT SHARE — the HAVING-scalar-subquery: parts
+    * whose revenue exceeds a permille of the GLOBAL total. The scalar
+    * total is a one-row broadcast and the gate is cross-multiplied
+    * (`value·1000 > total`), so everything stays integral.
+    */
+  def q11ImportantShare(spark: SparkSession, dir: String,
+      permyriad: Long = 7L): DataFrame = {
+    val perPart = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.join(broadcast(total))
+      // 0.07% of global value — ~1.4× the uniform share on the 2000-part
+      // fixture, so the gate keeps a meaningful tail (68 parts at sf0.01)
+      .filter(col("value_cents") * 10000L > col("total_cents") * permyriad)
+      .select(col("l_partkey").cast("bigint").as("p_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q12-shaped SHIPPING PRIORITY COUNTS — the CASE-sum pivot over
+    * order priority per line status (the fixture's ship-mode stand-in),
+    * for lines shipped in one year. One join (orders side projected to
+    * two columns), one exchange on a 2-value key.
+    */
+  def q12ShipmodePriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+
+  /** TPC-H Q14 PROMO REVENUE SHARE — promo-typed revenue as a permille of
+    * a month's total: CASE-gated sums in ONE aggregate, the part type
+    * broadcast, integer division only at the end.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint")))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)).as("promo_revenue"),
+        sum(col("rev")).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        expr("promo_revenue * 1000 div total_revenue").as("promo_permille"))
+
+  /** TPC-H Q19 DISCOUNTED REVENUE — the disjunction-of-conjunctions
+    * predicate (brand × quantity band), the planner's OR-pushdown
+    * workout: the whole filter rides the join condition, so rows outside
+    * every band never reach the aggregate.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("qty", round(col("l_quantity")).cast("bigint"))
+    val p = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand"))
+    li.join(p, col("l_partkey") === col("p_partkey") &&
+        ((col("p_brand") === "Brand#1" && col("qty").between(1, 11)) ||
+         (col("p_brand") === "Brand#2" && col("qty").between(10, 20)) ||
+         (col("p_brand") === "Brand#3" && col("qty").between(20, 30))))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("revenue"))
+
+  }
+
+  /** TPC-H Q20-shaped EXCESS SUPPLIERS — the nested-aggregate semi join:
+    * suppliers whose shipped quantity of the name-filtered parts in a
+    * year exceeds the average supplier's (cross-multiplied:
+    * `qty·n_supp > total`), with names attached by broadcast at the end.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String,
+      nameFilter: String = "red"): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_name").contains(nameFilter)).select("p_partkey")
+    val perSupp = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("bigint")).as("qty"))
+    val avgGate = perSupp.agg(sum(col("qty")).as("total_qty"),
+      count(lit(1)).as("n_supp"))
+    val supN = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perSupp.join(broadcast(avgGate))
+      .filter(col("qty") * col("n_supp") > col("total_qty"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("qty"))
+  }
+
   /** TPC-H Q2-shaped MIN-COST SUPPLIER — the correlated scalar MIN
     * (`ps_supplycost = (SELECT min(ps_supplycost) … WHERE same part)`)
     * decorrelated the way Catalyst would: per-(part, supplier) cost from
