@@ -131,6 +131,8 @@ object SparkEntry {
     "q_window_lead_lag_skew" -> ((s, d) => Relational.eventLeadLagSkewSafe(s, d)),
     "events_sessionize_skew" -> ((s, d) => EventStream.sessionizeSkewSafe(s, d)),
     "q_ntile" -> (Relational.ntileDeciles _),
+    // r10: dense_rank/percent_rank/cume_dist in one window pass
+    "q_rank_family" -> ((s, d) => Relational.qRankFamily(s, d)),
     // low-cardinality ranked-window guards (round 7): exact histogram-
     // boundary rewrites sharing the plain forms' oracles — no window task
     // ever sorts a constant fraction of the table
@@ -1494,6 +1496,13 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_ntile" -> NtileOracle,
+    "q_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(dense_rank() OVER w AS BIGINT) AS dense_rk,
+        | CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micros,
+        | CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_dist_micros
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "q_ntile_skew" -> NtileOracle,
     "dedup_simhash" ->
       """WITH sh AS (

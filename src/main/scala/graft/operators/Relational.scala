@@ -2427,6 +2427,26 @@ object Relational {
   // cents end-to-end so the DuckDB oracles match bit-for-bit.
   // ------------------------------------------------------------------------
 
+  /** RANK-FUNCTION FAMILY (round 10) — dense_rank / percent_rank /
+    * cume_dist over each customer's orders by price, one window pass
+    * (single exchange on `o_custkey`, one in-partition sort serves all
+    * three). The rational outputs quantize to exact integers
+    * (`round(x·1e6)`): both engines derive them from the same integer
+    * (rank, count) pairs, so the micro-unit values cannot drift.
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("dense_rk", dense_rank().over(w).cast("bigint"))
+      .withColumn("pct_rank_micros",
+        round(percent_rank().over(w) * 1000000).cast("bigint"))
+      .withColumn("cume_dist_micros",
+        round(cume_dist().over(w) * 1000000).cast("bigint"))
+      .drop("o_totalprice")
+  }
+
   /** TPC-H Q6 FORECAST REVENUE — the pure scan-filter-aggregate: one pass,
     * every predicate pushed to the scan, one partial-aggregated reduction
     * to a single row. The discount band compares on integral percent
