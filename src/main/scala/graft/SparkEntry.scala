@@ -131,8 +131,10 @@ object SparkEntry {
     "q_window_lead_lag_skew" -> ((s, d) => Relational.eventLeadLagSkewSafe(s, d)),
     "events_sessionize_skew" -> ((s, d) => EventStream.sessionizeSkewSafe(s, d)),
     "q_ntile" -> (Relational.ntileDeciles _),
-    // r10: dense_rank/percent_rank/cume_dist in one window pass
+    // r10: dense_rank/percent_rank/cume_dist in one window pass, plus the
+    // value-histogram skew twin sharing the oracle verbatim
     "q_rank_family" -> ((s, d) => Relational.qRankFamily(s, d)),
+    "q_rank_family_skew" -> ((s, d) => Relational.qRankFamilySkewSafe(s, d)),
     // low-cardinality ranked-window guards (round 7): exact histogram-
     // boundary rewrites sharing the plain forms' oracles — no window task
     // ever sorts a constant fraction of the table
@@ -529,6 +531,19 @@ object SparkEntry {
       | CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey) AS BIGINT) AS decile
       |FROM (SELECT c_custkey, c_mktsegment,
       | CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer)""".stripMargin
+
+  /** Shared verbatim by `q_rank_family` and its histogram skew twin. The
+    * window orders by price ALONE — dense_rank/percent_rank/cume_dist are
+    * tie-invariant, so no unique tiebreak is needed for determinism and
+    * dense_rank keeps real semantics (see the operator scaladoc).
+    */
+  private val RankFamilyOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(dense_rank() OVER w AS BIGINT) AS dense_rk,
+      | CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micros,
+      | CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_dist_micros
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)""".stripMargin
 
   /** Shared by `q_percentile_disc` and its skew-safe twin. */
   private val PercentileDiscOracle: String =
@@ -1496,13 +1511,8 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_ntile" -> NtileOracle,
-    "q_rank_family" ->
-      """SELECT o_custkey, o_orderkey,
-        | CAST(dense_rank() OVER w AS BIGINT) AS dense_rk,
-        | CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micros,
-        | CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_dist_micros
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q_rank_family" -> RankFamilyOracle,
+    "q_rank_family_skew" -> RankFamilyOracle, // histogram twin: oracle shared verbatim
     "q_ntile_skew" -> NtileOracle,
     "dedup_simhash" ->
       """WITH sh AS (

@@ -2430,13 +2430,16 @@ object Relational {
   /** RANK-FUNCTION FAMILY (round 10) — dense_rank / percent_rank /
     * cume_dist over each customer's orders by price, one window pass
     * (single exchange on `o_custkey`, one in-partition sort serves all
-    * three). The rational outputs quantize to exact integers
-    * (`round(x·1e6)`): both engines derive them from the same integer
-    * (rank, count) pairs, so the micro-unit values cannot drift.
+    * three). The ordering is price alone — NO unique tiebreak — because
+    * all three functions are TIE-INVARIANT (tied rows share each value),
+    * so the output is deterministic anyway and dense_rank keeps its real
+    * semantics (a `(price, orderkey)` ordering would make every ordering
+    * tuple distinct and collapse dense_rank into row_number). The
+    * rational outputs quantize to exact micro-units: both engines derive
+    * them from identical integer (rank, count) pairs.
     */
   def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
     t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("dense_rk", dense_rank().over(w).cast("bigint"))
@@ -2445,6 +2448,35 @@ object Relational {
       .withColumn("cume_dist_micros",
         round(cume_dist().over(w) * 1000000).cast("bigint"))
       .drop("o_totalprice")
+  }
+
+  /** The rank family's chunk-bounded SKEW twin (same oracle verbatim):
+    * a VALUE histogram per customer carries the cumulative machinery —
+    * `dense_rank` is the value's index in the histogram, `rank` is
+    * `cum_before + 1`, `cume_dist` is `(cum_before + cnt) / n` — so the
+    * only per-row work is the histogram join-back; no window ever sorts a
+    * whole hot key's rows, only its DISTINCT VALUES. The rational forms
+    * replicate Spark's evaluation shape exactly
+    * (`(rank−1)/(n−1) · 1e6`, same op order) so the micro-unit rounding
+    * cannot diverge; single-row partitions pin percent_rank = 0 the way
+    * Spark's special case does.
+    */
+  def qRankFamilySkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val byVal = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    val hist = base.groupBy("o_custkey", "o_totalprice").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum("cnt").over(byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dense_rk", row_number().over(byVal).cast("bigint"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("o_custkey")))
+    base.join(hist, Seq("o_custkey", "o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("dense_rk"),
+        when(col("n") === 1L, 0L).otherwise(
+          round(col("cum_before").cast("double") / (col("n") - 1L) * 1000000).cast("bigint"))
+          .as("pct_rank_micros"),
+        round((col("cum_before") + col("cnt")).cast("double") / col("n") * 1000000)
+          .cast("bigint").as("cume_dist_micros"))
   }
 
   /** TPC-H Q6 FORECAST REVENUE — the pure scan-filter-aggregate: one pass,
