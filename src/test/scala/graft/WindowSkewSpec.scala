@@ -43,6 +43,26 @@ class WindowSkewSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
+  test("r10: rank-family histogram twin == plain form on a hot customer WITH price ties") {
+    // the fixture's random doubles carry no ties, so this corpus plants
+    // them deliberately: the hot customer places 3000 orders over only 40
+    // distinct prices (75-deep tie groups), which is exactly the regime
+    // the histogram twin exists for (40 histogram rows vs 3000 sorted) and
+    // the regime where dense_rank/percent_rank/cume_dist tie semantics
+    // actually bite
+    import spark.implicits._
+    val hot = (0 until 3000).map(i => (i.toLong, 0L, (i % 40) * 10.0 + 5.0))
+    val cold = for (c <- 1 to 30; i <- 0 until 10) yield
+      (100000L + c * 100L + i, c.toLong, (c * 17 + i * 3) % 50 * 7.0)
+    val tmp = java.nio.file.Files.createTempDirectory("rank-skew").toString
+    (hot ++ cold).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(5)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val plain = rows(Relational.qRankFamily(spark, tmp))
+    val chunked = rows(Relational.qRankFamilySkewSafe(spark, tmp))
+    assert(plain.nonEmpty && chunked == plain)
+  }
+
   test("skew-safe RANGE frame == plain form on a planted hot user") {
     val plain = rows(Relational.rangeFrameTrailing(spark, dir))
     val chunked = rows(Relational.rangeFrameTrailingSkewSafe(spark, dir, ChunkUs))
