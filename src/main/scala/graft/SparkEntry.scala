@@ -170,6 +170,10 @@ object SparkEntry {
     // r10: semi-hard negative mining for contrastive training (banded
     // exact top-k — same bounded-heap plan as ann_topk)
     "ann_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // r10: greedy farthest-point diversity coreset (+ its gate: radii
+    // recomputed with independent arithmetic)
+    "sample_coreset" -> ((s, d) => Similarity.kCenterCoreset(s, d)),
+    "sample_coreset_check" -> ((s, d) => Similarity.kCenterCoresetCheck(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "multimodal_meta" -> (Multimodal.binaryMeta _),
     "q_rollup" -> (Relational.rollupAgg _),
@@ -3004,6 +3008,10 @@ object SparkEntry {
     "ann_ivfpq_append_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sample_coreset_check" ->
+      """SELECT 'radii_consistent_independent_arithmetic' AS check_name, TRUE AS passed
+        |UNION ALL SELECT 'radii_monotone', TRUE
+        |UNION ALL SELECT 'centers_distinct', TRUE""".stripMargin,
     "ann_pq_store_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,

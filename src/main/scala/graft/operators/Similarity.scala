@@ -90,6 +90,105 @@ object Similarity {
     topKPerQuery(scored, col("cosine"), k)
   }
 
+  /** K-CENTER CORESET selection (round 10) — greedy farthest-point
+    * traversal (Gonzalez 1985, the 2-approximation of the k-center
+    * optimum): the diversity-sampling primitive that picks the k most
+    * mutually-dissimilar documents as a coverage skeleton of the
+    * embedding space (eval-set seeding, dedup anchors, active-learning
+    * batches). Deterministic: seeded at the minimum vec_id, cosine
+    * distance, ties on the farthest pick break to the lower vec_id.
+    *
+    * Output: one row per center — (center_rank, vec_id,
+    * radius_before_micros), where the radius is the corpus' max distance
+    * to the previously chosen centers at pick time (so rank 1 carries
+    * NULL, and the sequence is non-increasing — pinned by the check).
+    *
+    * Scale: greedy selection is INHERENTLY k sequential passes; each
+    * round is one codegen'd `least(dist-so-far, dot-to-new-center)` map
+    * plus a TakeOrdered(1) — the corpus shuffles NOTHING, ever. The
+    * min-dist column folds forward through the rounds' lineage
+    * (localCheckpoint every 4 rounds keeps plan growth flat, the Pregel
+    * convention); k stays a parameter, and at 100 TB the k passes read
+    * the cached/columnar corpus, which is exactly how FAISS-style
+    * pipelines run farthest-point at scale.
+    */
+  def kCenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"kCenterCoreset: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir))
+    var state = normedOf(e).select(col("vec_id"), col("nemb"))
+      .withColumn("min_dist", lit(Double.PositiveInfinity))
+
+    def distTo(center: Seq[Double]): Column = {
+      val litArr = center.mkString("array(", "D, ", "D)")
+      lit(1.0) - expr(s"graft_dot(nemb, $litArr)")
+    }
+
+    val seed = state.orderBy(col("vec_id")).limit(1)
+      .select("vec_id", "nemb").head()
+    var centers = Vector((seed.getLong(0), Option.empty[Double])) // (id, radius before pick)
+    state = state.withColumn("min_dist", distTo(seed.getSeq[Double](1)))
+
+    for (i <- 2 to k) {
+      // farthest point, lower id on ties — TakeOrdered(1), no global sort
+      val far = state.orderBy(desc("min_dist"), col("vec_id")).limit(1)
+        .select("vec_id", "nemb", "min_dist").head()
+      centers :+= ((far.getLong(0), Some(far.getDouble(2))))
+      state = state.withColumn("min_dist",
+        least(col("min_dist"), distTo(far.getSeq[Double](1))))
+      if (i % 4 == 0) state = state.localCheckpoint(true)
+    }
+
+    import spark.implicits._
+    centers.zipWithIndex.map { case ((id, radius), idx) =>
+      (idx + 1L, id, radius.map(r => math.round(r * 1e6)))
+    }.toDF("center_rank", "vec_id", "radius_before_micros")
+  }
+
+  /** Driver-checkable gate for [[kCenterCoreset]]: (a) the pick radii are
+    * non-increasing (the greedy invariant), (b) the centers are distinct,
+    * and (c) each pick's radius equals the max-min distance RECOMPUTED by
+    * independent arithmetic (`zip_with`/`aggregate` SQL instead of the
+    * native `graft_dot`) over the corpus against the PRIOR centers — so a
+    * selection bug cannot hide behind its own distance expression.
+    */
+  def kCenterCoresetCheck(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val picks = kCenterCoreset(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    val e = withNorm(embeddings(spark, dir))
+    val normed = normedOf(e).select(col("vec_id"), col("nemb"))
+    val byId = normed.filter(col("vec_id").isin(picks.map(_._2): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    def indepDist(center: Seq[Double]): Column = {
+      val litArr = center.mkString("array(", "D, ", "D)")
+      lit(1.0) - expr(
+        s"aggregate(zip_with(nemb, $litArr, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+    }
+    // radius with the first (rank-1) centers == rank'th pick's radius
+    val radiiConsistent = picks.drop(1).forall { case (rank, _, radiusMicros) =>
+      val prior = picks.take(rank.toInt - 1).map(p => byId(p._2))
+      val dists = prior.map(indepDist)
+      val md = if (dists.length == 1) dists.head else least(dists: _*)
+      val recomputed = normed
+        .withColumn("md", md)
+        .agg(max(col("md"))).head().getDouble(0)
+      radiusMicros.contains(math.round(recomputed * 1e6))
+    }
+    val monotone = picks.flatMap(_._3).toList.sliding(2).forall {
+      case a :: b :: Nil => b <= a
+      case _ => true
+    }
+    import spark.implicits._
+    Seq(
+      ("radii_consistent_independent_arithmetic", radiiConsistent),
+      ("radii_monotone", monotone),
+      ("centers_distinct", picks.map(_._2).distinct.length == picks.length))
+      .toDF("check_name", "passed")
+  }
+
   /** LSH table count / key width. Sized for HIGH RECALL on corpora whose
     * "neighbors" are weak (random-ish embeddings, cosine ≈ 0.3): with 32
     * tables × 4 bits, P(candidate | cos=0.3) ≈ 0.99. For a real 100 TB

@@ -1499,7 +1499,8 @@ class EntryContractSpec extends AnyFunSuite {
       "sketch_quantiles" -> "sketch_quantile_check",
       "sketch_theta_overlap" -> "sketch_theta_check",
       "sketch_topk_terms" -> "sketch_freq_check",
-      "text_decontaminate_bloom" -> "text_decontaminate_bloom_check")
+      "text_decontaminate_bloom" -> "text_decontaminate_bloom_check",
+      "sample_coreset" -> "sample_coreset_check")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == exempt.keySet,
       s"undocumented oracle-less queries: ${noOracle -- exempt.keySet}; " +

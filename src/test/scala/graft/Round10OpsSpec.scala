@@ -113,6 +113,40 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-center coreset equals a driver brute-force greedy exactly") {
+    import org.apache.spark.sql.functions.col
+    // independent reference: collect the normalized corpus and run the
+    // greedy loop in plain Scala with the same determinism rules (seed =
+    // min id, farthest pick, lower id on distance ties)
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE) / " +
+          "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nemb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val k = 6
+    var centers = Vector(vecs.head._1)
+    val minDist = scala.collection.mutable.Map(vecs.map(v => v._1 -> (1.0 - dot(v._2, vecs.head._2))): _*)
+    val byId = vecs.toMap
+    var expected = Vector((1L, vecs.head._1))
+    for (rank <- 2 to k) {
+      val (farId, _) = minDist.toSeq.maxBy { case (id, d) => (d, -id) }
+      expected :+= ((rank.toLong, farId))
+      centers :+= farId
+      vecs.foreach { case (id, v) =>
+        minDist(id) = math.min(minDist(id), 1.0 - dot(v, byId(farId)))
+      }
+    }
+    val got = Similarity.kCenterCoreset(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toVector
+    assert(got == expected, s"greedy selection diverged: $got vs $expected")
+  }
+
   test("shuffle shards: total cover, contiguous positions, partitioning-independent") {
     val out = TextAnalysis.shuffleShards(spark, dir, nShards = 4)
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
