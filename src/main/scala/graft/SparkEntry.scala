@@ -261,6 +261,8 @@ object SparkEntry {
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     // r10: one-pass integer-moment correlation matrix
     "stats_correlation" -> ((s, d) => Relational.statsCorrelation(s, d)),
+    // r10: exact integer EWMA (sequential fold, bit-equal across engines)
+    "events_ewma" -> ((s, d) => Relational.eventsEwma(s, d)),
     // r10 completion batch: with these, every TPC-H query shape (1-22,
     // partsupp-free adaptations where the fixture lacks the table) has a
     // bit-exact catalog row
@@ -2167,6 +2169,19 @@ object SparkEntry {
         | CAST(sum(cents) AS BIGINT) * 10 // 7 AS avg_yearly_decicents
         |FROM w WHERE qty * 5 * cnt < sum_qty
         |GROUP BY p_brand""".stripMargin,
+    // sequential integer fold — DuckDB's list_reduce seeds from the first
+    // element, matching the Spark sentinel branch; non-negative terms so
+    // div == //
+    "events_ewma" ->
+      """WITH c AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(y ORDER BY hour) AS ys FROM c GROUP BY event_type)
+        |SELECT event_type, CAST(len(ys) AS BIGINT) AS n_hours,
+        | CAST(list_reduce(ys, (acc, y) -> (3 * acc + y) // 4) AS BIGINT) AS ewma_last,
+        | ys[-1] AS last_hour_count,
+        | CAST(list_sum(ys) AS BIGINT) AS total
+        |FROM s""".stripMargin,
     // one-pass exact integer moments; r computed from identical bigint
     // sums on both engines, so the doubles downstream can't diverge
     "stats_correlation" ->

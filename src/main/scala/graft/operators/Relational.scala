@@ -2427,6 +2427,35 @@ object Relational {
   // cents end-to-end so the DuckDB oracles match bit-for-bit.
   // ------------------------------------------------------------------------
 
+  /** INTEGER EWMA (round 10) — exponentially-weighted hourly event volume
+    * per type, α = 1/4, as the exact integer recurrence
+    * `S_t = (3·S_{t−1} + Y_t) div 4`, seeded at the first hour's count.
+    * A float EWMA can never be oracle-exact (the fold is sequential and
+    * FP addition doesn't associate); the integer recurrence IS exact:
+    * both engines fold the IDENTICAL ordered integer list — Spark via
+    * `aggregate` over the sorted per-type series, DuckDB via
+    * `list_reduce` (which seeds from the first element, matching the
+    * sentinel branch here) — and all terms are non-negative, so `div`
+    * and `//` agree (build-conventions rule).
+    *
+    * Scale: the per-type series is bounded by CALENDAR HOURS, never event
+    * volume (the StreamMonitor store argument), so the `collect_list` is
+    * a bounded aggregation state, and the whole operator is one
+    * map-combined exchange.
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour"), col("y")))).as("series"))
+      .select(col("event_type"),
+        size(col("series")).cast("bigint").as("n_hours"),
+        expr("aggregate(transform(series, p -> p.y), CAST(-1 AS BIGINT), " +
+          "(acc, y) -> IF(acc = -1, y, (3 * acc + y) div 4))").as("ewma_last"),
+        expr("element_at(series, -1).y").as("last_hour_count"),
+        expr("aggregate(transform(series, p -> p.y), 0L, (acc, y) -> acc + y)").as("total"))
+
   /** RANK-FUNCTION FAMILY (round 10) — dense_rank / percent_rank /
     * cume_dist over each customer's orders by price, one window pass
     * (single exchange on `o_custkey`, one in-partition sort serves all
