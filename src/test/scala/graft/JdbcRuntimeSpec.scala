@@ -217,6 +217,49 @@ class JdbcRuntimeSpec extends AnyFunSuite {
     assert(empty.getMessage.contains("empty results"))
   }
 
+  test("wide JDBC type matrix executes through read -> schema gen -> Avro (U1/U2-family rules live)") {
+    val db = "graftjdbc_types"
+    StubDb.reset(db)
+    StubDb.register(db, "WIDE", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("SM", Types.SMALLINT),
+        StubDb.Col("FL", Types.REAL),
+        StubDb.Col("DEC", Types.DECIMAL, nullable = true, precision = 10, scale = 2),
+        StubDb.Col("FLAG", Types.BOOLEAN),
+        StubDb.Col("D", Types.DATE)),
+      Vector(
+        Vector[Any](1L, 7, 1.5f, new java.math.BigDecimal("12345.67"), true,
+          java.sql.Date.valueOf("2026-02-01")),
+        Vector[Any](2L, -3, -0.25f, null, false,
+          java.sql.Date.valueOf("1970-01-02")))))
+
+    val source = JdbcSource(conn(db), QueryArgs(base = QueryBuilder.fromTable("WIDE")))
+    val df = source.read(spark)
+    // Spark's JDBC schema mapping executed for real
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // Spark's default JDBC mapping widens SMALLINT to int and REAL to
+    // double (JdbcUtils.getCatalystType) — the runtime test pins the
+    // ACTUAL product mapping, not the JDBC spec's
+    assert(types("ID") == "bigint" && types("SM") == "int" && types("FL") == "double")
+    assert(types("DEC") == "decimal(10,2)" && types("FLAG") == "boolean" && types("D") == "date")
+
+    val out = Files.createTempDirectory("jdbc-types").toString
+    ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "WIDE"),
+      queries = source.queries(spark), minRows = 2)
+    val records = readAvro(out).sortBy(_.get("ID").asInstanceOf[Long])
+    // type-conversion contract (§1.3): smallint→int, real→float,
+    // decimal→STRING, boolean passthrough, date→epoch-millis UTC
+    assert(records(0).get("SM") == 7 && records(1).get("SM") == -3)
+    assert(records(0).get("FL") == 1.5d)
+    assert(records(0).get("DEC").toString == "12345.67" && records(1).get("DEC") == null)
+    assert(records(0).get("FLAG") == true && records(1).get("FLAG") == false)
+    assert(records(1).get("D") == 86400000L) // 1970-01-02 → one day of millis
+    assert(records(0).get("D") ==
+      java.time.LocalDate.parse("2026-02-01").toEpochDay * 86400000L)
+  }
+
   test("minRows gate fires on the JDBC path (exit 50)") {
     val db = "graftjdbc_minrows"
     fixture(db)

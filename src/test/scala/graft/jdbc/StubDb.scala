@@ -37,7 +37,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StubDb {
 
-  final case class Col(name: String, sqlType: Int, nullable: Boolean = false)
+  final case class Col(name: String, sqlType: Int, nullable: Boolean = false,
+      precision: Int = 0, scale: Int = 0)
   final case class Table(cols: Vector[Col], rows: Vector[Vector[Any]]) {
     def colIndex(name: String): Int = {
       val i = cols.indexWhere(_.name.equalsIgnoreCase(name))
@@ -325,11 +326,15 @@ object StubDb {
       case ("getColumnName", args) => cols(args(0).asInstanceOf[Integer] - 1).name
       case ("getColumnType", args) => Integer.valueOf(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
       case ("getColumnTypeName", args) => typeName(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
-      case ("getPrecision", args) => Integer.valueOf(precision(cols(args(0).asInstanceOf[Integer] - 1).sqlType))
-      case ("getScale", _) => Integer.valueOf(0)
+      case ("getPrecision", args) =>
+        val c = cols(args(0).asInstanceOf[Integer] - 1)
+        Integer.valueOf(if (c.precision > 0) c.precision else precision(c.sqlType))
+      case ("getScale", args) => Integer.valueOf(cols(args(0).asInstanceOf[Integer] - 1).scale)
       case ("isSigned", args) =>
         val t = cols(args(0).asInstanceOf[Integer] - 1).sqlType
-        java.lang.Boolean.valueOf(t == Types.INTEGER || t == Types.BIGINT || t == Types.DOUBLE)
+        java.lang.Boolean.valueOf(t == Types.INTEGER || t == Types.BIGINT || t == Types.DOUBLE ||
+          t == Types.SMALLINT || t == Types.REAL || t == Types.FLOAT ||
+          t == Types.DECIMAL || t == Types.NUMERIC)
       case ("isNullable", args) =>
         Integer.valueOf(if (cols(args(0).asInstanceOf[Integer] - 1).nullable)
           ResultSetMetaData.columnNullable else ResultSetMetaData.columnNoNulls)
@@ -338,9 +343,13 @@ object StubDb {
   private def typeName(t: Int): String = t match {
     case Types.VARCHAR => "VARCHAR"
     case Types.INTEGER => "INTEGER"
+    case Types.SMALLINT => "SMALLINT"
     case Types.BIGINT => "BIGINT"
     case Types.DOUBLE => "DOUBLE"
+    case Types.REAL | Types.FLOAT => "REAL"
+    case Types.DECIMAL | Types.NUMERIC => "DECIMAL"
     case Types.TIMESTAMP => "TIMESTAMP"
+    case Types.DATE => "DATE"
     case Types.BOOLEAN => "BOOLEAN"
     case _ => "OTHER"
   }
@@ -348,9 +357,12 @@ object StubDb {
   private def precision(t: Int): Int = t match {
     case Types.VARCHAR => 255
     case Types.INTEGER => 10
+    case Types.SMALLINT => 5
     case Types.BIGINT => 19
     case Types.DOUBLE => 17
+    case Types.REAL | Types.FLOAT => 7
     case Types.TIMESTAMP => 29
+    case Types.DATE => 10
     case _ => 0
   }
 
@@ -395,6 +407,23 @@ object StubDb {
       case ("getTimestamp", args) => value(args) match {
         case null => null
         case ts: Timestamp => ts
+      }
+      case ("getDate", args) => value(args) match {
+        case null => null
+        case d: java.sql.Date => d
+      }
+      case ("getShort", args) => value(args) match {
+        case null => java.lang.Short.valueOf(0.toShort)
+        case n: Number => java.lang.Short.valueOf(n.shortValue())
+      }
+      case ("getFloat", args) => value(args) match {
+        case null => java.lang.Float.valueOf(0f)
+        case n: Number => java.lang.Float.valueOf(n.floatValue())
+      }
+      case ("getBigDecimal", args) => value(args) match {
+        case null => null
+        case d: java.math.BigDecimal => d
+        case n: Number => new java.math.BigDecimal(n.toString)
       }
     }
   }
