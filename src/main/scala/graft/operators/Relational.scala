@@ -2444,9 +2444,17 @@ object Relational {
     * map-combined exchange.
     */
   def eventsEwma(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    ewmaFromCounts(events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("y")))
+
+  /** The EWMA fold over an (event_type, hour, y) counts table — SHARED by
+    * the batch operator and [[graft.streaming.StreamMonitor.ewma]] (the
+    * reader over the versioned count store), so the streaming and batch
+    * smoothed values are computed by the same arithmetic always.
+    */
+  def ewmaFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("hour"), col("y")))).as("series"))
       .select(col("event_type"),

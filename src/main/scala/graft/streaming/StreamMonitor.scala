@@ -65,6 +65,19 @@ object StreamMonitor {
     graft.operators.Relational.anomalyFromCounts(
       spark.read.parquet(latest(spark, storeDir)).select("event_type", "hour", "n"))
 
+  /** Exact integer EWMA over the same store (r10) — the batch
+    * `events_ewma` fold body
+    * ([[graft.operators.Relational.ewmaFromCounts]]), verbatim, over the
+    * newest version: because the store's (type, hour) counts equal the
+    * global counts whenever batches partition the feed, the streaming
+    * smoothed value is BIT-equal to the batch operator's
+    * (StreamStateBoundSpec pins it across 3 deliveries).
+    */
+  def ewma(spark: SparkSession, storeDir: String): DataFrame =
+    graft.operators.Relational.ewmaFromCounts(
+      spark.read.parquet(latest(spark, storeDir))
+        .select(col("event_type"), col("hour"), col("n").as("y")))
+
   /** Densified + gap-filled hourly series over the same store — the batch
     * `events_gapfill` body ([[graft.operators.Relational.gapfillFromCounts]]),
     * verbatim, over the newest version.

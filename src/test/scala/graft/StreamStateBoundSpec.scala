@@ -68,6 +68,16 @@ class StreamStateBoundSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$store/v3")
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == 80L)
+
+    // r10: the streaming EWMA reader equals the batch fold over the
+    // merged counts bit-for-bit (shared ewmaFromCounts body)
+    val streamed = graft.streaming.StreamMonitor.ewma(spark, store)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Relational.ewmaFromCounts(
+      spark.read.parquet(s"$store/v3")
+        .selectExpr("event_type", "hour", "n AS y"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("attribution flatMapGroupsWithState keeps one state row per user across 3 batches") {
