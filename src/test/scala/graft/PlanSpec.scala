@@ -540,4 +540,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("r10 TPC-H batch: no cartesian products; nested-loop only as a one-row scalar broadcast") {
+    // the systematic guard over all 16 round-10 TPC-H rows: a cartesian
+    // product is never acceptable, and BroadcastNestedLoopJoin may appear
+    // ONLY in the queries that broadcast a one-row scalar aggregate
+    // (q11/q15/q20/q22's max/avg/total gates) — anywhere else it means a
+    // join condition silently stopped being an equi-join
+    val scalarBroadcastOk = Set(
+      "q11_important_share", "q15_top_supplier", "q20_excess_suppliers", "q22_global_sales")
+    val batch = Seq(
+      "q2_min_cost_supplier", "q4_priority_wait", "q6_forecast_revenue",
+      "q7_nation_volume", "q9_profit_by_nation", "q10_returned_items",
+      "q11_important_share", "q12_shipmode_priority", "q13_custdist",
+      "q14_promo_share", "q15_top_supplier", "q18_large_orders",
+      "q19_discounted_revenue", "q21_waiting_supplier", "q22_global_sales",
+      "q20_excess_suppliers")
+    batch.foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product:\n$plan")
+      if (!scalarBroadcastOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name lost its equi-join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        !name.contains("join"), s"$name: expected a hash-based join:\n$plan")
+    }
+  }
 }
