@@ -285,6 +285,9 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
+    // r10: oriented two-join triangle count over the supplier co-service
+    // projection (strength-thresholded), exact clustering coefficient
+    "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)
@@ -3196,5 +3199,27 @@ object SparkEntry {
     "events_sessionize_skew" -> baseOracleSql("events_sessionize"),
     "graph_pagerank" -> pageRankOracle(5),
     "graph_reach" -> reachOracle(3),
-    "graph_components" -> componentsOracle(4))
+    "graph_components" -> componentsOracle(4),
+    // oriented u<v edges stored once: each triangle a<b<c matches the
+    // two-join exactly once; clustering in exact permille (all integers)
+    "graph_triangles" ->
+      """WITH sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        | FROM sup a JOIN sup b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (
+        | SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_tri
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        | WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        | (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        | (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        | (SELECT n_tri FROM tri) AS n_triangles,
+        | 3 * (SELECT n_tri FROM tri) * 1000 //
+        |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS clustering_permille""".stripMargin)
 }

