@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Graph, Layout, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -281,6 +281,23 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q22_global_sales" -> ((s, d) => Relational.q22GlobalSales(s, d)),
+    // r10 continuation: time-series family over calendar-bounded hourly
+    // counts (ACF, CUSUM changepoint, seasonality, OHLC, rolling median)
+    "events_acf" -> ((s, d) => TimeSeries.eventsAcf(s, d)),
+    "events_cusum" -> ((s, d) => TimeSeries.eventsCusum(s, d)),
+    "events_seasonality" -> ((s, d) => TimeSeries.eventsSeasonality(s, d)),
+    "events_ohlc" -> ((s, d) => TimeSeries.eventsOhlc(s, d)),
+    "events_rolling_median" -> ((s, d) => TimeSeries.eventsRollingMedian(s, d)),
+    // r10 continuation: data-quality audits (Benford first-digit screen,
+    // l-diversity privacy gate)
+    "dq_benford" -> ((s, d) => Relational.dqBenford(s, d)),
+    "dq_ldiversity" -> ((s, d) => Relational.dqLdiversity(s, d)),
+    // r10 continuation: wedge-enumerated resource-allocation link scores
+    "graph_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
+    // r10 continuation: positional inverted-index phrase probe and the
+    // prefix-filtered exact containment join
+    "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+    "text_containment" -> ((s, d) => TextAnalysis.containmentJoin(s, d)),
     // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
@@ -3200,6 +3217,157 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracle(5),
     "graph_reach" -> reachOracle(3),
     "graph_components" -> componentsOracle(4),
+    // r10 continuation: time-series family — all from the calendar-bounded
+    // hourly-counts table, exact integer moments / window arithmetic
+    "events_acf" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type, l.lag, a.y AS x, b.y AS z
+        | FROM c a, (VALUES (1), (2), (3)) l(lag)
+        | JOIN c b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag),
+        |m AS (
+        | SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(z) AS BIGINT) AS s_z,
+        |  CAST(sum(x * x) AS BIGINT) AS s_xx, CAST(sum(z * z) AS BIGINT) AS s_zz,
+        |  CAST(sum(x * z) AS BIGINT) AS s_xz
+        | FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+        | CASE WHEN n * s_xx - s_x * s_x > 0 AND n * s_zz - s_z * s_z > 0
+        |  THEN CAST(round(1000.0 * (n * s_xz - s_x * s_z) /
+        |   (sqrt(CAST(n * s_xx - s_x * s_x AS DOUBLE)) *
+        |    sqrt(CAST(n * s_zz - s_z * s_z AS DOUBLE)))) AS BIGINT) END AS r_milli
+        |FROM m""".stripMargin,
+    // exact integer deviation statistic S_t = n*prefix - t*total; argmax
+    // with the identical (|S| DESC, t ASC) tie order
+    "events_cusum" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, hr,
+        |  CAST(row_number() OVER w AS BIGINT) AS t,
+        |  CAST(sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+        |  CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        | FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |d AS (
+        | SELECT *, n_hours * prefix - t * total AS sv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY abs(n_hours * prefix - t * total) DESC, t ASC) AS rk
+        | FROM s)
+        |SELECT event_type, n_hours, total, t AS cp_t, hr AS cp_hr,
+        | sv AS s_at_cp, abs(sv) AS abs_s
+        |FROM d WHERE rk = 1""".stripMargin,
+    "events_seasonality" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT event_type, hr % 24 AS hod, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(y) AS BIGINT) AS total
+        | FROM c GROUP BY 1, 2)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n_hours, total,
+        | 1000 * total // n_hours AS mean_milli,
+        | row_number() OVER (PARTITION BY event_type ORDER BY total DESC, hod ASC) = 1 AS is_peak
+        |FROM p""".stripMargin,
+    // open/close under the (ts, event_id) total order — ties well-defined
+    "events_ohlc" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000 ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT event_type, hr, CAST(count(*) AS BIGINT) AS volume,
+        | CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+        | CAST(max(cents) AS BIGINT) AS high_cents,
+        | CAST(min(cents) AS BIGINT) AS low_cents,
+        | CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+        | CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // milli-scaled so the even-frame midpoint average is exact (mult of 500)
+    "events_rolling_median" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, hr, y,
+        | CAST(median(y * 1000) OVER (PARTITION BY event_type ORDER BY hr
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_milli
+        |FROM c""".stripMargin,
+    // r10 continuation: DQ audits — Benford expectations are LITERALS on
+    // both engines (no log evaluated anywhere)
+    "dq_benford" ->
+      """WITH o AS (
+        | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM g)
+        |SELECT digit, observed, 1000 * observed // total AS observed_milli,
+        | CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97
+        |  WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS expected_milli,
+        | abs(1000 * observed // total -
+        |  CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97
+        |   WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 END) AS dev_milli
+        |FROM g, t""".stripMargin,
+    // +10^8 cent shift keeps the bucket div non-negative on both engines
+    "dq_ldiversity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+        | CAST(count(*) AS BIGINT) AS k,
+        | CAST(count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000) AS BIGINT) AS l,
+        | count(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000) >= 3 AS is_diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    // r10 continuation: wedge-enumerated RA link prediction; total order
+    // (ra DESC, common DESC, u, v) makes the LIMIT deterministic
+    "graph_link_predict" ->
+      """WITH sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ew AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+        | FROM sup a JOIN sup b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2),
+        |h AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ew GROUP BY w),
+        |rk AS (SELECT w, sum(c) OVER (ORDER BY w ASC) AS cum, sum(c) OVER () AS n FROM h),
+        |thr AS (SELECT min(w) AS t FROM rk WHERE cum >= (n + 1) // 2),
+        |e AS (SELECT u, v FROM ew, thr WHERE w > t),
+        |adj AS (SELECT u AS mid, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid),
+        |sc AS (
+        | SELECT a.nb AS u, b.nb AS v, CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(1000000 // d) AS BIGINT) AS ra_micros
+        | FROM adj a JOIN adj b ON a.mid = b.mid AND a.nb < b.nb
+        | JOIN deg ON deg.mid = a.mid
+        | GROUP BY 1, 2)
+        |SELECT u, v, n_common, ra_micros FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+        |ORDER BY ra_micros DESC, n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+    // r10 continuation: positional postings, phrase = adjacency join
+    "text_phrase_search" ->
+      """WITH tok AS (
+        | SELECT doc_id, t.tok AS term, t.pos
+        | FROM documents, LATERAL (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok,
+        |   generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        | CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'fast' AND b.term = 'table'
+        |GROUP BY 1""".stripMargin,
+    // r10 continuation: brute-force containment ground truth — the Spark
+    // side must reproduce it exactly through the prefix-filter cut
+    "text_containment" ->
+      """WITH sh AS (
+        | SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s
+        | FROM documents, LATERAL unnest(generate_series(1, len(text) - 11)) t(i)
+        | WHERE len(text) >= 12),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a FROM sh GROUP BY doc_id),
+        |pair AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_common
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, size_a, n_common, 1000 * n_common // size_a AS containment_milli
+        |FROM pair JOIN sz ON a_id = sz.doc_id
+        |WHERE 1000 * n_common // size_a >= 800""".stripMargin,
     // oriented u<v edges stored once: each triangle a<b<c matches the
     // two-join exactly once; clustering in exact permille (all integers)
     "graph_triangles" ->

@@ -197,6 +197,67 @@ object Graph {
     * is exactly how production triangle counts run (strength-thresholded
     * or degree-ordered).
     */
+  /** LINK PREDICTION (round-10 continuation) — resource-allocation index
+    * over the supplier co-service graph: for each NON-adjacent pair
+    * `(u, v)`, `RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)`, the classic
+    * Zhou–Lü–Zhang predictor, kept exact as `Σ 1000000 div deg(w)`
+    * micro-units (deg ≥ 1 always — every w on a wedge has ≥ 2 edges).
+    * Candidate pairs are enumerated from WEDGES (two-hop paths through a
+    * common neighbor) — never from the node cross product — then existing
+    * edges are removed with an anti join and the top-k survives under the
+    * TOTAL order `(ra DESC, common DESC, u, v)` (u<v pairs are unique, so
+    * the limit is deterministic).
+    *
+    * The strength threshold is SELF-TUNING: an absolute cut cannot track
+    * the fixture's density across SFs (at sf0.01 every supplier pair
+    * co-serves ≥ 10 orders — the graph is complete and has no links to
+    * predict), so edges survive only STRICTLY ABOVE the lower-median
+    * co-service weight. The lower median is read off the weight HISTOGRAM
+    * (distinct weights ≪ edges): the smallest `w` whose cumulative count
+    * reaches `(n+1) div 2` — pure integer rank arithmetic, identical on
+    * both engines, no interpolating percentile anywhere.
+    *
+    * Scale: the threshold pass windows over the weight histogram (tiny by
+    * construction), never the edge list; the wedge set is Σ deg(w)² over
+    * middle vertices — the same quantity [[triangles]] bounds, with the
+    * median cut halving density; the degree table broadcasts; the final
+    * top-k is a TakeOrdered, no global sort materializes.
+    */
+  def linkPredict(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    val ew = sup.as("a").join(sup.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    ew.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
+    val hist = ew.groupBy("w").agg(count(lit(1)).as("c"))
+    val byW = org.apache.spark.sql.expressions.Window.orderBy(col("w").asc)
+    val thr = hist
+      .withColumn("cum", sum("c").over(
+        byW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(ew.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("w").as("t"))
+    val e = ew.crossJoin(broadcast(thr)).filter(col("w") > col("t")).select("u", "v")
+    val adj = e.select(col("u").as("mid"), col("v").as("nb"))
+      .union(e.select(col("v").as("mid"), col("u").as("nb")))
+    val deg = adj.groupBy("mid").agg(count(lit(1)).as("d"))
+    val scored = adj.as("a").join(adj.as("b"),
+        col("a.mid") === col("b.mid") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("u"), col("b.nb").as("v"), col("a.mid").as("mid"))
+      .join(broadcast(deg), "mid")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"), sum(expr("1000000L div d")).as("ra_micros"))
+    val out = scored.join(e, Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_micros").desc, col("n_common").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+      .select(col("u"), col("v"), col("n_common").cast("bigint").as("n_common"),
+        col("ra_micros").cast("bigint").as("ra_micros"))
+    Dedup.materializeAndRelease(Seq(ew), out)
+  }
+
   def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame = {
     val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     val e = sup.as("a").join(sup.as("b"),

@@ -996,6 +996,53 @@ object Relational {
         (col("matched") === col("total")).as("passed"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT (round-10 continuation) — the classic
+    * fraud/synthetic-data screen: the distribution of the first
+    * significant digit of order totals vs Benford's law. Totals go to
+    * exact integer cents first; the first digit is the leading character
+    * of the decimal rendering (identical on both engines for positive
+    * bigints). The Benford expectation `log10(1+1/d)` is a 9-row LITERAL
+    * table in exact milli units on BOTH engines — neither engine
+    * evaluates a log, so there is no float to diverge. One scan, one
+    * 9-group aggregate, one broadcast of the scalar total.
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    // round(1000*log10(1+1/d)) for d=1..9 — literals, not computed
+    val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val exp = expr(expected.map { case (d, m) => s"WHEN digit = $d THEN ${m}L" }
+      .mkString("CASE ", " ", " END"))
+    val obs = t(spark, dir, "orders")
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    obs.crossJoin(broadcast(obs.agg(sum("observed").as("total"))))
+      .select(col("digit"), col("observed").cast("bigint").as("observed"),
+        expr("1000 * observed div total").as("observed_milli"),
+        exp.as("expected_milli"))
+      .withColumn("dev_milli", abs(col("observed_milli") - col("expected_milli")))
+  }
+
+  /** L-DIVERSITY AUDIT (round-10 continuation) — the privacy gate beyond
+    * [[dqKanonymity]]: within each quasi-identifier group
+    * `(c_nationkey, c_mktsegment)`, the SENSITIVE attribute (account
+    * balance bucketed to $1000) must take at least `l` distinct values,
+    * else the group re-identifies balances even when k-anonymity holds.
+    * Balances can be negative, so cents are shifted by +10^8 before the
+    * bucket `div` to keep every term non-negative (bucket IDs stay
+    * comparable — only distinctness matters). One composite-key
+    * aggregate; output is |groups| rows.
+    */
+  def dqLdiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("bigint").as("nationkey"), col("c_mktsegment").as("segment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000L) div 100000").as("bal_bucket"))
+      .groupBy("nationkey", "segment")
+      .agg(count(lit(1)).as("k"), countDistinct("bal_bucket").as("l"))
+      .select(col("nationkey"), col("segment"),
+        col("k").cast("bigint").as("k"), col("l").cast("bigint").as("l"),
+        (col("l") >= l).as("is_diverse"))
+
   /** LINEAR TREND FIT — least-squares slope of each event type's hourly
     * volume over time, in EXACT integer arithmetic: with x = hours since
     * the global first hour and y = hourly count,

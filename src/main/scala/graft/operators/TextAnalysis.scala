@@ -2266,4 +2266,97 @@ object TextAnalysis {
         col("n_terms").cast("bigint").as("n_terms"),
         expr("num div n_tokens").as("kl_micro"))
   }
+
+  /** POSITIONAL PHRASE SEARCH (round-10 continuation) — the inverted-index
+    * primitive a corpus-curation pipeline uses to find verbatim phrase
+    * hits (boilerplate slogans, benchmark prompts, license headers):
+    * tokens become 1-based positional postings `(term, doc_id, pos)`, and
+    * an n-token phrase is n−1 self-equi-joins on `(doc_id, pos + i)`.
+    *
+    * Scale: the postings for terms NOT in the phrase are dropped in the
+    * same map stage that explodes them — the only shuffled rows are
+    * phrase-term postings (term-selective by construction), and each join
+    * is a hash equi-join on `(doc_id, pos)`. At 100 TB the postings table
+    * would be written once partitioned by term and the phrase probes read
+    * only their term buckets; this operator is that probe's plan shape.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String = "fast table"): DataFrame = {
+    val terms = phrase.split(" ").toSeq
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
+    val postings = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+    val first = postings.filter(col("term") === terms.head).select(col("doc_id"), col("pos"))
+    val hits = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+      .select(col("doc_id"), col("n_matches").cast("bigint").as("n_matches"),
+        col("first_pos").cast("bigint").as("first_pos"))
+  }
+
+  /** CONTAINMENT JOIN (round-10 continuation) — asymmetric near-dup
+    * detection: `C(a, b) = |A ∩ B| / |A|` over distinct char-`k`-gram
+    * shingle sets, the measure that catches a short doc COPIED INTO a
+    * longer one (Jaccard is diluted by the size mismatch; containment is
+    * not). Exact, via the standard prefix-filter candidate cut: order
+    * every doc's shingles by ascending global document frequency (ties by
+    * shingle — a total order), and probe the index with only the FIRST
+    * `|A| − ⌈t·|A|⌉ + 1` shingles of each doc. Pigeonhole makes the cut
+    * LOSSLESS: a B with `|A∩B| ≥ ⌈t·|A|⌉` leaves at most `|A| − ⌈t·|A|⌉`
+    * of A outside B, so A's prefix must hit B. Candidates are then
+    * verified with one sorted-array intersection per pair against the
+    * full shingle arrays — brute-force pair enumeration never happens.
+    *
+    * Integer discipline: `⌈t·|A|⌉ = (tMilli·|A| + 999) div 1000` and the
+    * reported `containment_milli = 1000·|A∩B| div |A|` are all
+    * non-negative bigint ops, bit-equal to the brute-force DuckDB oracle.
+    *
+    * Scale: shuffles carry (docId, shingle-hash)-sized rows bounded by
+    * prefix lengths, never text; the verify join moves only candidate
+    * pairs plus each side's shingle array once. The df table is corpus-
+    * derived and NOT broadcast (AQE decides). The degenerate all-same-
+    * vocab corpus (this fixture) maximally stresses the filter — the spec
+    * pins candidates ≪ all pairs even here.
+    */
+  def containmentJoin(spark: SparkSession, dir: String, k: Int = 12,
+      tMilli: Int = 800): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 1000, s"tMilli must be in [1, 1000], got $tMilli")
+    val sh = docs(spark, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))")))
+          .as("s"))
+    val shC = sh.cache()
+    shC.count() // eager fill before AQE fans out the three consumers
+    val df = shC.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    // rank each doc's shingles in the (df, shingle) total order; keep the
+    // lossless prefix per doc
+    val ranked = shC.join(df, "s")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("dfreq").asc, col("s").asc)))
+      .withColumn("size_a", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("size_a") - expr(s"($tMilli * size_a + 999) div 1000") + 1)
+      .select(col("doc_id").as("a_id"), col("s"), col("size_a"))
+    val cand = prefix.join(shC.select(col("doc_id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "size_a").distinct()
+    val arrs = shC.groupBy("doc_id").agg(sort_array(collect_list("s")).as("arr"))
+    val out = cand
+      .join(arrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(arrs.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .select(col("a_id"), col("b_id"), col("size_a").cast("bigint").as("size_a"),
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("bigint").as("n_common"))
+      .filter(expr(s"1000 * n_common div size_a >= $tMilli"))
+      .withColumn("containment_milli", expr("1000 * n_common div size_a"))
+    Dedup.materializeAndRelease(Seq(shC), out)
+  }
 }

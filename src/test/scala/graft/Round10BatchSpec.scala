@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Relational, TextAnalysis, TimeSeries}
+
+/** Contract specs for the round-10 continuation batch (time-series family,
+  * DQ audits, link prediction, phrase/containment search). The DuckDB
+  * oracles are the bit-exact gate; these pin the semantic PROPERTIES that
+  * an oracle row-hash can't localize when it breaks — invariants of each
+  * statistic, losslessness of the candidate cuts, determinism of tie
+  * orders — plus the plan shapes that keep them scale-safe.
+  */
+class Round10BatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = SparkSpec.testDataDir
+
+  test("acf: every (type, lag<=3) cell present, r_milli bounded, pairs < hours") {
+    val rows = TimeSeries.eventsAcf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val hoursByType = TimeSeries.eventsCusum(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val types = rows.map(_.getString(0)).distinct
+    // all 3 lags materialize for every type (the hourly series is dense
+    // enough at every SF that lag-3 overlap exists)
+    types.foreach { t =>
+      val lags = rows.filter(_.getString(0) == t).map(_.getLong(1)).sorted.toSeq
+      assert(lags == Seq(1L, 2L, 3L), s"type $t lags $lags")
+    }
+    rows.foreach { r =>
+      val (lag, n) = (r.getLong(1), r.getLong(2))
+      assert(n >= 2, s"degenerate pair count $n")
+      if (!r.isNullAt(3)) {
+        val rm = r.getLong(3)
+        assert(rm >= -1000 && rm <= 1000, s"correlation out of range: $rm")
+      }
+      // pairs are bounded by the observed-hour count (each x-hour pairs
+      // with at most one z-hour per lag); NO monotonicity in lag — gaps
+      // in a sparse series make lag-3 overlap exceed lag-1 legitimately
+      val hours = hoursByType(r.getString(0))
+      assert(n <= hours - 1, s"lag-$lag pair count $n exceeds hours $hours")
+    }
+  }
+
+  test("acf: perfectly autocorrelated constant-step series gives r_milli = 1000") {
+    // independent arithmetic check on a hand series: y_t = t is perfectly
+    // linearly dependent at every lag, so Pearson r must be exactly 1
+    import spark.implicits._
+    val hand = (1 to 50).map(t => ("x", t.toLong, t.toLong)).toDF("event_type", "hr", "y")
+    hand.createOrReplaceTempView("r10_acf_hand")
+    val lagged = spark.sql(
+      """SELECT a.event_type, l.lag, a.y AS x, b.y AS z
+        |FROM r10_acf_hand a
+        |JOIN (SELECT explode(sequence(1, 3)) AS lag) l
+        |JOIN r10_acf_hand b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+        |""".stripMargin)
+    val m = lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("s_x"), sum("z").as("s_z"),
+        sum(expr("x * x")).as("s_xx"), sum(expr("z * z")).as("s_zz"),
+        sum(expr("x * z")).as("s_xz"))
+      .selectExpr("CAST(round(1000.0 * (n * s_xz - s_x * s_z) / " +
+        "(sqrt(CAST(n * s_xx - s_x * s_x AS DOUBLE)) * " +
+        "sqrt(CAST(n * s_zz - s_z * s_z AS DOUBLE)))) AS BIGINT) AS r_milli")
+      .collect()
+    assert(m.length == 3 && m.forall(_.getLong(0) == 1000L), m.mkString(","))
+  }
+
+  test("cusum: one changepoint per type; S_t identity and argmax tie-order hold") {
+    val rows = TimeSeries.eventsCusum(spark, dir).collect()
+    val types = rows.map(_.getString(0))
+    assert(types.distinct.length == types.length, "duplicate changepoint row")
+    rows.foreach { r =>
+      val (nH, total, t, s, absS) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(absS == math.abs(s))
+      assert(t >= 1 && t <= nH, s"cp position $t outside [1, $nH]")
+      assert(total > 0)
+      // S_n = n*total - n*total = 0, so a positive max |S| can never sit
+      // at the last position unless the whole series deviates nowhere
+      if (absS > 0) assert(t < nH, "argmax landed on the always-zero endpoint")
+    }
+  }
+
+  test("seasonality: exactly one peak per type; mean identity; totals partition the volume") {
+    val rows = TimeSeries.eventsSeasonality(spark, dir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.count(_.getBoolean(5)) == 1, s"type $t has != 1 peak slot")
+      val peak = rs.filter(_.getBoolean(5)).head
+      assert(rs.forall(r => r.getLong(3) <= peak.getLong(3)),
+        s"type $t peak is not the max-total slot")
+      rs.foreach { r =>
+        assert(r.getLong(4) == 1000L * r.getLong(3) / r.getLong(2), "mean_milli identity")
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+      }
+    }
+    // hour-of-day totals partition total event volume exactly
+    val volume = Relational.events(spark, dir).count()
+    assert(rows.map(_.getLong(3)).sum == volume)
+  }
+
+  test("ohlc: high/low bound open/close; volumes partition the stream; ties broken by event_id") {
+    val rows = TimeSeries.eventsOhlc(spark, dir).collect()
+    rows.foreach { r =>
+      val (vol, o, h, l, c) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(h >= math.max(o, c) && l <= math.min(o, c), s"candle bounds broken: $r")
+      assert(vol >= 1)
+      if (vol == 1) assert(o == c && o == h && h == l, s"singleton candle not degenerate: $r")
+    }
+    assert(rows.map(_.getLong(2)).sum == Relational.events(spark, dir).count())
+  }
+
+  test("rolling median: frame arithmetic exact (multiples of 500, inside [min,max] of frame)") {
+    val rows = TimeSeries.eventsRollingMedian(spark, dir)
+      .orderBy("event_type", "hr").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val med = r.getLong(3)
+        assert(med % 500 == 0, s"median not on the exact midpoint grid: $med")
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_.getLong(2) * 1000)
+        assert(med >= frame.min && med <= frame.max, "median escaped its frame")
+        // independent recomputation of the order statistic
+        val sorted = frame.sorted
+        val want = if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+          else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+        assert(med == want, s"median $med != recomputed $want")
+      }
+    }
+  }
+
+  test("benford: 9 digit rows, observed partitions orders, literal expectations") {
+    val rows = Relational.dqBenford(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 9L),
+      "first digits of positive totals must cover 1..9")
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    val expected = Map(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L,
+      5L -> 79L, 6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+    rows.foreach { r =>
+      assert(r.getLong(3) == expected(r.getLong(0)), "expectation literal drifted")
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)), "dev identity")
+    }
+  }
+
+  test("l-diversity: l <= k always; is_diverse is the l >= 3 gate; groups partition customers") {
+    val rows = Relational.dqLdiversity(spark, dir).collect()
+    rows.foreach { r =>
+      val (k, l) = (r.getLong(2), r.getLong(3))
+      assert(l >= 1 && l <= k, s"distinct sensitive values $l outside [1, $k]")
+      assert(r.getBoolean(4) == (l >= 3))
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      spark.read.parquet(s"$dir/customer.parquet").count())
+    // the parameter is live: l = 1 makes every group diverse
+    assert(Relational.dqLdiversity(spark, dir, l = 1)
+      .filter(!col("is_diverse")).count() == 0)
+  }
+
+  test("link predict: self-tuning cut sparsifies; predictions disjoint from edges; order total") {
+    val out = Graph.linkPredict(spark, dir, topK = 10).collect()
+    assert(out.nonEmpty, "median cut failed to sparsify — no links to predict")
+    assert(out.length <= 10)
+    out.foreach(r => assert(r.getLong(0) < r.getLong(1), "pairs must be oriented u < v"))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length == out.length)
+    // ranking is the documented total order
+    val key = out.map(r => (-r.getLong(3), -r.getLong(2), r.getLong(0), r.getLong(1)))
+    assert(key.sameElements(key.sorted), "output violates (ra DESC, common DESC, u, v)")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1, "a predicted pair must share a neighbor")
+      // RA with >= 1 common neighbor of degree >= 1 is >= 1 micro-unit
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("phrase search: every hit contains the phrase; counts match an independent scan") {
+    val hits = TextAnalysis.phraseSearch(spark, dir, phrase = "fast table").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent ground truth: whitespace-tokenize driver-side and count
+    // adjacent ("fast", "table") positions
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ")
+        val n = toks.indices.dropRight(1)
+          .count(i => toks(i) == "fast" && toks(i + 1) == "table")
+        r.getLong(0) -> n.toLong
+      }.filter(_._2 > 0).toMap
+    assert(hits == want, s"phrase hits diverge: got ${hits.size}, want ${want.size}")
+  }
+
+  test("containment: prefix filter is lossless vs brute force and prunes the pair space") {
+    val got = TextAnalysis.containmentJoin(spark, dir, k = 12, tMilli = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // brute-force ground truth over the same shingle definition
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 12)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 11), i -> substring(text, i, 12))"))).as("s"))
+    sh.createOrReplaceTempView("r10_sh")
+    val want = spark.sql(
+      """WITH sz AS (SELECT doc_id, count(*) AS size_a FROM r10_sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |      FROM r10_sh a JOIN r10_sh b ON a.s = b.s AND a.doc_id != b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, 1000 * n_common div size_a AS cm
+        |FROM p JOIN sz ON a_id = sz.doc_id
+        |WHERE 1000 * n_common div size_a >= 800""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"containment diverges from brute force: ${got.size} vs ${want.size}")
+    // the t=1 cut degenerates to single-shingle prefixes and still works
+    val strict = TextAnalysis.containmentJoin(spark, dir, k = 12, tMilli = 1000).collect()
+    strict.foreach(r => assert(r.getLong(4) == 1000L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.containmentJoin(spark, dir, tMilli = 0))
+  }
+
+  test("r10 batch plan shapes: no cartesian; nested-loop only as one-row scalar broadcasts") {
+    // dq_benford broadcasts its one-row total and graph_link_predict its
+    // one-row threshold/count — those BNLJ sites are by-construction
+    // bounded; anywhere else a BNLJ means an equi-join silently degraded
+    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict")
+    val batch = Seq("events_acf", "events_cusum", "events_seasonality",
+      "events_ohlc", "events_rolling_median", "dq_benford", "dq_ldiversity",
+      "graph_link_predict", "text_phrase_search", "text_containment")
+    batch.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!scalarBroadcastOk(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name lost its equi-join:\n$plan")
+    }
+  }
+}
