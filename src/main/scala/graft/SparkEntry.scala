@@ -298,6 +298,12 @@ object SparkEntry {
     // prefix-filtered exact containment join
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "text_containment" -> ((s, d) => TextAnalysis.containmentJoin(s, d)),
+    // r10 continuation: MOSS winnowing fingerprints (per-doc summary +
+    // the shared-hash overlap detector they exist for), distinct-n
+    // corpus-diversity rollup
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    "text_winnowing_overlap" -> ((s, d) => TextAnalysis.winnowingOverlap(s, d)),
+    "text_distinct_ngrams" -> ((s, d) => TextAnalysis.distinctNgrams(s, d)),
     // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
@@ -3368,6 +3374,81 @@ object SparkEntry {
         |SELECT a_id, b_id, size_a, n_common, 1000 * n_common // size_a AS containment_milli
         |FROM pair JOIN sz ON a_id = sz.doc_id
         |WHERE 1000 * n_common // size_a >= 800""".stripMargin,
+    // r10 continuation: MOSS winnowing — rightmost window-min selection
+    // stated as the (h ASC, pos DESC) rank-1 rule; k=8, w=4
+    "text_winnowing" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 11),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 8), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        | FROM d, LATERAL unnest(generate_series(1, len(text) - 7)) t(i)),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+        |wins AS (
+        | SELECT doc_id, CAST(j AS BIGINT) AS j
+        | FROM ng, LATERAL unnest(generate_series(1, n_grams - 3)) t(j)),
+        |sel0 AS (
+        | SELECT w.doc_id, w.j, g.pos, g.h,
+        |  row_number() OVER (PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.pos DESC) AS rk
+        | FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.j AND w.j + 3),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM sel0 WHERE rk = 1)
+        |SELECT s.doc_id, ng.n_grams, CAST(count(*) AS BIGINT) AS n_selected,
+        | CAST(count(DISTINCT s.h) AS BIGINT) AS n_distinct_h,
+        | CAST(sum(s.h) AS BIGINT) AS h_checksum,
+        | 1000 * count(*) // (ng.n_grams - 3) AS density_milli
+        |FROM sel s JOIN ng ON s.doc_id = ng.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "text_winnowing_overlap" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 11),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 8), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        | FROM d, LATERAL unnest(generate_series(1, len(text) - 7)) t(i)),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+        |wins AS (
+        | SELECT doc_id, CAST(j AS BIGINT) AS j
+        | FROM ng, LATERAL unnest(generate_series(1, n_grams - 3)) t(j)),
+        |sel0 AS (
+        | SELECT w.doc_id, w.j, g.pos, g.h,
+        |  row_number() OVER (PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.pos DESC) AS rk
+        | FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.j AND w.j + 3),
+        |ph AS (SELECT DISTINCT doc_id, h FROM sel0 WHERE rk = 1),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ph GROUP BY 1),
+        |pair AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+        | FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared,
+        | 1000 * n_shared // least(ca.c, cb.c) AS shared_milli
+        |FROM pair JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE 1000 * n_shared // least(ca.c, cb.c) >= 500""".stripMargin,
+    // r10 continuation: distinct-3 diversity per source over poly-hashed
+    // word trigrams (the same hash-keyed dedup discipline as the dedups)
+    "text_distinct_ngrams" ->
+      """WITH tk AS (
+        | SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT source,
+        |  list_reduce(list_transform(string_split(
+        |    tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)], ''),
+        |    c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        | FROM tk, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 0))) t(i)),
+        |agg AS (
+        | SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_instances
+        | FROM g GROUP BY 1),
+        |tt AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+        | FROM tk GROUP BY 1)
+        |SELECT tt.source, tt.n_docs, tt.n_tokens,
+        | coalesce(agg.n_instances, 0) AS n_instances,
+        | coalesce(agg.n_distinct, 0) AS n_distinct,
+        | CASE WHEN coalesce(agg.n_instances, 0) > 0
+        |  THEN 1000 * agg.n_distinct // agg.n_instances END AS distinct_milli
+        |FROM tt LEFT JOIN agg ON tt.source = agg.source""".stripMargin,
     // oriented u<v edges stored once: each triangle a<b<c matches the
     // two-join exactly once; clustering in exact permille (all integers)
     "graph_triangles" ->

@@ -2359,4 +2359,129 @@ object TextAnalysis {
       .withColumn("containment_milli", expr("1000 * n_common div size_a"))
     Dedup.materializeAndRelease(Seq(shC), out)
   }
+
+  /** WINNOWING fingerprint selection per document (round-10 continuation)
+    * — the MOSS algorithm (Schleimer–Wilkerson–Aiken, SIGMOD'03): hash
+    * every char `k`-gram with the portable poly-hash, slide a window of
+    * `w` consecutive gram hashes, and record the RIGHTMOST minimum of
+    * each window. The guarantee: any match of length ≥ `w + k − 1`
+    * between two documents shares at least one selected fingerprint, at
+    * an expected density of only `2/(w+1)` — the sparse-but-lossless
+    * sampling real plagiarism/overlap detectors run at corpus scale.
+    *
+    * The whole selection is ARRAY arithmetic inside one projection (gram
+    * hashes → per-window fold for the rightmost argmin → distinct) —
+    * zero shuffles until the output row is one summary per doc. The fold
+    * uses `<=` so later positions displace equal hashes, which is exactly
+    * the `(h ASC, pos DESC)` rank-1 rule the DuckDB oracle states.
+    *
+    * `selected` is deduplicated on (pos, h) pairs — adjacent windows
+    * usually re-pick the same minimum, which is WHY density lands near
+    * 2/(w+1) rather than 1.
+    */
+  def winnowing(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    graft.functions.GraftFunctions.register(spark)
+    winnowSelected(spark, dir, k, w)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("bigint").as("n_selected"),
+        size(array_distinct(expr("transform(sel, s -> s.h)"))).cast("bigint").as("n_distinct_h"),
+        expr("aggregate(sel, 0L, (acc, s) -> acc + s.h)").as("h_checksum"),
+        expr(s"1000 * size(sel) div (n_grams - ${w - 1})").as("density_milli"))
+  }
+
+  /** The shared selection stage: per doc, the distinct (pos, h) winnowed
+    * fingerprints as an array column `sel`, plus `n_grams`. Docs shorter
+    * than one full window (`k + w − 1` chars) have no window and are
+    * excluded on BOTH engines.
+    */
+  private def winnowSelected(spark: SparkSession, dir: String, k: Int, w: Int): DataFrame =
+    docs(spark, dir)
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> graft_poly_hash(substring(text, i, $k), 31, ${graft.functions.Portable.P1}L))").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"),
+        expr(s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           j -> aggregate(sequence(0, ${w - 1}),
+             named_struct('h', 9223372036854775807L, 'pos', -1L),
+             (acc, o) -> IF(element_at(hs, CAST(j + o AS INT)) <= acc.h,
+               named_struct('h', element_at(hs, CAST(j + o AS INT)), 'pos', CAST(j + o AS BIGINT)),
+               acc))))""").as("sel"))
+
+  /** WINNOWING OVERLAP pairs — the detector the fingerprints exist FOR:
+    * join documents on shared selected hash values (positions dropped —
+    * a match anywhere counts) and keep pairs whose shared-hash count
+    * covers ≥ `minSharedMilli`/1000 of the SMALLER side's fingerprint
+    * set. The fraction, not an absolute count, is the right gate: on a
+    * shared-vocabulary corpus every pair shares a background of common
+    * hashes (this fixture: ~13% of the smaller side for unrelated pairs),
+    * while genuinely copied content pushes past half. By the winnowing guarantee
+    * every common substring of length ≥ `w + k − 1` contributes ≥ 1
+    * shared hash, so high containment cannot dodge the gate.
+    *
+    * Scale: the only shuffled rows are (hash, doc_id) postings — text
+    * never moves; the pair aggregation is bounded by postings-per-hash²
+    * summed over hashes, the quantity the selection's sparsity shrinks
+    * (w+1)²/4-fold vs all-grams. No all-pairs stage exists: pairs only
+    * materialize through shared hashes, pre-aggregated per hash.
+    */
+  def winnowingOverlap(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+      minSharedMilli: Int = 500): DataFrame = {
+    require(minSharedMilli >= 1 && minSharedMilli <= 1000,
+      s"minSharedMilli must be in [1, 1000], got $minSharedMilli")
+    graft.functions.GraftFunctions.register(spark)
+    val post = winnowSelected(spark, dir, k, w)
+      .select(col("doc_id"), explode(array_distinct(expr("transform(sel, s -> s.h)"))).as("h"))
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      // per-doc count joins are equi-joins on the pair's own keys — the
+      // counts table is corpus-sized, so it is NOT broadcast (AQE decides)
+      .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .withColumn("shared_milli", expr("1000 * n_shared div least(ca, cb)"))
+      .filter(col("shared_milli") >= minSharedMilli)
+      .select(col("a_id"), col("b_id"), col("n_shared").cast("bigint").as("n_shared"),
+        col("shared_milli").cast("bigint").as("shared_milli"))
+  }
+
+  /** DISTINCT-N DIVERSITY per source (round-10 continuation) — the
+    * corpus-health metric (Li et al. '16): distinct word `n`-gram count
+    * over total n-gram instances. A source whose ratio collapses is
+    * template spam / boilerplate even when every individual doc passes
+    * quality gates — the aggregate view per-doc filters cannot see.
+    * Output: per source, token totals, n-gram instances, distinct
+    * n-grams, and `distinct_milli = 1000·distinct div instances`.
+    *
+    * Scale: one explode of (source, shingle-HASH) — 8 bytes/row, text
+    * never shuffles; distinct-count is a two-level hash aggregate. The
+    * poly-hash keyed dedup is the same discipline every dedup operator
+    * here uses (collision odds n²/2P ≈ harmless, and identical on both
+    * engines so the oracle still matches bit-for-bit).
+    */
+  def distinctNgrams(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    graft.functions.GraftFunctions.register(spark)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"), graft.functions.Portable.tokens("text").as("tk"))
+    toks
+      .select(col("source"),
+        expr(s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
+          s"i -> graft_poly_hash(${(0 until n).map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(" || ' ' || ")}, 31, ${graft.functions.Portable.P1}L))")
+          .as("gh"))
+      .select(col("source"), explode_outer(col("gh")).as("h"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).as("n_distinct"),
+        count(col("h")).as("n_instances"))
+      .join(toks.groupBy("source").agg(sum(size(col("tk"))).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_docs")), "source")
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_tokens"), col("n_instances").cast("bigint").as("n_instances"),
+        col("n_distinct").cast("bigint").as("n_distinct"),
+        expr("CASE WHEN n_instances > 0 THEN 1000 * n_distinct div n_instances END")
+          .as("distinct_milli"))
+  }
 }

@@ -219,6 +219,62 @@ class Round10BatchSpec extends AnyFunSuite {
       TextAnalysis.containmentJoin(spark, dir, tMilli = 0))
   }
 
+  test("winnowing: density near 2/(w+1); selection invariants; checksum consistent") {
+    val rows = TextAnalysis.winnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nGrams, nSel, nDist, density) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nSel >= 1 && nSel <= nGrams - 3, "selected count outside window bounds")
+      assert(nDist >= 1 && nDist <= nSel)
+      assert(density == 1000L * nSel / (nGrams - 3), "density identity")
+      // winnowing theory: expected density 2/(w+1) = 400 milli on random
+      // hashes; real text wobbles but stays in a broad band
+      assert(density >= 200 && density <= 700, s"density $density implausible")
+    }
+  }
+
+  test("winnowing guarantee: every high-containment pair shares >= 1 winnowed hash") {
+    // containment pairs share full 12-char shingles; 12 >= w + k - 1 = 11,
+    // so the SIGMOD'03 guarantee promises at least one common selected
+    // fingerprint — the cross-operator losslessness proof
+    val contained = TextAnalysis.containmentJoin(spark, dir, k = 12, tMilli = 800)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val shared = TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = contained -- shared
+    assert(missed.isEmpty, s"winnowing missed high-containment pairs: $missed")
+  }
+
+  test("winnowing overlap: fractional gate honored, pairs oriented and unique") {
+    val rows = TextAnalysis.winnowingOverlap(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be oriented a < b")
+      val sm = r.getLong(3)
+      assert(sm >= 500 && sm <= 1000, s"shared_milli $sm outside the gate")
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 0))
+  }
+
+  test("distinct-n diversity: instance totals recomputed independently; ratio identity") {
+    val rows = TextAnalysis.distinctNgrams(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of per-source trigram instance counts
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), expr("greatest(size(split(trim(text), '\\\\s+')) - 2, 0)").as("g"))
+      .groupBy("source").agg(sum("g").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, inst, dist) = (r.getString(0), r.getLong(3), r.getLong(4))
+      assert(inst == want(src), s"$src instance count $inst != ${want(src)}")
+      assert(dist >= 1 && dist <= inst)
+      assert(r.getLong(5) == 1000L * dist / inst, "distinct_milli identity")
+    }
+  }
+
   test("r10 batch plan shapes: no cartesian; nested-loop only as one-row scalar broadcasts") {
     // dq_benford broadcasts its one-row total and graph_link_predict its
     // one-row threshold/count — those BNLJ sites are by-construction
@@ -226,7 +282,8 @@ class Round10BatchSpec extends AnyFunSuite {
     val scalarBroadcastOk = Set("dq_benford", "graph_link_predict")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "dq_benford", "dq_ldiversity",
-      "graph_link_predict", "text_phrase_search", "text_containment")
+      "graph_link_predict", "text_phrase_search", "text_containment",
+      "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams")
     batch.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
