@@ -170,6 +170,9 @@ object SparkEntry {
     // r10: semi-hard negative mining for contrastive training (banded
     // exact top-k — same bounded-heap plan as ann_topk)
     "ann_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // r10 continuation: Artetxe-Schwenk ratio-margin bitext mining with
+    // mutual-best acceptance over the mod-10 side split
+    "ann_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
     // r10: greedy farthest-point diversity coreset (+ its gate: radii
     // recomputed with independent arithmetic)
     "sample_coreset" -> ((s, d) => Similarity.kCenterCoreset(s, d)),
@@ -1628,6 +1631,46 @@ object SparkEntry {
         |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
+    // r10 continuation: ratio-margin mining — candidate pairs are the
+    // union of forward/backward k-NN; neighborhood sums fold top-k
+    // cosines in (c DESC, id ASC) rank order, matching graft_topk's
+    // emission order exactly; ranks resolve on the micro-rounded margin
+    "ann_margin_mining" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS nm
+        | FROM embeddings),
+        |x AS (SELECT vec_id AS xi, embedding AS xe, nm AS xn FROM n WHERE vec_id % 10 = 0),
+        |y AS (SELECT vec_id AS yi, embedding AS ye, nm AS yn FROM n WHERE vec_id % 10 != 0),
+        |s AS (
+        | SELECT xi, yi,
+        |  list_reduce(list_transform(range(1, len(xe) + 1),
+        |    i -> CAST(xe[CAST(i AS INTEGER)] AS DOUBLE) * CAST(ye[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (a, b) -> a + b) / (xn * yn) AS c
+        | FROM x CROSS JOIN y),
+        |rx AS (SELECT xi, yi, c, row_number() OVER (PARTITION BY xi ORDER BY c DESC, yi ASC) AS rkx FROM s),
+        |ry AS (SELECT xi, yi, c, row_number() OVER (PARTITION BY yi ORDER BY c DESC, xi ASC) AS rky FROM s),
+        |dx AS (SELECT xi, list_reduce(list(c ORDER BY rkx), (a, b) -> a + b) AS dx FROM rx WHERE rkx <= 4 GROUP BY xi),
+        |dy AS (SELECT yi, list_reduce(list(c ORDER BY rky), (a, b) -> a + b) AS dy FROM ry WHERE rky <= 4 GROUP BY yi),
+        |cand AS (
+        | SELECT xi, yi FROM rx WHERE rkx <= 4
+        | UNION
+        | SELECT xi, yi FROM ry WHERE rky <= 4),
+        |m AS (
+        | SELECT cand.xi, cand.yi,
+        |  CAST(round(1000000.0 * (8 * s.c) / (dx.dx + dy.dy)) AS BIGINT) AS margin_micro
+        | FROM cand JOIN s ON s.xi = cand.xi AND s.yi = cand.yi
+        | JOIN dx ON dx.xi = cand.xi JOIN dy ON dy.yi = cand.yi),
+        |r2 AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY xi ORDER BY margin_micro DESC, yi ASC) AS rkx,
+        |  row_number() OVER (PARTITION BY yi ORDER BY margin_micro DESC, xi ASC) AS rky
+        | FROM m),
+        |best AS (SELECT xi, yi, margin_micro FROM r2 WHERE rkx = 1),
+        |besty AS (SELECT yi, xi AS bx FROM r2 WHERE rky = 1)
+        |SELECT best.xi AS x_id, best.yi AS y_id, best.margin_micro,
+        | besty.bx = best.xi AS is_mutual
+        |FROM best JOIN besty ON besty.yi = best.yi""".stripMargin,
     "ann_topk" ->
       """WITH e AS (
         | SELECT vec_id, embedding,

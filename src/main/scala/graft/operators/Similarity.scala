@@ -90,6 +90,78 @@ object Similarity {
     topKPerQuery(scored, col("cosine"), k)
   }
 
+  /** MARGIN-BASED BITEXT MINING (round-10 continuation) — the
+    * Artetxe–Schwenk ratio-margin retrieval that aligns two embedding
+    * sets (parallel-sentence mining, caption↔image pairing, cross-dump
+    * doc alignment): for candidate pair `(x, y)`,
+    * `margin(x,y) = cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(y,z)) / 2k)`
+    * — raw cosine normalized by both endpoints' neighborhood density, so
+    * hub vectors (close to everything) stop winning every alignment.
+    * Sides here are the deterministic `vec_id mod 10` split of the
+    * fixture (side A ≈ 10%, side B the rest).
+    *
+    * Determinism discipline: candidates are the union of forward and
+    * backward k-NN (never all pairs); neighborhood sums fold the top-k
+    * cosines in (score DESC, id ASC) rank order — `graft_topk` emits
+    * exactly that order, and the DuckDB oracle folds `list(c ORDER BY
+    * rank)` — identical IEEE operation sequences, so the micro-rounded
+    * margins and both argmax ranks match bit-for-bit. Output: per side-A
+    * vector its best-margin partner and whether the choice is MUTUAL
+    * (side-B vector picks it back) — the standard acceptance rule.
+    *
+    * Scale: side A broadcasts (the query-set pattern of
+    * [[bruteForceTopK]]); side B is never collected — its k-NN lists and
+    * neighborhood sums come from one `groupBy(yi)` bounded-heap partial
+    * aggregate; candidate margins join on pair keys only. At 100 TB the
+    * scored scan swaps for [[ivfTopK]] probes; everything downstream of
+    * the candidate table is unchanged.
+    */
+  def marginMining(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"marginMining: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir))
+    val x = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.filter(col("vec_id") % 10 =!= 0)
+      .join(broadcast(x), lit(true))
+      .withColumn("c", cosine)
+      .select(col("q_id").as("xi"), col("vec_id").as("yi"), col("c"))
+      .cache()
+    scored.count() // eager fill before the four consumers (cache-before-AQE)
+    val topX = scored.groupBy("xi").agg(expr(s"graft_topk(yi, c, $k)").as("top"))
+    val topY = scored.groupBy("yi").agg(expr(s"graft_topk(xi, c, $k)").as("top"))
+    val denX = topX.select(col("xi"),
+      expr("aggregate(top, 0.0D, (acc, s) -> acc + s.score)").as("dx"))
+    val denY = topY.select(col("yi"),
+      expr("aggregate(top, 0.0D, (acc, s) -> acc + s.score)").as("dy"))
+    val fwd = topX.select(col("xi"), explode(col("top")).as("t"))
+      .select(col("xi"), col("t.id").as("yi"))
+    val bwd = topY.select(col("yi"), explode(col("top")).as("t"))
+      .select(col("t.id").as("xi"), col("yi"))
+    val cand = fwd.union(bwd).distinct()
+    val m = cand.join(scored, Seq("xi", "yi"))
+      .join(broadcast(denX), "xi")
+      .join(denY, "yi") // side-B sums are corpus-sized: equi-join, AQE decides
+      .withColumn("margin_micro",
+        expr(s"CAST(round(1000000.0 * (${2 * k} * c) / (dx + dy)) AS BIGINT)"))
+    val wX = org.apache.spark.sql.expressions.Window
+      .partitionBy("xi").orderBy(col("margin_micro").desc, col("yi").asc)
+    val wY = org.apache.spark.sql.expressions.Window
+      .partitionBy("yi").orderBy(col("margin_micro").desc, col("xi").asc)
+    val ranked = m.withColumn("rkx", row_number().over(wX))
+      .withColumn("rky", row_number().over(wY))
+      .cache()
+    ranked.count()
+    val best = ranked.filter(col("rkx") === 1)
+      .select(col("xi").as("x_id"), col("yi").as("y_id"), col("margin_micro"))
+    val bestXofY = ranked.filter(col("rky") === 1)
+      .select(col("yi").as("y_id"), col("xi").as("bx"))
+    val out = best.join(bestXofY, "y_id")
+      .select(col("x_id"), col("y_id"), col("margin_micro"),
+        (col("bx") === col("x_id")).as("is_mutual"))
+    Dedup.materializeAndRelease(Seq(scored, ranked), out)
+  }
+
   /** K-CENTER CORESET selection (round 10) — greedy farthest-point
     * traversal (Gonzalez 1985, the 2-approximation of the k-center
     * optimum): the diversity-sampling primitive that picks the k most

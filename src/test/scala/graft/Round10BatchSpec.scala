@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Graph, Relational, TextAnalysis, TimeSeries}
+import graft.operators.{Graph, Relational, Similarity, TextAnalysis, TimeSeries}
 
 /** Contract specs for the round-10 continuation batch (time-series family,
   * DQ audits, link prediction, phrase/containment search). The DuckDB
@@ -275,15 +275,36 @@ class Round10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("margin mining: one aligned partner per side-A vector; mutual partners unique") {
+    val rows = Similarity.marginMining(spark, dir).collect()
+    val nSideA = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.length == nSideA, "exactly one best-margin row per side-A vector")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0 && r.getLong(1) % 10 != 0, "side split violated")
+      assert(r.getLong(2) > 0, "margin must be positive on this corpus")
+    }
+    // a side-B vector's best-x is unique, so mutual rows can't share y
+    val mutualYs = rows.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(mutualYs.nonEmpty, "no mutual alignment found — mining degenerated")
+    assert(mutualYs.distinct.length == mutualYs.length)
+    intercept[IllegalArgumentException](Similarity.marginMining(spark, dir, k = 0))
+  }
+
   test("r10 batch plan shapes: no cartesian; nested-loop only as one-row scalar broadcasts") {
     // dq_benford broadcasts its one-row total and graph_link_predict its
     // one-row threshold/count — those BNLJ sites are by-construction
     // bounded; anywhere else a BNLJ means an equi-join silently degraded
-    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict")
+    // ann_margin_mining's allowed BNLJ is the bounded QUERY-SET broadcast
+    // (side A × corpus scoring scan), the same shape PlanSpec blesses for
+    // ann_topk — not a degraded equi-join
+    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "ann_margin_mining")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "dq_benford", "dq_ldiversity",
       "graph_link_predict", "text_phrase_search", "text_containment",
-      "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams")
+      "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams",
+      "ann_margin_mining")
     batch.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
