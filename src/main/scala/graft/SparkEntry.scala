@@ -94,6 +94,8 @@ object SparkEntry {
     // CCNet head/middle/tail perplexity terciles with value-atomic
     // boundaries; histogram-decomposed cum counts, map-only assign (r9)
     "pipeline_ppl_buckets" -> ((s, d) => TextAnalysis.pipelinePplBuckets(s, d)),
+    // per-source CCNet-style calibrated keep rate off the same xent (r10)
+    "text_quality_calibrated" -> ((s, d) => TextAnalysis.qualityCalibrated(s, d)),
     // delta gate: zero monotonicity violations + total delta <= 450 permille
     // (the sf fixture's successor fan-out is near-UNIFORM -- ~30/context --
     // the worst case for pruning; Zipfian real text sits far under this)
@@ -1245,6 +1247,27 @@ object SparkEntry {
     // shares LmXentOracle verbatim as its CTE so the scores cannot drift;
     // value-atomic terciles: b_k = smallest xent whose cumulative count
     // (RANGE frame — peers included) reaches k*n/3
+    // r10 continuation: per-source calibrated keep — shares LmXentOracle
+    // verbatim; value-atomic milli-nat threshold via integer cross-multiply
+    "text_quality_calibrated" ->
+      s"""WITH ppl AS ($LmXentOracle),
+        |j AS (
+        | SELECT p.doc_id, d.source, p.xent_micronats, p.xent_micronats // 1000 AS xent_milli
+        | FROM ppl p JOIN documents d ON d.doc_id = p.doc_id),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+        |h AS (SELECT source, xent_milli, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+        |cc AS (
+        | SELECT source, xent_milli,
+        |  sum(c) OVER (PARTITION BY source ORDER BY xent_milli ASC) AS cum
+        | FROM h),
+        |thr AS (
+        | SELECT cc.source, min(xent_milli) AS thr_milli
+        | FROM cc JOIN n ON n.source = cc.source
+        | WHERE cum * 1000 >= n.n * 300
+        | GROUP BY 1)
+        |SELECT j.doc_id, j.source, j.xent_micronats, j.xent_milli, thr.thr_milli,
+        | j.xent_milli <= thr.thr_milli AS kept
+        |FROM j JOIN thr ON thr.source = j.source""".stripMargin,
     "pipeline_ppl_buckets" ->
       s"""WITH ppl AS ($LmXentOracle),
         |c AS (

@@ -2448,6 +2448,51 @@ object TextAnalysis {
         col("shared_milli").cast("bigint").as("shared_milli"))
   }
 
+  /** PER-SOURCE CALIBRATED QUALITY FILTER (round-10 continuation) — keep
+    * the most-fluent `keepMilli`/1000 of EACH source by LM cross-entropy
+    * ([[lmCrossEntropy]]), not of the global pool. Global thresholds
+    * ([[pipelinePplBuckets]]'s terciles) silently starve whole sources
+    * whose register differs from the blend (code, forums, OCR); per-source
+    * calibration is how CCNet applies its perplexity cut per language so
+    * every partition survives at the same rate.
+    *
+    * The cut is VALUE-ATOMIC at milli-nat granularity: the threshold is
+    * the smallest xent MILLI-nat value whose cumulative per-source doc
+    * count reaches `keepMilli·n/1000` (integer cross-multiplied — no
+    * ceil/float), and every doc sharing the boundary value is kept. Ties
+    * can only push the kept fraction OVER the target, never under.
+    *
+    * Scale: quantizing to milli-nats bounds the per-source value
+    * histogram by the value RANGE (a few thousand rows) rather than the
+    * doc count, so the prefix-sum window never sees a corpus-sized
+    * partition — the same reason [[pipelinePplBuckets]] works off a
+    * histogram; thresholds broadcast (|sources| rows) and the keep
+    * decision is map-only.
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String, keepMilli: Int = 300): DataFrame = {
+    require(keepMilli >= 1 && keepMilli <= 1000,
+      s"keepMilli must be in [1, 1000], got $keepMilli")
+    val x = lmCrossEntropy(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "source"), "doc_id")
+      .withColumn("xent_milli", expr("xent_micronats div 1000"))
+      .cache()
+    x.count() // eager fill before the histogram + assignment consumers
+    val n = x.groupBy("source").agg(count(lit(1)).as("n"))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("xent_milli").asc)
+    val thr = x.groupBy("source", "xent_milli").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        byV.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .join(n, "source")
+      .filter(col("cum") * 1000 >= col("n") * keepMilli)
+      .groupBy("source").agg(min("xent_milli").as("thr_milli"))
+    val out = x.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("xent_micronats"),
+        col("xent_milli"), col("thr_milli"),
+        (col("xent_milli") <= col("thr_milli")).as("kept"))
+    Dedup.materializeAndRelease(Seq(x), out)
+  }
+
   /** DISTINCT-N DIVERSITY per source (round-10 continuation) — the
     * corpus-health metric (Li et al. '16): distinct word `n`-gram count
     * over total n-gram instances. A source whose ratio collapses is

@@ -292,6 +292,33 @@ class Round10BatchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.marginMining(spark, dir, k = 0))
   }
 
+  test("calibrated quality: every source independently meets the keep rate; cut value-atomic") {
+    val rows = TextAnalysis.qualityCalibrated(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val kept = rs.count(_.getBoolean(5))
+      // the CALIBRATION property: each source meets the 30% target on its
+      // own (a global cut would starve high-xent sources entirely)
+      assert(1000L * kept >= 300L * rs.length,
+        s"source $src kept only $kept/${rs.length}")
+      val thr = rs.head.getLong(4)
+      rs.foreach { r =>
+        assert(r.getLong(4) == thr, "threshold must be constant per source")
+        assert(r.getBoolean(5) == (r.getLong(3) <= thr), "keep decision != threshold rule")
+        assert(r.getLong(3) == r.getLong(2) / 1000, "milli quantization identity")
+      }
+      // value-atomic: removing the boundary value drops below target, so
+      // the chosen threshold is minimal
+      val below = rs.count(_.getLong(3) < thr)
+      assert(1000L * below < 300L * rs.length, "threshold is not minimal")
+    }
+    // keepMilli = 1000 keeps every document
+    assert(TextAnalysis.qualityCalibrated(spark, dir, keepMilli = 1000)
+      .filter(!col("kept")).count() == 0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityCalibrated(spark, dir, keepMilli = 0))
+  }
+
   test("r10 batch plan shapes: no cartesian; nested-loop only as one-row scalar broadcasts") {
     // dq_benford broadcasts its one-row total and graph_link_predict its
     // one-row threshold/count — those BNLJ sites are by-construction
@@ -299,12 +326,15 @@ class Round10BatchSpec extends AnyFunSuite {
     // ann_margin_mining's allowed BNLJ is the bounded QUERY-SET broadcast
     // (side A × corpus scoring scan), the same shape PlanSpec blesses for
     // ann_topk — not a degraded equi-join
-    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "ann_margin_mining")
+    // text_quality_calibrated inherits lmCrossEntropy's one-row vocab
+    // crossJoin — also a bounded scalar broadcast
+    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "ann_margin_mining",
+      "text_quality_calibrated")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "dq_benford", "dq_ldiversity",
       "graph_link_predict", "text_phrase_search", "text_containment",
       "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams",
-      "ann_margin_mining")
+      "ann_margin_mining", "text_quality_calibrated")
     batch.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
