@@ -293,6 +293,8 @@ object SparkEntry {
     "events_seasonality" -> ((s, d) => TimeSeries.eventsSeasonality(s, d)),
     "events_ohlc" -> ((s, d) => TimeSeries.eventsOhlc(s, d)),
     "events_rolling_median" -> ((s, d) => TimeSeries.eventsRollingMedian(s, d)),
+    // classical additive trend/seasonal/residual split, milli-exact (r10)
+    "events_decompose" -> ((s, d) => TimeSeries.eventsDecompose(s, d)),
     // r10 continuation: data-quality audits (Benford first-digit screen,
     // l-diversity privacy gate)
     "dq_benford" -> ((s, d) => Relational.dqBenford(s, d)),
@@ -3358,6 +3360,29 @@ object SparkEntry {
         | CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
         | CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // additive decomposition: centered 5h rolling-mean trend; seasonal
+    // mean through the +n*B shift so the div numerator stays non-negative
+    "events_decompose" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT event_type, hr, y,
+        |  CAST(sum(y) OVER w AS BIGINT) AS s_frame,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_frame
+        | FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |d AS (
+        | SELECT *, CAST(1000 * s_frame // n_frame AS BIGINT) AS trend_milli,
+        |  CAST(1000 * y - 1000 * s_frame // n_frame AS BIGINT) AS d_milli
+        | FROM t),
+        |s AS (
+        | SELECT event_type, hr % 24 AS hod,
+        |  CAST((CAST(sum(d_milli) AS BIGINT) + count(*) * 1000000000) // count(*) - 1000000000 AS BIGINT) AS seasonal_milli
+        | FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, d.hr, d.y, d.trend_milli, s.seasonal_milli,
+        | CAST(d.d_milli - s.seasonal_milli AS BIGINT) AS residual_milli
+        |FROM d JOIN s ON s.event_type = d.event_type AND s.hod = d.hr % 24""".stripMargin,
     // milli-scaled so the even-frame midpoint average is exact (mult of 500)
     "events_rolling_median" ->
       """WITH c AS (

@@ -134,6 +134,46 @@ object TimeSeries {
         sum("cents").as("total_cents"))
   }
 
+  /** SEASONAL DECOMPOSITION (round-10 continuation) — the classical
+    * additive `y = trend + seasonal + residual` split over the hourly
+    * series: trend is the centered 5-hour rolling mean, the seasonal
+    * component is the hour-of-day mean of the detrended series, and the
+    * residual is what remains — the decomposition every anomaly monitor
+    * runs before alerting so a nightly dip stops paging anyone.
+    *
+    * Exact-integer discipline: everything is milli-scaled;
+    * `trend_milli = 1000·Σframe div cnt` divides non-negative terms, and
+    * the seasonal mean — whose numerator CAN be negative — is computed
+    * through the `+n·B` shift (`(Σd + n·B) div n − B`, B = 10⁹) so the
+    * one integer division both engines execute still sees a non-negative
+    * numerator (the build convention: truncation vs floor never gets a
+    * chance to disagree).
+    *
+    * Scale: calendar-bounded windows after the map-combined hourly
+    * reduction; the seasonal means are a ≤ types×24-row aggregate that
+    * broadcasts back; nothing scales with raw event volume.
+    */
+  def eventsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val c = hourlyCounts(spark, dir)
+    val frame = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-2, 2)
+    val withTrend = c
+      .withColumn("s_frame", sum("y").over(frame))
+      .withColumn("n_frame", count(lit(1)).over(frame))
+      .withColumn("trend_milli", expr("1000 * s_frame div n_frame"))
+      .withColumn("d_milli", expr("1000 * y - trend_milli"))
+    val seas = withTrend
+      .groupBy(col("event_type"), expr("hr % 24").as("hod"))
+      .agg(count(lit(1)).as("n"), sum("d_milli").as("sd"))
+      .select(col("event_type"), col("hod"),
+        expr("(sd + n * 1000000000L) div n - 1000000000L").as("seasonal_milli"))
+    withTrend
+      .withColumn("hod", expr("hr % 24"))
+      .join(broadcast(seas), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hr"), col("y").cast("bigint").as("y"),
+        col("trend_milli"), col("seasonal_milli"),
+        (col("d_milli") - col("seasonal_milli")).as("residual_milli"))
+  }
+
   /** ROLLING MEDIAN (5-hour trailing frame) of hourly volume per type.
     * Counts are milli-scaled BEFORE the median so the even-frame midpoint
     * average `(a+b)/2` lands on an exact multiple of 500 — Spark takes

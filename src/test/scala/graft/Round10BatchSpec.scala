@@ -132,6 +132,21 @@ class Round10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("decomposition: y*1000 == trend + seasonal + residual; seasonal constant per slot") {
+    val rows = TimeSeries.eventsDecompose(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (y, t, s, res) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(1000 * y == t + s + res, s"reconstruction identity broken: $r")
+      assert(t >= 0, "trend of a count series cannot be negative")
+    }
+    // the seasonal component is a function of (type, hour-of-day) only
+    rows.groupBy(r => (r.getString(0), r.getLong(1) % 24)).foreach { case (k, rs) =>
+      assert(rs.map(_.getLong(4)).distinct.length == 1,
+        s"seasonal component varies within slot $k")
+    }
+  }
+
   test("benford: 9 digit rows, observed partitions orders, literal expectations") {
     val rows = Relational.dqBenford(spark, dir).collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 9L),
@@ -331,7 +346,8 @@ class Round10BatchSpec extends AnyFunSuite {
     val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "ann_margin_mining",
       "text_quality_calibrated")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
-      "events_ohlc", "events_rolling_median", "dq_benford", "dq_ldiversity",
+      "events_ohlc", "events_rolling_median", "events_decompose",
+      "dq_benford", "dq_ldiversity",
       "graph_link_predict", "text_phrase_search", "text_containment",
       "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams",
       "ann_margin_mining", "text_quality_calibrated")
