@@ -301,6 +301,9 @@ object SparkEntry {
     "dq_ldiversity" -> ((s, d) => Relational.dqLdiversity(s, d)),
     // r10 continuation: wedge-enumerated resource-allocation link scores
     "graph_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
+    // r10 continuation: synchronous deterministic LPA over the same
+    // median-sparsified co-service graph
+    "graph_lpa" -> ((s, d) => Graph.lpaCommunities(s, d)),
     // r10 continuation: positional inverted-index phrase probe and the
     // prefix-filtered exact containment join
     "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
@@ -3438,6 +3441,34 @@ object SparkEntry {
         |SELECT u, v, n_common, ra_micros FROM sc
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
         |ORDER BY ra_micros DESC, n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+    // r10 continuation: 3 unrolled synchronous LPA supersteps over the
+    // TOP-DECILE backbone (median graph too dense — one community);
+    // argmax is the (count DESC, label ASC) rank = the min-struct order
+    "graph_lpa" ->
+      """WITH sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |ew AS (
+        | SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+        | FROM sup a JOIN sup b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        | GROUP BY 1, 2),
+        |h AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ew GROUP BY w),
+        |rk AS (SELECT w, sum(c) OVER (ORDER BY w ASC) AS cum, sum(c) OVER () AS n FROM h),
+        |thr AS (SELECT min(w) AS t FROM rk WHERE cum * 1000 >= n * 900),
+        |e AS (SELECT u, v FROM ew, thr WHERE w > t),
+        |adj AS (SELECT u AS v, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT v, v AS lbl FROM adj),
+        |c1 AS (SELECT a.v, l.lbl, count(*) AS c FROM adj a JOIN l0 l ON l.v = a.nb GROUP BY 1, 2),
+        |l1 AS (SELECT v, lbl FROM (
+        | SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS r FROM c1) WHERE r = 1),
+        |c2 AS (SELECT a.v, l.lbl, count(*) AS c FROM adj a JOIN l1 l ON l.v = a.nb GROUP BY 1, 2),
+        |l2 AS (SELECT v, lbl FROM (
+        | SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS r FROM c2) WHERE r = 1),
+        |c3 AS (SELECT a.v, l.lbl, count(*) AS c FROM adj a JOIN l2 l ON l.v = a.nb GROUP BY 1, 2),
+        |l3 AS (SELECT v, lbl FROM (
+        | SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS r FROM c3) WHERE r = 1)
+        |SELECT v AS supplier, CAST(lbl AS BIGINT) AS community,
+        | CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+        |FROM l3""".stripMargin,
     // r10 continuation: positional postings, phrase = adjacency join
     "text_phrase_search" ->
       """WITH tok AS (

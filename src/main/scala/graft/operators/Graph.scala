@@ -224,23 +224,7 @@ object Graph {
     * top-k is a TakeOrdered, no global sort materializes.
     */
   def linkPredict(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    val ew = sup.as("a").join(sup.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .cache()
-    ew.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
-    val hist = ew.groupBy("w").agg(count(lit(1)).as("c"))
-    val byW = org.apache.spark.sql.expressions.Window.orderBy(col("w").asc)
-    val thr = hist
-      .withColumn("cum", sum("c").over(
-        byW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(ew.agg(count(lit(1)).as("n"))))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
-      .agg(min("w").as("t"))
-    val e = ew.crossJoin(broadcast(thr)).filter(col("w") > col("t")).select("u", "v")
+    val (ew, e) = sparsifiedCoServiceEdges(spark, dir)
     val adj = e.select(col("u").as("mid"), col("v").as("nb"))
       .union(e.select(col("v").as("mid"), col("u").as("nb")))
     val deg = adj.groupBy("mid").agg(count(lit(1)).as("d"))
@@ -256,6 +240,84 @@ object Graph {
       .select(col("u"), col("v"), col("n_common").cast("bigint").as("n_common"),
         col("ra_micros").cast("bigint").as("ra_micros"))
     Dedup.materializeAndRelease(Seq(ew), out)
+  }
+
+  /** The shared QUANTILE-SPARSIFIED supplier co-service edge stage (the
+    * self-tuning cut [[linkPredict]] documents): returns the CACHED
+    * weighted pair table (caller must hand it to
+    * `Dedup.materializeAndRelease`) and the u<v edge set strictly above
+    * the `permille`-quantile co-service weight (500 = the lower median;
+    * `cum·1000 ≥ n·permille` is the same integer rank rule — for 500 it
+    * is algebraically identical to the `(n+1) div 2` median form the
+    * link-predict oracle states). [[lpaCommunities]] cuts at 900: the
+    * median graph is still ~50% dense on this fixture and LPA would
+    * collapse to one community — the top-decile backbone is where the
+    * community structure lives.
+    */
+  private def sparsifiedCoServiceEdges(spark: SparkSession, dir: String,
+      permille: Int = 500): (DataFrame, DataFrame) = {
+    require(permille >= 1 && permille <= 999, s"permille must be in [1, 999], got $permille")
+    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    val ew = sup.as("a").join(sup.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    ew.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
+    val hist = ew.groupBy("w").agg(count(lit(1)).as("c"))
+    val byW = org.apache.spark.sql.expressions.Window.orderBy(col("w").asc)
+    val thr = hist
+      .withColumn("cum", sum("c").over(
+        byW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(ew.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") * 1000 >= col("n") * permille)
+      .agg(min("w").as("t"))
+    val e = ew.crossJoin(broadcast(thr)).filter(col("w") > col("t")).select("u", "v")
+    (ew, e)
+  }
+
+  /** LABEL-PROPAGATION COMMUNITIES (round-10 continuation) — synchronous
+    * LPA (Raghavan et al. 2007) over the median-sparsified co-service
+    * graph: every node starts as its own label; each superstep every node
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label — the deterministic variant, so the fixed `steps`
+    * supersteps produce one well-defined labeling on any engine (async
+    * LPA's order-dependence is exactly what's excluded). Output: each
+    * supplier's community after `steps` rounds plus the community size.
+    *
+    * Scale: one superstep = one equi-join of the adjacency with the
+    * (node, label) table + a (node, label) count aggregate + a min-struct
+    * argmax per node — the two-exchange Pregel shape [[pageRank]]
+    * documents, rows never wider than three longs; the argmax is an
+    * aggregate (`min(struct(-c, lbl))`), NOT a per-node window, so no
+    * degree-sized partition materializes. Fixed `steps` bounds the
+    * lineage (localCheckpoint every 2).
+    */
+  def lpaCommunities(spark: SparkSession, dir: String, steps: Int = 3,
+      cutPermille: Int = 900): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val (ew, e) = sparsifiedCoServiceEdges(spark, dir, cutPermille)
+    val adj = e.select(col("u").as("v"), col("v").as("nb"))
+      .union(e.select(col("v").as("v"), col("u").as("nb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    var labels = adj.select(col("v")).distinct().withColumn("lbl", col("v"))
+    (1 to steps).foreach { i =>
+      val counted = adj.join(labels.select(col("v").as("nb"), col("lbl")), "nb")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      labels = counted
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("negc"), col("lbl").as("lbl"))).as("m"))
+        .select(col("v"), col("m.lbl").as("lbl"))
+      if (i % 2 == 0) labels = labels.localCheckpoint(true)
+    }
+    val sized = labels.join(labels.groupBy("lbl").agg(count(lit(1)).as("sz")), "lbl")
+      .select(col("v").as("supplier"), col("lbl").cast("bigint").as("community"),
+        col("sz").cast("bigint").as("community_size"))
+    val out = Dedup.materializeAndRelease(Seq(ew), sized)
+    adj.unpersist(false)
+    out
   }
 
   def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame = {

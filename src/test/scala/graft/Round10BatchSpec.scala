@@ -191,6 +191,23 @@ class Round10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("lpa: labels are node ids, sizes consistent, backbone yields real structure") {
+    val rows = Graph.lpaCommunities(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getLong(0)).toSet
+    val byComm = rows.groupBy(_.getLong(1))
+    // labels originate as node ids and propagation only copies them
+    byComm.keys.foreach(l => assert(nodes.contains(l), s"label $l is not a node"))
+    byComm.foreach { case (_, rs) =>
+      rs.foreach(r => assert(r.getLong(2) == rs.length, "community_size drifted"))
+    }
+    // the top-decile cut exists BECAUSE the median graph collapses to one
+    // community — the backbone must show actual structure
+    assert(byComm.size > 1, "LPA degenerated to a single community")
+    intercept[IllegalArgumentException](Graph.lpaCommunities(spark, dir, steps = 0))
+    intercept[IllegalArgumentException](Graph.lpaCommunities(spark, dir, cutPermille = 1000))
+  }
+
   test("phrase search: every hit contains the phrase; counts match an independent scan") {
     val hits = TextAnalysis.phraseSearch(spark, dir, phrase = "fast table").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -343,12 +360,12 @@ class Round10BatchSpec extends AnyFunSuite {
     // ann_topk — not a degraded equi-join
     // text_quality_calibrated inherits lmCrossEntropy's one-row vocab
     // crossJoin — also a bounded scalar broadcast
-    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "ann_margin_mining",
-      "text_quality_calibrated")
+    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "graph_lpa",
+      "ann_margin_mining", "text_quality_calibrated")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "events_decompose",
       "dq_benford", "dq_ldiversity",
-      "graph_link_predict", "text_phrase_search", "text_containment",
+      "graph_link_predict", "graph_lpa", "text_phrase_search", "text_containment",
       "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams",
       "ann_margin_mining", "text_quality_calibrated")
     batch.foreach { name =>
