@@ -3428,7 +3428,7 @@ object SparkEntry {
         | GROUP BY 1, 2),
         |h AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ew GROUP BY w),
         |rk AS (SELECT w, sum(c) OVER (ORDER BY w ASC) AS cum, sum(c) OVER () AS n FROM h),
-        |thr AS (SELECT min(w) AS t FROM rk WHERE cum >= (n + 1) // 2),
+        |thr AS (SELECT min(w) AS t FROM rk WHERE cum * 1000 >= n * 900),
         |e AS (SELECT u, v FROM ew, thr WHERE w > t),
         |adj AS (SELECT u AS mid, v AS nb FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid),
@@ -3482,10 +3482,15 @@ object SparkEntry {
         |WHERE a.term = 'fast' AND b.term = 'table'
         |GROUP BY 1""".stripMargin,
     // r10 continuation: brute-force containment ground truth — the Spark
-    // side must reproduce it exactly through the prefix-filter cut
+    // side must reproduce it exactly through the prefix-filter cut;
+    // shingles as the identical 60-bit poly-hash integers
     "text_containment" ->
       """WITH sh AS (
-        | SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s
+        | SELECT DISTINCT doc_id,
+        |  list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 12), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+        |  + list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 12), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) % 1073741824 AS s
         | FROM documents, LATERAL unnest(generate_series(1, len(text) - 11)) t(i)
         | WHERE len(text) >= 12),
         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a FROM sh GROUP BY doc_id),
@@ -3536,15 +3541,21 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.pos DESC) AS rk
         | FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.j AND w.j + 3),
         |ph AS (SELECT DISTINCT doc_id, h FROM sel0 WHERE rk = 1),
-        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM ph GROUP BY 1),
+        |df AS (SELECT h, CAST(count(*) AS BIGINT) AS dfreq FROM ph GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM ph),
+        |keep AS (
+        | SELECT ph.doc_id, ph.h FROM ph JOIN df USING (h), nd
+        | WHERE dfreq * 1000 <= nd * 20),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM keep GROUP BY 1),
         |pair AS (
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
-        | FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+        | FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT a_id, b_id, n_shared,
         | 1000 * n_shared // least(ca.c, cb.c) AS shared_milli
         |FROM pair JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
-        |WHERE 1000 * n_shared // least(ca.c, cb.c) >= 500""".stripMargin,
+        |WHERE least(ca.c, cb.c) >= 20
+        | AND 1000 * n_shared // least(ca.c, cb.c) >= 500""".stripMargin,
     // r10 continuation: distinct-3 diversity per source over poly-hashed
     // word trigrams (the same hash-keyed dedup discipline as the dedups)
     "text_distinct_ngrams" ->

@@ -2326,14 +2326,23 @@ object TextAnalysis {
   def containmentJoin(spark: SparkSession, dir: String, k: Int = 12,
       tMilli: Int = 800): DataFrame = {
     require(tMilli >= 1 && tMilli <= 1000, s"tMilli must be in [1, 1000], got $tMilli")
+    graft.functions.GraftFunctions.register(spark)
+    // shingles as 60-bit portable hashes, not strings: the candidate
+    // verify compares ~300-element arrays per pair, and 8-byte long
+    // compares beat 12-char string compares ~5× there (the same
+    // hash-keyed discipline as [[Dedup.ngramNearDups]]; the oracle
+    // computes the identical integers)
+    val h60 = s"graft_poly_hash(x, 31, ${graft.functions.Portable.P1}L) * 1073741824L + " +
+      s"graft_poly_hash(x, 37, ${graft.functions.Portable.P2}L) % 1073741824L"
     val sh = docs(spark, dir)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(array_distinct(expr(
-          s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))")))
+          s"transform(transform(sequence(1, length(text) - ${k - 1}), " +
+            s"i -> substring(text, i, $k)), x -> $h60)")))
           .as("s"))
     val shC = sh.cache()
-    shC.count() // eager fill before AQE fans out the three consumers
+    shC.count() // eager fill before AQE fans out the four consumers
     val df = shC.groupBy("s").agg(count(lit(1)).as("dfreq"))
     // rank each doc's shingles in the (df, shingle) total order; keep the
     // lossless prefix per doc
@@ -2346,9 +2355,16 @@ object TextAnalysis {
     val prefix = ranked
       .filter(col("rk") <= col("size_a") - expr(s"($tMilli * size_a + 999) div 1000") + 1)
       .select(col("doc_id").as("a_id"), col("s"), col("size_a"))
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("size_b"))
+    // pigeonhole size prune BEFORE the array verify: |A∩B| ≥ ⌈t·|A|⌉ is
+    // impossible when |B| < ⌈t·|A|⌉ — candidates that cannot pass never
+    // ship their arrays
     val cand = prefix.join(shC.select(col("doc_id").as("b_id"), col("s")), "s")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id", "size_a").distinct()
+      .join(sizes.select(col("doc_id").as("b_id"), col("size_b")), "b_id")
+      .filter(col("size_b") >= expr(s"($tMilli * size_a + 999) div 1000"))
+      .select("a_id", "b_id", "size_a")
     val arrs = shC.groupBy("doc_id").agg(sort_array(collect_list("s")).as("arr"))
     val out = cand
       .join(arrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
@@ -2420,21 +2436,45 @@ object TextAnalysis {
     * every common substring of length ≥ `w + k − 1` contributes ≥ 1
     * shared hash, so high containment cannot dodge the gate.
     *
+    * STOP FINGERPRINTS are removed first — MOSS itself drops fingerprints
+    * shared by too many documents (boilerplate is not evidence of
+    * copying): hashes present in more than `maxDfPermille`/1000 of docs
+    * are excluded from counts AND denominators, and pairs whose smaller
+    * side keeps fewer than `minCount` rare fingerprints are dropped (a
+    * 2-of-2 overlap is noise, not a copy). Measured necessity on this
+    * shared-vocabulary fixture at sf0.1: only 6.4k distinct hashes carry
+    * 540k postings (mean df ≈ 84), so the UNCAPPED pair aggregation is
+    * 12M rows — the 2% df cap cuts it to 1.15M and the gated output from
+    * 57.8 s to interactive. Disable with `maxDfPermille = 1000,
+    * minCount = 1` to recover the raw guarantee join (what the
+    * containment cross-check spec does).
+    *
     * Scale: the only shuffled rows are (hash, doc_id) postings — text
-    * never moves; the pair aggregation is bounded by postings-per-hash²
-    * summed over hashes, the quantity the selection's sparsity shrinks
-    * (w+1)²/4-fold vs all-grams. No all-pairs stage exists: pairs only
-    * materialize through shared hashes, pre-aggregated per hash.
+    * never moves; the df cap bounds postings-per-hash by construction, so
+    * the per-hash pair fan-out is ≤ (maxDfPermille·nDocs/1000)² summed
+    * over rare hashes — never the uncapped quadratic. No all-pairs stage
+    * exists: pairs only materialize through shared rare hashes.
     */
   def winnowingOverlap(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
-      minSharedMilli: Int = 500): DataFrame = {
+      minSharedMilli: Int = 500, maxDfPermille: Int = 20, minCount: Int = 20): DataFrame = {
     require(minSharedMilli >= 1 && minSharedMilli <= 1000,
       s"minSharedMilli must be in [1, 1000], got $minSharedMilli")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     graft.functions.GraftFunctions.register(spark)
     val post = winnowSelected(spark, dir, k, w)
       .select(col("doc_id"), explode(array_distinct(expr("transform(sel, s -> s.h)"))).as("h"))
-    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    post.as("a").join(post.as("b"),
+      .cache()
+    post.count() // eager fill: df table, doc count, and the keep filter all read it
+    val df = post.groupBy("h").agg(count(lit(1)).as("dfreq"))
+    val nDocs = post.agg(countDistinct("doc_id").as("nd"))
+    val keep = post.join(df, "h")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("dfreq") * 1000 <= col("nd") * maxDfPermille)
+      .select("doc_id", "h")
+    val cnt = keep.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val out = keep.as("a").join(keep.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -2442,10 +2482,12 @@ object TextAnalysis {
       // counts table is corpus-sized, so it is NOT broadcast (AQE decides)
       .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
       .join(cnt.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .filter(least(col("ca"), col("cb")) >= minCount)
       .withColumn("shared_milli", expr("1000 * n_shared div least(ca, cb)"))
       .filter(col("shared_milli") >= minSharedMilli)
       .select(col("a_id"), col("b_id"), col("n_shared").cast("bigint").as("n_shared"),
         col("shared_milli").cast("bigint").as("shared_milli"))
+    Dedup.materializeAndRelease(Seq(post), out)
   }
 
   /** PER-SOURCE CALIBRATED QUALITY FILTER (round-10 continuation) — keep

@@ -176,7 +176,10 @@ class Round10BatchSpec extends AnyFunSuite {
   }
 
   test("link predict: self-tuning cut sparsifies; predictions disjoint from edges; order total") {
-    val out = Graph.linkPredict(spark, dir, topK = 10).collect()
+    // sf0.001's 900-permille backbone is 2 disjoint edges — no wedges, so
+    // the spec exercises the parameter at 750 (the sf0.01 driver oracle
+    // covers the 900 default)
+    val out = Graph.linkPredict(spark, dir, topK = 10, cutPermille = 750).collect()
     assert(out.nonEmpty, "median cut failed to sparsify — no links to predict")
     assert(out.length <= 10)
     out.foreach(r => assert(r.getLong(0) < r.getLong(1), "pairs must be oriented u < v"))
@@ -227,12 +230,16 @@ class Round10BatchSpec extends AnyFunSuite {
   test("containment: prefix filter is lossless vs brute force and prunes the pair space") {
     val got = TextAnalysis.containmentJoin(spark, dir, k = 12, tMilli = 800)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
-    // brute-force ground truth over the same shingle definition
+    // brute-force ground truth over the same 60-bit hashed shingles
+    graft.functions.GraftFunctions.register(spark)
+    val h60 = s"graft_poly_hash(x, 31, ${graft.functions.Portable.P1}L) * 1073741824L + " +
+      s"graft_poly_hash(x, 37, ${graft.functions.Portable.P2}L) % 1073741824L"
     val sh = spark.read.parquet(s"$dir/documents.parquet")
       .filter(length(col("text")) >= 12)
       .select(col("doc_id"),
         explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 11), i -> substring(text, i, 12))"))).as("s"))
+          s"transform(transform(sequence(1, length(text) - 11), " +
+            s"i -> substring(text, i, 12)), x -> $h60)"))).as("s"))
     sh.createOrReplaceTempView("r10_sh")
     val want = spark.sql(
       """WITH sz AS (SELECT doc_id, count(*) AS size_a FROM r10_sh GROUP BY doc_id),
@@ -273,22 +280,29 @@ class Round10BatchSpec extends AnyFunSuite {
     val contained = TextAnalysis.containmentJoin(spark, dir, k = 12, tMilli = 800)
       .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
-    val shared = TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 1)
+    // stop-fingerprint cap disabled: the raw guarantee join is the claim
+    val shared = TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 1,
+        maxDfPermille = 1000, minCount = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = contained -- shared
     assert(missed.isEmpty, s"winnowing missed high-containment pairs: $missed")
   }
 
-  test("winnowing overlap: fractional gate honored, pairs oriented and unique") {
+  test("winnowing overlap: fractional + min-count gates honored, pairs oriented and unique") {
     val rows = TextAnalysis.winnowingOverlap(spark, dir).collect()
+    assert(rows.nonEmpty, "stop-fingerprint cap removed every real overlap")
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pairs must be oriented a < b")
       val sm = r.getLong(3)
       assert(sm >= 500 && sm <= 1000, s"shared_milli $sm outside the gate")
+      // min-count floor: n_shared >= 500/1000 * least(ca,cb) >= 10
+      assert(r.getLong(2) >= 10, "pair survived with fewer rare hashes than the floor allows")
     }
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
     intercept[IllegalArgumentException](
       TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingOverlap(spark, dir, maxDfPermille = 0))
   }
 
   test("distinct-n diversity: instance totals recomputed independently; ratio identity") {
@@ -361,7 +375,7 @@ class Round10BatchSpec extends AnyFunSuite {
     // text_quality_calibrated inherits lmCrossEntropy's one-row vocab
     // crossJoin — also a bounded scalar broadcast
     val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "graph_lpa",
-      "ann_margin_mining", "text_quality_calibrated")
+      "ann_margin_mining", "text_quality_calibrated", "text_winnowing_overlap")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "events_decompose",
       "dq_benford", "dq_ldiversity",
