@@ -1,0 +1,384 @@
+package graft.catalog
+
+/** DuckDB oracle SQL for the deduplication query family —
+  * split out of [[graft.SparkEntry]] (round 11) so the catalog stays
+  * reviewable as it grows. Keys map 1:1 to `SparkEntry.queries`;
+  * bodies are byte-identical to the pre-split map (CatalogDump-diffed).
+  */
+private[graft] object DedupOracles {
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  /** Exact all-pairs new-vs-corpus ground truth, shared verbatim by
+    * `dedup_incremental` and `dedup_incremental_store`.
+    */
+  private val IncrementalDedupOracle: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      | WHERE len(w) >= 3)
+      |SELECT * FROM (
+      | SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+      |  CAST(len(list_intersect(n.s, c.s)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+      |    / CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) AS DOUBLE) AS jaccard
+      | FROM sh n JOIN sh c ON n.doc_id >= 400 AND c.doc_id < 400)
+      |WHERE jaccard >= 0.6""".stripMargin
+
+
+  /** Exact all-pairs increment-vs-corpus ground truth on the planted-copy
+    * embedding corpus, shared verbatim by `dedup_embedding_incremental` and
+    * its bucket-store round trip (the [[IncrementalDedupOracle]] pattern).
+    * Sound for the LSH path because verified pairs ⊆ exact pairs and
+    * `dedup_embedding_lsh_check` proves recall 1.0 on this corpus.
+    */
+  private val EmbeddingIncrementalOracle: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |planted AS (
+      | SELECT vec_id + 100000 AS vec_id,
+      |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+      | FROM base WHERE vec_id < 20),
+      |n AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (acc, x) -> acc + x)) AS norm
+      | FROM planted),
+      |c AS (
+      | SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (acc, x) -> acc + x)) AS norm
+      | FROM base)
+      |SELECT * FROM (
+      | SELECT n.vec_id AS id_new, c.vec_id AS id_corpus,
+      |  list_reduce(list_transform(range(1, len(n.embedding) + 1),
+      |    i -> CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+      |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
+      | FROM n CROSS JOIN c
+      | WHERE n.norm > 0 AND c.norm > 0)
+      |WHERE cosine >= 0.7""".stripMargin
+
+
+  /** All-pairs exact word-3-gram Jaccard ground truth at τ=0.6 — shared by
+    * `dedup_minhash` (LSH candidates + exact verify) and
+    * `dedup_jaccard_exact` (prefix filtering, deterministic): the two
+    * algorithms answer the identical contract, so sharing the SQL verbatim
+    * proves they cannot drift from each other either.
+    */
+  private val JaccardPairsOracle: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      | WHERE len(w) >= 3)
+      |SELECT * FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.6""".stripMargin
+
+
+  val sql: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text",
+    "dedup_exact_hash" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies, fp31, fp37 FROM (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37
+        | FROM documents)
+        |GROUP BY fp31, fp37""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        | SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM v1 WHERE doc_id % 17 != 0
+        | UNION ALL
+        | SELECT doc_id + 500000, text FROM v1 WHERE doc_id % 19 = 0),
+        |f1 AS (SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31_old,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37_old
+        | FROM v1),
+        |f2 AS (SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp31_new,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) AS fp37_new
+        | FROM v2)
+        |SELECT doc_id, status, fp31_old, fp31_new FROM (
+        | SELECT doc_id,
+        |  CASE WHEN fp31_new IS NULL THEN 'removed'
+        |       WHEN fp31_old IS NULL THEN 'added'
+        |       WHEN fp31_old = fp31_new AND fp37_old = fp37_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  fp31_old, fp31_new
+        | FROM f1 FULL JOIN f2 USING (doc_id))
+        |WHERE status != 'unchanged'""".stripMargin,
+    "dedup_minhash" -> JaccardPairsOracle,
+    "dedup_jaccard_exact" -> JaccardPairsOracle,
+    // exact ground truth for the incremental path: every new×corpus pair
+    "dedup_incremental" -> IncrementalDedupOracle,
+    // the store round trip must be lossless: the SAME ground-truth value,
+    // bound once so the two oracles can never drift apart
+    "dedup_incremental_store" -> IncrementalDedupOracle,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |reps AS (
+        | SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+        | FROM clusters GROUP BY cluster_id)
+        |SELECT doc_id, group_size FROM reps
+        |UNION ALL
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS group_size
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL""".stripMargin,
+    "dedup_canonical_best" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) * 1000 // len(text)
+        |  END AS quality_key
+        | FROM documents),
+        |ranked AS (
+        | SELECT c.cluster_id, c.doc_id, q.quality_key,
+        |  row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY q.quality_key DESC, c.doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY c.cluster_id) AS group_size
+        | FROM clusters c JOIN q USING (doc_id))
+        |SELECT doc_id, quality_key, CAST(group_size AS BIGINT) AS group_size
+        |FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT q.doc_id, q.quality_key, CAST(1 AS BIGINT) AS group_size
+        |FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL""".stripMargin,
+    "dedup_simhash" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)]))) AS shingle
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |h AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+        |  + (list_reduce(list_transform(string_split(shingle, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) % 1073741824) AS hh
+        | FROM sh),
+        |bits AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hh >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM h, range(60) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.4),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
+        |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.4),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        |clusters AS (SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id),
+        |reps AS (
+        | SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS group_size
+        | FROM clusters GROUP BY cluster_id)
+        |SELECT vec_id, group_size FROM reps
+        |UNION ALL
+        |SELECT vec_id, CAST(1 AS BIGINT) FROM embeddings
+        |ANTI JOIN clusters USING (vec_id)""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM embeddings)
+        |SELECT * FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+    "dedup_ngram" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+        |   i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+        | FROM documents)
+        |SELECT * FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        | WHERE len(w) >= 3),
+        |pairs AS (
+        | SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        | WHERE jaccard >= 0.6)
+        |SELECT id_a, id_b,
+        | CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM pairs
+        | JOIN documents da ON da.doc_id = id_a
+        | JOIN documents db ON db.doc_id = id_b""".stripMargin,
+    // recomputes the exact near-dup pairs of the planted-copy corpus and
+    // asserts the LSH path found each one (recall 1.0, per-pair)
+    "dedup_semantic_lsh" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+        | FROM base WHERE vec_id < 20),
+        |aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM aug),
+        |pairs AS (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |     (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        | WHERE cosine >= 0.7),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
+        |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_embedding_incremental" -> EmbeddingIncrementalOracle,
+    "dedup_embedding_incremental_store" -> EmbeddingIncrementalOracle,
+    "dedup_embedding_lsh_check" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        | SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+        | FROM base WHERE vec_id < 20),
+        |aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (acc, x) -> acc + x)) AS norm
+        | FROM aug)
+        |SELECT id_a, id_b, TRUE AS lsh_found FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
+        |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.7""".stripMargin,
+  )
+}

@@ -38,11 +38,19 @@ object Portable {
   /** Whitespace tokens of trimmed text. */
   def tokens(col: String): Column = expr(s"split(trim($col), '\\\\s+')")
 
-  /** Word n-gram shingles (space-joined), distinct. */
+  /** Word n-gram shingles (space-joined), distinct.
+    *
+    * Docs with fewer than `n` tokens yield an EMPTY array. The guard is
+    * load-bearing: Spark's `sequence(1, 0)` is the descending array
+    * `[1, 0]`, not empty, so the unguarded transform would call
+    * `element_at` out of range and crash on any short doc.
+    */
   def wordShingles(tokensCol: String, n: Int = 3): Column =
     expr(
-      s"array_distinct(transform(sequence(1, greatest(size($tokensCol) - ${n - 1}, 0)), " +
-        s"i -> ${(0 until n).map(k => s"element_at($tokensCol, i + $k)").mkString(" || ' ' || ")}))")
+      s"CASE WHEN size($tokensCol) >= $n THEN " +
+        s"array_distinct(transform(sequence(1, size($tokensCol) - ${n - 1}), " +
+        s"i -> ${(0 until n).map(k => s"element_at($tokensCol, i + $k)").mkString(" || ' ' || ")})) " +
+        s"ELSE array() END")
 
   /** Minimum poly-hash over all character k-grams — a winnowing-style
     * content fingerprint robust to small edits at the ends.

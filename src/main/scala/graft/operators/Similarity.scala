@@ -128,6 +128,77 @@ object Similarity {
       .select(col("q_id").as("xi"), col("vec_id").as("yi"), col("c"))
       .cache()
     scored.count() // eager fill before the four consumers (cache-before-AQE)
+    marginFromScored(scored, k, Seq.empty)
+  }
+
+  /** MARGIN MINING, IVF-BACKED CANDIDATES (round 11) — the 100 TB form of
+    * [[marginMining]]: instead of the exact all-pairs scored scan (O(|A|·|B|)
+    * cosines plus a side-A broadcast that grows with the corpus), candidate
+    * pairs come from the SAME trained coarse quantizer the IVF family uses
+    * ([[trainIvfCentroids]]): every vector of both sides gets a home cell
+    * (one map-only pass), each side also explodes to its `numProbes`
+    * nearest cells, and the candidate set is the union of two cell
+    * EQUI-joins — A-probes × B-homes and A-homes × B-probes (so a pair
+    * surfaces if EITHER endpoint's probe ring covers the other's home
+    * cell, the symmetric multiprobe rule). Only candidates are cosine-
+    * scored, and the k-NN lists / neighborhood-density denominators /
+    * mutual-best machinery downstream are [[marginFromScored]] verbatim —
+    * shared with the exact path so the two can never drift semantically.
+    *
+    * Scale: no broadcast of either side — both joins are distributed hash
+    * equi-joins on `cell`; per vector the probe explode is `numProbes`
+    * 12-byte rows; the scored candidate set is `~numProbes/numCentroids`
+    * of the cross product. The exact path remains the oracle gate
+    * (`ann_margin_mining`); this path is gated by
+    * [[marginMiningIvfAgreement]] (`ann_margin_mining_ivf_check`), which
+    * asserts coverage + partner/mutual agreement floors against the exact
+    * path at the same k.
+    */
+  def marginMiningIvf(spark: SparkSession, dir: String, k: Int = 4,
+      refineIters: Int = 2, trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes): DataFrame = {
+    require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val train = trainSample(e, trainFraction).cache()
+    require(train.count() > 0,
+      s"marginMiningIvf: training sample is empty (trainFraction=$trainFraction)")
+    val centroids = trainIvfCentroids(train, refineIters, numCentroids)
+    val homeCell = array_max(array(cellAffinities(centroids): _*)).getField("c")
+    val probeCells =
+      slice(reverse(array_sort(array(cellAffinities(centroids): _*))), 1, numProbes)
+        .getField("c")
+    val a = e.filter(col("vec_id") % 10 === 0)
+    val b = e.filter(col("vec_id") % 10 =!= 0)
+    val aHome = a.withColumn("cell", homeCell).select(col("vec_id").as("xi"), col("cell"))
+    val bHome = b.withColumn("cell", homeCell).select(col("vec_id").as("yi"), col("cell"))
+    val aProbe = a.withColumn("cell", explode(probeCells)).select(col("vec_id").as("xi"), col("cell"))
+    val bProbe = b.withColumn("cell", explode(probeCells)).select(col("vec_id").as("yi"), col("cell"))
+    val cand = aProbe.join(bHome, "cell").select("xi", "yi")
+      .union(aHome.join(bProbe, "cell").select("xi", "yi"))
+      .distinct()
+    // Cosine-score candidates only: payloads rejoin by id (equi-joins; AQE
+    // picks broadcast when a side is genuinely small, never by assumption).
+    val scored = cand
+      .join(a.select(col("vec_id").as("xi"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")), "xi")
+      .join(b.select(col("vec_id").as("yi"), col("embedding"), col("norm")), "yi")
+      .withColumn("c", cosine)
+      .select("xi", "yi", "c")
+      .cache()
+    scored.count()
+    marginFromScored(scored, k, Seq(e, train))
+  }
+
+  /** The margin/mutual-best machinery downstream of the candidate scorer —
+    * shared verbatim by [[marginMining]] (exact scored scan, the oracle
+    * gate) and [[marginMiningIvf]] (cell-equi-join candidates, the 100 TB
+    * path). `scored` must be cached and materialized by the caller;
+    * `extraCaches` are released together with it after the output
+    * materializes.
+    */
+  private def marginFromScored(scored: DataFrame, k: Int,
+      extraCaches: Seq[DataFrame]): DataFrame = {
     val topX = scored.groupBy("xi").agg(expr(s"graft_topk(yi, c, $k)").as("top"))
     val topY = scored.groupBy("yi").agg(expr(s"graft_topk(xi, c, $k)").as("top"))
     val denX = topX.select(col("xi"),
@@ -159,7 +230,43 @@ object Similarity {
     val out = best.join(bestXofY, "y_id")
       .select(col("x_id"), col("y_id"), col("margin_micro"),
         (col("bx") === col("x_id")).as("is_mutual"))
-    Dedup.materializeAndRelease(Seq(scored, ranked), out)
+    Dedup.materializeAndRelease(extraCaches ++ Seq(scored, ranked), out)
+  }
+
+  /** Driver-checkable gate for [[marginMiningIvf]] (the
+    * `ann_ivf`/`ann_ivf_check` pattern): runs the exact and IVF-backed
+    * miners at the same k and asserts (a) every side-A vector the exact
+    * path aligned got an IVF alignment too (candidate coverage never
+    * dropped an anchor), (b) at least `minAgreeMilli`/1000 of the anchors
+    * chose the SAME best-margin partner, and (c) among partner-agreeing
+    * anchors the mutual-best flag never flips (it is a function of the
+    * pair once both directions agree, so a flip would mean the backward
+    * argmax diverged — a real recall failure, not quantization noise).
+    * Deterministic end to end (fixed split, seeded quantizer, exact
+    * integer means), oracle asserts TRUE per row.
+    */
+  def marginMiningIvfAgreement(spark: SparkSession, dir: String, k: Int = 4,
+      minAgreeMilli: Long = 700): DataFrame = {
+    val exact = marginMining(spark, dir, k)
+      .select(col("x_id"), col("y_id").as("y_exact"), col("is_mutual").as("m_exact"))
+    val ivf = marginMiningIvf(spark, dir, k)
+      .select(col("x_id"), col("y_id").as("y_ivf"), col("is_mutual").as("m_ivf"))
+    val j = exact.join(ivf, Seq("x_id"), "left").cache()
+    val r = j.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y_ivf").isNotNull, 1L).otherwise(0L)).as("covered"),
+      sum(when(col("y_ivf") === col("y_exact"), 1L).otherwise(0L)).as("partner_agree"),
+      sum(when(col("y_ivf") === col("y_exact") && col("m_ivf") =!= col("m_exact"), 1L)
+        .otherwise(0L)).as("mutual_flips")).head()
+    val (n, covered, agree, flips) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    j.unpersist(false)
+    import spark.implicits._
+    Seq(
+      ("anchor_coverage_full", covered == n && n > 0),
+      ("partner_agreement_floor", agree * 1000 >= n * minAgreeMilli),
+      ("mutual_flag_consistent", flips == 0L))
+      .toDF("check_name", "passed")
   }
 
   /** K-CENTER CORESET selection (round 10) — greedy farthest-point

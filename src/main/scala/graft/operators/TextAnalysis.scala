@@ -2281,7 +2281,9 @@ object TextAnalysis {
     * only their term buckets; this operator is that probe's plan shape.
     */
   def phraseSearch(spark: SparkSession, dir: String, phrase: String = "fast table"): DataFrame = {
-    val terms = phrase.split(" ").toSeq
+    // Documents are lowercased below, so the phrase must be too — an
+    // uppercase term would otherwise silently match nothing.
+    val terms = phrase.toLowerCase.split(" ").toSeq
     require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
     val postings = docs(spark, dir)
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
@@ -2556,8 +2558,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), graft.functions.Portable.tokens("text").as("tk"))
     toks
       .select(col("source"),
-        expr(s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
-          s"i -> graft_poly_hash(${(0 until n).map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(" || ' ' || ")}, 31, ${graft.functions.Portable.P1}L))")
+        // Guarded: sequence(1, 0) is the DESCENDING [1, 0] in Spark (not
+        // empty), so a doc with < n tokens would index out of range.
+        expr(s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
+          s"i -> graft_poly_hash(${(0 until n).map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(" || ' ' || ")}, 31, ${graft.functions.Portable.P1}L)) ELSE array() END")
           .as("gh"))
       .select(col("source"), explode_outer(col("gh")).as("h"))
       .groupBy("source")

@@ -1489,6 +1489,7 @@ class EntryContractSpec extends AnyFunSuite {
     // failure instead of a silent coverage hole.
     val exempt = Map(
       "ann_lsh" -> "ann_recall", "ann_ivf" -> "ann_ivf_check", "ann_pq" -> "ann_pq_check",
+      "ann_margin_mining_ivf" -> "ann_margin_mining_ivf_check",
       "ann_ivfpq" -> "ann_ivfpq_check",
       "ann_sq" -> "ann_sq_check",
       "text_bpe" -> "text_bpe_check",
@@ -1511,6 +1512,24 @@ class EntryContractSpec extends AnyFunSuite {
   }
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(SparkSpec.spark).count() > 0)
+  }
+  test("r11: per-family oracle catalogs are key-disjoint (split invariant)") {
+    // The round-11 split composes oracleSql with ++, so an accidental key
+    // collision between family files would silently shadow an oracle.
+    val fams: Seq[(String, Map[String, String])] = Seq(
+      "Relational" -> graft.catalog.RelationalOracles.sql,
+      "Event" -> graft.catalog.EventOracles.sql,
+      "Text" -> graft.catalog.TextOracles.sql,
+      "Dedup" -> graft.catalog.DedupOracles.sql,
+      "Ann" -> graft.catalog.AnnOracles.sql,
+      "Graph" -> graft.catalog.GraphOracles.sql,
+      "Multimodal" -> graft.catalog.MultimodalOracles.sql,
+      "Sketch" -> graft.catalog.SketchOracles.sql)
+    for (Seq((na, a), (nb, b)) <- fams.combinations(2)) {
+      val shared = a.keySet & b.keySet
+      assert(shared.isEmpty, s"$na and $nb both define: $shared")
+    }
+    assert(fams.map(_._2.size).sum == SparkEntry.oracleSql.size)
   }
 }
 
