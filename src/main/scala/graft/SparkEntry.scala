@@ -555,7 +555,7 @@ object SparkEntry {
     * key-disjoint, asserted by OperatorsSpec). Keys absent here get the
     * driver's weaker rows-only check.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     catalog.RelationalOracles.sql ++
     catalog.EventOracles.sql ++
     catalog.TextOracles.sql ++

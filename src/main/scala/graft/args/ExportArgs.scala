@@ -18,6 +18,23 @@ final case class ConnectionArgs(
 ) {
   /** url scheme → JDBC driver class, reference `JdbcConnectionUtil.java:30-48`. */
   def driverClass: String = ConnectionArgs.driverFor(url)
+
+  /** Opens a product connection for pre-flight probes (schema metadata,
+    * replication check) — reference `JdbcConnectionArgs.java:85-91`.
+    * Instantiates the scheme's driver directly (like Spark's
+    * `DriverRegistry`) rather than via `DriverManager`, so drivers that
+    * don't self-register still resolve.
+    */
+  def createConnection(): java.sql.Connection = {
+    val driver = Class.forName(driverClass).getDeclaredConstructor()
+      .newInstance().asInstanceOf[java.sql.Driver]
+    val p = new java.util.Properties()
+    p.setProperty("user", username)
+    password.foreach(p.setProperty("password", _))
+    val c = driver.connect(url, p)
+    require(c != null, s"driver $driverClass rejected url $url")
+    c
+  }
 }
 
 object ConnectionArgs {
@@ -35,6 +52,40 @@ object ConnectionArgs {
     }
     drivers.getOrElse(scheme,
       throw new IllegalArgumentException(s"Invalid jdbc connection URL: $url. Expect jdbc:postgresql or jdbc:mysql as prefix."))
+  }
+}
+
+/** How SQL ARRAY columns are exported — reference
+  * `options/ArrayHandlingMode.java:26-40`, default `typed_first_row`
+  * (`options/JdbcExportPipelineOptions.java:90-94`):
+  *
+  *   - [[ArrayMode.Bytes]] — opaque: the column is read with `getBytes`
+  *     and lands as Avro `bytes` (lossy). Spark mapping: a `customSchema`
+  *     override to `BINARY`, which makes Spark's JDBC row getter call
+  *     `getBytes` — the same driver call as the reference
+  *     (`avro/JdbcAvroRecord.java:96-99`).
+  *   - [[ArrayMode.TypedFirstRow]] — typed items; the reference infers the
+  *     item type from the FIRST row's `getArray` and throws when that
+  *     row's array is NULL. Spark's dialect types the items from metadata
+  *     instead (same resulting schema); the null-first-row failure
+  *     contract is preserved by [[graft.schema.AvroSchemaGen.probeFirstRowArrays]].
+  *   - [[ArrayMode.TypedPostgres]] — item type from Postgres metadata
+  *     `columnTypeName` (must be `_`-prefixed; only uuid/text/varchar/
+  *     int/int4/int8 supported, else throw —
+  *     [[graft.schema.JdbcTypeMap.postgresArrayItem]]).
+  */
+sealed abstract class ArrayMode(val name: String)
+object ArrayMode {
+  case object Bytes extends ArrayMode("bytes")
+  case object TypedFirstRow extends ArrayMode("typed_first_row")
+  case object TypedPostgres extends ArrayMode("typed_postgres")
+
+  def parse(s: String): ArrayMode = s.toLowerCase match {
+    case "bytes" => Bytes
+    case "typed_first_row" => TypedFirstRow
+    case "typed_postgres" => TypedPostgres
+    case other => throw new IllegalArgumentException(
+      s"--arrayMode must be bytes|typed_first_row|typed_postgres, got $other")
   }
 }
 

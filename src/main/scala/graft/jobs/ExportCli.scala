@@ -151,7 +151,11 @@ object ExportCli {
           }
           graft.sources.JdbcSource(connArgs, qArgs,
             fetchSize = opts.get("fetchSize").map(_.toInt).getOrElse(10000),
-            preCommands = sinkArgs.preCommands)
+            preCommands = sinkArgs.preCommands,
+            // --arrayMode=bytes|typed_first_row|typed_postgres (reference
+            // `JdbcExportPipelineOptions.java:90-94`, default typed_first_row)
+            arrayMode = opts.get("arrayMode").map(graft.args.ArrayMode.parse)
+              .getOrElse(graft.args.ArrayMode.TypedFirstRow))
         case None =>
           if (inputFormat == "parquet") ParquetSource(input, table, qArgs)
           else graft.sources.FileSource(input, inputFormat, table, qArgs)

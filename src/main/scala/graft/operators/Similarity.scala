@@ -251,7 +251,9 @@ object Similarity {
       .select(col("x_id"), col("y_id").as("y_exact"), col("is_mutual").as("m_exact"))
     val ivf = marginMiningIvf(spark, dir, k)
       .select(col("x_id"), col("y_id").as("y_ivf"), col("is_mutual").as("m_ivf"))
-    val j = exact.join(ivf, Seq("x_id"), "left").cache()
+    // single consumer (the one agg below) — no cache; caching here would
+    // just force an extra materialization pass
+    val j = exact.join(ivf, Seq("x_id"), "left")
     val r = j.agg(
       count(lit(1)).as("n"),
       sum(when(col("y_ivf").isNotNull, 1L).otherwise(0L)).as("covered"),
@@ -260,7 +262,6 @@ object Similarity {
         .otherwise(0L)).as("mutual_flips")).head()
     val (n, covered, agree, flips) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    j.unpersist(false)
     import spark.implicits._
     Seq(
       ("anchor_coverage_full", covered == n && n > 0),

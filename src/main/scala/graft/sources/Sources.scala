@@ -5,7 +5,7 @@ import java.util.Properties
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.args.{ConnectionArgs, QueryArgs}
+import graft.args.{ArrayMode, ConnectionArgs, QueryArgs}
 import graft.sql.ParallelRanges
 
 /** A source produces the export DataFrame plus the generated SQL strings for
@@ -42,7 +42,8 @@ trait Source {
   */
 final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: Int = 10000,
     preCommands: Seq[String] = Nil,
-    statementPreparator: Option[java.sql.PreparedStatement => Unit] = None) extends Source {
+    statementPreparator: Option[java.sql.PreparedStatement => Unit] = None,
+    arrayMode: ArrayMode = ArrayMode.TypedFirstRow) extends Source {
 
   private def props: Properties = {
     val p = new Properties()
@@ -93,19 +94,57 @@ final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: In
       case _ => Array.empty
     }
 
+  /** ARRAY columns of the generated query, as (label, columnTypeName), from
+    * a `WHERE 1=0` `ResultSetMetaData` probe on a product connection — the
+    * same metadata the reference's schema inference reads
+    * (`avro/JdbcAvroSchema.java:151-176,261-292`).
+    */
+  private def arrayColumns(): Vector[(String, String)] = {
+    val c = conn.createConnection()
+    try {
+      val st = c.prepareStatement(s"SELECT * FROM $dbtable WHERE 1=0")
+      val md = st.getMetaData
+      (1 to md.getColumnCount).toVector.collect {
+        case i if md.getColumnType(i) == java.sql.Types.ARRAY =>
+          (md.getColumnLabel(i), md.getColumnTypeName(i))
+      }
+    } finally c.close()
+  }
+
   override def read(spark: SparkSession): DataFrame = {
     val table = dbtable
-    val reader = spark.read
-    (args.queryParallelism, args.splitColumn) match {
+    val p = props
+    arrayMode match {
+      case ArrayMode.Bytes =>
+        // Opaque mode: override ARRAY columns to BINARY so Spark's row
+        // getter reads them with `getBytes` — the reference's driver call
+        // (`avro/JdbcAvroRecord.java:96-99`).
+        val arrays = arrayColumns()
+        if (arrays.nonEmpty)
+          p.setProperty("customSchema",
+            arrays.map { case (n, _) => s"$n BINARY" }.mkString(", "))
+      case ArrayMode.TypedPostgres =>
+        // Fail fast on item types the reference's `typed_postgres` table
+        // rejects (`avro/JdbcAvroSchema.java:340-367`) — Spark's dialect
+        // would happily map e.g. `_float8`, the reference does not.
+        arrayColumns().foreach { case (_, tn) =>
+          graft.schema.JdbcTypeMap.postgresArrayItem(tn)
+        }
+      case ArrayMode.TypedFirstRow => () // first-row probe after the read below
+    }
+    val df = (args.queryParallelism, args.splitColumn) match {
       case (Some(_), Some(sp)) =>
         // Bounds via one agg query on an un-split frame (reference S4 probe).
-        val probe = spark.read.jdbc(conn.url, table, props)
+        val probe = spark.read.jdbc(conn.url, table, p)
         val row = probe.agg(min(col(sp)), max(col(sp))).head()
         val preds = predicates(_ => (row.getLong(0), row.getLong(1)))
-        spark.read.jdbc(conn.url, table, preds, props)
+        spark.read.jdbc(conn.url, table, preds, p)
       case _ =>
-        reader.jdbc(conn.url, table, props)
+        spark.read.jdbc(conn.url, table, p)
     }
+    if (arrayMode == ArrayMode.TypedFirstRow)
+      graft.schema.AvroSchemaGen.probeFirstRowArrays(df) // no-op without array columns
+    df
   }
 
   private def dbtable: String = {

@@ -9,13 +9,15 @@ package graft.tools
   */
 object CatalogDump {
   def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: CatalogDump <output-file>")
     val out = new java.io.PrintWriter(args(0))
-    graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      out.println(s"#### ORACLE $k")
-      out.println(v)
-    }
-    out.println("#### QUERY KEYS")
-    graft.SparkEntry.queries.keys.toSeq.sorted.foreach(out.println)
-    out.close()
+    try {
+      graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        out.println(s"#### ORACLE $k")
+        out.println(v)
+      }
+      out.println("#### QUERY KEYS")
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(out.println)
+    } finally out.close()
   }
 }

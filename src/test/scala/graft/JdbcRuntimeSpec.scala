@@ -11,7 +11,7 @@ import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.args.{ConnectionArgs, QueryArgs}
+import graft.args.{ArrayMode, ConnectionArgs, QueryArgs}
 import graft.jdbc.StubDb
 import graft.jobs.{ExitCodes, ExportJob, FailedValidationException, NotReadyException, ReplicationCheck}
 import graft.sources.JdbcSource
@@ -258,6 +258,149 @@ class JdbcRuntimeSpec extends AnyFunSuite {
     assert(records(1).get("D") == 86400000L) // 1970-01-02 → one day of millis
     assert(records(0).get("D") ==
       java.time.LocalDate.parse("2026-02-01").toEpochDay * 86400000L)
+  }
+
+  // ------------------------------------------------------------------ arrays
+  // §1.4's three array modes driven through the REAL `spark.read.jdbc`
+  // path against the postgres-scheme stub (Spark's PostgresDialect is the
+  // only built-in dialect that maps Types.ARRAY). Reference tests:
+  // `avro/PostgresJdbcAvroTest.java:162-245` (modes) and `:281-305`
+  // (nullable-item error parity).
+
+  private def pgConn(db: String) = ConnectionArgs(s"jdbc:postgresql:mem:$db", username = "tester")
+
+  /** PG_DOCS: id + a `_text` and a `_int4` array, Postgres-shaped metadata. */
+  private def arrayFixture(db: String, rows: Vector[Vector[Any]]): Unit = {
+    StubDb.reset(db)
+    StubDb.register(db, "PG_DOCS", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("TAGS", Types.ARRAY, nullable = true,
+          typeNameOv = "_text", itemType = Types.VARCHAR, itemTypeName = "text"),
+        StubDb.Col("SCORES", Types.ARRAY, nullable = true,
+          typeNameOv = "_int4", itemType = Types.INTEGER, itemTypeName = "int4")),
+      rows))
+  }
+
+  private def defaultArrayRows: Vector[Vector[Any]] = Vector(
+    Vector[Any](1L, Vector[Any]("alpha", "beta"), Vector[Any](10, 20, 30)),
+    Vector[Any](2L, Vector[Any]("gamma"), Vector[Any]()),
+    Vector[Any](3L, null, Vector[Any](7)))
+
+  private def items(rec: GenericRecord, field: String): Vector[Any] =
+    rec.get(field) match {
+      case null => null
+      case l: java.util.Collection[_] => l.asScala.toVector // GenericData.Array included
+    }
+
+  test("typed_postgres arrays: spark.read.jdbc types items from _-prefixed metadata and exports to Avro") {
+    val db = "graftpg_typed"
+    arrayFixture(db, defaultArrayRows)
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedPostgres)
+    val df = source.read(spark)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("TAGS") == "array<string>" && types("SCORES") == "array<int>")
+
+    val out = Files.createTempDirectory("jdbc-arr-typed").toString
+    val res = ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS"),
+      queries = source.queries(spark), minRows = 3)
+    assert(res.metrics.recordCount == 3)
+    val recs = readAvro(out).sortBy(_.get("ID").asInstanceOf[Long])
+    assert(items(recs(0), "TAGS").map(_.toString) == Vector("alpha", "beta"))
+    assert(items(recs(0), "SCORES") == Vector(10, 20, 30))
+    assert(items(recs(1), "SCORES") == Vector.empty) // empty array, not null
+    assert(items(recs(2), "TAGS") == null) // null array survives as union null
+    assert(items(recs(2), "SCORES") == Vector(7))
+    // the metadata probe executed as a real WHERE 1=0 query
+    val log = StubDb.log(db).toVector
+    assert(log.exists(e => e.startsWith("prepareStatement(") && e.contains("WHERE 1=0")))
+  }
+
+  test("typed_postgres rejects item types outside the reference's table (_float8)") {
+    val db = "graftpg_float8"
+    StubDb.reset(db)
+    StubDb.register(db, "PG_DOCS", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("WEIGHTS", Types.ARRAY, nullable = true,
+          typeNameOv = "_float8", itemType = Types.DOUBLE, itemTypeName = "float8")),
+      Vector(Vector[Any](1L, Vector[Any](1.5, 2.5)))))
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedPostgres)
+    val e = intercept[IllegalArgumentException](source.read(spark))
+    assert(e.getMessage.contains("Unsupported postgres array item type"))
+  }
+
+  test("typed_first_row throws when the first row's array is NULL (PostgresJdbcAvroTest.java:162-174)") {
+    val db = "graftpg_firstnull"
+    // row ordering in the stub is insertion order; first row has TAGS = null
+    arrayFixture(db, Vector(
+      Vector[Any](1L, null, Vector[Any](1)),
+      Vector[Any](2L, Vector[Any]("x"), Vector[Any](2))))
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedFirstRow)
+    val e = intercept[RuntimeException](source.read(spark))
+    assert(e.getMessage.contains("null in the first row"))
+
+    // non-null first row: the same mode reads clean
+    arrayFixture(db, defaultArrayRows)
+    assert(source.read(spark).count() == 3)
+  }
+
+  test("bytes array mode reads arrays via getBytes into Avro bytes (PostgresJdbcAvroTest.java:177-198)") {
+    val db = "graftpg_bytes"
+    arrayFixture(db, defaultArrayRows)
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.Bytes)
+    val df = source.read(spark)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("TAGS") == "binary" && types("SCORES") == "binary")
+
+    val out = Files.createTempDirectory("jdbc-arr-bytes").toString
+    ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS"),
+      queries = source.queries(spark), minRows = 3)
+    val recs = readAvro(out).sortBy(_.get("ID").asInstanceOf[Long])
+    def bytesOf(r: GenericRecord, f: String): String = r.get(f) match {
+      case null => null
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        new String(a, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    assert(bytesOf(recs(0), "TAGS") == "{alpha,beta}")
+    assert(bytesOf(recs(0), "SCORES") == "{10,20,30}")
+    assert(bytesOf(recs(1), "SCORES") == "{}")
+    assert(bytesOf(recs(2), "TAGS") == null)
+  }
+
+  test("null array item: targeted error without nullableArrayItems, union item with it (PostgresJdbcAvroTest.java:281-305)") {
+    val db = "graftpg_nullitem"
+    arrayFixture(db, Vector(
+      Vector[Any](1L, Vector[Any]("a", null, "c"), Vector[Any](1, 2))))
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedPostgres)
+    val df = source.read(spark)
+
+    val out1 = Files.createTempDirectory("jdbc-arr-nullitem1").toString
+    val e = intercept[Exception] {
+      ExportJob.run(spark, df, out1,
+        schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS"),
+        queries = source.queries(spark), minRows = 1)
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("nullableArrayItems")),
+      s"expected the reference's targeted null-item error, got: ${messages(e)}")
+
+    val out2 = Files.createTempDirectory("jdbc-arr-nullitem2").toString
+    ExportJob.run(spark, df, out2,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS", nullableArrayItems = true),
+      queries = source.queries(spark), minRows = 1)
+    val recs = readAvro(out2)
+    assert(items(recs(0), "TAGS").map(v => if (v == null) null else v.toString) ==
+      Vector("a", null, "c"))
   }
 
   test("minRows gate fires on the JDBC path (exit 50)") {

@@ -4,8 +4,10 @@ import java.lang.reflect.{InvocationHandler, Method, Proxy}
 import java.sql.{Connection, DatabaseMetaData, PreparedStatement, ResultSet, ResultSetMetaData, Statement, Timestamp, Types}
 import java.time.Instant
 
+import java.util.concurrent.ConcurrentLinkedQueue
+
 import scala.collection.concurrent.TrieMap
-import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 /** In-memory stand-in for the H2 database the reference tests against
   * (`jobs/JdbcAvroJobTest.java:83-295` runs dbeam against
@@ -37,8 +39,16 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StubDb {
 
+  /** @param typeNameOv overrides the driver-reported `getColumnTypeName`;
+    *   Postgres reports array columns as `_`-prefixed item names (`_int4`,
+    *   `_text`) which both Spark's `PostgresDialect` and the product's
+    *   `typed_postgres` mapping key on.
+    * @param itemType `java.sql.Types` code of array items (ARRAY cols only)
+    * @param itemTypeName driver name of the item type (`int4`, `text`, …)
+    */
   final case class Col(name: String, sqlType: Int, nullable: Boolean = false,
-      precision: Int = 0, scale: Int = 0)
+      precision: Int = 0, scale: Int = 0, typeNameOv: String = null,
+      itemType: Int = Types.NULL, itemTypeName: String = null)
   final case class Table(cols: Vector[Col], rows: Vector[Vector[Any]]) {
     def colIndex(name: String): Int = {
       val i = cols.indexWhere(_.name.equalsIgnoreCase(name))
@@ -48,7 +58,10 @@ object StubDb {
   }
 
   private val dbs = TrieMap[String, TrieMap[String, Table]]()
-  private val logs = TrieMap[String, ArrayBuffer[String]]()
+  // Appended from Spark executor threads (4 JDBC partitions on local[32])
+  // concurrently, so the per-db log must be a lock-free queue — an
+  // ArrayBuffer here loses entries under race and flakes the W6 e2e test.
+  private val logs = TrieMap[String, ConcurrentLinkedQueue[String]]()
 
   /** (replication_delay millis, last_replication) served to the replication
     * query; `null` timestamp models a primary (never-replayed) server.
@@ -57,16 +70,35 @@ object StubDb {
     (0L, Timestamp.from(Instant.parse("2026-01-01T00:00:00Z")))
 
   def dbName(url: String): String =
-    url.stripPrefix("jdbc:h2:mem:").stripPrefix("jdbc:h2:").takeWhile(_ != ';')
+    url.stripPrefix("jdbc:h2:mem:").stripPrefix("jdbc:h2:")
+      .stripPrefix("jdbc:postgresql:mem:").stripPrefix("jdbc:postgresql:")
+      .takeWhile(c => c != ';' && c != '?')
 
   def register(db: String, name: String, table: Table): Unit =
     dbs.getOrElseUpdate(db, TrieMap()).put(name.toUpperCase, table)
 
-  def log(db: String): ArrayBuffer[String] = logs.getOrElseUpdate(db, ArrayBuffer())
+  /** Snapshot of the protocol log; ordering is per-thread FIFO (the queue
+    * preserves insertion order; concurrent appends interleave, which the
+    * specs' `exists`/containment assertions are robust to).
+    */
+  def log(db: String): Vector[String] =
+    logs.get(db).map(_.asScala.toVector).getOrElse(Vector.empty)
+
+  private def append(db: String, line: String): Unit =
+    logs.getOrElseUpdate(db, new ConcurrentLinkedQueue[String]()).add(line)
 
   def reset(db: String): Unit = { dbs.remove(db); logs.remove(db) }
 
   def acceptsUrl(url: String): Boolean = url != null && url.startsWith("jdbc:h2:")
+
+  /** The postgres-scheme face of the stub (`org.postgresql.Driver` shim):
+    * `jdbc:postgresql:mem:<db>` selects Spark's `PostgresDialect`, which is
+    * the only built-in dialect that maps `java.sql.Types.ARRAY` — required
+    * to runtime-exercise the reference's array modes
+    * (`avro/PostgresJdbcAvroTest.java:162-245`).
+    */
+  def acceptsPostgresUrl(url: String): Boolean =
+    url != null && url.startsWith("jdbc:postgresql:mem:")
 
   // ---------------------------------------------------------------- querying
 
@@ -244,7 +276,7 @@ object StubDb {
     */
   def connect(url: String): Connection = {
     val db = dbName(url)
-    log(db) += s"connect($db)"
+    append(db, s"connect($db)")
     connectionProxy(db)
   }
 
@@ -278,7 +310,7 @@ object StubDb {
   private def connectionProxy(db: String): Connection = proxy(classOf[Connection]) {
     case ("prepareStatement", args) =>
       val sql = args(0).asInstanceOf[String]
-      log(db) += s"prepareStatement($sql)"
+      append(db, s"prepareStatement($sql)")
       preparedProxy(db, sql)
     case ("createStatement", _) => statementProxy(db)
     case ("getMetaData", _) => proxy(classOf[DatabaseMetaData]) {
@@ -293,15 +325,15 @@ object StubDb {
   private def preparedProxy(db: String, sql: String): PreparedStatement =
     proxy(classOf[PreparedStatement]) {
       case ("executeQuery", _) =>
-        log(db) += "main.executeQuery"
+        append(db, "main.executeQuery")
         resultSetProxy(runQuery(db, sql))
       case ("execute", _) =>
         // sessionInitStatement path: Spark prepares the init SQL and
         // calls execute() — record it as a pre-command
-        log(db) += s"pre.execute($sql)"
+        append(db, s"pre.execute($sql)")
         java.lang.Boolean.valueOf(sql.trim.toLowerCase.startsWith("select"))
       case ("setFetchSize", args) =>
-        log(db) += s"main.setFetchSize(${args(0)})"; null
+        append(db, s"main.setFetchSize(${args(0)})"); null
       case ("setQueryTimeout", _) => null
       case ("getMetaData", _) => metaDataProxy(runQuery(db, sql).cols)
     }
@@ -309,14 +341,14 @@ object StubDb {
   private def statementProxy(db: String): Statement = proxy(classOf[Statement]) {
     case ("executeQuery", args) =>
       val sql = args(0).asInstanceOf[String]
-      log(db) += s"stmt.executeQuery($sql)"
+      append(db, s"stmt.executeQuery($sql)")
       resultSetProxy(runQuery(db, sql))
     case ("execute", args) =>
       val sql = args(0).asInstanceOf[String]
-      log(db) += s"pre.execute($sql)"
+      append(db, s"pre.execute($sql)")
       java.lang.Boolean.valueOf(sql.trim.toLowerCase.startsWith("select"))
     case ("setFetchSize", args) =>
-      log(db) += s"stmt.setFetchSize(${args(0)})"; null
+      append(db, s"stmt.setFetchSize(${args(0)})"); null
   }
 
   private def metaDataProxy(cols: Vector[Col]): ResultSetMetaData =
@@ -325,7 +357,9 @@ object StubDb {
       case ("getColumnLabel", args) => cols(args(0).asInstanceOf[Integer] - 1).name
       case ("getColumnName", args) => cols(args(0).asInstanceOf[Integer] - 1).name
       case ("getColumnType", args) => Integer.valueOf(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
-      case ("getColumnTypeName", args) => typeName(cols(args(0).asInstanceOf[Integer] - 1).sqlType)
+      case ("getColumnTypeName", args) =>
+        val c = cols(args(0).asInstanceOf[Integer] - 1)
+        if (c.typeNameOv != null) c.typeNameOv else typeName(c.sqlType)
       case ("getPrecision", args) =>
         val c = cols(args(0).asInstanceOf[Integer] - 1)
         Integer.valueOf(if (c.precision > 0) c.precision else precision(c.sqlType))
@@ -366,6 +400,29 @@ object StubDb {
     case _ => 0
   }
 
+  /** Array cell values are stored as `Vector[Any]` in [[Table.rows]]; this
+    * wraps one as the `java.sql.Array` the real Postgres driver hands back:
+    * `getArray` returns a boxed `Object[]` (what Spark's `JdbcUtils` array
+    * getter consumes), `getBaseType`/`getBaseTypeName` serve the
+    * `typed_first_row` probe (`avro/JdbcAvroSchema.java:183-186,277-292`).
+    */
+  private def sqlArrayProxy(items: Vector[Any], col: Col): java.sql.Array =
+    proxy(classOf[java.sql.Array]) {
+      case ("getArray", _) => items.map(_.asInstanceOf[AnyRef]).toArray
+      case ("getBaseType", _) => Integer.valueOf(col.itemType)
+      case ("getBaseTypeName", _) =>
+        if (col.itemTypeName != null) col.itemTypeName
+        else Option(col.typeNameOv).map(_.stripPrefix("_")).orNull
+    }
+
+  /** Postgres text form of an array — what `getBytes` on an array column
+    * yields in the reference's lossy `bytes` mode
+    * (`avro/JdbcAvroRecord.java:96-99`): deterministic, opaque.
+    */
+  private def arrayTextBytes(items: Vector[Any]): Array[Byte] =
+    items.map(v => if (v == null) "NULL" else v.toString)
+      .mkString("{", ",", "}").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   private def resultSetProxy(t: Table): ResultSet = {
     var cursor = -1
     var nullSeen = false
@@ -376,6 +433,10 @@ object StubDb {
       }
       nullSeen = v == null
       v
+    }
+    def colOf(args: Array[AnyRef]): Col = args(0) match {
+      case i: Integer => t.cols(i - 1)
+      case label: String => t.cols(t.colIndex(label))
     }
     proxy(classOf[ResultSet]) {
       case ("next", _) =>
@@ -424,6 +485,15 @@ object StubDb {
         case null => null
         case d: java.math.BigDecimal => d
         case n: Number => new java.math.BigDecimal(n.toString)
+      }
+      case ("getArray", args) => value(args) match {
+        case null => null
+        case vec: Vector[_] => sqlArrayProxy(vec.asInstanceOf[Vector[Any]], colOf(args))
+      }
+      case ("getBytes", args) => value(args) match {
+        case null => null
+        case b: Array[Byte] => b
+        case vec: Vector[_] => arrayTextBytes(vec.asInstanceOf[Vector[Any]])
       }
     }
   }
