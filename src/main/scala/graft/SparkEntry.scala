@@ -321,6 +321,8 @@ object SparkEntry {
     "text_distinct_ngrams" -> ((s, d) => TextAnalysis.distinctNgrams(s, d)),
     // iterative graph family: fixed-iteration integer Pregel supersteps (r9)
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    // hub-heavy degree-skew twin: suppliers collapsed mod 8 into super-nodes
+    "graph_pagerank_skew" -> ((s, d) => Graph.pageRankHubSkew(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
     // r10: oriented two-join triangle count over the supplier co-service

@@ -19,7 +19,24 @@ private[graft] object GraphOracles {
     * free twin of [[graft.operators.Graph.pageRank]]: each superstep is one
     * CTE, so DuckDB executes literally the same integer recurrence.
     */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankOracle(iters: Int): String =
+    pageRankOracleOver(iters, tradeGraphCtes,
+      """SELECT c_custkey * 2 AS node FROM customer
+        | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier""".stripMargin)
+
+  /** Hub-heavy twin: the supplier side collapsed to `l_suppkey % 8` — the
+    * degree-skew amplifier [[graft.operators.Graph.pageRankHubSkew]]
+    * documents; identical recurrence, 8 supplier super-nodes.
+    */
+  private def pageRankSkewOracle(iters: Int): String =
+    pageRankOracleOver(iters,
+      """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, (l_suppkey % 8) * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin,
+      """SELECT c_custkey * 2 AS node FROM customer
+        | UNION ALL SELECT DISTINCT (s_suppkey % 8) * 2 + 1 FROM supplier""".stripMargin)
+
+  private def pageRankOracleOver(iters: Int, graphCtes: String, nodesSql: String): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,
          | CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
@@ -28,11 +45,10 @@ private[graft] object GraphOracles {
          |  FROM r${i - 1} r JOIN ed ON r.node = ed.src GROUP BY 1) c
          | ON n.node = c.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $tradeGraphCtes,
+    s"""WITH $graphCtes,
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON e.src = deg.src),
-       |nodes AS (SELECT c_custkey * 2 AS node FROM customer
-       | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+       |nodes AS ($nodesSql),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
        |$steps
        |SELECT node, pr FROM r$iters""".stripMargin
@@ -90,6 +106,7 @@ private[graft] object GraphOracles {
     */
   val sql: Map[String, String] = base ++ Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "graph_pagerank_skew" -> pageRankSkewOracle(5),
     "graph_reach" -> reachOracle(3),
     "graph_components" -> componentsOracle(4),
     // r10 continuation: wedge-enumerated RA link prediction; total order

@@ -48,7 +48,14 @@ object Graph {
     * (src, dst, outdeg). Distinct pairs only — edge weight is ignored by
     * design (the oracle does the same).
     */
-  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+
+  /** [[tradeEdges]] generalized over the supplier-node expression — the
+    * seam the hub-skew twin uses to collapse suppliers into super-nodes.
+    */
+  private def tradeEdgesFrom(spark: SparkSession, dir: String,
+      snode: org.apache.spark.sql.Column): DataFrame = {
     // dedupe (order, supplier) BEFORE the join: the distinct shuffles on
     // l_orderkey — the join key the rows need anyway — and shrinks the
     // join output ~4x (multi-lineitem orders) ahead of the wide pair
@@ -57,8 +64,7 @@ object Graph {
     val pairs = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cnode"),
-        (col("l_suppkey") * 2 + 1).as("snode"))
+      .select((col("o_custkey") * 2).as("cnode"), snode.as("snode"))
       .distinct()
     val directed = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
@@ -78,12 +84,50 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
       dampPct: Long = 85, scale: Long = Scale,
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankCore(spark, tradeEdges(spark, dir), tradeNodes(spark, dir),
+      iters, dampPct, scale, checkpointEvery)
+
+  /** Hub-heavy degree-skew twin of [[pageRank]]: the identical integer
+    * recurrence over the trade graph with the supplier side COLLAPSED to
+    * `l_suppkey % hubMod` — `hubMod` supplier super-nodes absorb EVERY
+    * customer edge, so the max degree is ~(suppliers/hubMod)× the natural
+    * fixture's. A green oracle row proves the superstep survives hot keys:
+    * the neighbor sum is a partial-aggregating `groupBy` (map-side combine
+    * shrinks the hub's contribution stream before the exchange), never a
+    * window or a collected neighbor list, so a 10^6-degree hub costs one
+    * combiner cell per upstream partition — the property that matters when
+    * a real 100 TB graph has power-law hubs.
+    */
+  def pageRankHubSkew(spark: SparkSession, dir: String, iters: Int = 5,
+      hubMod: Long = 8, dampPct: Long = 85, scale: Long = Scale,
       checkpointEvery: Int = 4): DataFrame = {
+    require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
+    val edges = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
+    val nodes = t(spark, dir, "customer").select((col("c_custkey") * 2).as("node"))
+      .unionAll(t(spark, dir, "supplier")
+        .select(((col("s_suppkey") % hubMod) * 2 + 1).as("node")).distinct())
+    pageRankCore(spark, edges, nodes, iters, dampPct, scale, checkpointEvery)
+  }
+
+  private def pageRankCore(spark: SparkSession, edges0: DataFrame, nodes0: DataFrame,
+      iters: Int, dampPct: Long, scale: Long, checkpointEvery: Int): DataFrame = {
+    require(dampPct >= 1 && dampPct <= 100, s"dampPct must be in [1, 100], got $dampPct")
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = tradeEdges(spark, dir)
+    val edges = edges0
       .repartition(shuffleN, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = tradeNodes(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
+    // Overflow precondition, asserted at RUNTIME on the actual node count
+    // (the count also warms the persisted node set): a node's inbound sum
+    // is bounded by the total mass N·scale, which the damping step then
+    // multiplies by dampPct before the div — so N·scale·dampPct must fit
+    // in a Long. The default scale is safe to ~10^8 nodes; beyond that
+    // this fails loudly instead of wrapping silently.
+    val nNodes = nodes.count()
+    require(nNodes == 0 || scale <= Long.MaxValue / nNodes / dampPct,
+      s"integer PageRank overflow: $nNodes nodes × scale=$scale × dampPct=$dampPct " +
+        "exceeds 2^63 — pass a smaller scale")
     val base = scale * (100L - dampPct) / 100L
     var ranks = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
@@ -271,10 +315,21 @@ object Graph {
       .cache()
     ew.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
     val hist = ew.groupBy("w").agg(count(lit(1)).as("c"))
-    val byW = org.apache.spark.sql.expressions.Window.orderBy(col("w").asc)
-    val thr = hist
-      .withColumn("cum", sum("c").over(
-        byW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // The weight domain is shared-order COUNTS — its distinct-value count
+    // is bounded by the max co-service weight, not the edge count. Assert
+    // that loudly before the quadratic cumulative join below (an
+    // unpartitioned running-sum window here would funnel the whole
+    // histogram through one task instead).
+    val nDistinctW = hist.count()
+    require(nDistinctW <= 100000,
+      s"co-service weight histogram has $nDistinctW distinct values — expected a " +
+        "small count domain; refusing the quadratic threshold scan")
+    // cum(w) = Σ c over weights ≤ w via a broadcast range join: stays
+    // parallel over the histogram instead of single-partition-windowing it
+    val cum = hist
+      .join(broadcast(hist.select(col("w").as("w2"), col("c").as("c2"))), col("w2") <= col("w"))
+      .groupBy("w").agg(sum("c2").as("cum"))
+    val thr = cum
       .crossJoin(broadcast(ew.agg(count(lit(1)).as("n"))))
       .filter(col("cum") * 1000 >= col("n") * permille)
       .agg(min("w").as("t"))

@@ -82,7 +82,13 @@ object GraphScaleProbe {
     val probes: Seq[(String, String => Long)] = Seq(
       ("graph_pagerank", (d: String) => G.pageRank(spark, d).count()),
       ("graph_components", (d: String) => G.components(spark, d).count()),
-      ("graph_reach", (d: String) => G.reachability(spark, d).count()))
+      ("graph_reach", (d: String) => G.reachability(spark, d).count()),
+      // co-service projection family: replicated copies are key-disjoint,
+      // so edges/wedges scale k× — exponent ≈ 1 is again the expectation
+      // (the wedge set is Σ d² per copy, copies don't cross-pair)
+      ("graph_triangles", (d: String) => G.triangles(spark, d).count()),
+      ("graph_lpa", (d: String) => G.lpaCommunities(spark, d).count()),
+      ("graph_link_predict", (d: String) => G.linkPredict(spark, d).count()))
     println(f"${"probe"}%-18s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
     probes.foreach { case (name, run) =>
       run(d1) // warm the shape once
