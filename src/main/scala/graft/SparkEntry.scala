@@ -325,9 +325,13 @@ object SparkEntry {
     "graph_pagerank_skew" -> ((s, d) => Graph.pageRankHubSkew(s, d)),
     "graph_reach" -> ((s, d) => Graph.reachability(s, d)),
     "graph_components" -> ((s, d) => Graph.components(s, d)),
+    // r12: min-label twin over the same hub graph — hot-key aggregation path
+    "graph_components_skew" -> ((s, d) => Graph.componentsHubSkew(s, d)),
     // r10: oriented two-join triangle count over the supplier co-service
     // projection (strength-thresholded), exact clustering coefficient
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    // r12: co-order pair aggregation with ≤C(8,2) white-hot keys
+    "graph_triangles_skew" -> ((s, d) => Graph.trianglesHubSkew(s, d)),
     // a-priori-pruned frequent-pair mining, parameter-bounded space (r9)
     "text_cooccur" -> ((s, d) => TextAnalysis.cooccurrence(s, d)),
     // Efraimidis-Spirtakis weighted sampling, integer exponential clocks (r9)

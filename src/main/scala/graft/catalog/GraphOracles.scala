@@ -78,7 +78,24 @@ private[graft] object GraphOracles {
 
   /** Unrolled k-superstep min-label-propagation oracle twin of
     * [[graft.operators.Graph.components]]. */
-  private def componentsOracle(iters: Int): String = {
+  private def componentsOracle(iters: Int): String =
+    componentsOracleOver(iters, tradeGraphCtes,
+      """SELECT c_custkey * 2 AS node FROM customer
+        | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier""".stripMargin)
+
+  /** Hub-heavy twin ([[graft.operators.Graph.componentsHubSkew]]):
+    * identical min-label recurrence over the `l_suppkey % 8` hub graph.
+    */
+  private def componentsSkewOracle(iters: Int): String =
+    componentsOracleOver(iters,
+      """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, (l_suppkey % 8) * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin,
+      """SELECT c_custkey * 2 AS node FROM customer
+        | UNION ALL SELECT DISTINCT (s_suppkey % 8) * 2 + 1 FROM supplier""".stripMargin)
+
+  private def componentsOracleOver(iters: Int, graphCtes: String,
+      nodesSql: String): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS (SELECT p.node,
          | least(p.label, COALESCE(m.nmin, p.label)) AS label
@@ -87,9 +104,8 @@ private[graft] object GraphOracles {
          |  FROM c${i - 1} p2 JOIN e ON p2.node = e.src GROUP BY 1) m
          | ON p.node = m.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $tradeGraphCtes,
-       |nodes AS (SELECT c_custkey * 2 AS node FROM customer
-       | UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+    s"""WITH $graphCtes,
+       |nodes AS ($nodesSql),
        |c0 AS (SELECT node, node AS label FROM nodes),
        |$steps
        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
@@ -164,24 +180,33 @@ private[graft] object GraphOracles {
     // oriented u<v edges stored once: each triangle a<b<c matches the
     // two-join exactly once; clustering in exact permille (all integers)
     "graph_triangles" ->
-      """WITH sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |e AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        | FROM sup a JOIN sup b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2 HAVING count(*) >= 5),
-        |deg AS (
-        | SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
-        |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
-        |tri AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n_tri
-        | FROM e e1 JOIN e e2 ON e1.v = e2.u
-        | WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v))
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-        | (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-        | (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
-        | (SELECT n_tri FROM tri) AS n_triangles,
-        | 3 * (SELECT n_tri FROM tri) * 1000 //
-        |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS clustering_permille""".stripMargin,
+      trianglesOracle("SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem"),
+    // hub-heavy twin ([[graft.operators.Graph.trianglesHubSkew]]):
+    // identical arithmetic over `l_suppkey % 8` super-nodes
+    "graph_triangles_skew" ->
+      trianglesOracle(
+        "SELECT DISTINCT l_orderkey, l_suppkey % 8 AS l_suppkey FROM lineitem"),
+    "graph_components_skew" -> componentsSkewOracle(4),
   )
+
+  private def trianglesOracle(supSql: String): String =
+    s"""WITH sup AS ($supSql),
+       |e AS (
+       | SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       | FROM sup a JOIN sup b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       | GROUP BY 1, 2 HAVING count(*) >= 5),
+       |deg AS (
+       | SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+       |tri AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_tri
+       | FROM e e1 JOIN e e2 ON e1.v = e2.u
+       | WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v))
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       | (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       | (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       | (SELECT n_tri FROM tri) AS n_triangles,
+       | 3 * (SELECT n_tri FROM tri) * 1000 //
+       |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS clustering_permille""".stripMargin
 }

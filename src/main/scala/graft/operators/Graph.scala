@@ -162,12 +162,37 @@ object Graph {
   def components(spark: SparkSession, dir: String, iters: Int = 4,
       // probe-measured (CompProbe): materializing every 2 supersteps beats
       // one deep 4-superstep lineage by ~30% — AQE re-plans shallower trees
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 2): DataFrame =
+    componentsCore(spark, tradeEdges(spark, dir).select("src", "dst"),
+      tradeNodes(spark, dir), iters, checkpointEvery)
+
+  /** Hub-heavy degree-skew twin of [[components]] (the
+    * [[pageRankHubSkew]] pattern): suppliers collapse to `l_suppkey %
+    * hubMod` super-nodes, so every min-label superstep funnels nearly the
+    * whole customer label set into `hubMod` aggregate keys — the hot-key
+    * stress the plain fixture's even degree distribution never exercises.
+    * Same recurrence, same oracle shape; partial aggregation (map-side
+    * min combine) is what keeps the hot keys safe, which is exactly the
+    * property the green twin row certifies.
+    */
+  def componentsHubSkew(spark: SparkSession, dir: String, iters: Int = 4,
+      hubMod: Long = 8, checkpointEvery: Int = 2): DataFrame = {
+    require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
+    val edges = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
+      .select("src", "dst")
+    val nodes = t(spark, dir, "customer").select((col("c_custkey") * 2).as("node"))
+      .unionAll(t(spark, dir, "supplier")
+        .select(((col("s_suppkey") % hubMod) * 2 + 1).as("node")).distinct())
+    componentsCore(spark, edges, nodes, iters, checkpointEvery)
+  }
+
+  private def componentsCore(spark: SparkSession, edges0: DataFrame,
+      nodes0: DataFrame, iters: Int, checkpointEvery: Int): DataFrame = {
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = tradeEdges(spark, dir).select("src", "dst")
+    val edges = edges0
       .repartition(shuffleN, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = tradeNodes(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
       // min(self ∪ neighbor labels) in ONE aggregate — the self rows ride
@@ -380,8 +405,31 @@ object Graph {
     out
   }
 
-  def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame = {
-    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+  def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame =
+    trianglesCore(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(),
+      minOrders)
+
+  /** Hub-heavy skew twin of [[triangles]]: suppliers collapse to
+    * `l_suppkey % hubMod` super-nodes BEFORE the co-order self-join, so
+    * the pair aggregation sees at most C(hubMod, 2) distinct (u, v) keys
+    * each carrying an order-table-sized row count — the maximally hot
+    * aggregate the plain projection never produces. Partial aggregation
+    * (map-side count combine) is the property under test; the wedge stage
+    * downstream runs over the tiny hub graph unchanged. Identical
+    * arithmetic to the plain twin, parameterized oracle.
+    */
+  def trianglesHubSkew(spark: SparkSession, dir: String,
+      minOrders: Long = 5L, hubMod: Long = 8): DataFrame = {
+    require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
+    trianglesCore(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_suppkey") % hubMod).as("l_suppkey"))
+        .distinct(),
+      minOrders)
+  }
+
+  private def trianglesCore(sup: DataFrame, minOrders: Long): DataFrame = {
     val e = sup.as("a").join(sup.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))

@@ -164,16 +164,25 @@ object Similarity {
     require(train.count() > 0,
       s"marginMiningIvf: training sample is empty (trainFraction=$trainFraction)")
     val centroids = trainIvfCentroids(train, refineIters, numCentroids)
-    val homeCell = array_max(array(cellAffinities(centroids): _*)).getField("c")
+    // One affinity pass per vector: the numProbes nearest cells in
+    // (score DESC, c DESC) order; the home cell is element 1 — identical
+    // to array_max's (score, c) tie-break, so assignment semantics match
+    // the rest of the IVF family while the 16 graft_dot affinities are
+    // computed ONCE instead of once per join leg (4× before this pass).
     val probeCells =
       slice(reverse(array_sort(array(cellAffinities(centroids): _*))), 1, numProbes)
         .getField("c")
+    val cells = e.select(col("vec_id"), probeCells.as("probes"))
+      .withColumn("home", element_at(col("probes"), 1))
+      .cache()
+    val aCells = cells.filter(col("vec_id") % 10 === 0)
+    val bCells = cells.filter(col("vec_id") % 10 =!= 0)
     val a = e.filter(col("vec_id") % 10 === 0)
     val b = e.filter(col("vec_id") % 10 =!= 0)
-    val aHome = a.withColumn("cell", homeCell).select(col("vec_id").as("xi"), col("cell"))
-    val bHome = b.withColumn("cell", homeCell).select(col("vec_id").as("yi"), col("cell"))
-    val aProbe = a.withColumn("cell", explode(probeCells)).select(col("vec_id").as("xi"), col("cell"))
-    val bProbe = b.withColumn("cell", explode(probeCells)).select(col("vec_id").as("yi"), col("cell"))
+    val aHome = aCells.select(col("vec_id").as("xi"), col("home").as("cell"))
+    val bHome = bCells.select(col("vec_id").as("yi"), col("home").as("cell"))
+    val aProbe = aCells.select(col("vec_id").as("xi"), explode(col("probes")).as("cell"))
+    val bProbe = bCells.select(col("vec_id").as("yi"), explode(col("probes")).as("cell"))
     val cand = aProbe.join(bHome, "cell").select("xi", "yi")
       .union(aHome.join(bProbe, "cell").select("xi", "yi"))
       .distinct()
@@ -187,7 +196,7 @@ object Similarity {
       .select("xi", "yi", "c")
       .cache()
     scored.count()
-    marginFromScored(scored, k, Seq(e, train))
+    marginFromScored(scored, k, Seq(e, train, cells))
   }
 
   /** The margin/mutual-best machinery downstream of the candidate scorer —

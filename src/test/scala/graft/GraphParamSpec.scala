@@ -98,4 +98,35 @@ class GraphParamSpec extends AnyFunSuite {
       .map(_.getAs[Long]("pr")).max
     assert(minHub > maxCustomer, "super-node degree must dominate the rank ordering")
   }
+
+  test("components hub-skew twin: one label per node, min-propagation only shrinks, hub count bounded") {
+    val rows = Graph.componentsHubSkew(spark, dir, hubMod = 4).collect()
+    assert(rows.map(_.getAs[Long]("node")).distinct.length == rows.length)
+    // supplier hubs collapse to < hubMod odd nodes; customers stay even
+    val hubs = rows.filter(_.getAs[Long]("node") % 2 == 1)
+    assert(hubs.nonEmpty && hubs.length <= 4)
+    // min-label propagation can never assign a label above the node's own id
+    rows.foreach(r =>
+      assert(r.getAs[Long]("label") <= r.getAs[Long]("node"),
+        s"label grew past own id on node ${r.getAs[Long]("node")}"))
+    // every hub touches (almost) every customer, so after 4 supersteps the
+    // connected mass shares the global minimum label
+    val minNode = rows.map(_.getAs[Long]("node")).min
+    assert(rows.count(_.getAs[Long]("label") == minNode) > rows.length / 2,
+      "the hub graph must collapse the majority into the min-label component")
+  }
+
+  test("triangles hub-skew twin: counts bounded by the hub universe and internally consistent") {
+    val r = Graph.trianglesHubSkew(spark, dir, hubMod = 4).head()
+    val (n, e, w, tri) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(n <= 4 && e <= 6, s"hubMod=4 universe exceeded: n=$n e=$e")
+    assert(tri >= 0 && tri <= 4, s"C(4,3) bounds the triangle count, got $tri")
+    assert(3 * tri <= w, "each triangle closes exactly 3 wedges")
+    val cp = r.getAs[Long]("clustering_permille")
+    assert(cp >= 0 && cp <= 1000)
+    // the dense hub fixture actually contains closed triangles — the twin
+    // must exercise the wedge-close join, not vacuously count zero
+    assert(tri > 0, "hub co-service graph on the fixture must be triangle-rich")
+  }
 }
