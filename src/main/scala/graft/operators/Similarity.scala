@@ -160,9 +160,9 @@ object Similarity {
     require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
-    val train = trainSample(e, trainFraction).cache()
-    require(train.count() > 0,
-      s"marginMiningIvf: training sample is empty (trainFraction=$trainFraction)")
+    // no count()/cache() on the sample: the trainer is its single consumer
+    // (one collect) and fails loudly on an empty sample itself
+    val train = trainSample(e, trainFraction)
     val centroids = trainIvfCentroids(train, refineIters, numCentroids)
     // One affinity pass per vector: the numProbes nearest cells in
     // (score DESC, c DESC) order; the home cell is element 1 — identical
@@ -196,7 +196,7 @@ object Similarity {
       .select("xi", "yi", "c")
       .cache()
     scored.count()
-    marginFromScored(scored, k, Seq(e, train, cells))
+    marginFromScored(scored, k, Seq(e, cells))
   }
 
   /** The margin/mutual-best machinery downstream of the candidate scorer —
@@ -255,10 +255,12 @@ object Similarity {
     * integer means), oracle asserts TRUE per row.
     */
   def marginMiningIvfAgreement(spark: SparkSession, dir: String, k: Int = 4,
-      minAgreeMilli: Long = 700): DataFrame = {
+      minAgreeMilli: Long = 700, numCentroids: Int = NumCentroids,
+      numProbes: Int = NumProbes): DataFrame = {
     val exact = marginMining(spark, dir, k)
       .select(col("x_id"), col("y_id").as("y_exact"), col("is_mutual").as("m_exact"))
-    val ivf = marginMiningIvf(spark, dir, k)
+    val ivf = marginMiningIvf(spark, dir, k,
+        numCentroids = numCentroids, numProbes = numProbes)
       .select(col("x_id"), col("y_id").as("y_ivf"), col("is_mutual").as("m_ivf"))
     // single consumer (the one agg below) — no cache; caching here would
     // just force an extra materialization pass

@@ -2465,8 +2465,22 @@ object TextAnalysis {
       s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     graft.functions.GraftFunctions.register(spark)
-    val post = winnowSelected(spark, dir, k, w)
-      .select(col("doc_id"), explode(array_distinct(expr("transform(sel, s -> s.h)"))).as("h"))
+    // Lean selection: the detector drops positions, so the per-window fold
+    // is a plain long MIN (no per-step struct allocation, no (pos, h)
+    // dedup pass) — the distinct h set per doc is IDENTICAL to
+    // [[winnowSelected]]'s (the window's min hash value does not depend on
+    // which position carries it; WinnowProbe asserts a zero symmetric
+    // difference at sf0.1). ~20% off the postings stage, and the summary
+    // query keeps the full struct selection it needs for density/checksum.
+    val post = docs(spark, dir)
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> graft_poly_hash(substring(text, i, $k), 31, ${graft.functions.Portable.P1}L))").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"j -> aggregate(sequence(0, ${w - 1}), 9223372036854775807L, " +
+          "(acc, o) -> least(acc, element_at(hs, CAST(j + o AS INT))))))")).as("h"))
       .cache()
     post.count() // eager fill: df table, doc count, and the keep filter all read it
     val df = post.groupBy("h").agg(count(lit(1)).as("dfreq"))
