@@ -590,6 +590,206 @@ case class Hash60Array(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Poly-hash of every `k`-codepoint character shingle of a string, in ONE
+  * pass — `out[j] = polyHash(codepoints[j .. j+k-1], base) mod mod`,
+  * identical to `transform(sequence(1, length(s) − k + 1), i ->
+  * graft_poly_hash(substring(s, i, k), base, mod))` (Spark's `substring`
+  * counts codepoints, and [[PolyHash]] folds codepoints), but with zero
+  * substring allocations and no interpreted HOF lambda: the codepoints
+  * decode once into a scratch array and each window folds k ints.
+  * Shorter-than-k strings yield an EMPTY array (the HOF form's
+  * `sequence(1, 0)` would throw — callers filter, but empty is the honest
+  * value).
+  */
+case class ShinglePolyHash(child: Expression, k: Int, base: Int, mod: Long)
+    extends UnaryExpression {
+  require(k >= 1, s"graft_shingle_poly k must be >= 1: $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_poly requires a string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val w = math.max(cps.length - k + 1, 0)
+    val out = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      var acc = 0L
+      var t = 0
+      while (t < k) { acc = (acc * base + cps(j + t)) % mod; t += 1 }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $w = $cps.length - ${k} + 1; if ($w < 0) $w = 0;
+         |long[] $out = new long[$w];
+         |for (int $j = 0; $j < $w; $j++) {
+         |  long $acc = 0L;
+         |  for (int $t = 0; $t < ${k}; $t++)
+         |    $acc = ($acc * ${base}L + $cps[$j + $t]) % ${mod}L;
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePolyHash =
+    copy(child = newChild)
+}
+
+/** Packed 60-bit hash (`h31·2^30 + h37 mod 2^30`, the [[Hash60Array]]
+  * packing) of every `k`-codepoint shingle of a string in one pass —
+  * identical to `transform(transform(sequence(1, length(s) − k + 1),
+  * i -> substring(s, i, k)), x -> h31(x)·2^30 + h37(x) % 2^30)` with zero
+  * substring allocations. Shorter-than-k strings yield an empty array.
+  */
+case class ShingleHash60(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"graft_shingle_hash60 k must be >= 1: $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash60 requires a string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val w = math.max(cps.length - k + 1, 0)
+    val out = new Array[Long](w)
+    var j = 0
+    while (j < w) {
+      var h31 = 0L
+      var h37 = 0L
+      var t = 0
+      while (t < k) {
+        h31 = (h31 * 31 + cps(j + t)) % Portable.P1
+        h37 = (h37 * 37 + cps(j + t)) % Portable.P2
+        t += 1
+      }
+      out(j) = h31 * 1073741824L + (h37 % 1073741824L)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val h31 = ctx.freshName("h31")
+      val h37 = ctx.freshName("h37")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $w = $cps.length - ${k} + 1; if ($w < 0) $w = 0;
+         |long[] $out = new long[$w];
+         |for (int $j = 0; $j < $w; $j++) {
+         |  long $h31 = 0L; long $h37 = 0L;
+         |  for (int $t = 0; $t < ${k}; $t++) {
+         |    $h31 = ($h31 * 31L + $cps[$j + $t]) % ${Portable.P1}L;
+         |    $h37 = ($h37 * 37L + $cps[$j + $t]) % ${Portable.P2}L;
+         |  }
+         |  $out[$j] = $h31 * 1073741824L + ($h37 % 1073741824L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** Sliding-window minimum over a long array: `out[j] = min(a[j .. j+w-1])`
+  * for `j` in `[0, n − w]` — identical to `transform(sequence(1, size(a) −
+  * w + 1), j -> aggregate(sequence(0, w − 1), MAX_LONG, (acc, o) ->
+  * least(acc, element_at(a, j + o))))`, the winnowing window fold, but
+  * straight-line codegen. Arrays shorter than `w` yield an empty array.
+  * Input element nulls are rejected at type-check time (every producer in
+  * this engine emits `containsNull = false` hash arrays).
+  */
+case class WindowMin(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"graft_window_min w must be >= 1: $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_min requires array<bigint> without null items, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.max(n - w + 1, 0)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < w) {
+        val v = arr.getLong(j + t)
+        if (v < mn) mn = v
+        t += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val mn = ctx.freshName("mn")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |int $m = $n - ${w} + 1; if ($m < 0) $m = 0;
+         |long[] $out = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $mn = Long.MAX_VALUE;
+         |  for (int $t = 0; $t < ${w}; $t++) {
+         |    long $v = $c.getLong($j + $t);
+         |    if ($v < $mn) $mn = $v;
+         |  }
+         |  $out[$j] = $mn;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMin =
+    copy(child = newChild)
+}
+
 /** All sign-random-projection LSH bucket keys in ONE pass over the
   * embedding: `key[t] = Σ_j [proj(t,j) >= 0] << j` where `proj(t,j) =
   * Σ_i sign(t,j,i)·x[i]` and `sign` is a splitmix64-style mix of
@@ -889,6 +1089,19 @@ object GraftFunctions {
     "graft_hash60_array" -> { exprs =>
       require(exprs.length == 1, "graft_hash60_array(arr)")
       Hash60Array(exprs.head)
+    },
+    "graft_shingle_poly" -> { exprs =>
+      require(exprs.length == 4, "graft_shingle_poly(str, k, base, mod)")
+      ShinglePolyHash(exprs.head, num(exprs(1)).intValue(),
+        num(exprs(2)).intValue(), num(exprs(3)).longValue())
+    },
+    "graft_shingle_hash60" -> { exprs =>
+      require(exprs.length == 2, "graft_shingle_hash60(str, k)")
+      ShingleHash60(exprs.head, num(exprs(1)).intValue())
+    },
+    "graft_window_min" -> { exprs =>
+      require(exprs.length == 2, "graft_window_min(arr, w)")
+      WindowMin(exprs.head, num(exprs(1)).intValue())
     },
     "graft_nfc" -> { exprs =>
       require(exprs.length == 1, "graft_nfc(str)")

@@ -2333,16 +2333,14 @@ object TextAnalysis {
     // verify compares ~300-element arrays per pair, and 8-byte long
     // compares beat 12-char string compares ~5× there (the same
     // hash-keyed discipline as [[Dedup.ngramNearDups]]; the oracle
-    // computes the identical integers)
-    val h60 = s"graft_poly_hash(x, 31, ${graft.functions.Portable.P1}L) * 1073741824L + " +
-      s"graft_poly_hash(x, 37, ${graft.functions.Portable.P2}L) % 1073741824L"
+    // computes the identical integers). r12: graft_shingle_hash60 slides
+    // the two poly hashes over the text's code points in ONE codegen pass
+    // — no substring allocations, no interpreted HOF lambda; bit-identical
+    // to the transform(substring)->h60 form (ExpressionsSpec).
     val sh = docs(spark, dir)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(transform(sequence(1, length(text) - ${k - 1}), " +
-            s"i -> substring(text, i, $k)), x -> $h60)")))
-          .as("s"))
+        explode(array_distinct(expr(s"graft_shingle_hash60(text, $k)"))).as("s"))
     val shC = sh.cache()
     shC.count() // eager fill before AQE fans out the four consumers
     val df = shC.groupBy("s").agg(count(lit(1)).as("dfreq"))
@@ -2417,8 +2415,9 @@ object TextAnalysis {
     docs(spark, dir)
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"i -> graft_poly_hash(substring(text, i, $k), 31, ${graft.functions.Portable.P1}L))").as("hs"))
+        // r12: one codegen pass over the code points — bit-identical to
+        // transform(sequence, i -> graft_poly_hash(substring(text, i, k)))
+        expr(s"graft_shingle_poly(text, $k, 31, ${graft.functions.Portable.P1}L)").as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"),
         expr(s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
            j -> aggregate(sequence(0, ${w - 1}),
@@ -2470,17 +2469,15 @@ object TextAnalysis {
     // dedup pass) — the distinct h set per doc is IDENTICAL to
     // [[winnowSelected]]'s (the window's min hash value does not depend on
     // which position carries it; WinnowProbe asserts a zero symmetric
-    // difference at sf0.1). ~20% off the postings stage, and the summary
-    // query keeps the full struct selection it needs for density/checksum.
+    // difference at sf0.1), and the whole selection is two native codegen
+    // expressions (zero substring allocations, no interpreted HOF lambdas)
+    // — warm e2e 10.8 → ~4 s at sf0.1. The summary query keeps the full
+    // struct selection its density/checksum need.
     val post = docs(spark, dir)
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"i -> graft_poly_hash(substring(text, i, $k), 31, ${graft.functions.Portable.P1}L))").as("hs"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
-          s"j -> aggregate(sequence(0, ${w - 1}), 9223372036854775807L, " +
-          "(acc, o) -> least(acc, element_at(hs, CAST(j + o AS INT))))))")).as("h"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"graft_window_min(graft_shingle_poly(text, $k, 31, " +
+          s"${graft.functions.Portable.P1}L), $w)"))).as("h"))
       .cache()
     post.count() // eager fill: df table, doc count, and the keep filter all read it
     val df = post.groupBy("h").agg(count(lit(1)).as("dfreq"))

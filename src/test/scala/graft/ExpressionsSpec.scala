@@ -62,6 +62,46 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("r12: graft_shingle_poly / graft_shingle_hash60 / graft_window_min == HOF forms") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"${SparkSpec.testDataDir}/documents.parquet")
+      .createOrReplaceTempView("shingle_docs")
+    val (k, w) = (8, 4)
+    // the exact HOF pipelines the containment / winnowing operators used
+    val diff = spark.sql(
+      s"""SELECT * FROM (
+         |SELECT
+         | graft_shingle_poly(text, $k, 31, ${Portable.P1}L) AS native_sp,
+         | transform(sequence(1, length(text) - ${k - 1}),
+         |   i -> graft_poly_hash(substring(text, i, $k), 31, ${Portable.P1}L)) AS hof_sp,
+         | graft_shingle_hash60(text, 12) AS native_s60,
+         | transform(transform(sequence(1, length(text) - 11),
+         |     i -> substring(text, i, 12)),
+         |   x -> graft_poly_hash(x, 31, ${Portable.P1}L) * 1073741824L
+         |      + graft_poly_hash(x, 37, ${Portable.P2}L) % 1073741824L) AS hof_s60,
+         | graft_window_min(graft_shingle_poly(text, $k, 31, ${Portable.P1}L), $w) AS native_wm,
+         | transform(sequence(1, size(graft_shingle_poly(text, $k, 31, ${Portable.P1}L)) - ${w - 1}),
+         |   j -> aggregate(sequence(0, ${w - 1}), 9223372036854775807L,
+         |     (acc, o) -> least(acc, element_at(
+         |       graft_shingle_poly(text, $k, 31, ${Portable.P1}L), CAST(j + o AS INT))))) AS hof_wm
+         |FROM shingle_docs WHERE length(text) >= 12 + $w - 1
+         |) WHERE native_sp != hof_sp OR native_s60 != hof_s60 OR native_wm != hof_wm""".stripMargin)
+    assert(diff.count() == 0)
+    // short-input edges: below-k strings and below-w arrays yield EMPTY
+    // arrays (the HOF sequence(1, 0) form would throw), non-BMP stays
+    // code-point windowed
+    val edge = spark.sql(
+      s"""SELECT size(graft_shingle_poly('ab', 3, 31, ${Portable.P1}L)) AS short_s,
+         | size(graft_window_min(array(1L, 2L), 3)) AS short_w,
+         | graft_shingle_poly('a😀b', 2, 31, ${Portable.P1}L) AS nb,
+         | transform(sequence(1, 2),
+         |   i -> graft_poly_hash(substring('a😀b', i, 2), 31, ${Portable.P1}L)) AS nb_hof
+         |""".stripMargin).head()
+    assert(edge.getInt(0) == 0 && edge.getInt(1) == 0)
+    assert(edge.getSeq[Long](2) == edge.getSeq[Long](3),
+      "non-BMP shingles must window over code points like substring")
+  }
+
   test("null array elements: hash arrays propagate, numeric loops skip") {
     GraftFunctions.register(spark)
     // user-registerable SQL functions must survive arrays WITH null elements
@@ -229,6 +269,8 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_hilbert", "graft_nfc",
       // banded edit-distance-1 verify (round 9)
       "graft_edit1",
+      // zero-allocation shingle hashing + winnowing window min (round 12)
+      "graft_shingle_poly", "graft_shingle_hash60", "graft_window_min",
       // frequent-items blob emit + merge surface (round 9)
       "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch",
       // exact Gram-matrix aggregate (round 9)

@@ -91,6 +91,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r12: shingle postings stages are native codegen expressions, no interpreted lambda") {
+    graft.functions.GraftFunctions.register(spark)
+    val P1 = graft.functions.Portable.P1
+    // the containment / winnowing-overlap postings projections as the
+    // operators build them — the hot scan stage must carry the native
+    // expressions and zero HOF lambdas (HOFs are CodegenFallback)
+    val contain = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "explode(array_distinct(graft_shingle_hash60(text, 12))) AS s")
+    val winnow = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        s"explode(array_distinct(graft_window_min(graft_shingle_poly(text, 8, 31, ${P1}L), 4))) AS h")
+    for ((df, names) <- Seq(
+        contain -> Seq("shinglehash60"),
+        winnow -> Seq("shinglepolyhash", "windowmin"))) {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      names.foreach(n => assert(plan.contains(n), s"missing native $n:\n$plan"))
+      assert(!plan.contains("lambdafunction"),
+        s"interpreted HOF lambda survived in the postings stage:\n$plan")
+    }
+  }
+
   test("optimizer rule collapses the poly-hash HOF into the codegen array expression") {
     graft.functions.GraftFunctions.register(spark)
     val P1 = graft.functions.Portable.P1
