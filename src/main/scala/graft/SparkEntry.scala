@@ -445,6 +445,9 @@ object SparkEntry {
     "ann_sq_check" -> ((s, d) => Similarity.sqRecallFloor(s, d)),
     "ann_sq_store_check" -> ((s, d) => Similarity.sqStoreRecallFloor(s, d)),
     "ann_ivf_check" -> ((s, d) => Similarity.ivfRecallFloor(s, d)),
+    // r12: same floor over the hot-cell clustered twin corpus — one
+    // quantizer cell carries ~90% of the vectors; skew degrades time only
+    "ann_ivf_skew_check" -> ((s, d) => Similarity.ivfRecallFloorClustered(s, d)),
     // same floor through the PERSISTED index round trip (build -> parquet
     // -> read back -> query; bit-equal to the direct path by spec) (r7)
     "ann_ivf_store_check" -> ((s, d) => Similarity.ivfStoreRecallFloor(s, d)),

@@ -108,6 +108,12 @@ private[graft] object AnnOracles {
     "ann_ivf_check" ->
       """SELECT vec_id AS q_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // r12: the recall gate over the hot-cell clustered twin corpus — both
+    // paths run in Spark over the same derived table, the oracle pins the
+    // gate's TRUE-per-query contract
+    "ann_ivf_skew_check" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     // r11: IVF-backed margin mining is gated on agreement with the exact
     // path (coverage / same-partner floor / no mutual-flag flips)
     "ann_margin_mining_ivf_check" ->

@@ -58,8 +58,11 @@ object Similarity {
   /** Exact top-k neighbors (cosine) for each query vector (vec_id < nQueries),
     * excluding self. Output (q_id, neighbor_id, rank).
     */
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame =
+    bruteForceTopKFrom(embeddings(spark, dir), k, nQueries)
+
+  private[graft] def bruteForceTopKFrom(e0: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val e = withNorm(e0)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     topKPerQuery(
@@ -438,9 +441,17 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       refineIters: Int = 2, forPlanInspection: Boolean = false,
       trainFraction: Double = TrainFraction,
+      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes): DataFrame =
+    ivfTopKFrom(spark, embeddings(spark, dir), k, nQueries, refineIters,
+      forPlanInspection, trainFraction, numCentroids, numProbes)
+
+  private[graft] def ivfTopKFrom(spark: SparkSession, e0: DataFrame,
+      k: Int, nQueries: Int, refineIters: Int = 2,
+      forPlanInspection: Boolean = false,
+      trainFraction: Double = TrainFraction,
       numCentroids: Int = NumCentroids, numProbes: Int = NumProbes): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = withNorm(embeddings(spark, dir)).cache()
+    val e = withNorm(e0).cache()
     // Training set: deterministic hash-sample; scanning it fills e's cache.
     val train = trainSample(e, trainFraction).cache()
     val nTrain = train.count()
@@ -770,6 +781,58 @@ object Similarity {
     exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id")
       .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+  }
+
+  /** Deterministic HOT-CELL twin corpus: `clusterPermille`/1000 of the
+    * vectors collapse into a tight ball around vector 0's embedding (each
+    * keeps a small id-indexed nudge so no two are identical and cosine
+    * ties stay impossible), the rest keep their original embeddings. On
+    * the trained quantizer the ball lands in ONE Voronoi cell, so the
+    * probe-cell equi-join sees a single white-hot key carrying most of
+    * the corpus — the skew profile a clustered real-world embedding table
+    * produces and the isotropic fixture never does. Pure map over the
+    * source table; integer/elementwise-float arithmetic only, so the
+    * corpus is bit-reproducible under any partitioning.
+    */
+  private[graft] def clusteredEmbeddings(spark: SparkSession, dir: String,
+      clusterPermille: Int = 900): DataFrame = {
+    require(clusterPermille >= 1 && clusterPermille <= 1000,
+      s"clusterPermille must be in [1, 1000], got $clusterPermille")
+    val e = embeddings(spark, dir)
+    val anchor = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    require(anchor.nonEmpty, "clusteredEmbeddings: corpus has no vector 0")
+    val anchorLit = anchor.map(_.toDouble).mkString("array(", "D, ", "D)")
+    e.select(col("vec_id"),
+      when(pmod(col("vec_id"), lit(1000L)) >= clusterPermille, col("embedding"))
+        .otherwise(expr(
+          s"transform($anchorLit, (a, i) -> " +
+            "CAST(a + pmod(vec_id * (i + 1), 97) / 4850.0D AS FLOAT))"))
+        .as("embedding"))
+  }
+
+  /** `ann_ivf_skew_check` — the recall gate of [[ivfRecallFloor]] run over
+    * the [[clusteredEmbeddings]] hot-cell corpus: exact brute force and
+    * IVF probe the SAME clustered table, so a green row proves the
+    * cell-equi-join path keeps its recall floor when one quantizer cell
+    * carries ~90% of the corpus (the skew the round-11 review flagged as
+    * the IVF family's residual risk). The hot cell makes the probed scan
+    * bigger, never wrong — this row pins that the plan degrades in TIME
+    * only, not in answers.
+    */
+  def ivfRecallFloorClustered(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, minHits: Int = 3,
+      clusterPermille: Int = 900): DataFrame = {
+    val clustered = clusteredEmbeddings(spark, dir, clusterPermille).cache()
+    clustered.count() // eager fill: brute-force and IVF paths both read it
+    val exact = bruteForceTopKFrom(clustered, k, nQueries)
+      .select("q_id", "neighbor_id")
+    val approx = ivfTopKFrom(spark, clustered, k, nQueries)
+      .select("q_id", "neighbor_id")
+    val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id")
+      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    Dedup.materializeAndRelease(Seq(clustered), out)
   }
 
   /** PQ layout: 64 dims → [[PqSubspaces]] blocks of [[PqSubDims]] dims,

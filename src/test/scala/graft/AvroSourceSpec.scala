@@ -153,6 +153,30 @@ class IvfSpec extends AnyFunSuite {
     assert(dflt.forall(_.getBoolean(1)), "default-cell recall floor violated")
   }
 
+  test("r12: hot-cell clustered twin corpus is a real ball and keeps the recall floor") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val clustered = Similarity.clusteredEmbeddings(spark, dir)
+    val n = clustered.count()
+    // the ball: ≥ 85% of vectors sit within cosine 0.99 of vector 0's
+    // nudged center — the property that makes ONE quantizer cell hot
+    val anchor = clustered.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val lit64 = anchor.map(_.toDouble).mkString("array(", "D, ", "D)")
+    val near = clustered.withColumn("c",
+      expr(s"graft_dot(embedding, $lit64)") /
+        (expr("sqrt(graft_dot(embedding, embedding))") *
+          math.sqrt(anchor.map(x => x.toDouble * x).sum)))
+      .filter(col("c") > 0.99).count()
+    assert(near * 1000 >= n * 850, s"ball too loose: $near / $n within cosine 0.99")
+    // determinism: the derived corpus is a pure map — two builds identical
+    assert(clustered.exceptAll(Similarity.clusteredEmbeddings(spark, dir)).isEmpty)
+    // and the gate the catalog row runs is green on this fixture
+    val rows = Similarity.ivfRecallFloorClustered(spark, dir).collect()
+    assert(rows.length == 5 && rows.forall(_.getBoolean(1)),
+      s"hot-cell recall floor violated: ${rows.mkString(", ")}")
+  }
+
   test("persisted IVF index: store-backed query path is bit-equal to the direct path") {
     val store = java.nio.file.Files.createTempDirectory("ivf-store-spec").toString
     try {
