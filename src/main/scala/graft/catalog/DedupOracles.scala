@@ -299,18 +299,28 @@ private[graft] object DedupOracles {
         |    (acc, x) -> acc + x) / (a.norm * b.norm) AS cosine
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4""".stripMargin,
+    // r12: shingle sets as 60-bit packed fingerprints on BOTH engines (the
+    // text_containment recipe) — the Spark side ships 8-byte longs through
+    // the verify joins, the oracle computes the identical integers
     "dedup_ngram" ->
       """WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
-        |   i -> substr(text, CAST(i AS INTEGER), 5))) AS s
-        | FROM documents)
-        |SELECT * FROM (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.6""".stripMargin,
+        | SELECT DISTINCT doc_id,
+        |  list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 5), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+        |  + list_reduce(list_transform(string_split(substr(text, CAST(i AS INTEGER), 5), ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 37 + x) % 998244353) % 1073741824 AS s
+        | FROM documents, LATERAL unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |pair AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter,
+        | CAST(n_inter AS DOUBLE) / CAST(sa.m + sb.m - n_inter AS DOUBLE) AS jaccard
+        |FROM pair
+        | JOIN sz sa ON id_a = sa.doc_id
+        | JOIN sz sb ON id_b = sb.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.m + sb.m - n_inter AS DOUBLE) >= 0.6""".stripMargin,
     "dedup_edit_distance" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

@@ -257,8 +257,8 @@ object Dedup {
     */
   def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
       numHashes: Int = NumHashes, bands: Int = Bands): DataFrame =
-    nearDupsFromArrays(charShingleArrays(spark, dir), threshold, sigFilter = true,
-      numHashes = numHashes, bands = bands)
+    nearDupsFromArrays(charShingleHashes(spark, dir), threshold, sigFilter = true,
+      numHashes = numHashes, bands = bands, sigBase = Some("sig_input"))
 
   /** (doc_id, shingles) with distinct character 5-grams (length < 5 →
     * one shingle: the whole text), mirroring `minGramFingerprint`'s
@@ -269,6 +269,35 @@ object Dedup {
       col("doc_id"),
       expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
         .as("shingles"))
+
+  /** Hash-native 5-gram shingle relation (r12) — the [[charShingleArrays]]
+    * twin with NO string materialization: `sig_input` is the 30-bit P1
+    * poly-hash of every window (duplicates kept — min-hash is
+    * duplicate-blind, so signatures are BIT-IDENTICAL to hashing the
+    * distinct string shingles; NgramDedupProbe asserts a zero symmetric
+    * difference), and `shingles` is the distinct 60-bit packed
+    * fingerprint set the exact verification intersects (8-byte longs
+    * through the candidate joins instead of 5-char strings — the
+    * [[graft.operators.TextAnalysis.containmentJoin]] discipline; per-pair
+    * collision odds ≈ 2^-60, and the DuckDB oracle computes the identical
+    * integers so the row stays bit-exact). Length < 5 keeps the
+    * whole-text-as-one-shingle convention.
+    */
+  private[graft] def charShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val h60whole = s"graft_poly_hash(text, 31, ${Portable.P1}L) * 1073741824L + " +
+      s"graft_poly_hash(text, 37, ${Portable.P2}L) % 1073741824L"
+    docs(spark, dir).select(
+      col("doc_id"),
+      when(length(col("text")) >= 5,
+        expr(s"graft_shingle_poly(text, 5, 31, ${Portable.P1}L)"))
+        .otherwise(expr(s"array(graft_poly_hash(text, 31, ${Portable.P1}L))"))
+        .as("sig_input"),
+      when(length(col("text")) >= 5,
+        array_distinct(expr("graft_shingle_hash60(text, 5)")))
+        .otherwise(expr(s"array($h60whole)"))
+        .as("shingles"))
+  }
 
   /** Width of the wide signature used by the agreement pre-filter. The
     * extra `SigFilterHashes - NumHashes` components cost one longer codegen
@@ -308,7 +337,10 @@ object Dedup {
       threshold: Double,
       sigFilter: Boolean = false,
       numHashes: Int = NumHashes,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands,
+      // minhash input SQL: defaults to hashing the string `shingles` col;
+      // hash-native callers pass a pre-hashed column name instead
+      sigBase: Option[String] = None): DataFrame = {
     // One shingle pass feeds signatures and verification. Materialize the
     // cache EAGERLY: AQE submits the independent downstream stages (band
     // agg, anti-join, both self-join sides, verification) concurrently,
@@ -318,9 +350,13 @@ object Dedup {
     arrays.count()
     graft.functions.GraftFunctions.register(arrays.sparkSession)
 
+    val defaultBase = s"graft_poly_hash_array(shingles, 31, ${Portable.P1}L)"
+    val sigInput = sigBase.getOrElse(defaultBase)
     val (cand, caches) =
       if (!sigFilter) {
-        val (c, banded) = candidatesFrom(signaturesFrom(arrays, numHashes), numHashes, bands)
+        val sigsPlain = arrays.select(col("doc_id"),
+          expr(s"graft_minhash($sigInput, $numHashes)").as("sig"))
+        val (c, banded) = candidatesFrom(sigsPlain, numHashes, bands)
         (c, Seq(banded))
       } else {
         // Banding keeps the frozen affine signature; the FILTER signature
@@ -341,11 +377,10 @@ object Dedup {
         // verification (measured 19.5 s → 6 s at sf0.1). Pairs stream
         // through the filter as join output — the O(n²) set is never
         // shuffled, only scanned.
-        val base = s"graft_poly_hash_array(shingles, 31, ${Portable.P1}L)"
         val sigs = arrays.select(
           col("doc_id"),
-          expr(s"graft_minhash($base, $numHashes)").as("sig"),
-          expr(s"transform(graft_minhash_mix($base, $SigFilterHashes), " +
+          expr(s"graft_minhash($sigInput, $numHashes)").as("sig"),
+          expr(s"transform(graft_minhash_mix($sigInput, $SigFilterHashes), " +
             "h -> CAST(h % 128 AS TINYINT))").as("sigb"))
         val banded = bandedSignatures(sigs, passThrough = Seq("sigb"),
           numHashes = numHashes, bands = bands).cache()
