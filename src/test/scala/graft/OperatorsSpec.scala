@@ -244,6 +244,29 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) }, "fixture must contain a near dup")
   }
 
+  test("r12: hash-native ngram path keeps the whole-text convention for sub-5-char docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ngram-short").toString
+    try {
+      Seq(
+        1L -> "abc", 2L -> "abc", 3L -> "abd", 4L -> "xy",
+        5L -> "the quick brown fox jumps", 6L -> "the quick brown fox jumps")
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val got = Dedup.ngramNearDups(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // sub-5-char docs fall back to ONE whole-text shingle (the
+      // charShingleArrays convention), so identical short docs pair at
+      // jaccard 1.0 with a single shared fingerprint; distinct short docs
+      // ("abd", "xy") share nothing with anyone
+      assert(got.map(t => (t._1, t._2, t._4)).toSet ==
+        Set((1L, 2L, 1.0), (5L, 6L, 1.0)), s"got ${got.mkString(", ")}")
+      assert(got.find(t => t._1 == 1L && t._2 == 2L).get._3 == 1L,
+        "whole-text fallback must contribute exactly one shingle")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("prefix-filter join equals the LSH+verify twin on the real corpus") {
     val exact = Dedup.jaccardPrefixNearDups(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
