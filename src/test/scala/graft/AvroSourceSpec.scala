@@ -175,6 +175,19 @@ class IvfSpec extends AnyFunSuite {
     val rows = Similarity.ivfRecallFloorClustered(spark, dir).collect()
     assert(rows.length == 5 && rows.forall(_.getBoolean(1)),
       s"hot-cell recall floor violated: ${rows.mkString(", ")}")
+    // off-default knob cell (the IvfSpec pattern): a HALF-clustered corpus
+    // must also hold the floor, and the parameter must actually reach the
+    // corpus builder — at 500 permille the ball holds ~half the vectors
+    val half = Similarity.clusteredEmbeddings(spark, dir, clusterPermille = 500)
+    val nHalf = half.count()
+    val kept = half.join(
+      Similarity.clusteredEmbeddings(spark, dir).select("vec_id", "embedding"),
+      Seq("vec_id", "embedding"), "left_semi").count()
+    assert(kept < nHalf, "clusterPermille=500 must differ from the 900 default")
+    val offRows = Similarity.ivfRecallFloorClustered(spark, dir,
+      clusterPermille = 500).collect()
+    assert(offRows.length == 5 && offRows.forall(_.getBoolean(1)),
+      s"off-default hot-cell floor violated: ${offRows.mkString(", ")}")
   }
 
   test("persisted IVF index: store-backed query path is bit-equal to the direct path") {
