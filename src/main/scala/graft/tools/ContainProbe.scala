@@ -36,15 +36,10 @@ object ContainProbe {
     time("containment e2e (warm)") { TextAnalysis.containmentJoin(spark, dir).count() }
 
     val (k, tMilli) = (12, 800)
-    val h60 = s"graft_poly_hash(x, 31, ${graft.functions.Portable.P1}L) * 1073741824L + " +
-      s"graft_poly_hash(x, 37, ${graft.functions.Portable.P2}L) % 1073741824L"
     val shC = spark.read.parquet(s"$dir/documents.parquet")
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(transform(sequence(1, length(text) - ${k - 1}), " +
-            s"i -> substring(text, i, $k)), x -> $h60)")))
-          .as("s"))
+        explode(array_distinct(expr(s"graft_shingle_hash60(text, $k)"))).as("s"))
       .cache()
     time("postings fill") { println(s"  postings=${shC.count()}") }
     val df = shC.groupBy("s").agg(count(lit(1)).as("dfreq"))
