@@ -88,7 +88,15 @@ object GraphScaleProbe {
       // (the wedge set is Σ d² per copy, copies don't cross-pair)
       ("graph_triangles", (d: String) => G.triangles(spark, d).count()),
       ("graph_lpa", (d: String) => G.lpaCommunities(spark, d).count()),
-      ("graph_link_predict", (d: String) => G.linkPredict(spark, d).count()))
+      ("graph_link_predict", (d: String) => G.linkPredict(spark, d).count()),
+      // r12 hub-skew twins: the key offsets are multiples of 8, so every
+      // copy's suppliers collapse onto the SAME eight hubs — k× the load
+      // on a FIXED hot-key set, the adversarial case for the superstep
+      // aggregates and the co-order pair count. Exponent ≈ 1 here is the
+      // map-side-combine guarantee the twins exist to certify.
+      ("graph_pagerank_skew", (d: String) => G.pageRankHubSkew(spark, d).count()),
+      ("graph_components_skew", (d: String) => G.componentsHubSkew(spark, d).count()),
+      ("graph_triangles_skew", (d: String) => G.trianglesHubSkew(spark, d).count()))
     println(f"${"probe"}%-18s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
     probes.foreach { case (name, run) =>
       run(d1) // warm the shape once
