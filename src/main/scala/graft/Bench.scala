@@ -185,17 +185,24 @@ object Bench {
       if (keepMetrics) exportMetrics = bestMetrics
       best
     }
-    // Wall-clock headline = the parallel export; the `export` METRICS
-    // block stays on the serial run — its writeElapsedMs/msPerMillionRows
-    // are SUMS of per-partition times (the reference's A3 metrics
-    // reduction), which on a 32-way write add 32 writers' clocks together
-    // and stop being comparable to the serial first-light series.
-    results("export_avro") = timedExport("deflate1", keepMetrics = false)
-    results("export_avro_1p") = timedExport("deflate1", keepMetrics = true, parallelism = 1)
+    // `export_avro` stays on the SERIAL protocol every round since r1 has
+    // recorded under that key (r13, ADVICE: r12 briefly re-pointed it at the
+    // 32-way write, a ~10× step that was a measurement-protocol change, not
+    // a speedup — cross-round tooling diffing the key would misread it).
+    // The CLI-style parallel run gets its own series key, `export_avro_32p`.
+    // The `export` METRICS block stays on the serial run too — its
+    // writeElapsedMs/msPerMillionRows are SUMS of per-partition times (the
+    // reference's A3 metrics reduction), which on a 32-way write add 32
+    // writers' clocks together and stop being comparable to the serial
+    // first-light series.
+    results("export_avro") = timedExport("deflate1", keepMetrics = true, parallelism = 1)
+    results("export_avro_32p") = timedExport("deflate1", keepMetrics = false)
 
     // 1b. Same export with zstandard1 — the reference's e2e codec matrix
-    // is {deflate1, zstandard1} (`e2e/e2e.sh:104-108`).
-    results("export_avro_zstd") = timedExport("zstandard1", keepMetrics = false)
+    // is {deflate1, zstandard1} (`e2e/e2e.sh:104-108`). Serial, same series
+    // protocol as `export_avro` (r10/r11 recorded it serial).
+    results("export_avro_zstd") = timedExport("zstandard1", keepMetrics = false, parallelism = 1)
+    results("export_avro_zstd_32p") = timedExport("zstandard1", keepMetrics = false)
 
     // 2. Catalog queries, count() as the action, best of 2 runs.
     catalog.foreach { name =>
@@ -423,7 +430,8 @@ object Bench {
     // off that tail. The compact line always fits, so whichever line the
     // driver's tail retains intact parses to the same totals.
     println(jsonLine(results))
-    val compactKeys = Vector("export_avro", "export_avro_1p", "export_avro_zstd") ++ headline ++
+    val compactKeys = Vector("export_avro", "export_avro_32p", "export_avro_zstd",
+      "export_avro_zstd_32p") ++ headline ++
       // r12: both margin-mining forms in the compact (driver-visible) set,
       // so a regression in the production IVF path can't hide behind the
       // exact oracle-gate path's number

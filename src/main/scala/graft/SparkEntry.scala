@@ -306,6 +306,9 @@ object SparkEntry {
     "dq_ldiversity" -> ((s, d) => Relational.dqLdiversity(s, d)),
     // r10 continuation: wedge-enumerated resource-allocation link scores
     "graph_link_predict" -> ((s, d) => Graph.linkPredict(s, d)),
+    // r13 hub-skew twin: suppliers collapsed mod 8 — every mid is a hub,
+    // so the blocked (salted) wedge enumeration is the plan under load
+    "graph_link_predict_skew" -> ((s, d) => Graph.linkPredictHubSkew(s, d)),
     // r10 continuation: synchronous deterministic LPA over the same
     // median-sparsified co-service graph
     "graph_lpa" -> ((s, d) => Graph.lpaCommunities(s, d)),

@@ -128,27 +128,13 @@ private[graft] object GraphOracles {
     // r10 continuation: wedge-enumerated RA link prediction; total order
     // (ra DESC, common DESC, u, v) makes the LIMIT deterministic
     "graph_link_predict" ->
-      """WITH sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |ew AS (
-        | SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
-        | FROM sup a JOIN sup b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        | GROUP BY 1, 2),
-        |h AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ew GROUP BY w),
-        |rk AS (SELECT w, sum(c) OVER (ORDER BY w ASC) AS cum, sum(c) OVER () AS n FROM h),
-        |thr AS (SELECT min(w) AS t FROM rk WHERE cum * 1000 >= n * 900),
-        |e AS (SELECT u, v FROM ew, thr WHERE w > t),
-        |adj AS (SELECT u AS mid, v AS nb FROM e UNION ALL SELECT v, u FROM e),
-        |deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid),
-        |sc AS (
-        | SELECT a.nb AS u, b.nb AS v, CAST(count(*) AS BIGINT) AS n_common,
-        |  CAST(sum(1000000 // d) AS BIGINT) AS ra_micros
-        | FROM adj a JOIN adj b ON a.mid = b.mid AND a.nb < b.nb
-        | JOIN deg ON deg.mid = a.mid
-        | GROUP BY 1, 2)
-        |SELECT u, v, n_common, ra_micros FROM sc
-        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
-        |ORDER BY ra_micros DESC, n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+      linkPredictOracle("SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem", 900),
+    // r13 hub-skew twin ([[graft.operators.Graph.linkPredictHubSkew]]):
+    // identical arithmetic over `l_suppkey % 8` super-nodes, median cut
+    // (the 8-hub backbone above the top-decile cut has no wedges left)
+    "graph_link_predict_skew" ->
+      linkPredictOracle(
+        "SELECT DISTINCT l_orderkey, l_suppkey % 8 AS l_suppkey FROM lineitem", 500),
     // r10 continuation: 3 unrolled synchronous LPA supersteps over the
     // TOP-DECILE backbone (median graph too dense — one community);
     // argmax is the (count DESC, label ASC) rank = the min-struct order
@@ -188,6 +174,29 @@ private[graft] object GraphOracles {
         "SELECT DISTINCT l_orderkey, l_suppkey % 8 AS l_suppkey FROM lineitem"),
     "graph_components_skew" -> componentsSkewOracle(4),
   )
+
+  private def linkPredictOracle(supSql: String, permille: Int): String =
+    s"""WITH sup AS ($supSql),
+       |ew AS (
+       | SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+       | FROM sup a JOIN sup b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       | GROUP BY 1, 2),
+       |h AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ew GROUP BY w),
+       |rk AS (SELECT w, sum(c) OVER (ORDER BY w ASC) AS cum, sum(c) OVER () AS n FROM h),
+       |thr AS (SELECT min(w) AS t FROM rk WHERE cum * 1000 >= n * $permille),
+       |e AS (SELECT u, v FROM ew, thr WHERE w > t),
+       |adj AS (SELECT u AS mid, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid),
+       |sc AS (
+       | SELECT a.nb AS u, b.nb AS v, CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(sum(1000000 // d) AS BIGINT) AS ra_micros
+       | FROM adj a JOIN adj b ON a.mid = b.mid AND a.nb < b.nb
+       | JOIN deg ON deg.mid = a.mid
+       | GROUP BY 1, 2)
+       |SELECT u, v, n_common, ra_micros FROM sc
+       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+       |ORDER BY ra_micros DESC, n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin
 
   private def trianglesOracle(supSql: String): String =
     s"""WITH sup AS ($supSql),

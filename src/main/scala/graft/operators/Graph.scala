@@ -293,19 +293,70 @@ object Graph {
     * Scale: the threshold pass windows over the weight histogram (tiny by
     * construction), never the edge list; the wedge set is Σ deg(w)² over
     * middle vertices — the same quantity [[triangles]] bounds, with the
-    * quantile cut as the density knob; the degree table broadcasts; the
-    * final top-k is a TakeOrdered, no global sort materializes.
+    * quantile cut as the density knob. Two r13 de-hub treatments (VERDICT
+    * r12 #2) keep a residual hub from funneling its d² wedges through one
+    * task:
+    *
+    *   - the wedge self-join is BLOCKED per mid: each mid of degree d gets
+    *     `s = ⌈d / wedgeCap⌉` hash-buckets over its neighbors, each side
+    *     replicates ×s over the OTHER side's bucket, and the join key is
+    *     `(mid, bucketₐ, bucket_b)` — so a hub's d² wedge rows spread over
+    *     s² shuffle keys with ≤ ~wedgeCap² rows each, at a replication
+    *     cost of d·s ≈ d²/wedgeCap rows (1/wedgeCap of the wedge output
+    *     itself). Light mids have s = 1 and the machinery degenerates to
+    *     the plain self-join with zero overhead. Pair semantics are
+    *     untouched: bucket assignment is deterministic, so each (mid,u,v)
+    *     wedge matches exactly once.
+    *   - the per-mid degree rides ALONG on the blocked rows (deg is joined
+    *     once, before the explode) instead of broadcasting the |V|-row
+    *     degree table — a plain equi-join AQE may still broadcast when it
+    *     is genuinely small.
+    *
+    * The final top-k is a TakeOrdered, no global sort materializes.
     */
   def linkPredict(spark: SparkSession, dir: String, topK: Int = 20,
-      cutPermille: Int = 900): DataFrame = {
-    val (ew, e) = sparsifiedCoServiceEdges(spark, dir, cutPermille)
+      cutPermille: Int = 900, wedgeCap: Int = 1024): DataFrame =
+    linkPredictCore(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(),
+      topK, cutPermille, wedgeCap)
+
+  /** Hub-heavy skew twin of [[linkPredict]] (the [[trianglesHubSkew]]
+    * treatment): suppliers collapse to `l_suppkey % hubMod` super-nodes
+    * BEFORE the co-order self-join, so the pair aggregate sees at most
+    * C(hubMod, 2) distinct keys each carrying an order-table-sized count,
+    * and every surviving mid is a hub — the wedge-blocking path is the
+    * plan under load. Identical arithmetic, parameterized oracle. The
+    * dense hub graph keeps real non-adjacent pairs only below the median
+    * cut, hence the 500 default.
+    */
+  def linkPredictHubSkew(spark: SparkSession, dir: String, topK: Int = 20,
+      cutPermille: Int = 500, hubMod: Long = 8, wedgeCap: Int = 1024): DataFrame = {
+    require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
+    linkPredictCore(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_suppkey") % hubMod).as("l_suppkey"))
+        .distinct(),
+      topK, cutPermille, wedgeCap)
+  }
+
+  private def linkPredictCore(sup: DataFrame, topK: Int, cutPermille: Int,
+      wedgeCap: Int): DataFrame = {
+    require(wedgeCap >= 1, s"wedgeCap must be >= 1, got $wedgeCap")
+    val (ew, e) = sparsifiedCoServiceEdgesFrom(sup, cutPermille)
     val adj = e.select(col("u").as("mid"), col("v").as("nb"))
       .union(e.select(col("v").as("mid"), col("u").as("nb")))
     val deg = adj.groupBy("mid").agg(count(lit(1)).as("d"))
-    val scored = adj.as("a").join(adj.as("b"),
-        col("a.mid") === col("b.mid") && col("a.nb") < col("b.nb"))
-      .select(col("a.nb").as("u"), col("b.nb").as("v"), col("a.mid").as("mid"))
-      .join(broadcast(deg), "mid")
+    // s = ⌈d / wedgeCap⌉ hash-buckets per mid; each row carries its own
+    // bucket (`bs`) and replicates over the other side's bucket (`bo`).
+    val blocked = adj.join(deg, "mid")
+      .withColumn("s", expr(s"(d + ${wedgeCap - 1}L) div ${wedgeCap}L"))
+      .withColumn("bs", pmod(hash(col("nb")).cast("bigint"), col("s")))
+      .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+    val scored = blocked.as("a").join(blocked.as("b"),
+        col("a.mid") === col("b.mid") &&
+          col("a.bs") === col("b.bo") && col("a.bo") === col("b.bs") &&
+          col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("u"), col("b.nb").as("v"), col("a.d").as("d"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_common"), sum(expr("1000000L div d")).as("ra_micros"))
     val out = scored.join(e, Seq("u", "v"), "left_anti")
@@ -329,9 +380,13 @@ object Graph {
     * community structure lives.
     */
   private def sparsifiedCoServiceEdges(spark: SparkSession, dir: String,
-      permille: Int = 500): (DataFrame, DataFrame) = {
+      permille: Int = 500): (DataFrame, DataFrame) =
+    sparsifiedCoServiceEdgesFrom(
+      t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(), permille)
+
+  private def sparsifiedCoServiceEdgesFrom(sup: DataFrame,
+      permille: Int): (DataFrame, DataFrame) = {
     require(permille >= 1 && permille <= 999, s"permille must be in [1, 999], got $permille")
-    val sup = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     val ew = sup.as("a").join(sup.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -341,19 +396,26 @@ object Graph {
     ew.count() // fill before the multi-consumer fan-out (cache-before-AQE rule)
     val hist = ew.groupBy("w").agg(count(lit(1)).as("c"))
     // The weight domain is shared-order COUNTS — its distinct-value count
-    // is bounded by the max co-service weight, not the edge count. Assert
-    // that loudly before the quadratic cumulative join below (an
-    // unpartitioned running-sum window here would funnel the whole
-    // histogram through one task instead).
+    // is bounded by the max co-service weight, not the edge count. The
+    // quadratic broadcast range join below is the parallel form, but it is
+    // only tractable while the histogram stays genuinely small (4096² ≈
+    // 17M comparisons); past that, a single-partition running-sum window
+    // over the histogram is strictly cheaper (a few thousand 16-byte rows
+    // through one task vs billions of nested-loop comparisons), so fall
+    // back to it instead of failing.
     val nDistinctW = hist.count()
-    require(nDistinctW <= 100000,
-      s"co-service weight histogram has $nDistinctW distinct values — expected a " +
-        "small count domain; refusing the quadratic threshold scan")
-    // cum(w) = Σ c over weights ≤ w via a broadcast range join: stays
-    // parallel over the histogram instead of single-partition-windowing it
-    val cum = hist
-      .join(broadcast(hist.select(col("w").as("w2"), col("c").as("c2"))), col("w2") <= col("w"))
-      .groupBy("w").agg(sum("c2").as("cum"))
+    val cum =
+      if (nDistinctW <= 4096)
+        // cum(w) = Σ c over weights ≤ w via a broadcast range join: stays
+        // parallel over the histogram instead of single-partition-windowing it
+        hist
+          .join(broadcast(hist.select(col("w").as("w2"), col("c").as("c2"))), col("w2") <= col("w"))
+          .groupBy("w").agg(sum("c2").as("cum"))
+      else {
+        val win = org.apache.spark.sql.expressions.Window.orderBy("w")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        hist.select(col("w"), sum("c").over(win).as("cum"))
+      }
     val thr = cum
       .crossJoin(broadcast(ew.agg(count(lit(1)).as("n"))))
       .filter(col("cum") * 1000 >= col("n") * permille)

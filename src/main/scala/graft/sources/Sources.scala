@@ -120,9 +120,13 @@ final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: In
         // getter reads them with `getBytes` — the reference's driver call
         // (`avro/JdbcAvroRecord.java:96-99`).
         val arrays = arrayColumns()
+        // Labels go through Spark's DDL parser: backtick-quote each one (with
+        // embedded backticks doubled) so reserved words / spaces / mixed-case
+        // quoted identifiers still match the scan column instead of failing
+        // to parse or silently leaving the array column un-overridden.
         if (arrays.nonEmpty)
           p.setProperty("customSchema",
-            arrays.map { case (n, _) => s"$n BINARY" }.mkString(", "))
+            arrays.map { case (n, _) => s"`${n.replace("`", "``")}` BINARY" }.mkString(", "))
       case ArrayMode.TypedPostgres =>
         // Fail fast on item types the reference's `typed_postgres` table
         // rejects (`avro/JdbcAvroSchema.java:340-367`) — Spark's dialect

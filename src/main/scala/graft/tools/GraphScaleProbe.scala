@@ -96,7 +96,13 @@ object GraphScaleProbe {
       // map-side-combine guarantee the twins exist to certify.
       ("graph_pagerank_skew", (d: String) => G.pageRankHubSkew(spark, d).count()),
       ("graph_components_skew", (d: String) => G.componentsHubSkew(spark, d).count()),
-      ("graph_triangles_skew", (d: String) => G.trianglesHubSkew(spark, d).count()))
+      ("graph_triangles_skew", (d: String) => G.trianglesHubSkew(spark, d).count()),
+      // r13: the blocked wedge enumeration under k× load on the fixed 8-hub
+      // key set — with a tiny wedgeCap every hub splits into many buckets,
+      // so exponent ≈ 1 certifies the salt spreads d² wedge rows instead of
+      // funneling them through one shuffle key
+      ("graph_link_predict_skew",
+        (d: String) => G.linkPredictHubSkew(spark, d, wedgeCap = 64).count()))
     println(f"${"probe"}%-18s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
     probes.foreach { case (name, run) =>
       run(d1) // warm the shape once

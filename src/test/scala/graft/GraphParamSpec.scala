@@ -75,6 +75,32 @@ class GraphParamSpec extends AnyFunSuite {
     assert(rows() == a, "total order makes the cut deterministic across runs")
   }
 
+  test("blocked wedge enumeration is invariant in wedgeCap (salting changes the plan, never the answer)") {
+    // wedgeCap=1 forces EVERY mid through the maximal salt (s = d buckets,
+    // full replication); the default leaves light mids unsalted. Identical
+    // output proves the bucket decomposition enumerates each wedge once.
+    def rows(cap: Int) = Graph.linkPredict(spark, dir, topK = 15,
+        cutPermille = 500, wedgeCap = cap)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("ra_micros"))).toSeq
+    val salted = rows(1)
+    assert(salted.nonEmpty)
+    assert(rows(1024) == salted, "wedgeCap must not change the result")
+  }
+
+  test("link-predict hub-skew twin: pairs live in the hub universe, arithmetic matches the plain core") {
+    val rows = Graph.linkPredictHubSkew(spark, dir, hubMod = 8, wedgeCap = 2).collect()
+    assert(rows.nonEmpty, "median-cut 8-hub graph must leave non-adjacent pairs")
+    rows.foreach { r =>
+      val (u, v) = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      assert(u >= 0 && u < 8 && v >= 0 && v < 8 && u < v,
+        s"hub pair out of universe: ($u, $v)")
+      assert(r.getAs[Long]("n_common") >= 1 && r.getAs[Long]("ra_micros") >= 1)
+    }
+    // C(8,2) bounds the candidate set
+    assert(rows.length <= 28)
+  }
+
   test("pageRank overflow precondition fails loudly at a scale the node count cannot carry") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRank(spark, dir, scale = Long.MaxValue / 100)

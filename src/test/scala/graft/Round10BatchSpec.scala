@@ -374,12 +374,14 @@ class Round10BatchSpec extends AnyFunSuite {
     // ann_topk — not a degraded equi-join
     // text_quality_calibrated inherits lmCrossEntropy's one-row vocab
     // crossJoin — also a bounded scalar broadcast
-    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict", "graph_lpa",
+    val scalarBroadcastOk = Set("dq_benford", "graph_link_predict",
+      "graph_link_predict_skew", "graph_lpa",
       "ann_margin_mining", "text_quality_calibrated", "text_winnowing_overlap")
     val batch = Seq("events_acf", "events_cusum", "events_seasonality",
       "events_ohlc", "events_rolling_median", "events_decompose",
       "dq_benford", "dq_ldiversity",
-      "graph_link_predict", "graph_lpa", "text_phrase_search", "text_containment",
+      "graph_link_predict", "graph_link_predict_skew",
+      "graph_lpa", "text_phrase_search", "text_containment",
       "text_winnowing", "text_winnowing_overlap", "text_distinct_ngrams",
       "ann_margin_mining", "text_quality_calibrated")
     batch.foreach { name =>
