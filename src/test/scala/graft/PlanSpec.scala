@@ -159,13 +159,36 @@ class PlanSpec extends AnyFunSuite {
       s"range join must go through the bucket equi key:\n$plan")
   }
 
-  test("line dedup: frequent-segment set broadcasts; no nested-loop anywhere") {
-    val plan = graft.operators.TextAnalysis.lineDedup(spark, dir, forPlanInspection = true)
-      .queryExecution.executedPlan.toString
-    // the mark join against boilerplate segments must be a broadcast join
-    // (the frequent set is <= 1/minDocs of the corpus by construction)
-    assert(plan.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$plan")
+  test("line dedup: boiler mark join is size-gated (no unconditional broadcast), equi-keyed") {
+    val df = graft.operators.TextAnalysis.lineDedup(spark, dir, forPlanInspection = true)
+    // r13 (VERDICT r12 #3): the boilerplate set grows with corpus
+    // duplication, so no broadcast HINT may force it driver-side — any
+    // broadcast must be AQE's runtime size call. The optimizer folds
+    // `broadcast(...)` into the Join node's JoinHint, so zero join-strategy
+    // hints across the optimized plan pins exactly that.
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+    }
+    assert(hinted.isEmpty, s"unconditional broadcast hint on the boiler side:\n$hinted")
+    val plan = df.queryExecution.executedPlan.toString
+    // still an equi-join on seg, never a degraded nested loop
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r13: margin-mining IVF path is all equi-joins — no nested-loop, no cartesian, no hints") {
+    // the production mining path must never inherit the exact gate's
+    // query-side broadcast cross join (VERDICT r12 #6)
+    val df = graft.operators.Similarity.marginMiningIvf(spark, dir,
+      forPlanInspection = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"IVF margin mining degraded to a non-equi join:\n$plan")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+    }
+    assert(hinted.isEmpty, s"unconditional join hint in the IVF path:\n$hinted")
   }
 
   test("r9: the 3-step funnel composes TWO native as-of execs, no window, no generic join") {
