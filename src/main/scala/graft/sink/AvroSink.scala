@@ -47,7 +47,8 @@ object AvroSink {
       bytesWritten: Long,
       writeElapsedMs: Long,
       executeQueryElapsedMs: Long,
-      schemaElapsedTimeMs: Long) {
+      schemaElapsedTimeMs: Long,
+      meterFlushes: Long = 0L) {
 
     /** Derived metrics per reference `MetricsHelper.java:87-98` and
       * `JdbcAvroMetering.java:79-108`.
@@ -102,9 +103,11 @@ object AvroSink {
       codec: String = "deflate6",
       schemaElapsedTimeMs: Long = 0L,
       nullableArrayItems: Boolean = false,
-      writeManifest: Boolean = true): Metrics = {
+      writeManifest: Boolean = true,
+      meterEveryRows: Long = 100000L): Metrics = {
 
     codecFactory(codec) // validate eagerly on the driver
+    require(meterEveryRows >= 1, s"meterEveryRows must be >= 1, got $meterEveryRows")
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val schemaJson = avroSchema.toString
@@ -112,6 +115,7 @@ object AvroSink {
     val bytesWritten = sc.longAccumulator("bytesWritten")
     val writeElapsedMs = sc.longAccumulator("writeElapsedMs")
     val executeQueryElapsedMs = sc.longAccumulator("executeQueryElapsedMs")
+    val meterFlushes = sc.longAccumulator("meterFlushes")
 
     val sparkSchema = df.schema
     // Serializable snapshot of the Hadoop conf keys we need executor-side.
@@ -152,6 +156,14 @@ object AvroSink {
         val buf = new RowBinaryEncoder.ExposedByteArrayOutputStream()
         val binaryEncoder = EncoderFactory.get.directBinaryEncoder(buf, null)
         val tFirst = System.currentTimeMillis()
+        // In-flight metering cadence (reference `avro/JdbcAvroMetering.java:54-78`,
+        // r13): every `meterEveryRows` rows the task flushes its running count
+        // into the shared accumulator and logs one progress line, so a
+        // multi-hour 100 TB export reports throughput WHILE tasks run instead
+        // of going blind between task completions. O(1) per row (one compare);
+        // accumulator updates from failed attempts are discarded with the
+        // attempt, so retries never double-count.
+        var sinceFlush = 0L
         while (rows.hasNext) {
           val row = rows.next() // pulling from the iterator IS the "query execution"
           if (n == 0) queryElapsed = System.currentTimeMillis() - tFirst
@@ -160,7 +172,17 @@ object AvroSink {
           binaryEncoder.flush()
           writer.appendEncoded(ByteBuffer.wrap(buf.rawBuffer, 0, buf.size()))
           n += 1
+          sinceFlush += 1
+          if (sinceFlush == meterEveryRows) {
+            recordCount.add(sinceFlush)
+            meterFlushes.add(1L)
+            sinceFlush = 0L
+            val elapsed = math.max(1L, System.currentTimeMillis() - tFirst)
+            MeterLog.info(
+              s"part-$idx: $n rows exported, $elapsed ms, ${n * 1000L / elapsed} rows/s")
+          }
         }
+        recordCount.add(sinceFlush)
         writer.flush()
         writer.close()
       } catch {
@@ -180,7 +202,6 @@ object AvroSink {
         if (!fs.exists(finalPath)) // lost the race AND nobody produced the file
           throw new java.io.IOException(s"Failed to rename $tmpPath to $finalPath")
       }
-      recordCount.add(n)
       bytesWritten.add(written)
       executeQueryElapsedMs.add(queryElapsed)
       writeElapsedMs.add(System.currentTimeMillis() - t0)
@@ -214,7 +235,16 @@ object AvroSink {
       bytesWritten.value,
       writeElapsedMs.value,
       executeQueryElapsedMs.value,
-      schemaElapsedTimeMs)
+      schemaElapsedTimeMs,
+      meterFlushes.value)
+  }
+
+  /** Executor-side progress logger for the metering cadence — one shared
+    * slf4j logger (the Spark log4j pipeline), resolved lazily per JVM.
+    */
+  private object MeterLog extends Serializable {
+    @transient private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sink.AvroSink")
+    def info(msg: String): Unit = log.info(msg)
   }
 }
 

@@ -109,6 +109,33 @@ class AvroSinkSpec extends AnyFunSuite {
     assert(readAvro(dir).map(_.get("id").asInstanceOf[Long]).sorted == (0L until 1000L))
   }
 
+  test("metering cadence: in-flight flushes fire every meterEveryRows, count stays exact") {
+    // 2500 rows in ONE partition at cadence 1000 → exactly 2 in-flight
+    // flushes (the 500-row remainder lands in the end-of-task flush);
+    // recordCount must be exact either way (reference JdbcAvroMetering
+    // cadence, avro/JdbcAvroMetering.java:54-78).
+    val dir = tmpDir("avro-meter")
+    val df = spark.range(0, 2500).toDF("id").coalesce(1)
+    val schema = AvroSchemaGen.generate(df.schema, AvroSchemaGen.Config(tableName = "r"))
+    val m = AvroSink.write(df, schema, dir, "deflate1", meterEveryRows = 1000L)
+    assert(m.recordCount == 2500)
+    assert(m.meterFlushes == 2, s"expected 2 cadence flushes, got ${m.meterFlushes}")
+    // multi-partition: flushes sum per-task floors
+    val dir2 = tmpDir("avro-meter2")
+    val df2 = spark.range(0, 1000).toDF("id").repartition(4)
+    val m2 = AvroSink.write(df2, schema, dir2, "deflate1", meterEveryRows = 100L)
+    assert(m2.recordCount == 1000)
+    val perPart = readAvro(dir2).size // sanity: all rows present
+    assert(perPart == 1000)
+    // 4 tasks × floor(rows_p/100) flushes; rows_p ≈ 250 ⇒ 8-10 total
+    assert(m2.meterFlushes >= 8 && m2.meterFlushes <= 10,
+      s"cadence flushes off: ${m2.meterFlushes}")
+    // default cadence (100k) leaves small exports flush-free
+    val dir3 = tmpDir("avro-meter3")
+    val m3 = AvroSink.write(df, schema, dir3, "deflate1")
+    assert(m3.meterFlushes == 0 && m3.recordCount == 2500)
+  }
+
   test("codec validation") {
     AvroSink.codecFactory("snappy")
     AvroSink.codecFactory("deflate9")
