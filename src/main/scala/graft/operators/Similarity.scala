@@ -129,6 +129,16 @@ object Similarity {
     require(k >= 1, s"marginMining: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir))
+    val scored = exactScoredScan(e, maxQueryRows).cache()
+    scored.count() // eager fill before the four consumers (cache-before-AQE)
+    marginFromScored(scored, k, Seq(scored))
+  }
+
+  /** The exact all-pairs scored scan (side B × broadcast side A), fenced at
+    * `maxQueryRows` query rows — shared by [[marginMining]] and the
+    * agreement gate so the gate never pays for a second cosine pass.
+    */
+  private def exactScoredScan(e: DataFrame, maxQueryRows: Long): DataFrame = {
     val x = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val nQueries = x.count()
@@ -136,13 +146,10 @@ object Similarity {
       s"marginMining is the exact oracle gate: its query-side broadcast is " +
         s"fenced at $maxQueryRows rows, got $nQueries — run marginMiningIvf " +
         "for corpus-scale mining")
-    val scored = e.filter(col("vec_id") % 10 =!= 0)
+    e.filter(col("vec_id") % 10 =!= 0)
       .join(broadcast(x), lit(true))
       .withColumn("c", cosine)
       .select(col("q_id").as("xi"), col("vec_id").as("yi"), col("c"))
-      .cache()
-    scored.count() // eager fill before the four consumers (cache-before-AQE)
-    marginFromScored(scored, k, Seq.empty)
   }
 
   /** MARGIN MINING, IVF-BACKED CANDIDATES (round 11) — the 100 TB form of
@@ -175,6 +182,32 @@ object Similarity {
     require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
+    val (cand, cells) =
+      marginIvfCandidates(e, refineIters, trainFraction, numCentroids, numProbes)
+    val a = e.filter(col("vec_id") % 10 === 0)
+    val b = e.filter(col("vec_id") % 10 =!= 0)
+    // Cosine-score candidates only: payloads rejoin by id (equi-joins; AQE
+    // picks broadcast when a side is genuinely small, never by assumption).
+    val scored = cand
+      .join(a.select(col("vec_id").as("xi"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")), "xi")
+      .join(b.select(col("vec_id").as("yi"), col("embedding"), col("norm")), "yi")
+      .withColumn("c", cosine)
+      .select("xi", "yi", "c")
+      .cache()
+    if (!forPlanInspection) scored.count()
+    marginFromScored(scored, k, Seq(e, cells, scored), forPlanInspection)
+  }
+
+  /** The IVF candidate-pair stage shared by [[marginMiningIvf]] and
+    * [[marginMiningIvfAgreement]]: trains the coarse quantizer, assigns
+    * per-vector probe rings, and returns the distinct (xi, yi) candidate
+    * pairs plus the CACHED cell table (caller releases it). Sharing this
+    * stage means the agreement gate trains the quantizer exactly once.
+    */
+  private def marginIvfCandidates(e: DataFrame, refineIters: Int,
+      trainFraction: Double, numCentroids: Int,
+      numProbes: Int): (DataFrame, DataFrame) = {
     // no count()/cache() on the sample: the trainer is its single consumer
     // (one collect) and fails loudly on an empty sample itself
     val train = trainSample(e, trainFraction)
@@ -192,8 +225,6 @@ object Similarity {
       .cache()
     val aCells = cells.filter(col("vec_id") % 10 === 0)
     val bCells = cells.filter(col("vec_id") % 10 =!= 0)
-    val a = e.filter(col("vec_id") % 10 === 0)
-    val b = e.filter(col("vec_id") % 10 =!= 0)
     val aHome = aCells.select(col("vec_id").as("xi"), col("home").as("cell"))
     val bHome = bCells.select(col("vec_id").as("yi"), col("home").as("cell"))
     val aProbe = aCells.select(col("vec_id").as("xi"), explode(col("probes")).as("cell"))
@@ -201,28 +232,19 @@ object Similarity {
     val cand = aProbe.join(bHome, "cell").select("xi", "yi")
       .union(aHome.join(bProbe, "cell").select("xi", "yi"))
       .distinct()
-    // Cosine-score candidates only: payloads rejoin by id (equi-joins; AQE
-    // picks broadcast when a side is genuinely small, never by assumption).
-    val scored = cand
-      .join(a.select(col("vec_id").as("xi"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm")), "xi")
-      .join(b.select(col("vec_id").as("yi"), col("embedding"), col("norm")), "yi")
-      .withColumn("c", cosine)
-      .select("xi", "yi", "c")
-      .cache()
-    if (!forPlanInspection) scored.count()
-    marginFromScored(scored, k, Seq(e, cells), forPlanInspection)
+    (cand, cells)
   }
 
   /** The margin/mutual-best machinery downstream of the candidate scorer —
     * shared verbatim by [[marginMining]] (exact scored scan, the oracle
-    * gate) and [[marginMiningIvf]] (cell-equi-join candidates, the 100 TB
-    * path). `scored` must be cached and materialized by the caller;
-    * `extraCaches` are released together with it after the output
-    * materializes.
+    * gate), [[marginMiningIvf]] (cell-equi-join candidates, the 100 TB
+    * path) and the agreement gate. `scored` must be cached and
+    * materialized by the caller; `releases` (which the caller includes
+    * `scored` in when this call is its last consumer) are unpersisted
+    * after the output materializes.
     */
   private def marginFromScored(scored: DataFrame, k: Int,
-      extraCaches: Seq[DataFrame], forPlanInspection: Boolean = false): DataFrame = {
+      releases: Seq[DataFrame], forPlanInspection: Boolean = false): DataFrame = {
     val topX = scored.groupBy("xi").agg(expr(s"graft_topk(yi, c, $k)").as("top"))
     val topY = scored.groupBy("yi").agg(expr(s"graft_topk(xi, c, $k)").as("top"))
     val denX = topX.select(col("xi"),
@@ -257,9 +279,9 @@ object Similarity {
     // forPlanInspection: unmaterialized plan for shape assertions only
     // (PlanSpec); executing that frame would recompute the released caches
     if (forPlanInspection) {
-      (extraCaches ++ Seq(scored, ranked)).foreach(_.unpersist(false))
+      (releases :+ ranked).foreach(_.unpersist(false))
       out
-    } else Dedup.materializeAndRelease(extraCaches ++ Seq(scored, ranked), out)
+    } else Dedup.materializeAndRelease(releases :+ ranked, out)
   }
 
   /** Driver-checkable gate for [[marginMiningIvf]] (the
@@ -277,10 +299,24 @@ object Similarity {
   def marginMiningIvfAgreement(spark: SparkSession, dir: String, k: Int = 4,
       minAgreeMilli: Long = 700, numCentroids: Int = NumCentroids,
       numProbes: Int = NumProbes): DataFrame = {
-    val exact = marginMining(spark, dir, k)
+    require(k >= 1, s"marginMiningIvfAgreement: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    // r13 (VERDICT r12 #7): ONE embeddings/norm pass, ONE exact cosine
+    // scan, ONE quantizer training — the IVF side's scored set is the
+    // exact scan RESTRICTED to the IVF candidate pairs (a semi-join), which
+    // yields bit-identical cosines to the standalone IVF scorer (same
+    // `cosine` expression over the same payload columns) at zero extra
+    // cosine work. Before this the gate ran both miners end to end.
+    val e = withNorm(embeddings(spark, dir)).cache()
+    val scoredAll = exactScoredScan(e, 1L << 17).cache()
+    scoredAll.count() // eager fill before the fan-out (cache-before-AQE)
+    val (candPairs, cells) =
+      marginIvfCandidates(e, 2, TrainFraction, numCentroids, numProbes)
+    val scoredIvf = scoredAll.join(candPairs, Seq("xi", "yi"), "left_semi").cache()
+    scoredIvf.count()
+    val exact = marginFromScored(scoredAll, k, Seq(scoredAll))
       .select(col("x_id"), col("y_id").as("y_exact"), col("is_mutual").as("m_exact"))
-    val ivf = marginMiningIvf(spark, dir, k,
-        numCentroids = numCentroids, numProbes = numProbes)
+    val ivf = marginFromScored(scoredIvf, k, Seq(e, cells, scoredIvf))
       .select(col("x_id"), col("y_id").as("y_ivf"), col("is_mutual").as("m_ivf"))
     // single consumer (the one agg below) — no cache; caching here would
     // just force an extra materialization pass
@@ -1476,20 +1512,31 @@ object Similarity {
     */
   def ivfPqAppendRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, minHits: Int = 3): DataFrame = {
-    val n = embeddings(spark, dir).count()
+    graft.functions.GraftFunctions.register(spark)
+    // r13 (VERDICT r12 #7): one cached embeddings frame feeds the split
+    // count AND both query paths (exact + store-backed), and the store
+    // models load once — before this the gate re-read and re-normed the
+    // corpus per path and re-collected the models the store query already
+    // had on the driver.
+    val emb = embeddings(spark, dir).cache()
+    val n = emb.count()
     val splitId = n * 9 / 10
     val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
     try {
       writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
       appendToIvfPqIndex(spark, dir, store, col("vec_id") >= splitId)
-      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries)
+      val exact = bruteForceTopKFrom(emb, k, nQueries).select("q_id", "neighbor_id")
+      val (centroids, books) = loadIvfPqModels(spark, store)
+      val coded = spark.read.parquet(s"$store/coded.parquet")
+      val e = withNorm(emb)
+      val approx = ivfPqQueryStage(e, normedOf(e), coded, centroids, books,
+          k, nQueries, NumProbes, books.head.length, PqShortlist)
         .select("q_id", "neighbor_id")
       val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id")
         .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq.empty, out)
+      Dedup.materializeAndRelease(Seq(emb), out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1535,18 +1582,11 @@ object Similarity {
       k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
       pqShortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val centroids = spark.read.parquet(s"$storeDir/centroids.parquet")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val rows = spark.read.parquet(s"$storeDir/codebooks.parquet")
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
-    val nCentroids = rows.keys.map(_._2).max + 1
-    val books = Array.tabulate(PqSubspaces) { s =>
-      Array.tabulate(nCentroids)(c => rows((s, c)))
-    }
+    val (centroids, books) = loadIvfPqModels(spark, storeDir)
     val coded = spark.read.parquet(s"$storeDir/coded.parquet")
     val e = withNorm(embeddings(spark, dir))
     ivfPqQueryStage(e, normedOf(e), coded, centroids, books, k, nQueries,
-      numProbes, nCentroids, pqShortlist)
+      numProbes, books.head.length, pqShortlist)
   }
 
   /** Driver-checkable recall floor of the store-backed IVF-PQ path —
