@@ -349,6 +349,65 @@ class JdbcRuntimeSpec extends AnyFunSuite {
     assert(source.read(spark).count() == 3)
   }
 
+  test("typed_first_row exports typed array items end-to-end when the first row is non-null") {
+    // the success half of the TypedMetaFromFirstRow contract
+    // (PostgresJdbcAvroTest.java:120-160): items typed, full export runs,
+    // Avro carries typed arrays — not bytes
+    val db = "graftpg_firstrow_ok"
+    arrayFixture(db, defaultArrayRows)
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedFirstRow)
+    val df = source.read(spark)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("TAGS") == "array<string>" && types("SCORES") == "array<int>")
+    val out = Files.createTempDirectory("jdbc-arr-firstrow").toString
+    val res = ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS"),
+      queries = source.queries(spark), minRows = 3)
+    assert(res.metrics.recordCount == 3)
+    val recs = readAvro(out).sortBy(_.get("ID").asInstanceOf[Long])
+    assert(items(recs(0), "TAGS").map(_.toString) == Vector("alpha", "beta"))
+    assert(items(recs(0), "SCORES") == Vector(10, 20, 30))
+    assert(items(recs(2), "TAGS") == null) // null array AFTER the first row is fine
+  }
+
+  test("typed_postgres types from metadata alone: all-null arrays in the FIRST row survive (PostgresJdbcAvroTest.java:202-245)") {
+    // the reference's shouldHandleArrayWithNullsWithoutReadingFirstRow:
+    // TypedMetaPostgres never probes row 1, so a first row whose every
+    // array is NULL still types from the _-prefixed metadata — including
+    // the int8 → long item rule the default fixture doesn't reach
+    val db = "graftpg_nullfirst"
+    StubDb.reset(db)
+    StubDb.register(db, "PG_DOCS", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("NAMES", Types.ARRAY, nullable = true,
+          typeNameOv = "_varchar", itemType = Types.VARCHAR, itemTypeName = "varchar"),
+        StubDb.Col("COUNTS", Types.ARRAY, nullable = true,
+          typeNameOv = "_int4", itemType = Types.INTEGER, itemTypeName = "int4"),
+        StubDb.Col("TOTALS", Types.ARRAY, nullable = true,
+          typeNameOv = "_int8", itemType = Types.BIGINT, itemTypeName = "int8")),
+      Vector(
+        Vector[Any](1L, null, null, null),
+        Vector[Any](2L, Vector[Any]("some_varchar_42", "42"), Vector[Any](42), Vector[Any](42L)))))
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.TypedPostgres)
+    val df = source.read(spark)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("NAMES") == "array<string>" && types("COUNTS") == "array<int>" &&
+      types("TOTALS") == "array<bigint>")
+    val out = Files.createTempDirectory("jdbc-arr-nullfirst").toString
+    ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "PG_DOCS"),
+      queries = source.queries(spark), minRows = 2)
+    val recs = readAvro(out).sortBy(_.get("ID").asInstanceOf[Long])
+    assert(items(recs(0), "NAMES") == null && items(recs(0), "COUNTS") == null &&
+      items(recs(0), "TOTALS") == null)
+    assert(items(recs(1), "NAMES").map(_.toString) == Vector("some_varchar_42", "42"))
+    assert(items(recs(1), "COUNTS") == Vector(42))
+    assert(items(recs(1), "TOTALS") == Vector(42L))
+  }
+
   test("bytes array mode reads arrays via getBytes into Avro bytes (PostgresJdbcAvroTest.java:177-198)") {
     val db = "graftpg_bytes"
     arrayFixture(db, defaultArrayRows)
