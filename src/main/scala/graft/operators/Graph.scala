@@ -510,10 +510,12 @@ object Graph {
     // exactly ONE vertex with both triangle edges outgoing under a total
     // order on the vertices, so the count stays exact; the closing
     // lookup uses the canonical u<v edge set. Measured ~4× fewer wedge
-    // rows on the sf0.1 projection.
+    // rows on the sf0.1 projection. The degree table is |V| rows — plain
+    // equi-joins (AQE broadcasts when genuinely small), never an
+    // unconditional broadcast (r13, the linkPredict treatment).
     val oriented = e
-      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("u")).otherwise(col("v")).as("src"),
