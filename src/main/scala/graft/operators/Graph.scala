@@ -348,10 +348,15 @@ object Graph {
     val deg = adj.groupBy("mid").agg(count(lit(1)).as("d"))
     // s = ⌈d / wedgeCap⌉ hash-buckets per mid; each row carries its own
     // bucket (`bs`) and replicates over the other side's bucket (`bo`).
+    // PERSISTED: both sides of the wedge self-join read this one frame, so
+    // the adj ⋈ deg + explode subtree runs once, not once per side (it is
+    // ~2|E|·s̄ narrow rows — tiny next to the wedge output it feeds).
     val blocked = adj.join(deg, "mid")
       .withColumn("s", expr(s"(d + ${wedgeCap - 1}L) div ${wedgeCap}L"))
       .withColumn("bs", pmod(hash(col("nb")).cast("bigint"), col("s")))
       .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    blocked.count() // eager fill before the two-consumer self-join (cache-before-AQE)
     val scored = blocked.as("a").join(blocked.as("b"),
         col("a.mid") === col("b.mid") &&
           col("a.bs") === col("b.bo") && col("a.bo") === col("b.bs") &&
@@ -364,7 +369,7 @@ object Graph {
       .limit(topK)
       .select(col("u"), col("v"), col("n_common").cast("bigint").as("n_common"),
         col("ra_micros").cast("bigint").as("ra_micros"))
-    Dedup.materializeAndRelease(Seq(ew), out)
+    Dedup.materializeAndRelease(Seq(ew, blocked), out)
   }
 
   /** The shared QUANTILE-SPARSIFIED supplier co-service edge stage (the
