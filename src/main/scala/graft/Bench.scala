@@ -97,7 +97,7 @@ object Bench {
       "q_scalar_subquery", // correlated-subquery plan (broadcast dim agg)
       "events_sessionize", "events_hourly_agg", "events_range_join",
       "events_session_window", // native session_window aggregation
-      "text_line_dedup", // corpus boilerplate removal (broadcast anti-join)
+      "text_line_dedup", // corpus boilerplate removal (size-gated mark join)
       "text_hash_embedding", // hashing-trick vectorization
       "pipeline_vectorize", // composed: line dedup -> vectors -> rollup
       "text_fingerprint", "text_quality",

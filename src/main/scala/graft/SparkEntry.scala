@@ -113,6 +113,9 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     // C4-style corpus-level line (word-segment) dedup
     "text_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    // r13: the 100 TB twin — boiler-side shuffles key on the 60-bit
+    // segment fingerprint, never segment text; shares the exact oracle
+    "text_line_dedup_hashed" -> ((s, d) => TextAnalysis.lineDedupHashed(s, d)),
     // Lee-et-al sliding-window verbatim duplication fraction per doc (r7)
     "text_substring_dup" -> ((s, d) => TextAnalysis.substringDupScore(s, d)),
     // RAG chunking: overlapping fixed-size character windows per doc

@@ -152,6 +152,29 @@ private[graft] object TextOracles {
       |FROM hb JOIN cost USING (b) GROUP BY hb.doc_id""".stripMargin
 
 
+  private val lineDedupOracle: String =
+    """WITH base AS (
+      | SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+      |  CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
+      | FROM documents),
+      |segs AS (
+      | SELECT doc_id, CAST(k AS BIGINT) AS pos,
+      |  array_to_string(list_slice(w, CAST(k * 10 + 1 AS BIGINT), CAST(k * 10 + 10 AS BIGINT)), ' ') AS seg
+      | FROM (SELECT doc_id, w, unnest(range(n_segments)) AS k FROM base)),
+      |boiler AS (
+      | SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (
+      | SELECT segs.doc_id, segs.pos, segs.seg FROM segs ANTI JOIN boiler USING (seg)),
+      |agg AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      | FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_segments,
+      | COALESCE(a.n_kept, 0) AS n_kept,
+      | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
+      | md5(COALESCE(a.clean_text, '')) AS clean_md5
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   private val base: Map[String, String] = Map(
     "text_token_count" ->
       """SELECT doc_id,
@@ -511,29 +534,12 @@ private[graft] object TextOracles {
         |  ELSE CAST([] AS VARCHAR[]) END AS g
         | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))""".stripMargin,
     // C4-style line dedup: "lines" are aligned 10-word segments; a segment
-    // in >= 2 distinct docs is boilerplate and removed everywhere
-    "text_line_dedup" ->
-      """WITH base AS (
-        | SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
-        |  CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 10.0) AS BIGINT) AS n_segments
-        | FROM documents),
-        |segs AS (
-        | SELECT doc_id, CAST(k AS BIGINT) AS pos,
-        |  array_to_string(list_slice(w, CAST(k * 10 + 1 AS BIGINT), CAST(k * 10 + 10 AS BIGINT)), ' ') AS seg
-        | FROM (SELECT doc_id, w, unnest(range(n_segments)) AS k FROM base)),
-        |boiler AS (
-        | SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
-        |kept AS (
-        | SELECT segs.doc_id, segs.pos, segs.seg FROM segs ANTI JOIN boiler USING (seg)),
-        |agg AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |  string_agg(seg, ' ' ORDER BY pos) AS clean_text
-        | FROM kept GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_segments,
-        | COALESCE(a.n_kept, 0) AS n_kept,
-        | b.n_segments - COALESCE(a.n_kept, 0) AS n_removed,
-        | md5(COALESCE(a.clean_text, '')) AS clean_md5
-        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // in >= 2 distinct docs is boilerplate and removed everywhere.
+    // The hashed twin (fingerprint-keyed shuffles, r13) shares the
+    // exact-string oracle verbatim — green proves the rewrite changed the
+    // shuffle payload, not the answer.
+    "text_line_dedup" -> lineDedupOracle,
+    "text_line_dedup_hashed" -> lineDedupOracle,
     "text_substring_dup" ->
       """WITH w AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

@@ -1061,6 +1061,54 @@ object TextAnalysis {
     else { segs.unpersist(false); out }
   }
 
+  /** The 100 TB form of [[lineDedup]] — identical output, but every
+    * BOILER-side shuffle keys on the 60-bit segment fingerprint
+    * (`graft_poly_hash` composition, the [[substringDupScore]] convention)
+    * instead of the segment string:
+    *
+    *   - the frequency count groups on `gh` — the biggest exchange of the
+    *     exact-string form (every segment of the corpus, pre-dedup) drops
+    *     from ~70 B of text per row to 8 bytes;
+    *   - the mark join keys on `gh`, so its build side is a bare long set.
+    *
+    * The reassembly aggregate still moves each SURVIVING segment's text to
+    * its document's reducer — that exchange IS the output and no keying
+    * trick removes it. Collision odds at 60 bits are ~1e-18 per segment
+    * pair; a collision would surface as a hash mismatch against the
+    * exact-string DuckDB oracle (`text_line_dedup_hashed` shares
+    * `text_line_dedup`'s oracle verbatim — a green row proves the rewrite
+    * changed the shuffle payload, not the answer). PlanSpec pins the
+    * exchange keys (`hashpartitioning(gh`, never `hashpartitioning(seg`).
+    */
+  def lineDedupHashed(spark: SparkSession, dir: String, segWords: Int = 10,
+      minDocs: Long = 2, forPlanInspection: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val segs = segments(spark, dir, segWords)
+      .withColumn("gh", graft.functions.Portable.polyHash60Native("seg"))
+      .cache()
+    if (!forPlanInspection) segs.count()
+    val boiler = segs.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gh"), lit(true).as("is_boiler"))
+    val out = segs.join(boiler, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN is_boiler IS NULL THEN struct(pos, seg) END)), s -> s.seg), ' ')")
+          .as("clean_text"))
+      .select(
+        col("doc_id"),
+        col("n_segments"),
+        col("n_kept"),
+        (col("n_segments") - col("n_kept")).as("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+    if (!forPlanInspection) Dedup.materializeAndRelease(Seq(segs), out)
+    else { segs.unpersist(false); out }
+  }
+
   /** (doc_id, pos, seg) aligned `segWords`-word segments — the shared
     * segmenter behind [[lineDedup]] and [[pipelineVectorize]]. NULL text is
     * treated as '' (matching the oracles): every doc keeps ≥ 1 segment —

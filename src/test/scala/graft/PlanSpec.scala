@@ -191,6 +191,25 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.isEmpty, s"unconditional join hint in the IVF path:\n$hinted")
   }
 
+  test("r13: hashed line dedup shuffles key on the segment fingerprint, never segment text") {
+    val df = graft.operators.TextAnalysis.lineDedupHashed(spark, dir,
+      forPlanInspection = true)
+    val plan = df.queryExecution.executedPlan.toString
+    // the frequency count and the mark join must both exchange on gh;
+    // segment strings may only cross the final reassembly exchange
+    // (keyed on doc_id — that exchange IS the output)
+    assert(plan.contains("hashpartitioning(gh"),
+      s"expected boiler-side exchanges on the 60-bit fingerprint:\n$plan")
+    assert(!plan.contains("hashpartitioning(seg"),
+      s"boiler-side shuffles must never key on segment text:\n$plan")
+    // same no-hint contract as the exact-string form
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+    }
+    assert(hinted.isEmpty, s"unconditional broadcast hint on the boiler side:\n$hinted")
+  }
+
   test("r9: the 3-step funnel composes TWO native as-of execs, no window, no generic join") {
     val plan = executedPlan("events_funnel3_native")
     val asofs = "AsOfJoin ".r.findAllIn(plan).size
