@@ -389,7 +389,7 @@ object Graph {
     sparsifiedCoServiceEdgesFrom(
       t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(), permille)
 
-  private def sparsifiedCoServiceEdgesFrom(sup: DataFrame,
+  private[graft] def sparsifiedCoServiceEdgesFrom(sup: DataFrame,
       permille: Int): (DataFrame, DataFrame) = {
     require(permille >= 1 && permille <= 999, s"permille must be in [1, 999], got $permille")
     val ew = sup.as("a").join(sup.as("b"),
