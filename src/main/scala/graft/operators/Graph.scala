@@ -518,6 +518,9 @@ object Graph {
     // rows on the sf0.1 projection. The degree table is |V| rows — plain
     // equi-joins (AQE broadcasts when genuinely small), never an
     // unconditional broadcast (r13, the linkPredict treatment).
+    // PERSISTED: both sides of the wedge self-join below read this frame —
+    // without the persist the deg joins re-run per side (r13, the same
+    // one-frame-two-consumers treatment as linkPredict's blocked frame).
     val oriented = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -526,6 +529,8 @@ object Graph {
           col("u")).otherwise(col("v")).as("src"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count() // eager fill before the two-consumer self-join
     val nTri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
@@ -541,6 +546,6 @@ object Graph {
         col("n_wedges").cast("bigint").as("n_wedges"),
         lit(nTri).as("n_triangles"),
         expr(s"(3L * ${nTri}L * 1000L) div n_wedges").as("clustering_permille"))
-    Dedup.materializeAndRelease(Seq(e), out)
+    Dedup.materializeAndRelease(Seq(e, oriented), out)
   }
 }
