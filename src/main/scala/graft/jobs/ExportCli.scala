@@ -141,11 +141,11 @@ object ExportCli {
               opts.get("password"), opts.get("passwordFile")))
           if (url.startsWith("jdbc:postgresql") && qArgs.partition.isDefined
               && !opts.contains("skipReplicationDelayCheck")) {
-            // reference JdbcConnectionUtil.createConnection: load the
-            // scheme's driver class, then DriverManager
-            Class.forName(connArgs.driverClass)
-            val c = java.sql.DriverManager.getConnection(
-              url, connArgs.username, connArgs.password.orNull)
+            // same direct driver-instantiation path as every other product
+            // connection (ConnectionArgs.createConnection) — the reference
+            // loads the scheme's driver class then connects
+            // (JdbcConnectionUtil.java:50-59)
+            val c = connArgs.createConnection()
             try ReplicationCheck.checkLive(c, qArgs.partition.get, qArgs.partitionPeriod)
             finally c.close()
           }
@@ -237,6 +237,46 @@ object ExportCli {
         System.err.println(s"Export failed: ${t.getMessage}")
         sys.exit(ExitCodes.forThrowable(t))
     }
+  }
+}
+
+/** The reference's dedicated PostgreSQL binary
+  * (`jobs/PsqlAvroJob.java:35-57`): an export wrapper whose contract is
+  * "the replication-lag pre-flight ALWAYS runs". Its validateOptions
+  * (`jobs/PsqlReplicationCheck.java:56-67`) requires a postgres
+  * connection and a `--partition`; we additionally refuse
+  * `--skipReplicationDelayCheck`, since honoring it would contradict the
+  * binary's whole purpose. Delegates to [[ExportCli]], whose
+  * postgres+partition path runs the live gate (exit 20 when the replica
+  * is late, `jobs/ExportJob.scala` ReplicationCheck).
+  */
+object PsqlExportCli {
+
+  /** Reference `PsqlReplicationCheck.validateOptions` semantics; throws
+    * `IllegalArgumentException` (exit 47 via [[ExitCodes]]) on violation.
+    */
+  private[graft] def validate(opts: Map[String, String]): Unit = {
+    require(opts.get("connectionUrl").exists(_.startsWith("jdbc:postgresql")),
+      "Must be a PostgreSQL connection")
+    require(opts.contains("partition"), "Partition parameter must be defined")
+    require(!opts.contains("skipReplicationDelayCheck"),
+      "PsqlExportCli always runs the replication pre-flight; drop --skipReplicationDelayCheck")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.filter(_.startsWith("--")).map { a =>
+      a.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+    try validate(opts)
+    catch {
+      case t: IllegalArgumentException =>
+        System.err.println(s"Export failed: ${t.getMessage}")
+        sys.exit(ExitCodes.forThrowable(t))
+    }
+    ExportCli.main(args)
   }
 }
 

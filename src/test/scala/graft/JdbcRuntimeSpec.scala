@@ -462,6 +462,20 @@ class JdbcRuntimeSpec extends AnyFunSuite {
       Vector("a", null, "c"))
   }
 
+  test("PsqlExportCli validateOptions: postgres-only, partition required, no gate skipping (PsqlReplicationCheck.java:56-67)") {
+    import graft.jobs.PsqlExportCli.validate
+    val ok = Map("connectionUrl" -> "jdbc:postgresql:mem:db", "partition" -> "2026-03-01")
+    validate(ok) // no throw
+    assert(intercept[IllegalArgumentException](
+      validate(ok + ("connectionUrl" -> "jdbc:h2:mem:db")))
+      .getMessage.contains("PostgreSQL"))
+    assert(intercept[IllegalArgumentException](validate(ok - "partition"))
+      .getMessage.contains("Partition parameter"))
+    assert(intercept[IllegalArgumentException](
+      validate(ok + ("skipReplicationDelayCheck" -> "true")))
+      .getMessage.contains("replication pre-flight"))
+  }
+
   test("minRows gate fires on the JDBC path (exit 50)") {
     val db = "graftjdbc_minrows"
     fixture(db)

@@ -37,3 +37,43 @@ object CliJdbcSmoke {
     println(s"CLI_JDBC_SMOKE_OK layout=$names queries=$nQueries")
   }
 }
+
+/** Smoke main for the dedicated PostgreSQL wrapper
+  * (Test/runMain graft.jdbc.PsqlCliSmoke): drives `PsqlExportCli.main`
+  * against the stub `org.postgresql.Driver` with a READY replica — the
+  * replication pre-flight executes live (the stub serves the
+  * `pg_last_xact_replay_timestamp` query) and the partition-filtered
+  * export lands the full layout.
+  */
+object PsqlCliSmoke {
+  def main(args: Array[String]): Unit = {
+    val db = "psqlclismoke"
+    StubDb.reset(db)
+    StubDb.register(db, "EVENTS", StubDb.Table(
+      Vector(StubDb.Col("ID", Types.BIGINT), StubDb.Col("NAME", Types.VARCHAR),
+        StubDb.Col("CREATED", Types.TIMESTAMP)),
+      (0 until 40).map(i => Vector[Any](i.toLong, s"e$i",
+        Timestamp.from(Instant.parse("2026-03-01T00:00:00Z").plusSeconds(i * 600L)))).toVector))
+    // replica caught up past the partition window's end
+    StubDb.replicationReply =
+      (1000L, Timestamp.from(Instant.parse("2026-03-02T00:00:01Z")))
+    val out = java.nio.file.Files.createTempDirectory("psql-cli-smoke").toString
+    graft.jobs.PsqlExportCli.main(Array(
+      s"--connectionUrl=jdbc:postgresql:mem:$db",
+      "--table=EVENTS",
+      s"--output=$out",
+      "--username=tester",
+      "--partitionColumn=CREATED",
+      "--partition=2026-03-01",
+      "--skipPartitionCheck",
+      "--avroCodec=deflate1",
+      "--minRows=40"))
+    val names = new java.io.File(out).listFiles().map(_.getName).toSet
+    require(names.contains("_AVRO_SCHEMA.avsc") && names.contains("_METRICS.json"),
+      s"layout incomplete: $names")
+    // the pre-flight actually ran: the stub's protocol log carries the query
+    require(StubDb.log(db).toVector.exists(_.contains("pg_last_xact_replay_timestamp")),
+      "replication pre-flight did not execute")
+    println(s"PSQL_CLI_SMOKE_OK layout=$names")
+  }
+}
