@@ -261,27 +261,28 @@ object Similarity {
       .join(denY, "yi") // side-B sums are corpus-sized: equi-join, AQE decides
       .withColumn("margin_micro",
         expr(s"CAST(round(1000000.0 * (${2 * k} * c) / (dx + dy)) AS BIGINT)"))
-    val wX = org.apache.spark.sql.expressions.Window
-      .partitionBy("xi").orderBy(col("margin_micro").desc, col("yi").asc)
-    val wY = org.apache.spark.sql.expressions.Window
-      .partitionBy("yi").orderBy(col("margin_micro").desc, col("xi").asc)
-    val ranked = m.withColumn("rkx", row_number().over(wX))
-      .withColumn("rky", row_number().over(wY))
       .cache()
-    if (!forPlanInspection) ranked.count()
-    val best = ranked.filter(col("rkx") === 1)
-      .select(col("xi").as("x_id"), col("yi").as("y_id"), col("margin_micro"))
-    val bestXofY = ranked.filter(col("rky") === 1)
-      .select(col("yi").as("y_id"), col("xi").as("bx"))
+    if (!forPlanInspection) m.count()
+    // Both argmaxes are AGGREGATES (`max(struct(margin, -id))` — the
+    // (margin DESC, id ASC) total order), not rank-1 windows: map-side
+    // partial combine, no per-anchor sort materializes (r13; the same
+    // argmax-is-an-aggregate rule the LPA superstep documents).
+    val best = m.groupBy("xi")
+      .agg(max(struct(col("margin_micro"), (-col("yi")).as("ny"))).as("b"))
+      .select(col("xi").as("x_id"), (-col("b.ny")).as("y_id"),
+        col("b.margin_micro").as("margin_micro"))
+    val bestXofY = m.groupBy("yi")
+      .agg(max(struct(col("margin_micro"), (-col("xi")).as("nx"))).as("b"))
+      .select(col("yi").as("y_id"), (-col("b.nx")).as("bx"))
     val out = best.join(bestXofY, "y_id")
       .select(col("x_id"), col("y_id"), col("margin_micro"),
         (col("bx") === col("x_id")).as("is_mutual"))
     // forPlanInspection: unmaterialized plan for shape assertions only
     // (PlanSpec); executing that frame would recompute the released caches
     if (forPlanInspection) {
-      (releases :+ ranked).foreach(_.unpersist(false))
+      (releases :+ m).foreach(_.unpersist(false))
       out
-    } else Dedup.materializeAndRelease(releases :+ ranked, out)
+    } else Dedup.materializeAndRelease(releases :+ m, out)
   }
 
   /** Driver-checkable gate for [[marginMiningIvf]] (the
