@@ -321,6 +321,22 @@ object Bench {
       }
     }
 
+    // 3d''. Streaming boiler-count store (r13): documents streamed through
+    // the versioned (segment-fingerprint -> distinct-doc count) fold; the
+    // reader materializes the current boiler set.
+    results("stream_line_dedup") = time2 {
+      val store = tempDir("graft-bench-stream-sld")
+      val ckpt = tempDir("graft-bench-stream-sld-ckpt")
+      val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val newDocs = spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        .select("doc_id", "text")
+      val q = graft.streaming.StreamLineDedup.start(newDocs, store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamLineDedup.boilerplate(spark, store).count()
+    }
+
     // 3e. Streaming sketch rollup: micro-batch HLL blobs folded into the
     // versioned persisted store (the round-8 merge surface composed with
     // foreachBatch); fresh store + checkpoint per run.
@@ -434,10 +450,12 @@ object Bench {
       "export_avro_zstd_32p") ++ headline ++
       // r12: both margin-mining forms in the compact (driver-visible) set,
       // so a regression in the production IVF path can't hide behind the
-      // exact oracle-gate path's number
-      Vector("ann_margin_mining", "ann_margin_mining_ivf") ++
+      // exact oracle-gate path's number; r13 adds the new skew/hashed twins
+      Vector("ann_margin_mining", "ann_margin_mining_ivf",
+        "graph_link_predict_skew", "text_line_dedup_hashed") ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
-        "stream_incremental_dedup", "stream_ann_ingest", "stream_sketch_rollup",
+        "stream_incremental_dedup", "stream_ann_ingest", "stream_line_dedup",
+        "stream_sketch_rollup",
         "stream_sketch_rollup_theta", "stream_sketch_rollup_kll", "stream_sketch_rollup_freq",
         "stream_attribution", "stream_monitor", "stream_scd2")
     val compact = scala.collection.mutable.LinkedHashMap(

@@ -1115,7 +1115,14 @@ object TextAnalysis {
     * a null would otherwise drop out of the explode.
     */
   private def segments(spark: SparkSession, dir: String, segWords: Int): DataFrame =
-    docs(spark, dir)
+    segmentsOf(docs(spark, dir), segWords)
+
+  /** The same segmenter over ANY (doc_id, text) frame — shared with the
+    * streaming boiler-count store ([[graft.streaming.StreamLineDedup]])
+    * so the streaming path cannot drift from the batch segmentation.
+    */
+  private[graft] def segmentsOf(docsDf: DataFrame, segWords: Int): DataFrame =
+    docsDf
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
       .select(col("doc_id"),
         posexplode(expr(
