@@ -133,16 +133,19 @@ object Relational {
         sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
           .as("sum_disc_price_cents"))
 
-  /** Q3-shaped 3-way join: lineitem (big) joined with orders and customer
-    * (small sides broadcast — at 100 TB lineitem never shuffles for these
-    * dims; verify in the plan).
+  /** Q3-shaped 3-way join: lineitem (big) joined with orders and customer.
+    * Both carried sides SCALE WITH THE FACT (orders is ~1/4 of lineitem's
+    * rows, customer ~1/15 — at 100 TB of lineitem they are terabytes, not
+    * dims), so neither is hint-broadcast: the joins are plain equi-joins
+    * and the planner/AQE broadcasts only when a side is genuinely small
+    * at runtime (it is at bench SF; at 100 TB both must shuffle).
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val ord = t(spark, dir, "orders")
     val cust = t(spark, dir, "customer")
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .filter(cust("c_mktsegment") === "BUILDING")
       .groupBy(ord("o_orderkey").as("o_orderkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint"))
@@ -740,11 +743,14 @@ object Relational {
     * the integer-cents money discipline, so the oracle matches
     * bit-for-bit with no float summation order concerns.
     *
-    * Scale: every dimension chain broadcasts (PROMO parts, ASIA
-    * customers via nation⋈region, supplier→nation); the only possibly
-    * big-big join is lineitem⋈orders on the order key, and the share
-    * needs no second pass — one conditional-sum aggregate computes the
-    * nation numerator and the total in the same exchange.
+    * Scale: the dimension chains (PROMO parts, ASIA customers via
+    * nation⋈region, supplier→nation) ride PLAIN equi-joins — part,
+    * customer and supplier all scale with the fact in TPC-H, so AQE makes
+    * the broadcast-vs-shuffle call at runtime instead of a hint forcing
+    * a fact-proportional side driver-side; the always-big-big join is
+    * lineitem⋈orders on the order key, and the share needs no second
+    * pass — one conditional-sum aggregate computes the nation numerator
+    * and the total in the same exchange.
     */
   def q8MarketShare(spark: SparkSession, dir: String,
       supplierNation: String = "NATION_1"): DataFrame = {
@@ -763,13 +769,13 @@ object Relational {
       .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("sup_nation"))
     li
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
       .join(t(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).cast("bigint").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(
         sum(when(col("sup_nation") === supplierNation, col("rev")).otherwise(0L))
@@ -792,8 +798,9 @@ object Relational {
     * Scale: the textbook decorrelation (per-part aggregate joined back to
     * the fact) scans lineitem TWICE — at 100 TB the second scan is the
     * dominant cost. Instead the per-part aggregate rides a whole-partition
-    * window over the SAME scan: one pruned lineitem read (brand keys
-    * broadcast into the scan's join filter), ONE exchange on `l_partkey`,
+    * window over the SAME scan: one pruned lineitem read (the brand-part
+    * slice is an AQE-sized equi-join side — part scales with the fact, so
+    * no broadcast hint), ONE exchange on `l_partkey`,
     * and the per-part sums are computed next to the rows they gate.
     * Per-part groups are ~30 rows, so the window buffer is trivially
     * bounded and skew-free.
@@ -804,7 +811,7 @@ object Relational {
       .filter(col("p_brand") === brand)
       .select(col("p_partkey"), col("p_brand"))
     val li = t(spark, dir, "lineitem")
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_brand"),
         round(col("l_quantity")).cast("bigint").as("qty"),
         round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
@@ -1391,9 +1398,9 @@ object Relational {
     */
   def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_brand") =!= "Brand#1")
-        .select("p_partkey", "p_brand", "p_size")),
+        .select("p_partkey", "p_brand", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .select("p_brand", "p_size", "l_suppkey")
       .distinct() // phase 1: dedup on the full key — plain hash aggregate
@@ -2052,10 +2059,12 @@ object Relational {
   }
 
   /** TPC-H Q5-shaped 6-way join: revenue per nation for one region, with
-    * the local-supplier condition (c_nationkey = s_nationkey). All four
-    * dimension sides broadcast — the only shuffle is lineitem⋈orders on
-    * orderkey, which at 100 TB is the unavoidable fact-fact exchange
-    * (co-bucketing both on orderkey would remove even that).
+    * the local-supplier condition (c_nationkey = s_nationkey). Only the
+    * FIXED-cardinality dims hint-broadcast (nation 25 rows, region 5);
+    * supplier and customer scale with the fact, so they ride plain
+    * equi-joins AQE size-gates at runtime — the unavoidable fact-fact
+    * exchange is lineitem⋈orders on orderkey (co-bucketing both on
+    * orderkey would remove even that).
     */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -2065,8 +2074,8 @@ object Relational {
     val nat = t(spark, dir, "nation")
     val reg = t(spark, dir, "region")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust),
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust,
         ord("o_custkey") === cust("c_custkey") && cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -2234,7 +2243,9 @@ object Relational {
     *      HIGH-cardinality partitions (a tie group = rows sharing one
     *      exact balance), so the hot-task bound drops from n/5 to the
     *      largest tie group and parallelism scales with the value domain;
-    *   3. the histogram broadcasts back and NTILE's big-tiles-first rule
+    *   3. the histogram joins back on (segment, cents) — value-domain-
+    *      bounded but ~1M rows, so AQE sizes the join (no forced
+    *      broadcast) — and NTILE's big-tiles-first rule
     *      (`n mod 10` tiles of `n div 10 + 1`, then tiles of `n div 10`)
     *      is applied to the reconstructed rank as pure integer arithmetic.
     *
@@ -2253,7 +2264,7 @@ object Relational {
     val wTie = Window.partitionBy("c_mktsegment", "cents").orderBy("c_custkey")
     base
       .withColumn("tie_rank", row_number().over(wTie).cast("bigint"))
-      .join(broadcast(hist), Seq("c_mktsegment", "cents"))
+      .join(hist, Seq("c_mktsegment", "cents"))
       .withColumn("rn", col("cum_before") + col("tie_rank"))
       // INVARIANT pinning the ELSE branch's `div (n div 10)`: when n < 10
       // every row has rn <= n = (n % 10) * (n div 10 + 1), so the THEN
@@ -2580,22 +2591,31 @@ object Relational {
 
   /** TPC-H Q7 VOLUME SHIPPING — revenue between a nation PAIR in both
     * directions, by year: supplier nation and customer nation resolved
-    * through broadcast dims, the disjunctive pair filter applied before
-    * the fact-side aggregate. One exchange (the final group-by).
+    * through supplier⋈nation / customer⋈nation maps (plain equi-joins —
+    * both maps scale with the fact, so AQE sizes them; nation itself is
+    * the only fixed side). The disjunctive pair filter implies each side
+    * individually lies in {A, B}, so that membership test is PUSHED INTO
+    * the maps (each keeps ~2/25 of its rows — an inner join drops
+    * non-members anyway): the maps arrive pre-shrunk at the join, which
+    * both speeds AQE's broadcast conversion and cuts the shuffled bytes
+    * when the maps are too big to broadcast. One exchange (the final
+    * group-by).
     */
   def q7NationVolume(spark: SparkSession, dir: String,
       nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
     val supN = t(spark, dir, "supplier")
       .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nationA, nationB))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val custN = t(spark, dir, "customer")
       .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nationA, nationB))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2609,8 +2629,16 @@ object Relational {
   /** TPC-H Q9-shaped PRODUCT PROFIT by supplier nation and year. The
     * fixture has no partsupp supply cost, so profit is revenue minus 80%
     * of the part's retail value for the shipped quantity — same plan
-    * shape (part-name filter broadcast into the fact scan, profit
-    * computed per line, nation/year rollup), integral cents·pct units.
+    * shape (the name-filtered part slice joins the fact as an AQE-sized
+    * equi-join), integral cents·pct units.
+    *
+    * Scale: the fact NEVER touches the supplier map — profit first
+    * reduces to (l_suppkey, year) partial sums (map-side combined, one
+    * exchange of ≤|suppliers|·|years| rows), and the supplier⋈nation
+    * name map joins onto that already-reduced frame before the tiny
+    * nation/year re-aggregate. Re-attaching dimensions after the
+    * reduction is the q10/q2 discipline: at 100 TB the supplier map is
+    * gigabytes, but the frame it joins is ~suppliers-sized either way.
     */
   def q9ProfitByNation(spark: SparkSession, dir: String,
       nameFilter: String = "red"): DataFrame = {
@@ -2622,19 +2650,23 @@ object Relational {
       .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     t(spark, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .withColumn("amount",
         round(col("l_extendedprice") * 100).cast("bigint") *
           (lit(100L) - round(col("l_discount") * 100).cast("bigint")) -
           col("retail_cents") * round(col("l_quantity")).cast("bigint") * 80L)
-      .groupBy(col("nation"), year(col("l_shipdate")).cast("bigint").as("o_year"))
-      .agg(sum(col("amount")).as("sum_profit"))
+      .groupBy(col("l_suppkey"), year(col("l_shipdate")).cast("bigint").as("o_year"))
+      .agg(sum(col("amount")).as("amount_sum"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount_sum")).as("sum_profit"))
   }
 
   /** TPC-H Q10 RETURNED-ITEM REPORTING — top customers by revenue lost to
-    * returns in a quarter: returnflag filter on the scan, customer /
-    * nation dims broadcast, top-20 with a custkey tiebreak so the cut is
+    * returns in a quarter: returnflag filter on the scan, nation (fixed
+    * 25 rows) hint-broadcast into the customer map, the customer map
+    * itself joined AFTER the per-custkey reduction (AQE-sized — customer
+    * scales with the fact), top-20 with a custkey tiebreak so the cut is
     * deterministic.
     */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
@@ -2653,7 +2685,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
         (lit(100L) - round(col("l_discount") * 100).cast("bigint"))).as("revenue"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
         col("revenue"), col("acctbal_cents"), col("n_name"))
       .orderBy(desc("revenue"), col("c_custkey"))
@@ -2697,14 +2729,15 @@ object Relational {
           .as("low_line_count"))
 
   /** TPC-H Q14 PROMO REVENUE SHARE — promo-typed revenue as a permille of
-    * a month's total: CASE-gated sums in ONE aggregate, the part type
-    * broadcast, integer division only at the end.
+    * a month's total: CASE-gated sums in ONE aggregate, the part-type map
+    * an AQE-sized equi-join (part scales with the fact), integer division
+    * only at the end.
     */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+      .join(t(spark, dir, "part").select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("rev", round(col("l_extendedprice") * 100).cast("bigint") *
         (lit(100L) - round(col("l_discount") * 100).cast("bigint")))
@@ -2722,7 +2755,7 @@ object Relational {
   def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .withColumn("qty", round(col("l_quantity")).cast("bigint"))
-    val p = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand"))
+    val p = t(spark, dir, "part").select("p_partkey", "p_brand")
     li.join(p, col("l_partkey") === col("p_partkey") &&
         ((col("p_brand") === "Brand#1" && col("qty").between(1, 11)) ||
          (col("p_brand") === "Brand#2" && col("qty").between(10, 20)) ||
@@ -2736,7 +2769,9 @@ object Relational {
   /** TPC-H Q20-shaped EXCESS SUPPLIERS — the nested-aggregate semi join:
     * suppliers whose shipped quantity of the name-filtered parts in a
     * year exceeds the average supplier's (cross-multiplied:
-    * `qty·n_supp > total`), with names attached by broadcast at the end.
+    * `qty·n_supp > total`), with names attached after the reduction (the
+    * survivor set is tiny, so AQE broadcasts it — no hint needed on the
+    * fact-proportional supplier map).
     */
   def q20ExcessSuppliers(spark: SparkSession, dir: String,
       nameFilter: String = "red"): DataFrame = {
@@ -2745,7 +2780,7 @@ object Relational {
     val perSupp = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_quantity")).cast("bigint")).as("qty"))
     val avgGate = perSupp.agg(sum(col("qty")).as("total_qty"),
@@ -2755,7 +2790,7 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     perSupp.join(broadcast(avgGate))
       .filter(col("qty") * col("n_supp") > col("total_qty"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("n_name"), col("qty"))
   }
 
@@ -2769,7 +2804,8 @@ object Relational {
     *
     * Scale: cost aggregation shuffles on (l_partkey, l_suppkey) once; the
     * per-part MIN reuses that partitioning (partial agg upstream); the
-    * dimensions (part slice, ASIA suppliers) broadcast.
+    * dimensions (part slice, ASIA suppliers) are AQE-sized equi-joins —
+    * part and supplier scale with the fact, so no broadcast hint.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String,
       size: Int = 15, region: String = "ASIA"): DataFrame = {
@@ -2785,17 +2821,20 @@ object Relational {
     // per row; the dimension strings join onto the tiny winner set at the
     // end instead of riding the shuffle (100 TB hygiene: never shuffle
     // payload you can re-attach after the reduction).
+    // sizedParts first: it is a plain scan-filter (statically sized, so
+    // the planner broadcasts it without AQE) at ~1/50 selectivity — the
+    // join-derived ASIA supplier map then sees a 50×-smaller fact side
     val cost = t(spark, dir, "lineitem")
-      .join(broadcast(asiaSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sizedParts.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(sizedParts.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(asiaSupp.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cost_cents"))
     val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
       .agg(min(col("cost_cents")).as("min_cost_cents"))
     cost.join(minCost,
         col("l_partkey") === col("mc_partkey") && col("cost_cents") === col("min_cost_cents"))
-      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(sizedParts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey").cast("bigint").as("p_partkey"), col("p_name"),
         col("s_name"), col("n_name"), col("cost_cents"))
   }
@@ -2850,7 +2889,8 @@ object Relational {
     * joined back — never a global sort.
     *
     * Scale: revenue aggregates in one exchange on l_suppkey; the max is a
-    * single-row reduction; supplier names broadcast.
+    * single-row reduction; supplier names join onto the one-or-few-row
+    * winner set (AQE broadcasts the winners, not the supplier map).
     */
   def q15TopSupplier(spark: SparkSession, dir: String,
       quarterStart: String = "1996-01-01"): DataFrame = {
@@ -2863,7 +2903,7 @@ object Relational {
       .agg(sum(col("cents") * (lit(100L) - col("dpct"))).as("total_rev"))
     val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey").cast("bigint").as("s_suppkey"), col("s_name"), col("total_rev"))
   }
@@ -2886,7 +2926,7 @@ object Relational {
       .filter(col("total_qty") > minQty)
     big
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_name")),
+      .join(t(spark, dir, "customer").select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey").cast("bigint").as("c_custkey"),
         col("o_orderkey").cast("bigint").as("o_orderkey"), col("o_orderdate"),
@@ -2923,7 +2963,7 @@ object Relational {
         col("n_supp") >= 2L && col("n_late") === 1L)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
   }

@@ -191,16 +191,19 @@ object EventStream {
 
   /** Stream-static enrichment join: a stream of events joined to a static
     * dimension (customer) — the most common production streaming pattern.
-    * The static side is re-read per micro-batch by Spark and broadcast
-    * (small dim), so the stream side needs no state and no watermark: the
-    * join is stateless row-at-a-time enrichment. Works identically on a
-    * batch events frame — StreamingSpec asserts stream == batch.
+    * The static side is re-read per micro-batch by Spark; the join is a
+    * PLAIN equi-join so the planner broadcasts only when the dim is
+    * genuinely small (a hint would force a 100 TB-scale customer dim
+    * driver-side every batch — the dim scales with the business, not
+    * with the batch). The stream side needs no state and no watermark:
+    * the join is stateless row-at-a-time enrichment. Works identically on
+    * a batch events frame — StreamingSpec asserts stream == batch.
     */
   def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
     events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .join(broadcast(customers.select(
-        col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+      .join(customers.select(
+        col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
         col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("c_mktsegment"), col("c_nationkey"))

@@ -881,7 +881,7 @@ class StreamingSpec extends AnyFunSuite {
       "fixture should contain both attributed and unattributed purchases")
   }
 
-  test("stream-static enrichment join equals the batch join, dim broadcast per micro-batch") {
+  test("stream-static enrichment join equals the batch join, dim size-gated per micro-batch") {
     import org.apache.spark.sql.streaming.Trigger
     val customers = spark.read.parquet(s"$dir/customer.parquet")
     val evBatch = graft.operators.Relational.events(spark, dir)

@@ -28,7 +28,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(l_shipdate"), plan)
   }
 
-  test("q3 join: dimension tables broadcast, fact side never shuffles before agg") {
+  test("q3 join: small-SF sides broadcast BY SIZE, fact never shuffles before agg") {
+    // r13: q3 carries no broadcast hints (orders/customer scale with the
+    // fact) — at test SF the planner must still pick broadcast joins from
+    // the actual file sizes, proving the hint was never needed for the
+    // good small-scale plan while the 100 TB plan degrades to shuffles
+    // instead of OOMing the driver.
     val plan = executedPlan("q3_join_agg")
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
@@ -73,14 +78,57 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("polyhash") || plan.contains("PolyHash"), plan)
   }
 
-  test("q5 multi-join: all dims broadcast, only the fact-fact join shuffles") {
+  test("q5 multi-join: all dims broadcast at test SF, only the fact-fact join shuffles") {
     val plan = executedPlan("q5_multi_join")
-    // 4 dims always broadcast; at tiny SF the planner may broadcast the
-    // orders side of the fact-fact join too (5th) — also correct
+    // nation/region broadcast by hint (fixed 25/5 rows); supplier/customer
+    // broadcast BY SIZE at test SF (r13: their hints are gone — they scale
+    // with the fact, so at 100 TB they shuffle instead of OOMing);
+    // at tiny SF the planner may broadcast the orders side too (5th)
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(bhj >= 4, s"expected >=4 broadcast joins (supp/cust/nation/region), got $bhj:\n$plan")
     // lineitem⋈orders may be SMJ or shuffled hash — but never nested-loop
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("r13: TPC-H joins hint-broadcast only fixed-size dims or scalar reductions") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Every SF-scaling table grows linearly with the fact (orders ~1/4 of
+    // lineitem's rows, customer ~1/15, part ~1/5, supplier ~1/150): a
+    // broadcast HINT on any of them forces a terabyte side driver-side at
+    // 100 TB. Only nation (25 rows), region (5) and single-row scalar
+    // reductions may carry a hint; everything else is AQE's runtime call.
+    val scaling = Set("lineitem", "orders", "customer", "supplier", "part",
+      "events", "documents", "embeddings")
+    def scansScaling(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(rp =>
+          scaling.exists(tbl => rp.getName == s"$tbl.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+    def scalarReduction(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.nonEmpty
+    val rows = Seq("q1_agg", "q2_min_cost_supplier", "q3_join_agg", "q4_priority_wait",
+      "q5_multi_join", "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+      "q9_profit_by_nation", "q10_returned_items", "q11_important_share",
+      "q12_shipmode_priority", "q13_custdist", "q14_promo_share", "q15_top_supplier",
+      "q16_supplier_variety", "q17_small_qty", "q18_large_orders",
+      "q19_discounted_revenue", "q20_excess_suppliers", "q21_waiting_supplier",
+      "q22_global_sales", "customer_rfm", "q_ntile_skew")
+    for (q <- rows) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      plan.foreach {
+        case j: Join =>
+          for ((side, hinted) <- Seq(
+              (j.left, j.hint.leftHint.nonEmpty), (j.right, j.hint.rightHint.nonEmpty))
+            if hinted)
+            assert(scalarReduction(side) || !scansScaling(side),
+              s"$q: broadcast hint forces an SF-scaling side driver-side:\n$side")
+        case _ => ()
+      }
+    }
   }
 
   test("semi/anti joins stay broadcast with no extra exchange") {
