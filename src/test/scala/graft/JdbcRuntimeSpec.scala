@@ -434,6 +434,29 @@ class JdbcRuntimeSpec extends AnyFunSuite {
     assert(bytesOf(recs(2), "TAGS") == null)
   }
 
+  test("bytes mode quotes array labels needing escaping (reserved word, space) in customSchema") {
+    // ADVICE r12: the customSchema override is assembled as a DDL string —
+    // an unquoted reserved word or a label with a space either fails the
+    // parse or silently leaves the array column un-overridden. The
+    // backtick-quoted form must still override BOTH columns to binary.
+    val db = "graftpg_quoted"
+    StubDb.reset(db)
+    StubDb.register(db, "PG_DOCS", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("ORDER", Types.ARRAY, nullable = true, // reserved word
+          typeNameOv = "_text", itemType = Types.VARCHAR, itemTypeName = "text"),
+        StubDb.Col("TAG LIST", Types.ARRAY, nullable = true, // embedded space
+          typeNameOv = "_int4", itemType = Types.INTEGER, itemTypeName = "int4")),
+      Vector(Vector[Any](1L, Vector[Any]("a", "b"), Vector[Any](5, 6)))))
+    val source = JdbcSource(pgConn(db),
+      QueryArgs(base = QueryBuilder.fromTable("PG_DOCS")), arrayMode = ArrayMode.Bytes)
+    val df = source.read(spark)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("ORDER") == "binary", types.toString)
+    assert(types("TAG LIST") == "binary", types.toString)
+  }
+
   test("null array item: targeted error without nullableArrayItems, union item with it (PostgresJdbcAvroTest.java:281-305)") {
     val db = "graftpg_nullitem"
     arrayFixture(db, Vector(
