@@ -1043,6 +1043,110 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
     copy(child = newChild)
 }
 
+/** Ordered sum of ONE numeric field over `array<struct<...>>` — the
+  * codegen replacement for `aggregate(arr, 0, (acc, s) -> acc + s.f)`
+  * (a CodegenFallback HOF interpreted per row). Matches the HOF
+  * EXACTLY, including:
+  *   - fold order (left-to-right array order — IEEE addition order for
+  *     double fields, so oracle contracts pinning the fold stay valid);
+  *   - null propagation (a null element or null field value makes the
+  *     whole result NULL, because `acc + NULL` poisons the HOF's fold).
+  * Integer fields (int/long) sum exactly into a long; float/double sum
+  * into a double. Used on the margin-mining neighborhood-density sums
+  * (per-anchor AND corpus-side rows — |B|-scale at 100 TB) and the
+  * winnowing checksum.
+  */
+case class StructFieldSum(child: Expression, field: String)
+    extends UnaryExpression {
+
+  private lazy val structType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val fieldIdx: Int = structType.fieldIndex(field)
+  private lazy val fieldType: DataType = structType(fieldIdx).dataType
+  private lazy val integral: Boolean = fieldType match {
+    case IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fieldNames.contains(field) =>
+      st(st.fieldIndex(field)).dataType match {
+        case IntegerType | LongType | FloatType | DoubleType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_struct_sum: field '$field' must be numeric, got ${other.sql}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_struct_sum requires array<struct<...>> with a '$field' field, got ${other.sql}")
+  }
+  override def dataType: DataType = if (integral) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nf = structType.length
+    if (integral) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val s = arr.getStruct(i, nf)
+        if (s.isNullAt(fieldIdx)) return null
+        acc += (if (fieldType == IntegerType) s.getInt(fieldIdx).toLong
+                else s.getLong(fieldIdx))
+        i += 1
+      }
+      acc
+    } else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val s = arr.getStruct(i, nf)
+        if (s.isNullAt(fieldIdx)) return null
+        acc += (if (fieldType == FloatType) s.getFloat(fieldIdx).toDouble
+                else s.getDouble(fieldIdx))
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val nf = structType.length
+      val (accType, zero, get) =
+        if (integral)
+          ("long", "0L",
+            if (fieldType == IntegerType) s"(long) $s.getInt($fieldIdx)"
+            else s"$s.getLong($fieldIdx)")
+        else
+          ("double", "0.0",
+            if (fieldType == FloatType) s"(double) $s.getFloat($fieldIdx)"
+            else s"$s.getDouble($fieldIdx)")
+      s"""
+         |int $n = $a.numElements();
+         |$accType $acc = $zero;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  InternalRow $s = $a.getStruct($i, $nf);
+         |  if ($s.isNullAt($fieldIdx)) { ${ev.isNull} = true; break; }
+         |  $acc += $get;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StructFieldSum =
+    copy(child = newChild)
+}
+
 /** Session registration. [[GraftExtensions]] is the production path
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`);
   * [[GraftFunctions.register]] is the imperative equivalent for sessions
@@ -1161,6 +1265,10 @@ object GraftFunctions {
     "graft_topk" -> { exprs =>
       require(exprs.length == 3, "graft_topk(id, score, k)")
       TopK(exprs(0), exprs(1), num(exprs(2)).intValue()).toAggregateExpression()
+    },
+    "graft_struct_sum" -> { exprs =>
+      require(exprs.length == 2, "graft_struct_sum(arr, 'field')")
+      StructFieldSum(exprs.head, exprs(1).eval().toString)
     },
     "graft_kll_quantiles" -> { exprs =>
       require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")

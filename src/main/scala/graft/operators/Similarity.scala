@@ -247,10 +247,12 @@ object Similarity {
       releases: Seq[DataFrame], forPlanInspection: Boolean = false): DataFrame = {
     val topX = scored.groupBy("xi").agg(expr(s"graft_topk(yi, c, $k)").as("top"))
     val topY = scored.groupBy("yi").agg(expr(s"graft_topk(xi, c, $k)").as("top"))
+    // graft_struct_sum == the aggregate() HOF bit-for-bit (same IEEE fold
+    // order) but codegen'd — the corpus-side denY projection is |B|-scale
     val denX = topX.select(col("xi"),
-      expr("aggregate(top, 0.0D, (acc, s) -> acc + s.score)").as("dx"))
+      expr("graft_struct_sum(top, 'score')").as("dx"))
     val denY = topY.select(col("yi"),
-      expr("aggregate(top, 0.0D, (acc, s) -> acc + s.score)").as("dy"))
+      expr("graft_struct_sum(top, 'score')").as("dy"))
     val fwd = topX.select(col("xi"), explode(col("top")).as("t"))
       .select(col("xi"), col("t.id").as("yi"))
     val bwd = topY.select(col("yi"), explode(col("top")).as("t"))

@@ -271,6 +271,8 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_edit1",
       // zero-allocation shingle hashing + winnowing window min (round 12)
       "graft_shingle_poly", "graft_shingle_hash60", "graft_window_min",
+      // codegen ordered struct-field fold (round 13)
+      "graft_struct_sum",
       // frequent-items blob emit + merge surface (round 9)
       "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch",
       // exact Gram-matrix aggregate (round 9)
@@ -311,5 +313,57 @@ class ExpressionsSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) =>
       assert(got((a, b)) == math.min(lev(a, b), 2).toLong, s"codegen dist('$a','$b')")
     }
+  }
+
+  test("graft_struct_sum == the aggregate() HOF bit-for-bit: IEEE order, nulls, long exactness") {
+    val spark = SparkSpec.spark
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // double field: magnitudes spanning 20 orders so ADDITION ORDER changes
+    // the IEEE result — bit-equality with the HOF proves the same fold order
+    val doubles = Seq(
+      Seq(1e20, 1.0, -1e20, 3.5),
+      Seq(0.1, 0.2, 0.3),
+      Seq(-0.0, 0.0),
+      Seq(1e-300, 1e300, -1e300),
+      Seq.empty[Double])
+    val dDf = doubles.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+      .toDF("id", "xs")
+      .selectExpr("id", "transform(xs, (x, i) -> struct(CAST(i AS BIGINT) AS id, x AS score)) AS top")
+    val dRows = dDf.selectExpr("id",
+      "aggregate(top, 0.0D, (acc, s) -> acc + s.score) AS hof",
+      "graft_struct_sum(top, 'score') AS native").collect()
+    dRows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}: hof=${r.getDouble(1)} native=${r.getDouble(2)}")
+    }
+    // long field: exact integer sums, including negatives
+    val longs = Seq(Seq(1L, 2L, 3L), Seq(-5L, 5L, Long.MaxValue / 2), Seq.empty[Long])
+    val lRows = longs.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+      .toDF("id", "xs")
+      .selectExpr("id", "transform(xs, x -> struct(x AS h)) AS sel")
+      .selectExpr("id",
+        "aggregate(sel, 0L, (acc, s) -> acc + s.h) AS hof",
+        "graft_struct_sum(sel, 'h') AS native").collect()
+    lRows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+    // null field value poisons the fold exactly like acc + NULL does
+    val nRow = spark.sql(
+      "SELECT aggregate(a, 0.0D, (acc, s) -> acc + s.score) AS hof, " +
+        "graft_struct_sum(a, 'score') AS native " +
+        "FROM (SELECT array(struct(1.0D AS score), struct(CAST(NULL AS DOUBLE) AS score)) AS a)")
+      .head()
+    assert(nRow.isNullAt(0) && nRow.isNullAt(1), nRow.toString)
+    // interpreted path (eval without codegen) agrees with codegen
+    val interp = graft.functions.StructFieldSum(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(org.apache.spark.sql.Row(1e20), org.apache.spark.sql.Row(1.0),
+          org.apache.spark.sql.Row(-1e20)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.DoubleType))))),
+      "score").eval(null)
+    assert(interp == ((1e20 + 1.0) + -1e20), s"interpreted eval: $interp")
   }
 }
