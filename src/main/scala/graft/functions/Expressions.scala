@@ -1043,6 +1043,65 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
     copy(child = newChild)
 }
 
+/** Element-wise divide of a float/double array by a scalar — the codegen
+  * replacement for `transform(arr, x -> CAST(x AS DOUBLE) / s)` (a
+  * CodegenFallback HOF that interprets the lambda per ELEMENT). Output
+  * is `array<double>`; null elements stay null exactly as the HOF's
+  * `null / s` does. Used by the ANN family's L2 normalization, which
+  * materializes a normalized copy of the whole corpus (per-element
+  * interpreted cost × corpus × dim at 100 TB).
+  */
+case class ArrayScaleDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_array_div requires (array<float|double>, double), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val s = r.asInstanceOf[Double]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i))
+        out(i) = (if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)) / s
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) $out[$i] = (Object) java.lang.Double.valueOf($getX / $s);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayScaleDiv =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Ordered sum of ONE numeric field over `array<struct<...>>` — the
   * codegen replacement for `aggregate(arr, 0, (acc, s) -> acc + s.f)`
   * (a CodegenFallback HOF interpreted per row). Matches the HOF
@@ -1269,6 +1328,10 @@ object GraftFunctions {
     "graft_struct_sum" -> { exprs =>
       require(exprs.length == 2, "graft_struct_sum(arr, 'field')")
       StructFieldSum(exprs.head, exprs(1).eval().toString)
+    },
+    "graft_array_div" -> { exprs =>
+      require(exprs.length == 2, "graft_array_div(arr, divisor)")
+      ArrayScaleDiv(exprs(0), exprs(1))
     },
     "graft_kll_quantiles" -> { exprs =>
       require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")

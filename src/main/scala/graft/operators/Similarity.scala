@@ -1121,8 +1121,11 @@ object Similarity {
     * is explicit and total for the PQ family (direct and store paths).
     */
   private def normedOf(e: DataFrame): DataFrame =
+    // graft_array_div == the transform() HOF bit-for-bit (same per-element
+    // IEEE division) but codegen'd — this materializes a normalized copy
+    // of the WHOLE corpus, so the per-element interpreted lambda matters
     e.filter(col("norm") > 0).withColumn("nemb",
-      expr("transform(embedding, x -> CAST(x AS DOUBLE) / norm)"))
+      expr("graft_array_div(embedding, norm)"))
 
   /** The PQ query stage over a coded corpus — ADC tables, bounded-heap
     * shortlist, exact re-rank — shared by the direct and store-backed

@@ -271,8 +271,8 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_edit1",
       // zero-allocation shingle hashing + winnowing window min (round 12)
       "graft_shingle_poly", "graft_shingle_hash60", "graft_window_min",
-      // codegen ordered struct-field fold (round 13)
-      "graft_struct_sum",
+      // codegen ordered struct-field fold + array scale-divide (round 13)
+      "graft_struct_sum", "graft_array_div",
       // frequent-items blob emit + merge surface (round 9)
       "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch",
       // exact Gram-matrix aggregate (round 9)
@@ -354,6 +354,15 @@ class ExpressionsSpec extends AnyFunSuite {
         "FROM (SELECT array(struct(1.0D AS score), struct(CAST(NULL AS DOUBLE) AS score)) AS a)")
       .head()
     assert(nRow.isNullAt(0) && nRow.isNullAt(1), nRow.toString)
+    // graft_array_div == transform(arr, x -> CAST(x AS DOUBLE)/s) bit-for-bit,
+    // float AND double input, null elements preserved as null
+    val divRows = spark.sql(
+      "SELECT transform(f, x -> CAST(x AS DOUBLE) / s) AS hof_f, graft_array_div(f, s) AS nat_f, " +
+        "       transform(d, x -> CAST(x AS DOUBLE) / s) AS hof_d, graft_array_div(d, s) AS nat_d " +
+        "FROM (SELECT array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-0.25 AS FLOAT)) AS f, " +
+        "             array(1e300D, 3.0D, NULL) AS d, 7.0D AS s)").head()
+    assert(divRows.getSeq[Any](0) == divRows.getSeq[Any](1), s"float: $divRows")
+    assert(divRows.getSeq[Any](2) == divRows.getSeq[Any](3), s"double: $divRows")
     // interpreted path (eval without codegen) agrees with codegen
     val interp = graft.functions.StructFieldSum(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
