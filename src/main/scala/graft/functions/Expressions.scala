@@ -1102,6 +1102,75 @@ case class ArrayScaleDiv(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Projects ONE field out of `array<struct<...>>` preserving order — the
+  * codegen replacement for `transform(arr, s -> s.f)` (a CodegenFallback
+  * HOF interpreted per element). Null elements project to null field
+  * values, exactly as the HOF's `null.f` does. Long/int fields only
+  * (the engine's fingerprint columns); output `array<bigint>`.
+  */
+case class StructFieldArray(child: Expression, field: String)
+    extends UnaryExpression {
+
+  private lazy val structType: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val fieldIdx: Int = structType.fieldIndex(field)
+  private lazy val isInt: Boolean = structType(fieldIdx).dataType == IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fieldNames.contains(field) =>
+      st(st.fieldIndex(field)).dataType match {
+        case IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_struct_field: field '$field' must be int/bigint, got ${other.sql}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_struct_field requires array<struct<...>> with a '$field' field, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nf = structType.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getStruct(i, nf)
+        if (!s.isNullAt(fieldIdx))
+          out(i) = if (isInt) s.getInt(fieldIdx).toLong else s.getLong(fieldIdx)
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val nf = structType.length
+      val get = if (isInt) s"(long) $s.getInt($fieldIdx)" else s"$s.getLong($fieldIdx)"
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    InternalRow $s = $a.getStruct($i, $nf);
+         |    if (!$s.isNullAt($fieldIdx)) $out[$i] = (Object) java.lang.Long.valueOf($get);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StructFieldArray =
+    copy(child = newChild)
+}
+
 /** Ordered sum of ONE numeric field over `array<struct<...>>` — the
   * codegen replacement for `aggregate(arr, 0, (acc, s) -> acc + s.f)`
   * (a CodegenFallback HOF interpreted per row). Matches the HOF
@@ -1332,6 +1401,10 @@ object GraftFunctions {
     "graft_array_div" -> { exprs =>
       require(exprs.length == 2, "graft_array_div(arr, divisor)")
       ArrayScaleDiv(exprs(0), exprs(1))
+    },
+    "graft_struct_field" -> { exprs =>
+      require(exprs.length == 2, "graft_struct_field(arr, 'field')")
+      StructFieldArray(exprs.head, exprs(1).eval().toString)
     },
     "graft_kll_quantiles" -> { exprs =>
       require(exprs.length >= 2, "graft_kll_quantiles(col, array(ranks...)[, k])")

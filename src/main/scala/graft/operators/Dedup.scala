@@ -494,7 +494,9 @@ object Dedup {
         count(lit(1)).as("m"))
       .select(
         col("doc_id"),
-        expr("transform(array_sort(pairs), s -> s.gh)").as("ghs"),
+        // graft_struct_field == transform(·, s -> s.gh) order-preserving,
+        // but codegen'd (the HOF interprets per element, corpus-scale here)
+        expr("graft_struct_field(array_sort(pairs), 'gh')").as("ghs"),
         col("m"))
       // p = m − ceil(τ·m) + 1, exact integer ceil — never off by the
       // 1-ulp of a double τ

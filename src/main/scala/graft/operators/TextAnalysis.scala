@@ -2464,7 +2464,7 @@ object TextAnalysis {
     winnowSelected(spark, dir, k, w)
       .select(col("doc_id"), col("n_grams"),
         size(col("sel")).cast("bigint").as("n_selected"),
-        size(array_distinct(expr("transform(sel, s -> s.h)"))).cast("bigint").as("n_distinct_h"),
+        size(array_distinct(expr("graft_struct_field(sel, 'h')"))).cast("bigint").as("n_distinct_h"),
         expr("graft_struct_sum(sel, 'h')").as("h_checksum"), // exact long sum, codegen'd
         expr(s"1000 * size(sel) div (n_grams - ${w - 1})").as("density_milli"))
   }

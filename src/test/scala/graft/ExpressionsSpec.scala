@@ -271,8 +271,8 @@ class ExpressionsSpec extends AnyFunSuite {
       "graft_edit1",
       // zero-allocation shingle hashing + winnowing window min (round 12)
       "graft_shingle_poly", "graft_shingle_hash60", "graft_window_min",
-      // codegen ordered struct-field fold + array scale-divide (round 13)
-      "graft_struct_sum", "graft_array_div",
+      // codegen struct-field fold/project + array scale-divide (round 13)
+      "graft_struct_sum", "graft_array_div", "graft_struct_field",
       // frequent-items blob emit + merge surface (round 9)
       "graft_freq_sketch", "graft_freq_merge_items", "graft_freq_merge_sketch",
       // exact Gram-matrix aggregate (round 9)
@@ -363,6 +363,13 @@ class ExpressionsSpec extends AnyFunSuite {
         "             array(1e300D, 3.0D, NULL) AS d, 7.0D AS s)").head()
     assert(divRows.getSeq[Any](0) == divRows.getSeq[Any](1), s"float: $divRows")
     assert(divRows.getSeq[Any](2) == divRows.getSeq[Any](3), s"double: $divRows")
+    // graft_struct_field == transform(arr, s -> s.f): order preserved,
+    // null elements project to null, int fields widen to bigint
+    val fRow = spark.sql(
+      "SELECT transform(a, s -> CAST(s.h AS BIGINT)) AS hof, graft_struct_field(a, 'h') AS nat " +
+        "FROM (SELECT array(struct(5 AS h), CAST(NULL AS struct<h:int>), struct(-7 AS h)) AS a)")
+      .head()
+    assert(fRow.getSeq[Any](0) == fRow.getSeq[Any](1), fRow.toString)
     // interpreted path (eval without codegen) agrees with codegen
     val interp = graft.functions.StructFieldSum(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
