@@ -196,12 +196,13 @@ object Dedup {
     * unpersists the cache once the candidates are materialized.
     */
   private def candidatesFrom(sigs: DataFrame,
-      numHashes: Int = NumHashes, bands: Int = Bands): (DataFrame, DataFrame) = {
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      forPlanInspection: Boolean = false): (DataFrame, DataFrame) = {
     // (doc_id, band, k1, k2) — `bands` small rows per doc; cached because
     // it feeds the crowded-bucket agg, the anti-join, AND both self-join
     // sides (uncached it recomputes the signature pipeline 4×).
     val banded = bandedSignatures(sigs, numHashes = numHashes, bands = bands).cache()
-    banded.count() // fill the cache before AQE fans out its 4 consumers
+    if (!forPlanInspection) banded.count() // fill the cache before AQE fans out its 4 consumers
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
     // carrying almost no signal — drop overcrowded buckets. True near-dups
@@ -210,7 +211,11 @@ object Dedup {
     val crowded = banded.groupBy("band", "k1", "k2")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > MaxBucketSize)
-    val pruned = banded.join(broadcast(crowded), Seq("band", "k1", "k2"), "left_anti")
+    // No broadcast hint: `crowded` grows with the corpus ((docs×bands)/
+    // MaxBucketSize rows on a boilerplate-heavy crawl) — AQE size-gates the
+    // anti-join at runtime, broadcasting only when it actually fits (r14,
+    // same discipline as the TPC-H/lineDedup de-hinting in r13).
+    val pruned = banded.join(crowded, Seq("band", "k1", "k2"), "left_anti")
     val a = pruned.as("a")
     val b = pruned.as("b")
     val cand = a.join(b,
@@ -236,9 +241,10 @@ object Dedup {
     * cells gated in DedupParamSpec.
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame =
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      forPlanInspection: Boolean = false): DataFrame =
     nearDupsFromArrays(docShingleArrays(spark, dir), threshold,
-      numHashes = numHashes, bands = bands)
+      numHashes = numHashes, bands = bands, forPlanInspection = forPlanInspection)
 
   /** Character 5-gram Jaccard near-dups — the n-GRAM dedup family. Same
     * MinHash-LSH candidate generation and exact verification as the word
@@ -256,9 +262,11 @@ object Dedup {
     * end-to-end; the gap widens quadratically with corpus size).
     */
   def ngramNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      numHashes: Int = NumHashes, bands: Int = Bands): DataFrame =
+      numHashes: Int = NumHashes, bands: Int = Bands,
+      forPlanInspection: Boolean = false): DataFrame =
     nearDupsFromArrays(charShingleHashes(spark, dir), threshold, sigFilter = true,
-      numHashes = numHashes, bands = bands, sigBase = Some("sig_input"))
+      numHashes = numHashes, bands = bands, sigBase = Some("sig_input"),
+      forPlanInspection = forPlanInspection)
 
   /** (doc_id, shingles) with distinct character 5-grams (length < 5 →
     * one shingle: the whole text), mirroring `minGramFingerprint`'s
@@ -340,14 +348,15 @@ object Dedup {
       bands: Int = Bands,
       // minhash input SQL: defaults to hashing the string `shingles` col;
       // hash-native callers pass a pre-hashed column name instead
-      sigBase: Option[String] = None): DataFrame = {
+      sigBase: Option[String] = None,
+      forPlanInspection: Boolean = false): DataFrame = {
     // One shingle pass feeds signatures and verification. Materialize the
     // cache EAGERLY: AQE submits the independent downstream stages (band
     // agg, anti-join, both self-join sides, verification) concurrently,
     // and an unfilled cache makes each of them recompute the whole shingle
     // pipeline in parallel (measured: 4× ~1 s duplicate jobs at sf0.1).
     val arrays = shingleArrays.cache()
-    arrays.count()
+    if (!forPlanInspection) arrays.count()
     graft.functions.GraftFunctions.register(arrays.sparkSession)
 
     val defaultBase = s"graft_poly_hash_array(shingles, 31, ${Portable.P1}L)"
@@ -356,7 +365,7 @@ object Dedup {
       if (!sigFilter) {
         val sigsPlain = arrays.select(col("doc_id"),
           expr(s"graft_minhash($sigInput, $numHashes)").as("sig"))
-        val (c, banded) = candidatesFrom(sigsPlain, numHashes, bands)
+        val (c, banded) = candidatesFrom(sigsPlain, numHashes, bands, forPlanInspection)
         (c, Seq(banded))
       } else {
         // Banding keeps the frozen affine signature; the FILTER signature
@@ -384,11 +393,12 @@ object Dedup {
             "h -> CAST(h % 128 AS TINYINT))").as("sigb"))
         val banded = bandedSignatures(sigs, passThrough = Seq("sigb"),
           numHashes = numHashes, bands = bands).cache()
-        banded.count()
+        if (!forPlanInspection) banded.count()
         val crowded = banded.groupBy("band", "k1", "k2")
           .agg(count(lit(1)).as("bucket_n"))
           .filter(col("bucket_n") > MaxBucketSize)
-        val pruned = banded.join(broadcast(crowded), Seq("band", "k1", "k2"), "left_anti")
+        // de-hinted (r14): crowded scales with the corpus — AQE's call
+        val pruned = banded.join(crowded, Seq("band", "k1", "k2"), "left_anti")
         val tau = sigAgreementCutoff(threshold)
         val a = pruned.as("a")
         val b = pruned.as("b")
@@ -416,7 +426,10 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
-    materializeAndRelease(arrays +: caches, verified)
+    // forPlanInspection=true returns the UNMATERIALIZED frame (caches
+    // released) for PlanSpec plan-shape assertions only
+    if (forPlanInspection) { (arrays +: caches).foreach(_.unpersist(false)); verified }
+    else materializeAndRelease(arrays +: caches, verified)
   }
 
   /** EXACT set-similarity self-join via prefix filtering — the
@@ -560,9 +573,12 @@ object Dedup {
     * deployment would PERSIST between increments (they are 32 longs per
     * doc — recomputing them here only because the catalog query is
     * self-contained). The candidate join is new-bands × corpus-bands on
-    * the band key: with a daily increment ≪ corpus, the new side
-    * broadcasts and the corpus side streams through unshuffled; exact
-    * verification touches candidates only, as in [[minhashNearDups]].
+    * the band key: with a daily increment ≪ corpus, AQE's size gate
+    * broadcasts the new side and the corpus side streams through
+    * unshuffled; with a backfill-sized increment the same plan falls back
+    * to a shuffle join instead of forcing the increment driver-side (no
+    * hint — r14). Exact verification touches candidates only, as in
+    * [[minhashNearDups]].
     */
   def incrementalNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
       splitId: Long = 400, forPlanInspection: Boolean = false): DataFrame = {
@@ -574,7 +590,10 @@ object Dedup {
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val corpusB = banded.filter(col("doc_id") < splitId)
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
-    val cand = corpusB.join(broadcast(newB), Seq("band", "k1", "k2"))
+    // No broadcast hint on the increment (r14): a daily delta broadcasts by
+    // AQE's size gate anyway, but a BACKFILL increment (≈ corpus) must not
+    // be forced driver-side — the equi-join shuffles both sides then.
+    val cand = corpusB.join(newB, Seq("band", "k1", "k2"))
       .select("id_new", "id_corpus")
       .distinct()
     val verified = verifyIncrementalPairs(arrays, cand, threshold)
@@ -613,9 +632,10 @@ object Dedup {
     * calls this per batch), `corpusArrays`/`corpusBands` are the persisted
     * corpus artifacts ([[writeSignatureStore]] for the bands; the shingle
     * arrays are the tokenized corpus a pipeline already materializes).
-    * The increment's bands BROADCAST against the streaming corpus store;
-    * exact verification touches candidates only. Output contract is
-    * [[incrementalNearDups]]'s.
+    * The increment's bands broadcast against the streaming corpus store
+    * when AQE's size gate says they fit (no hint — a replayed or backfill
+    * batch shuffles instead); exact verification touches candidates only.
+    * Output contract is [[incrementalNearDups]]'s.
     */
   def incrementalNearDupsFrom(newDocs: DataFrame, corpusArrays: DataFrame,
       corpusBands: DataFrame, threshold: Double = 0.6): DataFrame = {
@@ -628,10 +648,12 @@ object Dedup {
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
     val cand = corpusBands
       .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
-      .join(broadcast(newB), Seq("band", "k1", "k2"))
+      .join(newB, Seq("band", "k1", "k2"))
       .select("id_new", "id_corpus")
       .distinct()
-    verifyIncrementalPairsSplit(broadcast(newArrays), corpusArrays, cand, threshold)
+    // de-hinted (r14): a micro-batch increment broadcasts via AQE's size
+    // gate; a replayed/backfill batch does not get forced driver-side
+    verifyIncrementalPairsSplit(newArrays, corpusArrays, cand, threshold)
   }
 
   /** The deployment form of [[incrementalNearDups]]: the corpus's banded
@@ -668,7 +690,7 @@ object Dedup {
         .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_new"))
       val cand = corpusB
         .select(col("band"), col("k1"), col("k2"), col("doc_id").as("id_corpus"))
-        .join(broadcast(newB), Seq("band", "k1", "k2"))
+        .join(newB, Seq("band", "k1", "k2")) // de-hinted (r14): AQE's call
         .select("id_new", "id_corpus")
         .distinct()
       materializeAndRelease(Seq(arrays),
@@ -1317,7 +1339,9 @@ object Dedup {
     val corB = corpusBuckets.getOrElse(buckets(cor))
       .select(col("t"), col("key"), col("vec_id").as("id_corpus"))
     val newB = buckets(inc).select(col("t"), col("key"), col("vec_id").as("id_new"))
-    val cand = corB.join(broadcast(newB), Seq("t", "key"))
+    // de-hinted (r14): the increment's buckets broadcast by AQE size gate
+    // when small; a backfill-sized increment shuffles instead of OOMing
+    val cand = corB.join(newB, Seq("t", "key"))
       .select("id_new", "id_corpus")
       .distinct()
     val verified = cand

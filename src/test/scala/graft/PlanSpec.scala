@@ -224,6 +224,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("r14: dedup family carries no join-strategy hints (crowded prune + incremental joins are AQE's call)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // VERDICT r13 #1/#2: the crowded-bucket prune list grows with the
+    // corpus ((docs×bands)/MaxBucketSize) and an increment can be a
+    // backfill (≈ corpus) — neither may be FORCED driver-side by a
+    // broadcast hint. AQE still broadcasts them at runtime when they fit;
+    // the contract pinned here is that the decision is size-based, not
+    // hard-coded. Walks every seam of the de-hinted family: the plain LSH
+    // path (crowded prune at candidatesFrom), the sig-filtered n-gram
+    // path (second crowded prune), the incremental band join, and the
+    // embedding-increment bucket join.
+    val frames = Seq(
+      "dedup_minhash" -> graft.operators.Dedup.minhashNearDups(spark, dir,
+        forPlanInspection = true),
+      "dedup_ngram" -> graft.operators.Dedup.ngramNearDups(spark, dir,
+        forPlanInspection = true),
+      "dedup_jaccard_exact" -> graft.operators.Dedup.jaccardPrefixNearDups(spark, dir,
+        forPlanInspection = true),
+      "dedup_incremental" -> graft.operators.Dedup.incrementalNearDups(spark, dir,
+        forPlanInspection = true),
+      "dedup_embedding_lsh" -> graft.operators.Dedup.embeddingNearDupsLsh(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        forPlanInspection = true),
+      "dedup_embedding_incremental" -> {
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.Dedup.embeddingIncrementalFrom(base,
+          base.limit(5).withColumn("vec_id", col("vec_id") + 100000L),
+          forPlanInspection = true)
+      })
+    for ((name, df) <- frames) {
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+      }
+      assert(hinted.isEmpty, s"$name: join-strategy hint on a corpus/increment-scaling side:\n$hinted")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name degraded to a non-equi join:\n$plan")
+    }
+  }
+
   test("r13: margin-mining IVF path is all equi-joins — no nested-loop, no cartesian, no hints") {
     // the production mining path must never inherit the exact gate's
     // query-side broadcast cross join (VERDICT r12 #6)
