@@ -1106,7 +1106,10 @@ case class ArrayScaleDiv(left: Expression, right: Expression)
   * codegen replacement for `transform(arr, s -> s.f)` (a CodegenFallback
   * HOF interpreted per element). Null elements project to null field
   * values, exactly as the HOF's `null.f` does. Long/int fields only
-  * (the engine's fingerprint columns); output `array<bigint>`.
+  * (the engine's fingerprint columns); the output element type matches
+  * the FIELD type (array<int> for int fields, array<bigint> for long) so
+  * the expression is schema-identical to the HOF it replaces and can be
+  * substituted without a silent widening (ADVICE r13).
   */
 case class StructFieldArray(child: Expression, field: String)
     extends UnaryExpression {
@@ -1126,7 +1129,13 @@ case class StructFieldArray(child: Expression, field: String)
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_struct_field requires array<struct<...>> with a '$field' field, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = {
+    // schema-identical to transform(arr, s -> s.f): element nullability
+    // holds exactly when a null element or a nullable field can produce one
+    val at = child.dataType.asInstanceOf[ArrayType]
+    ArrayType(structType(fieldIdx).dataType,
+      containsNull = at.containsNull || structType(fieldIdx).nullable)
+  }
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -1139,7 +1148,7 @@ case class StructFieldArray(child: Expression, field: String)
       if (!arr.isNullAt(i)) {
         val s = arr.getStruct(i, nf)
         if (!s.isNullAt(fieldIdx))
-          out(i) = if (isInt) s.getInt(fieldIdx).toLong else s.getLong(fieldIdx)
+          out(i) = if (isInt) s.getInt(fieldIdx) else s.getLong(fieldIdx)
       }
       i += 1
     }
@@ -1153,14 +1162,16 @@ case class StructFieldArray(child: Expression, field: String)
       val out = ctx.freshName("out")
       val s = ctx.freshName("s")
       val nf = structType.length
-      val get = if (isInt) s"(long) $s.getInt($fieldIdx)" else s"$s.getLong($fieldIdx)"
+      val boxed =
+        if (isInt) s"java.lang.Integer.valueOf($s.getInt($fieldIdx))"
+        else s"java.lang.Long.valueOf($s.getLong($fieldIdx))"
       s"""
          |int $n = $a.numElements();
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    InternalRow $s = $a.getStruct($i, $nf);
-         |    if (!$s.isNullAt($fieldIdx)) $out[$i] = (Object) java.lang.Long.valueOf($get);
+         |    if (!$s.isNullAt($fieldIdx)) $out[$i] = (Object) $boxed;
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);

@@ -258,7 +258,14 @@ object PsqlExportCli {
   private[graft] def validate(opts: Map[String, String]): Unit = {
     require(opts.get("connectionUrl").exists(_.startsWith("jdbc:postgresql")),
       "Must be a PostgreSQL connection")
-    require(opts.contains("partition"), "Partition parameter must be defined")
+    // A bare `--partition` flag parses to the "true" sentinel — without the
+    // date check it would pass here and surface later as a confusing
+    // ExportCli date-parse error instead of this wrapper's message
+    // (ADVICE r13). Parse with the same flexible-instant parser ExportCli
+    // uses, so the two never disagree on what a valid partition is.
+    require(opts.get("partition").exists(v =>
+        scala.util.Try(graft.args.ArgParsers.parseInstant(v)).isSuccess),
+      "Partition parameter must be defined")
     require(!opts.contains("skipReplicationDelayCheck"),
       "PsqlExportCli always runs the replication pre-flight; drop --skipReplicationDelayCheck")
   }

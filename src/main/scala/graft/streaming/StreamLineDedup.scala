@@ -46,6 +46,7 @@ object StreamLineDedup {
     */
   def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
       segWords: Int = 10, keepVersions: Int = 2): Unit = {
+    VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val newCounts = graft.operators.TextAnalysis

@@ -42,6 +42,7 @@ object StreamMonitor {
     * versioned layout is the whole replay-safety story here). */
   def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
       keepVersions: Int = 2): Unit = {
+    VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
     val newCounts = batch
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

@@ -49,6 +49,7 @@ object StreamScd2 {
     * rebuild-from-prior-version argument, demonstrated. */
   def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
       keepVersions: Int = 2): Unit = {
+    VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
     val newRuns = Relational.scd2Runs(Relational.normalizeEventTs(batch)
       .select("user_id", "ts", "event_id", "event_type"))

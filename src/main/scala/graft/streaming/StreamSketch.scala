@@ -81,6 +81,7 @@ object StreamSketch {
   def foldBatch(batch: DataFrame, batchId: Long, storeDir: String,
       keyCol: String, valCol: String, keepVersions: Int = 2,
       kind: String = "hll"): Unit = {
+    VersionedStore.requireReplaySafe(keepVersions)
     val (buildExpr, mergeExpr) = exprsFor(kind, valCol)
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)

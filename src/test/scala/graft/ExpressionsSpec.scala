@@ -364,12 +364,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(divRows.getSeq[Any](0) == divRows.getSeq[Any](1), s"float: $divRows")
     assert(divRows.getSeq[Any](2) == divRows.getSeq[Any](3), s"double: $divRows")
     // graft_struct_field == transform(arr, s -> s.f): order preserved,
-    // null elements project to null, int fields widen to bigint
-    val fRow = spark.sql(
-      "SELECT transform(a, s -> CAST(s.h AS BIGINT)) AS hof, graft_struct_field(a, 'h') AS nat " +
+    // null elements project to null, and the OUTPUT SCHEMA matches the
+    // HOF's exactly (array<int> for int fields — no silent widening, so
+    // the two are substitutable in either direction; ADVICE r13)
+    val fDf = spark.sql(
+      "SELECT transform(a, s -> s.h) AS hof, graft_struct_field(a, 'h') AS nat " +
         "FROM (SELECT array(struct(5 AS h), CAST(NULL AS struct<h:int>), struct(-7 AS h)) AS a)")
-      .head()
+    assert(fDf.schema("nat").dataType == fDf.schema("hof").dataType,
+      s"schema drift vs the HOF: ${fDf.schema}")
+    val fRow = fDf.head()
     assert(fRow.getSeq[Any](0) == fRow.getSeq[Any](1), fRow.toString)
+    // long fields still come back as array<bigint>
+    val fLong = spark.sql(
+      "SELECT transform(a, s -> s.h) AS hof, graft_struct_field(a, 'h') AS nat " +
+        "FROM (SELECT array(struct(CAST(5 AS BIGINT) AS h)) AS a)")
+    assert(fLong.schema("nat").dataType == fLong.schema("hof").dataType, fLong.schema.toString)
+    assert(fLong.head().getSeq[Any](0) == fLong.head().getSeq[Any](1))
     // interpreted path (eval without codegen) agrees with codegen
     val interp = graft.functions.StructFieldSum(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
