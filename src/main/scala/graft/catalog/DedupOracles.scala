@@ -60,25 +60,41 @@ private[graft] object DedupOracles {
       |WHERE cosine >= 0.7""".stripMargin
 
 
-  /** All-pairs exact word-3-gram Jaccard ground truth at τ=0.6 — shared by
-    * `dedup_minhash` (LSH candidates + exact verify) and
-    * `dedup_jaccard_exact` (prefix filtering, deterministic): the two
-    * algorithms answer the identical contract, so sharing the SQL verbatim
-    * proves they cannot drift from each other either.
+  /** Exact word-3-gram Jaccard ground truth at τ=0.6 as a CTE block
+    * yielding `pairs(id_a, id_b, n_inter, jaccard)` — shared by
+    * `dedup_minhash` / `dedup_jaccard_exact` and, via composition, by the
+    * clustering / canonical / edit-distance / pipeline-summary oracles, so
+    * none of them can drift from the pair ground truth.
+    *
+    * BUCKETED form (r14, VERDICT r13 #3): the naive `sh a JOIN sh b ON
+    * a.doc_id < b.doc_id` + `list_intersect` all-pairs is Ω(n²) and
+    * time-boxes out of the sf0.1 adjudication. This rewrite applies the
+    * engine's own discipline to the oracle: explode distinct shingles,
+    * equi-join on the shingle, and COUNT matches per pair — algebraically
+    * identical output (a qualifying pair at τ=0.6 shares ≥1 shingle, and
+    * distinct-shingle match counts ARE the intersection size), verified
+    * row-identical to the all-pairs form at sf0.01 and 65× faster there
+    * (5.2 s → 0.08 s; sf0.1: 150 s+ timeout → 0.45 s).
     */
+  private[catalog] val JaccardPairsCtes: String =
+    """sh AS (
+      | SELECT DISTINCT doc_id,
+      |  w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)] AS g
+      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents) d,
+      |  LATERAL unnest(generate_series(1, len(d.w) - 2)) t(i)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+      |cand AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      | FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b, n_inter,
+      |  CAST(n_inter AS DOUBLE) / CAST(sa.m + sb.m - n_inter AS DOUBLE) AS jaccard
+      | FROM cand JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      | WHERE CAST(n_inter AS DOUBLE) / CAST(sa.m + sb.m - n_inter AS DOUBLE) >= 0.6)""".stripMargin
+
   private val JaccardPairsOracle: String =
-    """WITH sh AS (
-      | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-      |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-      | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-      | WHERE len(w) >= 3)
-      |SELECT * FROM (
-      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.6""".stripMargin
+    s"WITH $JaccardPairsCtes\nSELECT id_a, id_b, n_inter, jaccard FROM pairs"
 
 
   val sql: Map[String, String] = Map(
@@ -129,40 +145,18 @@ private[graft] object DedupOracles {
     // bound once so the two oracles can never drift apart
     "dedup_incremental_store" -> IncrementalDedupOracle,
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3),
-        |pairs AS (
-        | SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        | WHERE jaccard >= 0.6),
-        |edges AS (
+      (s"WITH RECURSIVE $JaccardPairsCtes,\n" +
+      """edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, label) AS (
         | SELECT src, src FROM edges
         | UNION
         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
     "dedup_canonical" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3),
-        |pairs AS (
-        | SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        | WHERE jaccard >= 0.6),
-        |edges AS (
+      (s"WITH RECURSIVE $JaccardPairsCtes,\n" +
+      """edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, label) AS (
@@ -177,21 +171,10 @@ private[graft] object DedupOracles {
         |UNION ALL
         |SELECT d.doc_id, CAST(1 AS BIGINT) AS group_size
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL""".stripMargin,
+        |WHERE c.doc_id IS NULL""".stripMargin),
     "dedup_canonical_best" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3),
-        |pairs AS (
-        | SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        | WHERE jaccard >= 0.6),
-        |edges AS (
+      (s"WITH RECURSIVE $JaccardPairsCtes,\n" +
+      """edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, label) AS (
@@ -216,7 +199,7 @@ private[graft] object DedupOracles {
         |UNION ALL
         |SELECT q.doc_id, q.quality_key, CAST(1 AS BIGINT) AS group_size
         |FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL""".stripMargin,
+        |WHERE c.doc_id IS NULL""".stripMargin),
     "dedup_simhash" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
@@ -322,23 +305,12 @@ private[graft] object DedupOracles {
         | JOIN sz sb ON id_b = sb.doc_id
         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.m + sb.m - n_inter AS DOUBLE) >= 0.6""".stripMargin,
     "dedup_edit_distance" ->
-      """WITH sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3),
-        |pairs AS (
-        | SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        | WHERE jaccard >= 0.6)
-        |SELECT id_a, id_b,
+      (s"WITH $JaccardPairsCtes\n" +
+      """SELECT id_a, id_b,
         | CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
         |FROM pairs
         | JOIN documents da ON da.doc_id = id_a
-        | JOIN documents db ON db.doc_id = id_b""".stripMargin,
+        | JOIN documents db ON db.doc_id = id_b""".stripMargin),
     // recomputes the exact near-dup pairs of the planted-copy corpus and
     // asserts the LSH path found each one (recall 1.0, per-pair)
     "dedup_semantic_lsh" ->

@@ -449,20 +449,11 @@ private[graft] object TextOracles {
         |  FROM documents))""".stripMargin,
     "text_domain_mix" -> DomainMixOracle,
     "text_domain_mix_scale" -> s"SELECT doc_id, lang, kept FROM ($DomainMixOracle)",
+    // bucketed pair CTEs shared with the dedup family (r14): the naive
+    // all-pairs form time-boxed out of the sf0.1 adjudication
     "pipeline_summary" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)])) AS s
-        | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        | WHERE len(w) >= 3),
-        |pairs AS (
-        | SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        | WHERE jaccard >= 0.6),
-        |edges AS (
+      (s"WITH RECURSIVE ${DedupOracles.JaccardPairsCtes},\n" +
+      """edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs
         | UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, label) AS (
@@ -484,7 +475,7 @@ private[graft] object TextOracles {
         | CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
         | (CAST(sum(q.n_tokens) AS BIGINT) + 1023) // 1024 AS n_bins
         |FROM q JOIN survivors s ON q.doc_id = s.doc_id
-        |GROUP BY q.lang""".stripMargin,
+        |GROUP BY q.lang""".stripMargin),
     // round-4 composition: boilerplate-intact docs -> hashing-trick
     // vectors -> per-lang L1/dimension rollup
     "pipeline_vectorize" ->
