@@ -56,11 +56,14 @@ object Bench {
       try src.mkString.trim.split(" ").take(3).mkString(" ") finally src.close()
     } catch { case _: Throwable => "n/a" }
 
-  /** Idle gate (VERDICT r10 #6 / r11 #6): the drift ledger shows numbers
-    * captured above ~1.5 1-min loadavg are dominated by foreign load, so
-    * wait — bounded — for the machine to drain before the first timed
-    * section. `SPARK_GRAFT_MAX_LOAD` overrides the threshold (`0` disables
-    * the gate); the wait is capped at `maxWaitSec` so a busy driver host
+  /** Idle gate (VERDICT r10 #6 / r11 #6, tightened r13 #2): the drift
+    * ledger shows numbers captured above ~1.5 1-min loadavg are dominated
+    * by foreign load, and r13's one `weak` row started at loadavg 1.49 —
+    * AT the old gate — so the default is now 0.8: runs start on a truly
+    * quiet box or carry a load stamp explaining why not. Wait — bounded —
+    * for the machine to drain before the first timed section.
+    * `SPARK_GRAFT_MAX_LOAD` overrides the threshold (`0` disables the
+    * gate); the wait is capped at `maxWaitSec` so a busy driver host
     * still gets a (load-stamped) number instead of a hang.
     */
   private def awaitIdle(maxLoad: Double, maxWaitSec: Int = 180): Unit = {
@@ -75,7 +78,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     awaitIdle(sys.env.get("SPARK_GRAFT_MAX_LOAD").flatMap(_.toDoubleOption)
-      .getOrElse(1.5))
+      .getOrElse(0.8))
     val loadAtStart = readLoadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -197,7 +197,8 @@ object Dedup {
     */
   private def candidatesFrom(sigs: DataFrame,
       numHashes: Int = NumHashes, bands: Int = Bands,
-      forPlanInspection: Boolean = false): (DataFrame, DataFrame) = {
+      forPlanInspection: Boolean = false,
+      maxBucketSize: Int = MaxBucketSize): (DataFrame, DataFrame) = {
     // (doc_id, band, k1, k2) — `bands` small rows per doc; cached because
     // it feeds the crowded-bucket agg, the anti-join, AND both self-join
     // sides (uncached it recomputes the signature pipeline 4×).
@@ -210,7 +211,7 @@ object Dedup {
     // cost is negligible (never triggered at test scale).
     val crowded = banded.groupBy("band", "k1", "k2")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > MaxBucketSize)
+      .filter(col("bucket_n") > maxBucketSize)
     // No broadcast hint: `crowded` grows with the corpus ((docs×bands)/
     // MaxBucketSize rows on a boilerplate-heavy crawl) — AQE size-gates the
     // anti-join at runtime, broadcasting only when it actually fits (r14,
@@ -229,6 +230,18 @@ object Dedup {
   /** Max docs per LSH bucket before the bucket is considered noise. */
   val MaxBucketSize = 2000
 
+  /** Probe accessor (CorpusScaleProbe): how many band buckets exceed
+    * `maxBucketSize` on this corpus with the default banding — i.e. the
+    * size of the crowded prune list the de-hinted anti-join consumes.
+    */
+  def crowdedBucketCount(spark: SparkSession, dir: String,
+      maxBucketSize: Int = MaxBucketSize): Long =
+    bandedSignatures(signaturesFrom(docShingleArrays(spark, dir)))
+      .groupBy("band", "k1", "k2")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .count()
+
   /** Exact-verified near-dup pairs: LSH candidates whose TRUE word-3-gram
     * Jaccard ≥ `threshold`. Intersection via equi-join on shingles.
     *
@@ -242,9 +255,11 @@ object Dedup {
     */
   def minhashNearDups(spark: SparkSession, dir: String, threshold: Double = 0.6,
       numHashes: Int = NumHashes, bands: Int = Bands,
-      forPlanInspection: Boolean = false): DataFrame =
+      forPlanInspection: Boolean = false,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
     nearDupsFromArrays(docShingleArrays(spark, dir), threshold,
-      numHashes = numHashes, bands = bands, forPlanInspection = forPlanInspection)
+      numHashes = numHashes, bands = bands, forPlanInspection = forPlanInspection,
+      maxBucketSize = maxBucketSize)
 
   /** Character 5-gram Jaccard near-dups — the n-GRAM dedup family. Same
     * MinHash-LSH candidate generation and exact verification as the word
@@ -349,7 +364,11 @@ object Dedup {
       // minhash input SQL: defaults to hashing the string `shingles` col;
       // hash-native callers pass a pre-hashed column name instead
       sigBase: Option[String] = None,
-      forPlanInspection: Boolean = false): DataFrame = {
+      forPlanInspection: Boolean = false,
+      // probe seam (r14): MaxBucketSize never triggers at test scale, so
+      // the crowded-prune anti-join's scale behavior is exercised by
+      // forcing a tiny cutoff (DedupScaleProbe) — production uses the default
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     // One shingle pass feeds signatures and verification. Materialize the
     // cache EAGERLY: AQE submits the independent downstream stages (band
     // agg, anti-join, both self-join sides, verification) concurrently,
@@ -365,7 +384,8 @@ object Dedup {
       if (!sigFilter) {
         val sigsPlain = arrays.select(col("doc_id"),
           expr(s"graft_minhash($sigInput, $numHashes)").as("sig"))
-        val (c, banded) = candidatesFrom(sigsPlain, numHashes, bands, forPlanInspection)
+        val (c, banded) = candidatesFrom(sigsPlain, numHashes, bands, forPlanInspection,
+          maxBucketSize)
         (c, Seq(banded))
       } else {
         // Banding keeps the frozen affine signature; the FILTER signature
@@ -396,7 +416,7 @@ object Dedup {
         if (!forPlanInspection) banded.count()
         val crowded = banded.groupBy("band", "k1", "k2")
           .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") > MaxBucketSize)
+          .filter(col("bucket_n") > maxBucketSize)
         // de-hinted (r14): crowded scales with the corpus — AQE's call
         val pruned = banded.join(crowded, Seq("band", "k1", "k2"), "left_anti")
         val tau = sigAgreementCutoff(threshold)

@@ -497,6 +497,74 @@ class JdbcRuntimeSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       validate(ok + ("skipReplicationDelayCheck" -> "true")))
       .getMessage.contains("replication pre-flight"))
+    // r14 (ADVICE r13): a bare `--partition` flag parses to the "true"
+    // sentinel — it must fail HERE with the wrapper's message, not later
+    // inside ExportCli with a date-parse error; ditto any non-date value
+    for (bad <- Seq("true", "not-a-date"))
+      assert(intercept[IllegalArgumentException](
+        validate(ok + ("partition" -> bad)))
+        .getMessage.contains("Partition parameter"), s"partition=$bad")
+    validate(ok + ("partition" -> "2026-03")) // month form stays valid (U5)
+  }
+
+  test("r14: mysql driver-map branch runtime e2e — unsigned INTEGER exports as Avro long (JdbcAvroRecordTest.java:252-272)") {
+    val db = "graftjdbc_mysql"
+    StubDb.reset(db)
+    // values above Int.MaxValue prove the long path end-to-end: the MySQL
+    // driver reports unsigned INT as isSigned=false / columnClassName
+    // java.lang.Long, and both the Spark read schema and the Avro schema
+    // must come out 64-bit wide
+    StubDb.register(db, "GAUGES", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("HITS_UNSIGNED", Types.INTEGER, unsigned = true),
+        StubDb.Col("HITS_SIGNED", Types.INTEGER),
+        StubDb.Col("NAME", Types.VARCHAR)),
+      (0 until 10).map(i => Vector[Any](
+        i.toLong, Int.MaxValue.toLong + 1 + i, 100 + i, s"g_$i")).toVector))
+    // jdbc:mysql → com.mysql.cj.jdbc.Driver (the driver map's mysql row,
+    // args/ExportArgs driverFor) AND Spark's MySQLDialect (backtick quoting)
+    val source = JdbcSource(ConnectionArgs(s"jdbc:mysql:mem:$db", username = "tester"),
+      QueryArgs(base = QueryBuilder.fromTable("GAUGES")))
+    val df = source.read(spark)
+    assert(df.schema("HITS_UNSIGNED").dataType ==
+      org.apache.spark.sql.types.LongType, df.schema.treeString)
+    assert(df.schema("HITS_SIGNED").dataType ==
+      org.apache.spark.sql.types.IntegerType, df.schema.treeString)
+    val out = Files.createTempDirectory("jdbc-mysql").toString
+    val res = ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "GAUGES"),
+      queries = source.queries(spark), minRows = 10)
+    assert(res.metrics.recordCount == 10)
+    val schemaJson = new String(Files.readAllBytes(
+      new File(s"$out/_AVRO_SCHEMA.avsc").toPath))
+    assert(schemaJson.contains("HITS_UNSIGNED"))
+    val records = readAvro(out)
+    assert(records.size == 10)
+    val r0 = records.minBy(_.get("ID").asInstanceOf[Long])
+    assert(r0.get("HITS_UNSIGNED") == Int.MaxValue.toLong + 1,
+      s"unsigned int must survive as long: ${r0.get("HITS_UNSIGNED")}")
+    assert(r0.get("HITS_SIGNED") == 100)
+  }
+
+  test("r14: mariadb driver-map branch runtime e2e — generic dialect, values round-trip") {
+    val db = "graftjdbc_mariadb"
+    fixture(db)
+    // jdbc:mariadb → org.mariadb.jdbc.Driver (the driver map's last
+    // untested URL branch); no dedicated Spark dialect, same as production
+    val source = JdbcSource(
+      ConnectionArgs(s"jdbc:mariadb:mem:$db", username = "tester"),
+      QueryArgs(base = QueryBuilder.fromTable("COFFEES"),
+        queryParallelism = Some(2), splitColumn = Some("ID")))
+    val df = source.read(spark)
+    assert(df.rdd.getNumPartitions == 2)
+    val out = Files.createTempDirectory("jdbc-mariadb").toString
+    val res = ExportJob.run(spark, df, out,
+      schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "COFFEES"),
+      queries = source.queries(spark), minRows = 100)
+    assert(res.metrics.recordCount == 100)
+    val records = readAvro(out)
+    assert(records.map(_.get("ID").asInstanceOf[Long]).toSet == (0L until 100L).toSet)
   }
 
   test("minRows gate fires on the JDBC path (exit 50)") {
