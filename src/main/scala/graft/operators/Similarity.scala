@@ -1408,9 +1408,12 @@ object Similarity {
   def writeIvfPqIndex(spark: SparkSession, dir: String, storeDir: String,
       refineIters: Int = 2, pqRefineIters: Int = 3,
       trainFraction: Double = TrainFraction,
-      numCentroids: Int = NumCentroids, pqCentroids: Int = PqCentroids): Unit = {
+      numCentroids: Int = NumCentroids, pqCentroids: Int = PqCentroids,
+      // gate seam (r14): a caller that already holds the corpus cached
+      // passes it here so the build does not re-read parquet
+      embFrame: Option[DataFrame] = None): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val e = withNorm(embeddings(spark, dir)).cache()
+    val e = withNorm(embFrame.getOrElse(embeddings(spark, dir))).cache()
     val normed = normedOf(e).cache()
     normed.count()
     val train = trainSample(normed, trainFraction).cache()
@@ -1602,16 +1605,28 @@ object Similarity {
     */
   def ivfPqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
+    // r14 (VERDICT r13 #4, the append gate's r13 treatment applied here):
+    // one cached embeddings frame feeds the index build, the exact check
+    // AND the store-backed query — before this each stage re-read and
+    // re-normed the corpus from parquet.
+    val emb = embeddings(spark, dir).cache()
+    emb.count()
     try {
-      writeIvfPqIndex(spark, dir, store)
-      val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
+      writeIvfPqIndex(spark, dir, store, embFrame = Some(emb))
+      val exact = bruteForceTopKFrom(emb, k, nQueries).select("q_id", "neighbor_id")
+      val (centroids, books) = loadIvfPqModels(spark, store)
+      val coded = spark.read.parquet(s"$store/coded.parquet")
+      val e = withNorm(emb)
+      val approx = ivfPqQueryStage(e, normedOf(e), coded, centroids, books,
+          k, nQueries, NumProbes, books.head.length, PqShortlist)
+        .select("q_id", "neighbor_id")
       val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id")
         .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq.empty, out)
+      Dedup.materializeAndRelease(Seq(emb), out)
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
