@@ -1187,8 +1187,15 @@ object Dedup {
     * agnostic to where the edges came from and stays ∝ duplicate count.
     */
   def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
-      strategy: EmbeddingStrategy = EmbeddingStrategy.ExactGrid): DataFrame = {
-    val pairs = embeddingNearDupsBy(embeddings(spark, dir), threshold, strategy)
+      strategy: EmbeddingStrategy = EmbeddingStrategy.ExactGrid,
+      // SignLsh banding width: at fixed `bits` the per-bucket occupancy
+      // grows linearly with the corpus and the candidate set quadratically
+      // (measured: shuffle exponent 1.96 under ×8 co-growth, CorpusScale-
+      // Probe r14); a 100 TB run raises bits ~log2(corpus growth) to hold
+      // occupancy — and with it the candidate stream — linear.
+      tables: Int = 16, bits: Int = 8): DataFrame = {
+    val pairs = embeddingNearDupsBy(embeddings(spark, dir), threshold, strategy,
+        tables = tables, bits = bits)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     connectedComponentsAdaptive(pairs)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
@@ -1226,21 +1233,42 @@ object Dedup {
     * recall-checked against planted ground truth in DedupSpec.
     */
   def embeddingNearDupsLsh(vectors: DataFrame, threshold: Double = 0.7,
-      tables: Int = 16, bits: Int = 8, forPlanInspection: Boolean = false): DataFrame = {
+      tables: Int = 16, bits: Int = 8, forPlanInspection: Boolean = false,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
       .cache()
     if (!forPlanInspection) e.count() // fill before AQE fans out the bucket + two payload consumers
     // buckets carry only (vec_id, t, key) — candidate generation never
-    // shuffles embedding payloads
-    val bucketed = e.select(col("vec_id"),
+    // shuffles embedding payloads.
+    //
+    // HOT-BUCKET SKEW (r14, found by CorpusScaleProbe's ×8 cell stalling
+    // 25–47 s on 2 of 32 cores): a dense semantic cluster puts n_b vectors
+    // in ONE (t, key) cell, and the bucket self-join generates that cell's
+    // C(n_b, 2) candidate pairs on the single reduce task owning the key.
+    // Same disease, same cure as linkPredict's blocked wedges (r13): block
+    // each bucket into s = ⌈n_b/bucketCap⌉ hash-sub-buckets, give every
+    // row its own block (`bs`) and replicate it across the other side's
+    // block (`bo`); joining on (t, key, a.bs=b.bo, a.bo=b.bs) spreads the
+    // n_b² pair stream over s² shuffle keys at a replication cost of
+    // n_b·s rows — output candidates BIT-IDENTICAL (every pair meets in
+    // exactly one (ba, bb) cell). Light buckets have s=1 and the machinery
+    // degenerates to the plain equi-join.
+    val bucketed0 = e.select(col("vec_id"),
       posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
-    val ba = bucketed.select(col("t"), col("key"), col("vec_id").as("id_a"))
-    val bb = bucketed.select(col("t"), col("key"), col("vec_id").as("id_b"))
-    val cand = ba.join(bb, Seq("t", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val bn = bucketed0.groupBy("t", "key").agg(count(lit(1)).as("n_b"))
+    val blocked = bucketed0.join(bn, Seq("t", "key"))
+      .withColumn("s", expr(s"(n_b + ${bucketCap - 1}L) div ${bucketCap}L"))
+      .withColumn("bs", pmod(hash(col("vec_id")).cast("bigint"), col("s")))
+      .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+      .cache()
+    if (!forPlanInspection) blocked.count() // one subtree for both self-join sides
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
+          col("a.bs") === col("b.bo") && col("a.bo") === col("b.bs") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val verified = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a")), "id_a")
@@ -1248,11 +1276,20 @@ object Dedup {
       .withColumn("cosine", Portable.dotProductNative("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    // forPlanInspection=true: unmaterialized, cache released — plan-shape
+    // forPlanInspection=true: unmaterialized, caches released — plan-shape
     // assertions only (PlanSpec); executing that frame recomputes buckets
-    if (!forPlanInspection) materializeAndRelease(Seq(e), verified)
-    else { e.unpersist(false); verified }
+    if (!forPlanInspection) materializeAndRelease(Seq(e, blocked), verified)
+    else { e.unpersist(false); blocked.unpersist(false); verified }
   }
+
+  /** LSH bucket block width for [[embeddingNearDupsLsh]]'s skew guard: a
+    * bucket with more members splits into ⌈n_b/cap⌉ sub-blocks so its
+    * quadratic pair generation spreads across cores instead of landing on
+    * the one reduce task owning the bucket key. 256 ≈ 32k pairs per
+    * sub-join cell — small enough to never straggle, large enough that
+    * test-scale buckets (occupancy ≲ 60) keep s = 1.
+    */
+  val LshBucketCap = 256
 
   /** Driver-checkable recall gate for [[embeddingNearDupsLsh]] — the 100 TB
     * embedding-dedup path. The natural test corpus has NO pairs above

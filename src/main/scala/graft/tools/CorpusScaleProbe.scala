@@ -10,9 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Replica construction is the point: to measure the LINEAR regime the
   * replicas must be mutually DISSIMILAR (a byte-identical copy would make
-  * every original pair k²-fold). Text replicas prefix every word with a
-  * copy tag (`c<i>_`), so every word-3-gram and char-5-gram differs across
-  * copies while within-copy similarity structure is preserved exactly.
+  * every original pair k²-fold). Text replicas apply a per-copy Caesar
+  * substitution over letters+digits — a BIJECTION on words and on char
+  * n-grams, so every within-copy Jaccard value is preserved exactly (copy
+  * 0 is the identity: the ×1 corpus IS the bench corpus) while grams
+  * never match across copies. A first attempt prefixed every word with a
+  * copy tag instead; that injected the same `c0_` substring into every
+  * word of every doc, pushed the char-5-gram background similarity past
+  * the sig-filter cutoff, and blew the verify join up to a 39 GB spill at
+  * ×1 — a good demonstration of exactly the boilerplate regime the
+  * crowded-bucket guard exists for, but not the linear regime this probe
+  * measures.
   * Embedding replicas multiply element j by a copy-derived ±1 mask — an
   * orthogonal transform, so within-copy cosines are bit-preserved while
   * cross-copy cosines decorrelate to ~0.
@@ -27,7 +35,9 @@ import org.apache.spark.sql.functions._
   * exactly the boilerplate-at-100TB regime it exists for; it reports the
   * crowded-set size and the surviving pair count vs the default run.
   *
-  * Usage: `runMain graft.tools.CorpusScaleProbe [sfDir] [bigFactor]`.
+  * Usage: `runMain graft.tools.CorpusScaleProbe [sfDir] [bigFactor]
+  * [rowSubstring,...]` — the optional third arg filters probe rows by
+  * name (comma-separated substrings) for targeted re-runs.
   * Numbers land in DESIGN.md; harness tool, not a catalog query.
   */
 object CorpusScaleProbe {
@@ -57,9 +67,33 @@ object CorpusScaleProbe {
     def measured[A](body: => A): (Double, Long) = {
       settle()
       shuffleBytes.set(0L)
+      // stall watchdog: a measured body that runs >20 s on this fixture is
+      // a stall, not work — dump all thread stacks once so the wait site
+      // is identifiable from the probe log
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        val slept = try { Thread.sleep(20000); true }
+          catch { case _: InterruptedException => false }
+        if (slept && !done.get()) {
+          println("[watchdog] measured body >20s — thread dump:")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala
+            .filter { case (t, st) => st.nonEmpty &&
+              t.getName.contains("Executor task launch") }
+            .take(8)
+            .foreach { case (t, st) =>
+              println(s"  == ${t.getName} (${t.getState})\n" +
+                st.take(14).map(f => s"     at $f").mkString("\n"))
+            }
+        }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
+      done.set(true)
+      watchdog.interrupt()
       settle()
       (wall, shuffleBytes.get())
     }
@@ -69,24 +103,26 @@ object CorpusScaleProbe {
       */
     def replicate(k: Int): String = {
       val out = java.nio.file.Files.createTempDirectory(s"corpus-probe-x$k").toString
-      val copies = spark.range(k).select(col("id").as("copy"))
-      spark.read.parquet(s"$dir/documents.parquet")
-        .crossJoin(copies)
-        .withColumn("doc_id", col("doc_id") + col("copy") * 10000000L)
-        .withColumn("text",
-          // per-copy word prefix: within-copy n-gram structure preserved,
-          // zero shared word-3-grams / char-5-grams across copies
-          expr("array_join(transform(split(text, ' '), w -> concat('c', copy, '_', w)), ' ')"))
-        .drop("copy")
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      val src = lower + upper + digits
+      def rot(s: String, i: Int) = s.drop(i % s.length) + s.take(i % s.length)
+      def dst(i: Int) = rot(lower, i) + rot(upper, i) + rot(digits, i)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (0 until k).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", translate(col("text"), src, dst(i)))
+      }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .crossJoin(copies)
-        .withColumn("vec_id", col("vec_id") + col("copy") * 10000000L)
-        .withColumn("embedding",
-          // copy-derived ±1 mask per dimension: orthogonal within a copy
-          // (cosines preserved), decorrelating across copies
-          expr("transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(copy, j), 2)) AS FLOAT))"))
-        .drop("copy")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      (0 until k).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+          .withColumn("embedding",
+            // copy-derived ±1 mask per dimension: orthogonal within a copy
+            // (cosines preserved), decorrelating across copies
+            expr(s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash($i, j), 2)) AS FLOAT))"))
+      }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       out
     }
@@ -95,14 +131,25 @@ object CorpusScaleProbe {
     val dk = replicate(bigK)
 
     import graft.operators.{Dedup, EmbeddingStrategy, TextAnalysis}
-    val probes: Seq[(String, String => Long)] = Seq(
+    val rowFilter = args.drop(2).headOption.map(_.split(',').toSeq)
+    val allProbes: Seq[(String, String => Long)] = Seq(
       "dedup_ngram" -> ((d: String) => Dedup.ngramNearDups(spark, d).count()),
       "dedup_minhash" -> ((d: String) => Dedup.minhashNearDups(spark, d).count()),
       "semantic_clusters_lsh" -> ((d: String) =>
         Dedup.semanticClusters(spark, d, 0.7, EmbeddingStrategy.SignLsh).count()),
       "semantic_canonical_lsh" -> ((d: String) =>
         Dedup.semanticCanonical(spark, d, 0.7, EmbeddingStrategy.SignLsh).count()),
-      "text_containment" -> ((d: String) => TextAnalysis.containmentJoin(spark, d).count()))
+      "text_containment" -> ((d: String) => TextAnalysis.containmentJoin(spark, d).count()),
+      // the scale-path discipline applied: bits grows log2(k) so bucket
+      // occupancy (and with it the candidate stream) stays constant per
+      // vector — the fixed-bits twin above shows the quadratic candidate
+      // growth this avoids (expS ~2.0 there, ~1.0 here)
+      "semantic_clusters_scaledbits" -> ((d: String) => {
+        val bits = if (d == dk) 8 + (math.log(bigK.toDouble) / math.log(2.0)).round.toInt else 8
+        Dedup.semanticClusters(spark, d, 0.7, EmbeddingStrategy.SignLsh, bits = bits).count()
+      }))
+    val probes = rowFilter.map(fs => allProbes.filter(p => fs.exists(p._1.contains)))
+      .getOrElse(allProbes)
 
     println(f"${"probe"}%-24s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
     probes.foreach { case (name, run) =>
@@ -114,6 +161,7 @@ object CorpusScaleProbe {
       println(f"$name%-24s $w1%8.2f $wk%8.2f $expW%6.2f ${s1 / 1e6}%8.1f ${sk / 1e6}%8.1f $expS%6.2f")
     }
 
+    if (rowFilter.exists(fs => !fs.exists("crowded".contains(_)))) { spark.stop(); return }
     // ---- forced-crowded-prune cell (r13 #1 Done condition) -------------
     // maxBucketSize=3 at ×k makes a large fraction of band buckets
     // "crowded": the prune list is now corpus-sized, the regime the
