@@ -1282,6 +1282,25 @@ object Dedup {
     else { e.unpersist(false); blocked.unpersist(false); verified }
   }
 
+  /** Banding width that holds the EXPECTED per-table bucket occupancy at
+    * `targetOccupancy` for an `n`-vector corpus: 2^bits buckets per table
+    * ⇒ bits = ⌈log₂(n / target)⌉, clamped to [4, 24]. This is the knob the
+    * ×8 co-growth probe demonstrated (CorpusScaleProbe r14): at FIXED bits
+    * the candidate stream grows quadratically with the corpus (occupancy
+    * ∝ n ⇒ pairs ∝ n²/2^bits); holding occupancy constant holds the
+    * per-vector candidate count — and the shuffle exponent — at ~1.
+    * Recall trades: each added bit lowers a true pair's per-table
+    * collision probability by the per-bit factor (1−θ/π), compensated in
+    * production by raising `tables` or verified by the recall gate
+    * (`dedup_embedding_lsh_check`) on planted pairs.
+    */
+  def lshBitsFor(n: Long, targetOccupancy: Int = 16): Int = {
+    require(n > 0 && targetOccupancy > 0,
+      s"lshBitsFor: need positive corpus size and occupancy, got n=$n target=$targetOccupancy")
+    val raw = math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** LSH bucket block width for [[embeddingNearDupsLsh]]'s skew guard: a
     * bucket with more members splits into ⌈n_b/cap⌉ sub-blocks so its
     * quadratic pair generation spreads across cores instead of landing on

@@ -199,6 +199,25 @@ class PlanSpec extends AnyFunSuite {
     val plan = graft.operators.Dedup.embeddingNearDupsLsh(vecs, 0.9, forPlanInspection = true)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // r14: the bucket self-join must carry the skew blocks in its join key
+    // (a.bs = b.bo AND a.bo = b.bs) — losing them silently restores the
+    // hot-bucket straggler the blocked join removed (C(n_b,2) pairs of a
+    // dense semantic cluster generated on the one task owning the key)
+    assert(plan.contains("bs") && plan.contains("bo"),
+      s"blocked-bucket keys missing from the LSH candidate join:\n$plan")
+  }
+
+  test("r14: lshBitsFor holds expected bucket occupancy under corpus growth") {
+    import graft.operators.Dedup.lshBitsFor
+    // 8× corpus → +3 bits (2^3 more buckets), occupancy unchanged
+    assert(lshBitsFor(2048, 16) == 7)
+    assert(lshBitsFor(2048 * 8, 16) == 10)
+    // clamps: tiny corpora don't underflow, huge ones cap at 24 bits
+    assert(lshBitsFor(1, 16) == 4)
+    assert(lshBitsFor(Long.MaxValue / 2, 16) == 24)
+    // monotone in n
+    val bits = Seq(1000L, 10000L, 100000L, 1000000L).map(lshBitsFor(_, 16))
+    assert(bits == bits.sorted, bits.toString)
   }
 
   test("range join is bucketized equi-join, never a nested-loop product") {
