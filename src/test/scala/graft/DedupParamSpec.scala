@@ -48,6 +48,30 @@ class DedupParamSpec extends AnyFunSuite {
     assert(pairSet(Dedup.ngramNearDups(spark, dir, numHashes = 128, bands = 64)) == default)
   }
 
+  test("r14: semanticClusters at occupancy-scaled bits finds the planted pairs (SignLsh recall at off-default width)") {
+    import org.apache.spark.sql.functions._
+    // the lshBitsFor knob (CorpusScaleProbe's scaled-bits cell) must not
+    // silently trade away recall at the widths a growing corpus would
+    // pick: plant 20 near-dup partners (cosine ≈ 0.94-0.99) and require
+    // each planted vector to land in its original's cluster at bits = 8
+    // (default) AND at a wider banding a 16x corpus would use
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    for (bits <- Seq(8, Dedup.lshBitsFor(n * 16))) {
+      val planted = base.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("embedding",
+          expr("transform(embedding, (x, j) -> CASE WHEN j = 0 THEN CAST(0.0 AS FLOAT) ELSE x END)"))
+      val aug = base.unionByName(planted)
+      val pairs = Dedup.embeddingNearDupsLsh(aug, 0.7, bits = bits)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (0L until 20L).map(i => (i, i + 100000L)).toSet
+      assert(expected.subsetOf(pairs),
+        s"bits=$bits missed planted pairs: ${expected -- pairs}")
+    }
+  }
+
   test("simhash off-default table counts emit the default output (pigeonhole recall at any partition)") {
     def rows(df: DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
