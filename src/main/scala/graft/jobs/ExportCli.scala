@@ -263,9 +263,13 @@ object PsqlExportCli {
     // ExportCli date-parse error instead of this wrapper's message
     // (ADVICE r13). Parse with the same flexible-instant parser ExportCli
     // uses, so the two never disagree on what a valid partition is.
-    require(opts.get("partition").exists(v =>
-        scala.util.Try(graft.args.ArgParsers.parseInstant(v)).isSuccess),
-      "Partition parameter must be defined")
+    opts.get("partition") match {
+      case None | Some("true") =>
+        throw new IllegalArgumentException("Partition parameter must be defined")
+      case Some(v) =>
+        require(scala.util.Try(graft.args.ArgParsers.parseInstant(v)).isSuccess,
+          s"Partition parameter '$v' is not a valid date/instant")
+    }
     require(!opts.contains("skipReplicationDelayCheck"),
       "PsqlExportCli always runs the replication pre-flight; drop --skipReplicationDelayCheck")
   }

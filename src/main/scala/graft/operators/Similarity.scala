@@ -1535,11 +1535,9 @@ object Similarity {
       writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
       appendToIvfPqIndex(spark, dir, store, col("vec_id") >= splitId)
       val exact = bruteForceTopKFrom(emb, k, nQueries).select("q_id", "neighbor_id")
-      val (centroids, books) = loadIvfPqModels(spark, store)
-      val coded = spark.read.parquet(s"$store/coded.parquet")
-      val e = withNorm(emb)
-      val approx = ivfPqQueryStage(e, normedOf(e), coded, centroids, books,
-          k, nQueries, NumProbes, books.head.length, PqShortlist)
+      // query THROUGH the product function (r14 review — see
+      // ivfPqStoreRecallFloor), sharing the cached frame via embFrame
+      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
       val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id")
@@ -1589,11 +1587,14 @@ object Similarity {
     */
   def ivfPqTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
       k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
-      pqShortlist: Int = PqShortlist): DataFrame = {
+      pqShortlist: Int = PqShortlist, embFrame: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (centroids, books) = loadIvfPqModels(spark, storeDir)
     val coded = spark.read.parquet(s"$storeDir/coded.parquet")
-    val e = withNorm(embeddings(spark, dir))
+    // embFrame: an already-cached embeddings frame (the recall gates share
+    // one across their build / exact / query stages) — same seam as
+    // writeIvfPqIndex, so the gates exercise THIS function, not a copy
+    val e = withNorm(embFrame.getOrElse(embeddings(spark, dir)))
     ivfPqQueryStage(e, normedOf(e), coded, centroids, books, k, nQueries,
       numProbes, books.head.length, pqShortlist)
   }
@@ -1616,11 +1617,10 @@ object Similarity {
     try {
       writeIvfPqIndex(spark, dir, store, embFrame = Some(emb))
       val exact = bruteForceTopKFrom(emb, k, nQueries).select("q_id", "neighbor_id")
-      val (centroids, books) = loadIvfPqModels(spark, store)
-      val coded = spark.read.parquet(s"$store/coded.parquet")
-      val e = withNorm(emb)
-      val approx = ivfPqQueryStage(e, normedOf(e), coded, centroids, books,
-          k, nQueries, NumProbes, books.head.length, PqShortlist)
+      // the gate queries THROUGH the product function (r14 review: an
+      // inlined copy of its body would let the two drift while the gate
+      // stayed green), sharing the cached frame via its embFrame seam
+      val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
       val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id")

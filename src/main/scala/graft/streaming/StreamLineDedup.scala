@@ -32,7 +32,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamLineDedup {
 
   def start(newDocs: DataFrame, storeDir: String, checkpointDir: String,
-      segWords: Int = 10, keepVersions: Int = 2): StreamingQuery =
+      segWords: Int = 10, keepVersions: Int = 2): StreamingQuery = {
+    VersionedStore.requireReplaySafe(keepVersions) // fail at setup, not batch 0
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -40,6 +41,7 @@ object StreamLineDedup {
         foldBatch(batch, batchId, storeDir, segWords, keepVersions)
       }
       .start()
+  }
 
   /** The per-batch fold, exposed so replay safety and stream==batch are
     * testable without a streaming harness.

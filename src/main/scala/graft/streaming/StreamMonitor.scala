@@ -28,6 +28,7 @@ object StreamMonitor {
 
   def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
       keepVersions: Int = 2): StreamingQuery = {
+    VersionedStore.requireReplaySafe(keepVersions) // fail at setup, not batch 0
     newRows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

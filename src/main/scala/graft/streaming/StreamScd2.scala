@@ -35,6 +35,7 @@ object StreamScd2 {
 
   def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
       keepVersions: Int = 2): StreamingQuery = {
+    VersionedStore.requireReplaySafe(keepVersions) // fail at setup, not batch 0
     newRows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -64,6 +64,7 @@ object StreamSketch {
   def start(newRows: DataFrame, storeDir: String, checkpointDir: String,
       keyCol: String, valCol: String, keepVersions: Int = 2,
       kind: String = "hll"): StreamingQuery = {
+    VersionedStore.requireReplaySafe(keepVersions) // fail at setup, not batch 0
     newRows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

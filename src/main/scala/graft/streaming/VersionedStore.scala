@@ -12,7 +12,9 @@ private[streaming] object VersionedStore {
     * after writing vN, so a redelivery of N finds nothing below it and
     * silently rebuilds the store from that one batch (cumulative history
     * lost); keepVersions=0 would delete even the version just written.
-    * Enforced in every foldBatch so the guarantee cannot be silently
+    * Enforced in every start() (fail-fast at stream setup, before the
+    * query goes live) AND in every foldBatch (the testable seam callers
+    * can also drive directly) so the guarantee cannot be silently
     * disabled by configuration.
     */
   def requireReplaySafe(keepVersions: Int): Unit =

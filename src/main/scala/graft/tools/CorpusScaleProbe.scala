@@ -153,7 +153,11 @@ object CorpusScaleProbe {
 
     println(f"${"probe"}%-24s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
     probes.foreach { case (name, run) =>
-      run(d1) // warm the shape once
+      // warm BOTH corpora before measuring: a cold ×k run pays parquet
+      // page-cache misses + codegen the warmed ×1 cell doesn't, biasing
+      // expW upward (r14 review; SemanticLshDiag measured 47 s cold vs
+      // 4 s warm on the identical DAG)
+      run(d1); run(dk)
       val (w1, s1) = measured(run(d1))
       val (wk, sk) = measured(run(dk))
       val expW = math.log(wk / w1) / math.log(bigK.toDouble)
@@ -161,7 +165,11 @@ object CorpusScaleProbe {
       println(f"$name%-24s $w1%8.2f $wk%8.2f $expW%6.2f ${s1 / 1e6}%8.1f ${sk / 1e6}%8.1f $expS%6.2f")
     }
 
-    if (rowFilter.exists(fs => !fs.exists("crowded".contains(_)))) { spark.stop(); return }
+    // same match direction as the probe-row filter: run the cell iff some
+    // filter substring occurs in its name "crowded_prune" (r14 review: the
+    // inverted containment made `crowded_prune` — the cell's documented
+    // name — skip the cell)
+    if (rowFilter.exists(fs => !fs.exists("crowded_prune".contains(_)))) { spark.stop(); return }
     // ---- forced-crowded-prune cell (r13 #1 Done condition) -------------
     // maxBucketSize=3 at ×k makes a large fraction of band buckets
     // "crowded": the prune list is now corpus-sized, the regime the

@@ -499,11 +499,16 @@ class JdbcRuntimeSpec extends AnyFunSuite {
       .getMessage.contains("replication pre-flight"))
     // r14 (ADVICE r13): a bare `--partition` flag parses to the "true"
     // sentinel — it must fail HERE with the wrapper's message, not later
-    // inside ExportCli with a date-parse error; ditto any non-date value
-    for (bad <- Seq("true", "not-a-date"))
-      assert(intercept[IllegalArgumentException](
-        validate(ok + ("partition" -> bad)))
-        .getMessage.contains("Partition parameter"), s"partition=$bad")
+    // inside ExportCli with a date-parse error. The two failure shapes get
+    // DISTINCT messages: a missing/bare flag says "must be defined"; a
+    // present-but-malformed value names the value and says it isn't a date
+    // (an operator who DID pass a value shouldn't be told they didn't).
+    assert(intercept[IllegalArgumentException](
+      validate(ok + ("partition" -> "true")))
+      .getMessage.contains("must be defined"))
+    val malformed = intercept[IllegalArgumentException](
+      validate(ok + ("partition" -> "01/03/2026"))).getMessage
+    assert(malformed.contains("01/03/2026") && malformed.contains("not a valid"))
     validate(ok + ("partition" -> "2026-03")) // month form stays valid (U5)
   }
 

@@ -90,6 +90,21 @@ class StreamLineDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("r14: start() fails fast on keepVersions < 2 — at setup, before the query goes live") {
+    // The foldBatch guard alone would only fire inside foreachBatch when
+    // batch 0 arrives, surfacing as a worker-side StreamingQueryException
+    // on an already-running query; start() must refuse synchronously.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamLineDedup.start(sdf, tmp("kv-ff-store"), tmp("kv-ff-ckpt"), keepVersions = 1)
+    }
+    assert(e.getMessage.contains("keepVersions"), e.getMessage)
+  }
+
   test("replay: double-delivered batch leaves the store unchanged; a new id changes it") {
     import spark.implicits._
     val store = tmp("sld-replay")

@@ -7,6 +7,11 @@ Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the sf
 tables registered as views, loads the Spark result parquet from
 <verifyOutDir>/<name>/, canonicalizes both sides (columns sorted by name,
 rows sorted by all columns), and reports match/mismatch per query.
+
+`check_one` is the single compare implementation — selfcheck_timeboxed.py
+imports it so the two sweeps cannot drift (r14 review: an inlined copy had
+silently dropped the dtype-drift WARN and the per-column/per-row mismatch
+pinpointing).
 """
 import json
 import sys
@@ -19,6 +24,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify for stable total ordering across dtypes
@@ -27,49 +39,48 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def check_one(con, out_dir: str, name: str, sql: str):
+    """Compare one query. Returns (passed: bool, lines: list[str])."""
+    want = con.sql(sql).df()
+    files = sorted(glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        return False, [f"FAIL {name}: no spark output"]
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    w, g = canon(want), canon(got)
+    if list(w.columns) != list(g.columns):
+        return False, [f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}"]
+    if len(w) != len(g):
+        return False, [f"FAIL {name}: rows {len(g)} != {len(w)}"]
+    mismatch = None
+    for c in w.columns:
+        wa, ga = w[c], g[c]
+        if str(wa.dtype) != str(ga.dtype):
+            # dtype mismatch may still hash-differ driver-side; flag it
+            mismatch = f"dtype {c}: spark={ga.dtype} duck={wa.dtype}"
+        eq = (wa.astype(str) == ga.astype(str))
+        if not eq.all():
+            i = eq.idxmin()
+            mismatch = f"value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"
+            break
+    if mismatch and mismatch.startswith("value"):
+        return False, [f"FAIL {name}: {mismatch}"]
+    if mismatch:
+        return True, [f"WARN {name}: rows match but {mismatch}",
+                      f"PASS {name} ({len(g)} rows, dtype warning)"]
+    return True, [f"PASS {name} ({len(g)} rows)"]
+
+
 def main(out_dir: str, sf_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.sql(sql).df()
-            files = sorted(glob(f"{out_dir}/{name}/*.parquet"))
-            if not files:
-                print(f"FAIL {name}: no spark output")
+            ok, lines = check_one(con, out_dir, name, sql)
+            for line in lines:
+                print(line)
+            if not ok:
                 failures += 1
-                continue
-            got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            w, g = canon(want), canon(got)
-            if list(w.columns) != list(g.columns):
-                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-                failures += 1
-                continue
-            if len(w) != len(g):
-                print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-                failures += 1
-                continue
-            mismatch = None
-            for c in w.columns:
-                wa, ga = w[c], g[c]
-                if str(wa.dtype) != str(ga.dtype):
-                    # dtype mismatch may still hash-differ driver-side; flag it
-                    mismatch = f"dtype {c}: spark={ga.dtype} duck={wa.dtype}"
-                eq = (wa.astype(str) == ga.astype(str))
-                if not eq.all():
-                    i = eq.idxmin()
-                    mismatch = f"value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"
-                    break
-            if mismatch and mismatch.startswith("value"):
-                print(f"FAIL {name}: {mismatch}")
-                failures += 1
-            elif mismatch:
-                print(f"WARN {name}: rows match but {mismatch}")
-                print(f"PASS {name} ({len(g)} rows, dtype warning)")
-            else:
-                print(f"PASS {name} ({len(g)} rows)")
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
             failures += 1

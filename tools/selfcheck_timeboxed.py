@@ -1,50 +1,34 @@
 #!/usr/bin/env python3
-"""Time-boxed per-query wrapper around tools/selfcheck.py semantics.
+"""Time-boxed per-query wrapper around tools/selfcheck.py.
 
 Usage: selfcheck_timeboxed.py <verifyOutDir> <sfDir> <perQueryTimeoutSec> [skipListFile]
 
 Runs each oracle query in its own subprocess with a hard timeout, so
 quadratic DuckDB oracles (exact all-pairs at sf0.1) report TIMEOUT instead
-of stalling the whole sweep. Prints the same PASS/FAIL lines.
+of stalling the whole sweep. The compare itself is selfcheck.check_one —
+imported, not copied, so the two sweeps report identical PASS/WARN/FAIL
+diagnostics (r14 review).
 """
 import json, subprocess, sys, os
 
+# Worker: one query per process. sys.argv = [out_dir, sf_dir, name, tools_dir]
 WORKER = r'''
 import json, sys
-from glob import glob
-import duckdb, pandas as pd
-
-out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-con = duckdb.connect()
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+out_dir, sf_dir, name, tools_dir = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+sys.path.insert(0, tools_dir)
+import selfcheck
+con = selfcheck.connect(sf_dir)
 sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
-
-def canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    key = df.astype(str)
-    order = key.sort_values(by=list(df.columns)).index
-    return df.loc[order].reset_index(drop=True)
-
-want = con.sql(sql).df()
-files = sorted(glob(f"{out_dir}/{name}/*.parquet"))
-if not files:
-    print(f"FAIL {name}: no spark output"); sys.exit(1)
-got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-w, g = canon(want), canon(got)
-if list(w.columns) != list(g.columns):
-    print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}"); sys.exit(1)
-if len(w) != len(g):
-    print(f"FAIL {name}: rows {len(g)} != {len(w)}"); sys.exit(1)
-if not w.astype(str).equals(g.astype(str)):
-    print(f"FAIL {name}: value mismatch"); sys.exit(1)
-print(f"PASS {name} ({len(g)} rows)")
+ok, lines = selfcheck.check_one(con, out_dir, name, sql)
+for line in lines:
+    print(line)
+sys.exit(0 if ok else 1)
 '''
+
 
 def main():
     out_dir, sf_dir, tmo = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
     done = set()
     if len(sys.argv) > 4 and os.path.exists(sys.argv[4]):
         for line in open(sys.argv[4]):
@@ -57,8 +41,9 @@ def main():
             n_pass += 1
             continue
         try:
-            r = subprocess.run([sys.executable, "-c", WORKER, out_dir, sf_dir, name],
-                               timeout=tmo, capture_output=True, text=True)
+            r = subprocess.run(
+                [sys.executable, "-c", WORKER, out_dir, sf_dir, name, tools_dir],
+                timeout=tmo, capture_output=True, text=True)
             sys.stdout.write(r.stdout or f"FAIL {name}: {r.stderr.strip()[-200:]}\n")
             sys.stdout.flush()
             if r.returncode == 0: n_pass += 1
@@ -67,6 +52,7 @@ def main():
             print(f"TIMEOUT {name} (> {tmo}s oracle — quadratic DuckDB form)", flush=True)
             n_tmo += 1
     print(f"SUMMARY pass={n_pass} fail={n_fail} timeout={n_tmo}")
+
 
 if __name__ == "__main__":
     main()
