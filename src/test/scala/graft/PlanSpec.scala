@@ -300,6 +300,57 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.isEmpty, s"unconditional join hint in the IVF path:\n$hinted")
   }
 
+  test("r14: ANN family hint-broadcasts only query-bounded, local, or scalar sides") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // The TPC-H / dedup hint-audit discipline applied to the ANN query
+    // paths: their broadcast() hints are LEGITIMATE — the hinted side is
+    // always the query set (a literal-bounded filter like vec_id < 5 over
+    // the corpus) or a driver-built param frame (LocalRelation) — and this
+    // walker pins that boundedness so a refactor can never silently move a
+    // hint onto an unbounded corpus scan (cached or not: InMemoryRelation
+    // leaves count as corpus too).
+    def literalBoundedFilter(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case f: Filter if f.condition.collectFirst { case l: Literal => l }.nonEmpty => f
+      }.nonEmpty
+    def scalarReduction(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.nonEmpty
+    def corpusLeaf(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case _: LogicalRelation | _: InMemoryRelation => true
+      case _ => false
+    }
+    def hintedViolations(plan: LogicalPlan): Seq[LogicalPlan] = {
+      val bad = Seq.newBuilder[LogicalPlan]
+      plan.foreach {
+        case j: Join =>
+          for ((side, hinted) <- Seq(
+              (j.left, j.hint.leftHint.nonEmpty), (j.right, j.hint.rightHint.nonEmpty))
+            if hinted)
+            if (corpusLeaf(side) && !literalBoundedFilter(side) && !scalarReduction(side))
+              bad += side
+        case _ => ()
+      }
+      bad.result()
+    }
+    // negative control: the walker must flag a hint on an UNBOUNDED corpus
+    // scan, or every green row below is vacuous
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bad = emb.join(
+      org.apache.spark.sql.functions.broadcast(emb.withColumnRenamed("vec_id", "b_id"))
+        .select(col("b_id")),
+      col("vec_id") === col("b_id"))
+    assert(hintedViolations(bad.queryExecution.optimizedPlan).nonEmpty,
+      "walker failed to flag a broadcast hint on an unbounded corpus scan")
+    for (q <- Seq("ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "ann_sq",
+        "ann_ivfpq", "ann_hard_negatives")) {
+      val v = hintedViolations(SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan)
+      assert(v.isEmpty, s"$q: broadcast hint on an unbounded corpus side:\n${v.mkString("\n")}")
+    }
+  }
+
   test("r13: hashed line dedup shuffles key on the segment fingerprint, never segment text") {
     val df = graft.operators.TextAnalysis.lineDedupHashed(spark, dir,
       forPlanInspection = true)
