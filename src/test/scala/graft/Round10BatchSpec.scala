@@ -273,6 +273,36 @@ class Round10BatchSpec extends AnyFunSuite {
     }
   }
 
+  test("r14: winnowing model == SQL fold (binds WinnowingPropertySpec to the shipped rule)") {
+    // WinnowingPropertySpec proves the SIGMOD'03 guarantee against a Scala
+    // model of the per-window rightmost-min fold; this case runs the REAL
+    // SQL fold (the exact snippet winnowSelected uses, applied to literal
+    // hash arrays) next to the model so the properties demonstrably hold
+    // for the shipped rule. Arrays chosen to hammer the <= tie rule.
+    import spark.implicits._
+    val w = 4
+    val arrays = Seq(
+      Vector(3L, 1L, 1L, 2L, 1L, 5L, 0L, 0L, 9L),
+      Vector(7L, 7L, 7L, 7L, 7L),
+      Vector(1L, 2L, 3L, 4L, 5L, 6L),
+      Vector(6L, 5L, 4L, 3L, 2L, 1L))
+    val sql = arrays.toDF("hs")
+      .selectExpr(s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           j -> aggregate(sequence(0, ${w - 1}),
+             named_struct('h', 9223372036854775807L, 'pos', -1L),
+             (acc, o) -> IF(element_at(hs, CAST(j + o AS INT)) <= acc.h,
+               named_struct('h', element_at(hs, CAST(j + o AS INT)), 'pos', CAST(j + o AS BIGINT)),
+               acc)))) AS sel""")
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(s => (s.getLong(1), s.getLong(0))).toSet)
+    for ((hs, got) <- arrays.zip(sql)) {
+      // SQL positions are 1-based (element_at); the model is 0-based
+      val want = WinnowingPropertySpec.select(hs, w).map { case (p, h) => (p + 1L, h) }
+      assert(got == want, s"SQL fold disagrees with the model on $hs: sql=$got model=$want")
+    }
+  }
+
   test("winnowing guarantee: every high-containment pair shares >= 1 winnowed hash") {
     // containment pairs share full 12-char shingles; 12 >= w + k - 1 = 11,
     // so the SIGMOD'03 guarantee promises at least one common selected
