@@ -30,15 +30,17 @@ object EmbeddingStrategy {
   * Scale design (the point of each choice):
   *   - Exact dedup is one hash-aggregate — Spark's map-side partial
   *     aggregation makes the shuffle carry only distinct texts.
-  *   - MinHash signatures are ONE aggregation over exploded shingles
-  *     (128 `min()` columns), not 128 passes.
+  *   - MinHash signatures are ONE codegen pass per document over the
+  *     shingle array (`graft_minhash`) — no explode, no shuffle.
   *   - LSH banding turns the O(n²) candidate search into an equi-join on
   *     band keys: at 100 TB this is a shuffle join on a high-cardinality
   *     key, no cross product ever materializes.
-  *   - Candidates are verified with an exact-Jaccard equi-join on shingles
-  *     (again no cross product), so LSH false positives never survive and
-  *     band parameters only affect recall. b=64/r=2 ⇒ miss probability at
-  *     s=0.6 is (1-0.36)^64 ≈ 4e-13 — effectively exact.
+  *   - Candidates are verified with an exact-Jaccard intersection of the
+  *     shingle arrays (again no cross product), so LSH false positives
+  *     never survive and band parameters only affect recall. The shipped
+  *     b=32/r=2 (NumHashes=64) ⇒ miss probability at s=0.6 is
+  *     (1−0.36)³² ≈ 6e-7 — negligible next to the verification's
+  *     exactness, and half the signature width of the classic 128.
   */
 object Dedup {
 
@@ -162,9 +164,6 @@ object Dedup {
   val NumHashes = 64
   val Bands = 32 // r = NumHashes / Bands = 2 rows per band
 
-  /** MinHash signatures: portable affine hashes of the shingle poly-hash,
-    * min-aggregated per doc in a single pass.
-    */
   /** MinHash signatures as ONE codegen pass per document over the shingle
     * array (`graft_minhash`): no explode, no shuffle — at 100 TB the
     * signature stage is a pure map. Returns (doc_id, sig: array<long>).
@@ -194,15 +193,25 @@ object Dedup {
 
   /** Returns (candidates, the cached banded intermediate) — the caller
     * unpersists the cache once the candidates are materialized.
+    *
+    * `passThrough` columns ride inside the banded rows and `pairFilter`
+    * (an expression over the `a`/`b` join aliases) applies INLINE in the
+    * band self-join, BEFORE the distinct — the seam the sig-filtered
+    * n-gram path uses (r14 review: it used to carry its own copy of the
+    * crowded-prune + self-join logic, which had to be kept in lockstep
+    * with this one through the de-hinting and the maxBucketSize seam).
     */
   private def candidatesFrom(sigs: DataFrame,
       numHashes: Int = NumHashes, bands: Int = Bands,
       forPlanInspection: Boolean = false,
-      maxBucketSize: Int = MaxBucketSize): (DataFrame, DataFrame) = {
+      maxBucketSize: Int = MaxBucketSize,
+      passThrough: Seq[String] = Nil,
+      pairFilter: Option[Column] = None): (DataFrame, DataFrame) = {
     // (doc_id, band, k1, k2) — `bands` small rows per doc; cached because
     // it feeds the crowded-bucket agg, the anti-join, AND both self-join
     // sides (uncached it recomputes the signature pipeline 4×).
-    val banded = bandedSignatures(sigs, numHashes = numHashes, bands = bands).cache()
+    val banded = bandedSignatures(sigs, passThrough = passThrough,
+      numHashes = numHashes, bands = bands).cache()
     if (!forPlanInspection) banded.count() // fill the cache before AQE fans out its 4 consumers
     // Skew guard: a band key shared by a huge number of docs (boilerplate
     // text at 100 TB) would generate a quadratic candidate set while
@@ -219,9 +228,10 @@ object Dedup {
     val pruned = banded.join(crowded, Seq("band", "k1", "k2"), "left_anti")
     val a = pruned.as("a")
     val b = pruned.as("b")
-    val cand = a.join(b,
+    val joined = a.join(b,
         col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+    val cand = pairFilter.fold(joined)(joined.filter)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     (cand, banded)
@@ -411,23 +421,12 @@ object Dedup {
           expr(s"graft_minhash($sigInput, $numHashes)").as("sig"),
           expr(s"transform(graft_minhash_mix($sigInput, $SigFilterHashes), " +
             "h -> CAST(h % 128 AS TINYINT))").as("sigb"))
-        val banded = bandedSignatures(sigs, passThrough = Seq("sigb"),
-          numHashes = numHashes, bands = bands).cache()
-        if (!forPlanInspection) banded.count()
-        val crowded = banded.groupBy("band", "k1", "k2")
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") > maxBucketSize)
-        // de-hinted (r14): crowded scales with the corpus — AQE's call
-        val pruned = banded.join(crowded, Seq("band", "k1", "k2"), "left_anti")
         val tau = sigAgreementCutoff(threshold)
-        val a = pruned.as("a")
-        val b = pruned.as("b")
-        val filtered = a.join(b,
-            col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-              col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
-          .filter(expr("graft_sig_agree(a.sigb, b.sigb)") >= tau)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
+        val (filtered, banded) = candidatesFrom(sigs,
+          numHashes = numHashes, bands = bands,
+          forPlanInspection = forPlanInspection, maxBucketSize = maxBucketSize,
+          passThrough = Seq("sigb"),
+          pairFilter = Some(expr("graft_sig_agree(a.sigb, b.sigb)") >= tau))
         (filtered, Seq(banded))
       }
 
@@ -732,14 +731,11 @@ object Dedup {
     bandedSignatures(signaturesFrom(shingleArrays.filter(col("doc_id") < splitId)))
       .write.mode("overwrite").parquet(s"$storeDir/bands.parquet")
 
-  /** (doc_id, band, k1, k2) rows from (doc_id, sig) signatures — the
-    * banding used by every LSH consumer (self-join, incremental, store).
-    */
-  /** (doc_id, band, k1, k2) rows, one per band; `passThrough` columns ride
-    * along unchanged (used by the sig-filter path to keep the agreement
-    * residues inside the band shuffle instead of re-joining them later).
-    */
-  /** Explodes signatures into `(doc_id, band, k1, k2)` band rows. The
+  /** Explodes (doc_id, sig) signatures into `(doc_id, band, k1, k2)` band
+    * rows — the banding every LSH consumer uses (self-join, incremental,
+    * store). `passThrough` columns ride along unchanged (the sig-filter
+    * path keeps its agreement residues inside the band shuffle instead of
+    * re-joining them later). The
     * `(k1, k2)` two-key schema is FROZEN (the persisted signature stores'
     * `bands.parquet` carries it), so non-default rows-per-band settings map
     * onto it rather than changing shape:
@@ -802,6 +798,16 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // loud, never wrong-silently (r14 review): min-label BSP converges in
+    // O(diameter) rounds — a deeper component must FAIL, not return
+    // partially-propagated labels that canonicalDocs would then keep as
+    // several "canonical" duplicates. The star-CC path handles deep
+    // components in O(log n) rounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters: label propagation did not converge in $rounds rounds " +
+          s"($changed labels still moving) — component diameter exceeds the cap; " +
+          "use nearDupClustersStar (large-star/small-star, O(log n) rounds)")
     materializeAndRelease(
       Seq(pairs, edges),
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
@@ -875,6 +881,14 @@ object Dedup {
       converged = !changed
       rounds += 1
     }
+    // loud, never wrong-silently (r14 review): star rounds converge in
+    // O(log n) — 25 rounds covers any graph that fits any cluster (2^25-
+    // deep contraction). Hitting the cap means a bug or adversarial input;
+    // partial labels must never flow into canonical selection.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $rounds rounds — " +
+          "edge set is still changing; refusing to emit partial components")
     // stars point every node at its component min; the roots themselves
     // get their own id
     val members = edges.select(col("v").as("node"), col("u").as("label"))
@@ -1155,6 +1169,11 @@ object Dedup {
     val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"),
         pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+      // zero-norm exclusion (r14 review): 0/0 = NaN and NaN >= threshold
+      // is TRUE under Spark's NaN-greatest ordering — one failed/padding
+      // embedding would otherwise pair with every grid partner (the
+      // embeddingIncrementalFrom rationale, applied to this path)
+      .filter(col("norm") > 0)
     // replicate each vector to every grid cell its block participates in:
     // (blk, j) normalized to (c1, c2) with c1 <= c2 — `blocks` cells per row
     val gridded = e
@@ -1238,6 +1257,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
+      // zero-norm exclusion (r14 review) — same rationale as the grid path
+      .filter(col("norm") > 0)
       .cache()
     if (!forPlanInspection) e.count() // fill before AQE fans out the bucket + two payload consumers
     // buckets carry only (vec_id, t, key) — candidate generation never
@@ -1416,8 +1437,29 @@ object Dedup {
       .select(col("t"), col("key"), col("vec_id").as("id_corpus"))
     val newB = buckets(inc).select(col("t"), col("key"), col("vec_id").as("id_new"))
     // de-hinted (r14): the increment's buckets broadcast by AQE size gate
-    // when small; a backfill-sized increment shuffles instead of OOMing
-    val cand = corB.join(newB, Seq("t", "key"))
+    // when small; a backfill-sized increment shuffles instead of OOMing.
+    //
+    // HOT-BUCKET SKEW, bipartite form (r14 review): a dense semantic
+    // cluster puts n_b corpus vectors and m_b increment vectors in ONE
+    // (t, key) cell; when both sides shuffle (the backfill regime), all
+    // n_b·m_b candidate rows land on the single task owning the key — the
+    // straggler the self-join was cured of in embeddingNearDupsLsh. The
+    // bipartite cure: the corpus side blocks into s = ⌈n_b/cap⌉ hash-sub-
+    // buckets and the increment replicates across them (cost m_b·s rows —
+    // increments pay the replication, corpus rows never copy), joining on
+    // (t, key, bs). Every (corpus, increment) pair meets EXACTLY once:
+    // the corpus row owns one block, the increment row visits all s.
+    // Light buckets have s=1 and the machinery degenerates to the plain
+    // equi-join; increment buckets with no corpus partner drop at the bn
+    // join (they had no candidates anyway).
+    val bn = corB.groupBy("t", "key").agg(count(lit(1)).as("n_b"))
+    val corBlocked = corB.join(bn, Seq("t", "key"))
+      .withColumn("bs", pmod(hash(col("id_corpus")).cast("bigint"),
+        expr(s"(n_b + ${LshBucketCap - 1}L) div ${LshBucketCap}L")))
+    val newBlocked = newB.join(bn, Seq("t", "key"))
+      .withColumn("bs", explode(expr(
+        s"sequence(0L, (n_b + ${LshBucketCap - 1}L) div ${LshBucketCap}L - 1L)")))
+    val cand = corBlocked.join(newBlocked, Seq("t", "key", "bs"))
       .select("id_new", "id_corpus")
       .distinct()
     val verified = cand

@@ -22,13 +22,43 @@ object Similarity {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** (vec_id, embedding, norm) with zero-norm vectors EXCLUDED — the same
+    * contract [[normedOf]] documents for the PQ family, applied at the
+    * source every ranked path shares (r14 review): a zero-norm vector's
+    * cosine is 0/0 = NaN, Spark's NaN-greatest ordering ranks it FIRST
+    * under desc, so without the guard one failed/padding embedding would
+    * appear as neighbor #1 of EVERY query in the brute-force baseline and
+    * every recall gate compared against it.
+    */
   private def withNorm(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
+      .filter(col("norm") > 0)
   }
 
   private def cosine: Column =
     Portable.dotProductNative("q_emb", "embedding") / (col("q_norm") * col("norm"))
+
+  /** Per-query hit counts of `approx` against the exact ground truth —
+    * EVERY exact query emits a row (zero hits ⇒ 0). The previous bare
+    * left_semi + groupBy produced NO row for a query the approximate path
+    * missed entirely (r14 review), so a total recall failure vanished from
+    * the gate output instead of reading n_hits=0 / recall_floor_met=false.
+    */
+  private[graft] def recallHitCounts(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Boolean recall-floor gate over [[recallHitCounts]] — the shared body
+    * of every `*RecallFloor` driver gate.
+    */
+  private def recallFloor(exact: DataFrame, approx: DataFrame, minHits: Int): DataFrame =
+    recallHitCounts(exact, approx)
+      .select(col("q_id"), (col("n_hits") >= minHits).as("recall_floor_met"))
 
   /** Per-query top-k selection via the bounded-heap `graft_topk` aggregate
     * — the scale path for every ranked output in this family. The previous
@@ -181,9 +211,13 @@ object Similarity {
       forPlanInspection: Boolean = false): DataFrame = {
     require(k >= 1, s"marginMiningIvf: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
+    // e needs no explicit count() fill: the quantizer-training collect
+    // inside marginIvfCandidates scans every partition of e through the
+    // cached plan synchronously, before any concurrent consumer exists
     val e = withNorm(embeddings(spark, dir)).cache()
     val (cand, cells) =
-      marginIvfCandidates(e, refineIters, trainFraction, numCentroids, numProbes)
+      marginIvfCandidates(e, refineIters, trainFraction, numCentroids, numProbes,
+        fillCache = !forPlanInspection)
     val a = e.filter(col("vec_id") % 10 === 0)
     val b = e.filter(col("vec_id") % 10 =!= 0)
     // Cosine-score candidates only: payloads rejoin by id (equi-joins; AQE
@@ -207,7 +241,7 @@ object Similarity {
     */
   private def marginIvfCandidates(e: DataFrame, refineIters: Int,
       trainFraction: Double, numCentroids: Int,
-      numProbes: Int): (DataFrame, DataFrame) = {
+      numProbes: Int, fillCache: Boolean = true): (DataFrame, DataFrame) = {
     // no count()/cache() on the sample: the trainer is its single consumer
     // (one collect) and fails loudly on an empty sample itself
     val train = trainSample(e, trainFraction)
@@ -223,6 +257,12 @@ object Similarity {
     val cells = e.select(col("vec_id"), probeCells.as("probes"))
       .withColumn("home", element_at(col("probes"), 1))
       .cache()
+    // eager fill (r14 review): the candidate union reads cells through
+    // FOUR branches (aHome/bHome/aProbe/bProbe) that AQE submits
+    // concurrently — against an unfilled cache the 16-dot affinity
+    // projection over the whole corpus runs up to 4×, the exact disease
+    // the nearDupsFromArrays count() discipline documents
+    if (fillCache) cells.count()
     val aCells = cells.filter(col("vec_id") % 10 === 0)
     val bCells = cells.filter(col("vec_id") % 10 =!= 0)
     val aHome = aCells.select(col("vec_id").as("xi"), col("home").as("cell"))
@@ -743,9 +783,7 @@ object Similarity {
       writeIvfIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = ivfTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id")
-        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
       Dedup.materializeAndRelease(Seq.empty, out)
     } finally {
@@ -817,9 +855,7 @@ object Similarity {
   def lshRecallTable(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = lshTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_hits"))
+    recallHitCounts(exact, approx)
   }
 
   /** Driver-checkable IVF recall floor: per query, a boolean asserting the
@@ -834,9 +870,7 @@ object Similarity {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = ivfTopK(spark, dir, k, nQueries,
       numCentroids = numCentroids, numProbes = numProbes).select("q_id", "neighbor_id")
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    recallFloor(exact, approx, minHits)
   }
 
   /** Deterministic HOT-CELL twin corpus: `clusterPermille`/1000 of the
@@ -900,9 +934,7 @@ object Similarity {
       .select("q_id", "neighbor_id")
     val approx = ivfTopKFrom(spark, clustered, k, nQueries)
       .select("q_id", "neighbor_id")
-    val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    val out = recallFloor(exact, approx, minHits)
     Dedup.materializeAndRelease(Seq(clustered), out)
   }
 
@@ -1241,9 +1273,7 @@ object Similarity {
       writePqIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = pqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id")
-        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
       Dedup.materializeAndRelease(Seq.empty, out)
     } finally {
@@ -1264,9 +1294,7 @@ object Similarity {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = pqTopK(spark, dir, k, nQueries,
       pqCentroids = pqCentroids, pqShortlist = pqShortlist).select("q_id", "neighbor_id")
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    recallFloor(exact, approx, minHits)
   }
 
   /** IVF-PQ composed ANN — the billion-vector deployment shape (the
@@ -1392,9 +1420,7 @@ object Similarity {
       nQueries: Int = 5, minHits: Int = 3): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = ivfPqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    recallFloor(exact, approx, minHits)
   }
 
   /** Persists the trained IVF-PQ index — at 100 TB this is THE deployment
@@ -1411,9 +1437,16 @@ object Similarity {
       numCentroids: Int = NumCentroids, pqCentroids: Int = PqCentroids,
       // gate seam (r14): a caller that already holds the corpus cached
       // passes it here so the build does not re-read parquet
-      embFrame: Option[DataFrame] = None): Unit = {
+      embFrame: Option[DataFrame] = None,
+      // append-protocol seam (r14 review): build half of the split —
+      // train AND encode only the standing corpus. An Option here instead
+      // of a separate function body keeps the build logic in ONE place;
+      // the old writeIvfPqIndexFiltered copy had already drifted (no
+      // embFrame seam, hardcoded refine iterations).
+      baseVecs: Option[Column] = None): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val e = withNorm(embFrame.getOrElse(embeddings(spark, dir))).cache()
+    val all = withNorm(embFrame.getOrElse(embeddings(spark, dir)))
+    val e = baseVecs.fold(all)(all.filter).cache()
     val normed = normedOf(e).cache()
     normed.count()
     val train = trainSample(normed, trainFraction).cache()
@@ -1451,8 +1484,22 @@ object Similarity {
   def appendToIvfPqIndex(spark: SparkSession, dir: String, storeDir: String,
       newVecs: Column): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    encodeWithStoreModels(embeddings(spark, dir).filter(newVecs), storeDir)
-      .write.mode("append").parquet(s"$storeDir/coded.parquet")
+    // Idempotent under re-runs (r14 review): a retried nightly append must
+    // not duplicate the increment's coded rows — a duplicate vec_id is
+    // scanned and scored twice, can occupy two shortlist slots, and feeds
+    // topKPerQuery's ids-are-unique contract duplicate entries. Anti-join
+    // against the standing index makes the re-run a no-op; the check joins
+    // on 8-byte ids against the ~16-byte/vector coded artifact, never
+    // embeddings. (The streaming twin, StreamAnnIngest, gets the same
+    // guarantee from its versioned OVERWRITE-by-batchId layout.)
+    val existing = spark.read.parquet(s"$storeDir/coded.parquet").select("vec_id")
+    val fresh = encodeWithStoreModels(embeddings(spark, dir).filter(newVecs), storeDir)
+      .join(existing, Seq("vec_id"), "left_anti")
+      // materialize BEFORE the append opens the target for writing: the
+      // anti-join reads coded.parquet, the write replaces it — localCheckpoint
+      // cuts the read-your-writes cycle
+      .localCheckpoint(true)
+    fresh.write.mode("append").parquet(s"$storeDir/coded.parquet")
   }
 
   /** Encodes a (vec_id, embedding) frame with a store's FROZEN quantizer
@@ -1532,16 +1579,15 @@ object Similarity {
     val splitId = n * 9 / 10
     val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
     try {
-      writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId)
+      writeIvfPqIndexFiltered(spark, dir, store, col("vec_id") < splitId,
+        embFrame = Some(emb)) // the gate's cached frame feeds the build too
       appendToIvfPqIndex(spark, dir, store, col("vec_id") >= splitId)
       val exact = bruteForceTopKFrom(emb, k, nQueries).select("q_id", "neighbor_id")
       // query THROUGH the product function (r14 review — see
       // ivfPqStoreRecallFloor), sharing the cached frame via embFrame
       val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
-      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id")
-        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
       Dedup.materializeAndRelease(Seq(emb), out)
     } finally {
@@ -1554,29 +1600,12 @@ object Similarity {
     * append protocol (train AND encode only the standing corpus).
     */
   def writeIvfPqIndexFiltered(spark: SparkSession, dir: String, storeDir: String,
-      baseVecs: Column): Unit = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = withNorm(embeddings(spark, dir)).filter(baseVecs).cache()
-    val normed = normedOf(e).cache()
-    normed.count()
-    val train = trainSample(normed, TrainFraction).cache()
-    require(train.count() > 0, "writeIvfPqIndexFiltered: training sample is empty")
-    val centroids = trainIvfCentroids(train, 2, NumCentroids)
-    val books = trainCodebooks(normed, 3, TrainFraction)
-    import spark.implicits._
-    centroids.toSeq.toDF("cid", "centroid")
-      .write.mode("overwrite").parquet(s"$storeDir/centroids.parquet")
-    books.zipWithIndex.flatMap { case (cells, s) =>
-      cells.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
-    }.toSeq.toDF("s", "c", "subvector")
-      .write.mode("overwrite").parquet(s"$storeDir/codebooks.parquet")
-    normed
-      .withColumn("cell", array_max(array(cellAffinities(centroids): _*)).getField("c"))
-      .withColumn("codes", codesFor(books))
-      .select("vec_id", "cell", "codes")
-      .write.mode("overwrite").parquet(s"$storeDir/coded.parquet")
-    Seq(e, normed, train).foreach(_.unpersist(false))
-  }
+      baseVecs: Column, embFrame: Option[DataFrame] = None): Unit =
+    // one body (r14 review): the former copy of writeIvfPqIndex here had
+    // already drifted (no embFrame seam, hardcoded refine iterations) —
+    // the filter is a parameter of the ONE build function now
+    writeIvfPqIndex(spark, dir, storeDir, embFrame = embFrame,
+      baseVecs = Some(baseVecs))
 
   /** Queries a PERSISTED IVF-PQ index ([[writeIvfPqIndex]]) without
     * retraining, reassigning or re-encoding: both quantizer models load
@@ -1622,9 +1651,7 @@ object Similarity {
       // stayed green), sharing the cached frame via its embFrame seam
       val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
-      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id")
-        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
       Dedup.materializeAndRelease(Seq(emb), out)
     } finally {
@@ -1775,9 +1802,7 @@ object Similarity {
       minHits: Int = 5): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = sqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id")
-      .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+    recallFloor(exact, approx, minHits)
   }
 
   /** Recall floor through the persisted round trip: build → parquet →
@@ -1790,9 +1815,7 @@ object Similarity {
       writeSqIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = sqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id")
-        .agg((count(lit(1)) >= minHits).as("recall_floor_met"))
+      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
       Dedup.materializeAndRelease(Seq.empty, out)
     } finally {

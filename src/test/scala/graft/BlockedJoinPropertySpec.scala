@@ -42,6 +42,34 @@ object BlockedJoinPropertySpec extends Properties("BlockedBucketSelfJoin") {
       (v: Long) => v)                              // identity
   } yield (ids, cap, fn)
 
+  /** The BIPARTITE variant (r14 review: `Dedup.embeddingIncrementalFrom`'s
+    * corpus × increment join): corpus rows own one block
+    * `bs = h(id) mod s`, increment rows replicate across all `s` blocks,
+    * the join keys on (corpus.bs = increment.bo). Every (corpus,
+    * increment) pair must meet exactly once, at a replication cost of
+    * m_b·s increment rows and zero corpus copies.
+    */
+  property("bipartite: every (corpus, increment) pair meets in exactly one block") =
+    Prop.forAll(cases, cases) { case ((corIds, cap, blockFn), (incIds0, _, _)) =>
+      val incIds = incIds0.filterNot(corIds.toSet)
+      val nB = corIds.length.toLong
+      val s = (nB + cap - 1) / cap max 1
+      val corBlocked = corIds.map(id => (id, java.lang.Math.floorMod(blockFn(id), s)))
+      val incBlocked = for { id <- incIds; bo <- 0L until s } yield (id, bo)
+      val joined = for {
+        (ic, bs) <- corBlocked
+        (ii, bo) <- incBlocked
+        if bs == bo
+      } yield (ic, ii)
+      val counts = joined.groupBy(identity).view.mapValues(_.size)
+      val expected = (for { a <- corIds; b <- incIds } yield (a, b)).toSet
+      Prop.all(
+        Prop(counts.keySet == expected) :| "bipartite pair set mismatch",
+        Prop(counts.values.forall(_ == 1)) :| "a bipartite pair met in more than one block",
+        Prop(incBlocked.length.toLong == incIds.length * s && corBlocked.length == corIds.length) :|
+          "replication cost drifted from m_b*s increment rows + zero corpus copies")
+    }
+
   property("every unordered pair meets in exactly one block cell") =
     Prop.forAll(cases) { case (ids, cap, blockFn) =>
       val nB = ids.length.toLong
