@@ -167,6 +167,12 @@ object SparkEntry {
     "dedup_canonical_best" -> ((s, d) => Dedup.canonicalDocsBest(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDups(s, d)),
+    // deterministic integer-micros k-means (map-only assignment; the
+    // centroid update is the only shuffle, k·dim rows after partial agg)
+    "cluster_kmeans" -> ((s, d) => Dedup.clusterKmeans(s, d)),
+    // SemDeDup proper (arXiv:2303.09540): k-means cells bound the exact
+    // cosine search — Σ n_c² ≈ n²/k pair work, k ∝ n ⇒ linear at scale
+    "dedup_semdedup" -> ((s, d) => Dedup.semDeDup(s, d)),
     // SemDeDup: CC over the exact embedding near-dup graph
     "dedup_semantic_clusters" -> ((s, d) => Dedup.semanticClusters(s, d)),
     // one representative per semantic cluster + unique pass-through

@@ -107,6 +107,71 @@ private[graft] object DedupOracles {
     * sf0.1-subset pairs) and ~4× faster, bringing the sf0.1 oracle back
     * under the 150 s adjudication box (175 s → ~40 s).
     */
+  /** Squared L2 distance between two BIGINT micro-vectors as an exact
+    * integer fold — order-fixed but order-irrelevant (integer addition
+    * commutes), the same determinism argument as the Spark side's
+    * row-local argmin.
+    */
+  private def kmDist(qCol: String, cCol: String): String =
+    s"list_reduce(list_transform(range(1, len($qCol) + 1), " +
+      s"i -> ($qCol[CAST(i AS INTEGER)] - $cCol[CAST(i AS INTEGER)]) * " +
+      s"($qCol[CAST(i AS INTEGER)] - $cCol[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+
+  /** One Lloyd ASSIGNMENT as a CTE: nearest centroid from `centsCte`,
+    * ties to the smallest centroid index (ORDER BY dist, cluster_id) —
+    * the Spark side's struct-ordered array_min, spelled relationally.
+    */
+  private def kmAssign(name: String, centsCte: String): String =
+    s"""$name AS (
+       | SELECT vec_id, q, cluster_id, dist FROM (
+       |  SELECT vec_id, q, cluster_id, dist,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+       |  FROM (
+       |   SELECT p.vec_id, p.q, c.j AS cluster_id, ${kmDist("p.q", "c.c")} AS dist
+       |   FROM kq p CROSS JOIN $centsCte c))
+       | WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd UPDATE as a CTE pair: exact integer per-dim sums, then
+    * centroid component `trunc(Σq/n)` — one IEEE division of an exactly-
+    * representable bigint sum, bit-identical to the Spark driver's
+    * `(s.toDouble / n).toLong`. An empty cluster keeps its previous
+    * centroid (COALESCE against `prevCents`).
+    */
+  private def kmUpdate(name: String, assignCte: String, prevCents: String): String =
+    s"""${name}_s AS (
+       | SELECT cluster_id, dim, sum(v) AS s, count(*) AS n FROM (
+       |  SELECT cluster_id, unnest(range(0, len(q))) AS dim, unnest(q) AS v
+       |  FROM $assignCte)
+       | GROUP BY cluster_id, dim),
+       |$name AS (
+       | SELECT p.j, COALESCE(m.c, p.c) AS c
+       | FROM $prevCents p LEFT JOIN (
+       |  SELECT cluster_id AS j,
+       |   list(CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+       |  FROM ${name}_s GROUP BY cluster_id) m ON p.j = m.j)""".stripMargin
+
+  /** Deterministic integer-micros k-means, unrolled to the catalog spec
+    * (k=8, two Lloyd updates, final assignment a3) — the full
+    * `Dedup.kmeansMicroAssign` iteration replayed relationally: quantize
+    * to `round(x·1e6)` bigints, seed with the 8 smallest vec_ids in rank
+    * order, assign → update → assign → update → assign. Every stage is
+    * either exact integer arithmetic or a single IEEE division, so the
+    * oracle reproduces the engine BIT-identically, partitioning-free.
+    */
+  private val KmeansCtes: String =
+    s"""kq AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       | FROM embeddings),
+       |c0 AS (
+       | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS c
+       | FROM (SELECT vec_id, q FROM kq ORDER BY vec_id LIMIT 8)),
+       |${kmAssign("a1", "c0")},
+       |${kmUpdate("c1", "a1", "c0")},
+       |${kmAssign("a2", "c1")},
+       |${kmUpdate("c2", "a2", "c1")},
+       |${kmAssign("a3", "c2")}""".stripMargin
+
   private val CosinePairsCtes: String =
     """e AS (
       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
@@ -330,6 +395,27 @@ private[graft] object DedupOracles {
         | UNION
         | SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
         |SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "cluster_kmeans" ->
+      s"WITH $KmeansCtes\nSELECT vec_id, cluster_id, dist AS dist_sq FROM a3",
+    // SemDeDup: within-cluster exact cosine, greedy min-id keep rule —
+    // a vector is dropped iff a smaller-id same-cluster partner clears
+    // the threshold; zero-norm vectors never pair (NaN discipline)
+    "dedup_semdedup" ->
+      (s"WITH $KmeansCtes,\n" +
+      """e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |  sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+        | FROM embeddings),
+        |dropped AS (
+        | SELECT DISTINCT ab.vec_id
+        | FROM a3 aa JOIN a3 ab ON aa.cluster_id = ab.cluster_id AND aa.vec_id < ab.vec_id
+        |  JOIN e ea ON ea.vec_id = aa.vec_id
+        |  JOIN e eb ON eb.vec_id = ab.vec_id
+        | WHERE ea.norm > 0 AND eb.norm > 0
+        |  AND list_inner_product(ea.emb, eb.emb) / (ea.norm * eb.norm) >= 0.4)
+        |SELECT a3.vec_id, a3.cluster_id, (dropped.vec_id IS NULL) AS kept
+        |FROM a3 LEFT JOIN dropped ON a3.vec_id = dropped.vec_id""".stripMargin),
     "dedup_embedding_incremental" -> EmbeddingIncrementalOracle,
     "dedup_embedding_incremental_store" -> EmbeddingIncrementalOracle,
     "dedup_embedding_lsh_check" ->

@@ -1236,6 +1236,165 @@ object Dedup {
     reps.union(singletons)
   }
 
+  /** Deterministic k-means over an embedding frame in INTEGER MICRO
+    * arithmetic — the `embedding_centroid` / GramMatrix fixed-point recipe
+    * applied to the WHOLE Lloyd iteration, not just one aggregate, so the
+    * full clustering is bit-reproducible across engines, partitionings and
+    * runs (and therefore DuckDB-oracle-checkable end to end): components
+    * quantize to `round(x·1e6)` bigints, assignment distances are exact
+    * integer sums (order-independent by commutativity), and each centroid
+    * update is `trunc(Σq/n)` — one IEEE-754 division of an exactly-
+    * representable integer sum (|Σq| < 2^53), identical everywhere. Seeds
+    * are the k smallest `vec_id`s in rank order (centroid j = j-th
+    * smallest); assignment ties break to the smallest centroid index; a
+    * cluster left empty keeps its previous centroid.
+    *
+    * Scale shape: ASSIGNMENT IS MAP-ONLY — centroids travel as literal
+    * expressions inside a row-local argmin (array_min over
+    * struct(dist, j)), no join, no shuffle, no broadcast, fully inside
+    * whole-stage codegen. The only shuffled stage per iteration is the
+    * centroid update, whose map-side partial aggregation ships k·dim rows
+    * per input partition; driver collects are k seed rows and k·dim sums —
+    * bounded by construction, never corpus-sized. Overflow: unit-norm
+    * inputs give per-dim squared gaps ≤ 4·(1e6)² so dim ≤ 512 distances
+    * stay < 2^41, and per-cluster component sums need n·1e6 < 2^63 —
+    * ~9×10^12 rows, far past any single k-means shard.
+    *
+    * Output: (vec_id, cluster_id: bigint, dist_sq: bigint) with dist_sq
+    * the final squared distance in micro² units.
+    */
+  private[graft] def kmeansMicroAssign(vectors: DataFrame, k: Int,
+      lloydIters: Int): DataFrame = {
+    require(k >= 1 && lloydIters >= 0,
+      s"kmeansMicroAssign: need k >= 1 and lloydIters >= 0, got k=$k iters=$lloydIters")
+    val q = vectors.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("q"))
+      .cache()
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val dArr = array(cents.zipWithIndex.map { case (c, j) =>
+        val centLit = array(c.map(lit(_)).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(col("q"), centLit, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(j.toLong).as("j"))
+      }.toIndexedSeq: _*)
+      // struct ordering = (dist, j): ties break to the smallest centroid
+      q.withColumn("best", array_min(dArr))
+        .select(col("vec_id"), col("q"),
+          col("best.j").as("cluster_id"), col("best.d").as("dist_sq"))
+    }
+    val seeds = q.orderBy("vec_id").limit(k).collect() // bounded: k rows
+    require(seeds.length == k,
+      s"kmeansMicroAssign: corpus has only ${seeds.length} vectors, need >= k=$k")
+    var cents = seeds.map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 to lloydIters) {
+      val sums = assign(cents)
+        .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect() // bounded: k·dim rows after map-side partial aggregation
+      val next = cents.map(_.clone()) // an empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3)).toLong // trunc(Σq/n)
+      }
+      cents = next
+    }
+    materializeAndRelease(Seq(q),
+      assign(cents).select("vec_id", "cluster_id", "dist_sq"))
+  }
+
+  /** `cluster_kmeans` catalog entry — [[kmeansMicroAssign]] over the
+    * embeddings table with the oracle-pinned defaults (k=8, two Lloyd
+    * updates, final assignment under the updated centroids).
+    */
+  def clusterKmeans(spark: SparkSession, dir: String, k: Int = 8,
+      lloydIters: Int = 2): DataFrame =
+    kmeansMicroAssign(embeddings(spark, dir).select("vec_id", "embedding"),
+      k, lloydIters)
+
+  /** The SemDeDup scale knob: k that holds the expected cluster size at
+    * `targetClusterSize` so the within-cluster pair work Σ n_c² ≈ n·target
+    * stays LINEAR in the corpus — [[lshBitsFor]]'s occupancy argument
+    * applied to k-means cells (the paper runs 11k clusters on LAION for
+    * the same reason). Clamped to [1, 2^20].
+    */
+  def kmeansKFor(n: Long, targetClusterSize: Int = 4096): Int = {
+    require(n > 0 && targetClusterSize > 0,
+      s"kmeansKFor: need positive corpus size and target, got n=$n target=$targetClusterSize")
+    math.min(1 << 20, math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a first-class
+    * operator: k-means-partition the embedding space, then search for
+    * near-duplicates ONLY within clusters — the pruning that makes exact
+    * cosine dedup tractable at corpus scale without an LSH recall trade.
+    * Total pair work is Σ_c n_c² ≈ n²/k, so k is THE scale knob: grown
+    * ∝ n via [[kmeansKFor]] (cluster size held constant) the pair stage
+    * is linear in the corpus, and the within-cluster self-join carries
+    * the same hash-sub-block skew guard as [[embeddingNearDupsLsh]]'s
+    * bucket join (blocked exactly-once pairing, BlockedJoinPropertySpec)
+    * so one dense cluster cannot straggle a single reduce task.
+    *
+    * Keep rule (deterministic): a vector is DROPPED iff some same-cluster
+    * partner with a SMALLER vec_id has cosine ≥ threshold — the paper's
+    * greedy "keep one per ε-ball" made id-stable (the paper keeps a
+    * random or centroid-far member; min-id is the reproducible choice,
+    * the [[canonicalDocs]] convention). No transitive closure is taken
+    * (unlike [[semanticClusters]]): a chain a~b, b~c with cosine(a,c)
+    * below threshold keeps a and drops BOTH b and c — exactly the greedy
+    * the paper runs inside each cluster. Zero-norm vectors never pair
+    * (the NaN-poisoning discipline) and are always kept.
+    *
+    * Output: (vec_id, cluster_id, kept: boolean) — one row per vector.
+    */
+  def semDeDup(spark: SparkSession, dir: String, k: Int = 8, lloydIters: Int = 2,
+      threshold: Double = 0.4, clusterCap: Int = LshBucketCap): DataFrame =
+    semDeDupFrom(embeddings(spark, dir), k, lloydIters, threshold, clusterCap)
+
+  /** [[semDeDup]] over any (vec_id: long, embedding: array<float>) frame —
+    * the seam the spec plants synthetic duplicates through.
+    */
+  def semDeDupFrom(vectors: DataFrame, k: Int = 8, lloydIters: Int = 2,
+      threshold: Double = 0.4, clusterCap: Int = LshBucketCap,
+      forPlanInspection: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val e = vectors
+      .select(col("vec_id"), col("embedding"),
+        Portable.l2NormNative("embedding").as("norm"))
+      .cache()
+    val assigned = kmeansMicroAssign(e.select("vec_id", "embedding"), k, lloydIters)
+      .select("vec_id", "cluster_id") // payload-free: blocking replicates ids only
+    val cn = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_c"))
+    val blocked = assigned.join(cn, Seq("cluster_id"))
+      .withColumn("s", expr(s"(n_c + ${clusterCap - 1}L) div ${clusterCap}L"))
+      .withColumn("bs", pmod(hash(col("vec_id")).cast("bigint"), col("s")))
+      .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+      .cache()
+    if (!forPlanInspection) blocked.count() // one subtree for both self-join sides
+    // every same-cluster pair meets in exactly one (bs, bo) block cell —
+    // the property-tested blocked-self-join pairing lemma; light clusters
+    // have s=1 and degenerate to the plain equi-join
+    val dropped = blocked.as("a").join(blocked.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.bs") === col("b.bo") && col("a.bo") === col("b.bs") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")).filter(col("norm_a") > 0), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")).filter(col("norm_b") > 0), "id_b")
+      .filter(Portable.dotProductNative("emb_a", "emb_b") /
+        (col("norm_a") * col("norm_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val out = assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("hit").isNull.as("kept"))
+    if (!forPlanInspection) materializeAndRelease(Seq(e, blocked), out)
+    else { e.unpersist(false); blocked.unpersist(false); out }
+  }
+
   /** Embedding near-dups via sign-projection LSH — the 100 TB path for
     * corpora with GENUINE near-duplicates (cosine ≥ ~0.7, where the per-bit
     * collision probability 1−θ/π ≥ 0.75 makes banding selective).

@@ -273,7 +273,14 @@ class PlanSpec extends AnyFunSuite {
         graft.operators.Dedup.embeddingIncrementalFrom(base,
           base.limit(5).withColumn("vec_id", col("vec_id") + 100000L),
           forPlanInspection = true)
-      })
+      },
+      // r14 addition: the SemDeDup within-cluster pair join — cluster
+      // sizes grow with the corpus at fixed k, so neither self-join side
+      // nor the cluster-count frame may be hint-forced
+      "dedup_semdedup" -> graft.operators.Dedup.semDeDupFrom(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        forPlanInspection = true))
     for ((name, df) <- frames) {
       val hinted = df.queryExecution.optimizedPlan.collect {
         case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
