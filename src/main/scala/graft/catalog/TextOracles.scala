@@ -641,7 +641,7 @@ private[graft] object TextOracles {
         | FROM h a JOIN h b ON a.doc_id = b.doc_id AND a.token < b.token
         | GROUP BY 1, 2)
         |SELECT tok_a, tok_b, support, df_a, df_b,
-        | CAST(support * n_docs * 1000 // (df_a * df_b) AS BIGINT) AS lift_permille
+        | CAST(CAST(support AS HUGEINT) * n_docs * 1000 // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_permille
         |FROM p CROSS JOIN n
         |WHERE support >= 10""".stripMargin,
     // identical integer clock pipeline: Knuth hash -> exact rational u ->
@@ -651,7 +651,7 @@ private[graft] object TextOracles {
         | SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
         | FROM documents),
         |c AS (
-        | SELECT doc_id, w, (doc_id * 2654435761) % 1000000007 + 1 AS num FROM s),
+        | SELECT doc_id, w, ((doc_id % 1000000007) * 654435747) % 1000000007 + 1 AS num FROM s),
         |k AS (
         | SELECT doc_id, w,
         |  CAST(round(-ln(CAST(num AS DOUBLE) / 1000000008) * 1000000) AS BIGINT) AS lnu_micro

@@ -258,7 +258,14 @@ object TextAnalysis {
       .join(broadcast(nDocs))
       .select(
         col("tok_a"), col("tok_b"), col("support"), col("df_a"), col("df_b"),
-        expr("support * n_docs * 1000 div (df_a * df_b)").as("lift_permille"))
+        // r14 deep-read: the numerator support·n_docs·1000 wraps Long once
+        // support·n_docs > 9.2e15 (reachable at ~1e8 docs with a frequent
+        // pair) — and wraps SILENTLY on Spark while DuckDB errors. Widened
+        // to DECIMAL(38,0) / HUGEINT on the two engines: `div` on decimals
+        // is still the exact integral quotient, bit-equal for every
+        // in-range value, safe to ~1e17 docs.
+        expr("CAST(support AS DECIMAL(38,0)) * n_docs * 1000 div (CAST(df_a AS DECIMAL(38,0)) * df_b)")
+          .as("lift_permille"))
   }
 
   /** WEIGHTED sampling WITHOUT replacement — Efraimidis–Spirtakis
@@ -286,7 +293,15 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("toks")).cast("bigint").as("w"))
-      .withColumn("num", (col("doc_id") * lit(2654435761L)) % lit(Portable.P1) + 1)
+      // r14 deep-read: reduce doc_id mod P1 BEFORE the Knuth multiply —
+      // the raw product doc_id·2654435761 wraps Long past doc_id ≈ 3.5e9
+      // (a 100 TB corpus's id range), where Spark silently wraps negative
+      // (num ≤ 0 → ln of a non-positive) while DuckDB ERRORS on bigint
+      // overflow — an engine divergence. 654435747 ≡ 2654435761 (mod P1),
+      // so residues — and every sampled clock — are IDENTICAL for all ids
+      // already in range, and the product is now ≤ (P1−1)·654435747 < 2^60
+      // for every non-negative id.
+      .withColumn("num", (pmod(col("doc_id"), lit(Portable.P1)) * lit(654435747L)) % lit(Portable.P1) + 1)
       .withColumn("lnu_micro",
         expr(s"CAST(round(-ln(CAST(num AS DOUBLE) / ${Portable.P1 + 1}) * 1000000) AS BIGINT)"))
       .withColumn("clock", expr("(lnu_micro * 1048576) div w"))
@@ -837,8 +852,12 @@ object TextAnalysis {
     val perChunk = packed.filter(!col("oversize"))
       .groupBy("shard", "chunk")
       .agg(countDistinct(col("bin_id")).as("n_bins"), sum(col("n_tokens")).as("toks"))
+      // r14 deep-read: the bound is the documented integer
+      // 2·⌈tokens/capacity⌉ + 1 — the previous `/` was Spark's DOUBLE
+      // division, which silently loosened the gate (e.g. toks=1024 gave a
+      // threshold of 4.998 instead of 3)
       .agg(sum(when(
-        col("n_bins") > (col("toks") + capacity - 1) / capacity * 2 + 1, 1L)
+        col("n_bins") > expr(s"((toks + ${capacity - 1}) div $capacity) * 2 + 1"), 1L)
         .otherwise(0L)).as("n_loose"))
     val counts = packed.agg(
       count(lit(1)).as("n_docs"),
@@ -2520,7 +2539,9 @@ object TextAnalysis {
     * exists: pairs only materialize through shared rare hashes.
     */
   def winnowingOverlap(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
-      minSharedMilli: Int = 500, maxDfPermille: Int = 20, minCount: Int = 20): DataFrame = {
+      minSharedMilli: Int = 500, maxDfPermille: Int = 20, minCount: Int = 20,
+      blockCap: Int = Dedup.LshBucketCap): DataFrame = {
+    require(blockCap >= 1, s"blockCap must be >= 1, got $blockCap")
     require(minSharedMilli >= 1 && minSharedMilli <= 1000,
       s"minSharedMilli must be in [1, 1000], got $minSharedMilli")
     require(maxDfPermille >= 1 && maxDfPermille <= 1000,
@@ -2548,10 +2569,30 @@ object TextAnalysis {
     val keep = post.join(df, "h")
       .crossJoin(broadcast(nDocs))
       .filter(col("dfreq") * 1000 <= col("nd") * maxDfPermille)
-      .select("doc_id", "h")
+      .select("doc_id", "h", "dfreq")
     val cnt = keep.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val out = keep.as("a").join(keep.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // HOT-HASH SKEW (r14 deep-read): the df cap bounds a hash's postings
+    // by a FRACTION of the corpus (maxDfPermille·n/1000), so a hash at
+    // the cap still generates its quadratic pair stream on the single
+    // reduce task owning `h` — the disease the round cured in the LSH
+    // bucket joins, same cure here: split each hash's postings into
+    // s = ⌈dfreq/cap⌉ sub-blocks and join on the block-exchange keys;
+    // every pair meets in exactly one (bs, bo) cell (the property-tested
+    // blocked-self-join lemma), hot hashes spread over s² keys, and
+    // light hashes (s = 1, every fixture hash under the default cap)
+    // degenerate to the plain equi-join. The cap filter drops whole
+    // hashes, never individual postings, so `dfreq` IS the kept
+    // per-hash population and seeds the block count directly.
+    val blocked = keep
+      .withColumn("s", expr(s"(dfreq + ${blockCap - 1}L) div ${blockCap}L"))
+      .withColumn("bs", pmod(hash(col("doc_id")).cast("bigint"), col("s")))
+      .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+      .select("doc_id", "h", "bs", "bo")
+      .cache()
+    blocked.count() // one subtree for both self-join sides
+    val out = blocked.as("a").join(blocked.as("b"),
+        col("a.h") === col("b.h") && col("a.bs") === col("b.bo") &&
+          col("a.bo") === col("b.bs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       // per-doc count joins are equi-joins on the pair's own keys — the
@@ -2563,7 +2604,7 @@ object TextAnalysis {
       .filter(col("shared_milli") >= minSharedMilli)
       .select(col("a_id"), col("b_id"), col("n_shared").cast("bigint").as("n_shared"),
         col("shared_milli").cast("bigint").as("shared_milli"))
-    Dedup.materializeAndRelease(Seq(post), out)
+    Dedup.materializeAndRelease(Seq(post, blocked), out)
   }
 
   /** PER-SOURCE CALIBRATED QUALITY FILTER (round-10 continuation) — keep

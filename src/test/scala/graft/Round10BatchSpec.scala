@@ -335,6 +335,24 @@ class Round10BatchSpec extends AnyFunSuite {
       TextAnalysis.winnowingOverlap(spark, dir, maxDfPermille = 0))
   }
 
+  test("winnowing overlap: forced hot-hash blocking (blockCap=2) is pair-identical to the plain join") {
+    // r14 deep-read: the pair self-join on `h` gained the blocked-self-join
+    // skew guard (a hash at the df cap otherwise lands its quadratic pair
+    // stream on one reduce task). At the default cap every fixture hash has
+    // s = 1, so force s > 1 with blockCap = 2 — the blocked-exactly-once
+    // pairing lemma must make n_shared and the gated output BIT-identical.
+    val plain = TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 1,
+        maxDfPermille = 1000, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val blocked = TextAnalysis.winnowingOverlap(spark, dir, minSharedMilli = 1,
+        maxDfPermille = 1000, minCount = 1, blockCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(blocked == plain,
+      s"blocked pair join diverged: only-blocked=${blocked -- plain} only-plain=${plain -- blocked}")
+    intercept[IllegalArgumentException](
+      TextAnalysis.winnowingOverlap(spark, dir, blockCap = 0))
+  }
+
   test("distinct-n diversity: instance totals recomputed independently; ratio identity") {
     val rows = TextAnalysis.distinctNgrams(spark, dir).collect()
     assert(rows.nonEmpty)
