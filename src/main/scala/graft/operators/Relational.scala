@@ -1126,10 +1126,14 @@ object Relational {
     * samples at boundaries).
     *
     * Scale: the sweep is the classic single-sort trap — a GLOBAL ordered
-    * running sum. Here it is two-level: in-hour running sums partition by
-    * the calendar hour, and the cross-hour offsets come from a triangular
-    * self-join over the CALENDAR-bounded hour totals (≤ |hours|² rows,
-    * metadata-sized) — no single-partition window anywhere.
+    * running sum. Here it is THREE-level: in-hour running sums partition
+    * by the calendar hour; the cross-hour offset decomposes (r14
+    * deep-read — the old form triangular-joined ALL hour totals, ≤|hours|²
+    * rows, which at a decade span is ~4e9 join rows, not "metadata-sized")
+    * into an in-DAY exclusive prefix over each day's ≤24 hour totals plus
+    * a day-level triangular join over day totals (|days|² — two orders of
+    * magnitude below |hours|² at any span). No single-partition window
+    * anywhere; output identical (same shared oracle).
     */
   def eventsConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val sessions = graft.streaming.EventStream.sessionizeBatch(spark, dir)
@@ -1144,12 +1148,24 @@ object Relational {
       .withColumn("run", sum(col("delta")).over(inHour))
       .groupBy("hour")
       .agg(max(col("run")).as("peak_in"), sum(col("delta")).as("total"))
-    hourAgg.alias("a")
-      .join(hourAgg.alias("b"), col("b.hour") < col("a.hour"), "left")
-      .groupBy(col("a.hour").as("hour"), col("a.peak_in").as("peak_in"))
-      .agg(coalesce(sum(col("b.total")), lit(0L)).as("offset"))
+      .withColumn("day", date_trunc("day", col("hour")))
+    // level 2: exclusive prefix of earlier hours WITHIN the day — windows
+    // of ≤ 24 rows, parallel across days
+    val inDay = Window.partitionBy("day").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withDayLocal = hourAgg
+      .withColumn("day_prefix", coalesce(sum(col("total")).over(inDay), lit(0L)))
+    // level 3: offsets of all EARLIER days from the day totals — the
+    // triangular join now runs over |days| rows, not |hours|
+    val dayTotals = hourAgg.groupBy("day").agg(sum(col("total")).as("day_total"))
+    val dayOffsets = dayTotals.alias("a")
+      .join(dayTotals.alias("b"), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.day_total")), lit(0L)).as("day_offset"))
+    withDayLocal.join(dayOffsets, Seq("day"))
       .select(col("hour"),
-        (col("offset") + col("peak_in")).cast("bigint").as("peak_concurrency"))
+        (col("day_offset") + col("day_prefix") + col("peak_in"))
+          .cast("bigint").as("peak_concurrency"))
   }
 
   /** TIME-WEIGHTED AVERAGE (TWAP) — the step-function mean every
