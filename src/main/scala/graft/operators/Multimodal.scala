@@ -37,8 +37,11 @@ object Multimodal {
         var v = 0L
         while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
           v = v * 10 + (payload(i) - '0'); i += 1
+          // bound INSIDE the loop (r14 deep-read): a crafted >= 20-digit
+          // run would wrap the Long accumulator and could alias to a
+          // small plausible value instead of quarantining
+          if (v > Int.MaxValue) return None
         }
-        if (v > Int.MaxValue) return None
         nums(found) = v.toInt
         found += 1
       } else return None
@@ -651,8 +654,8 @@ object Multimodal {
         var v = 0L
         while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
           v = v * 10 + (payload(i) - '0'); i += 1
+          if (v > Int.MaxValue) return None // in-loop: no Long wrap ([[ppmDims]])
         }
-        if (v > Int.MaxValue) return None
         nums(found) = v.toInt
         found += 1
       } else return None

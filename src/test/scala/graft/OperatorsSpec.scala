@@ -497,6 +497,12 @@ class MultimodalSpec extends AnyFunSuite {
     // PPM P6 with a comment line: 640x480
     val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
     assert(Multimodal.ppmDims(ppm).contains((640, 480)))
+    // r14 deep-read: a >= 20-digit dimension must quarantine, not wrap the
+    // Long accumulator (18446744073709551626 ≡ 10 mod 2^64 would otherwise
+    // alias to width 10)
+    val wrap = "P6\n18446744073709551626 480\n255\n".getBytes("US-ASCII")
+    assert(Multimodal.ppmDims(wrap).isEmpty)
+    assert(Multimodal.ppmPixels(wrap).isEmpty)
     // BMP header: 'BM' + DIB size @14 + le32 width @18, le32 height @22 (top-down negative)
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'
