@@ -472,10 +472,11 @@ object Graph {
     out
   }
 
-  def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L): DataFrame =
+  def triangles(spark: SparkSession, dir: String, minOrders: Long = 5L,
+      wedgeCap: Int = 1024): DataFrame =
     trianglesCore(
       t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct(),
-      minOrders)
+      minOrders, wedgeCap)
 
   /** Hub-heavy skew twin of [[triangles]]: suppliers collapse to
     * `l_suppkey % hubMod` super-nodes BEFORE the co-order self-join, so
@@ -487,16 +488,18 @@ object Graph {
     * arithmetic to the plain twin, parameterized oracle.
     */
   def trianglesHubSkew(spark: SparkSession, dir: String,
-      minOrders: Long = 5L, hubMod: Long = 8): DataFrame = {
+      minOrders: Long = 5L, hubMod: Long = 8, wedgeCap: Int = 1024): DataFrame = {
     require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
     trianglesCore(
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), (col("l_suppkey") % hubMod).as("l_suppkey"))
         .distinct(),
-      minOrders)
+      minOrders, wedgeCap)
   }
 
-  private def trianglesCore(sup: DataFrame, minOrders: Long): DataFrame = {
+  private def trianglesCore(sup: DataFrame, minOrders: Long,
+      wedgeCap: Int = 1024): DataFrame = {
+    require(wedgeCap >= 1, s"wedgeCap must be >= 1, got $wedgeCap")
     val e = sup.as("a").join(sup.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
@@ -517,10 +520,9 @@ object Graph {
     // lookup uses the canonical u<v edge set. Measured ~4× fewer wedge
     // rows on the sf0.1 projection. The degree table is |V| rows — plain
     // equi-joins (AQE broadcasts when genuinely small), never an
-    // unconditional broadcast (r13, the linkPredict treatment).
-    // PERSISTED: both sides of the wedge self-join below read this frame —
-    // without the persist the deg joins re-run per side (r13, the same
-    // one-frame-two-consumers treatment as linkPredict's blocked frame).
+    // unconditional broadcast (r13, the linkPredict treatment). The
+    // persisted two-consumer frame is `blocked` below (r14: oriented
+    // itself is single-consumer once the blocking subsumes it).
     val oriented = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -529,11 +531,30 @@ object Graph {
           col("u")).otherwise(col("v")).as("src"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+    // BLOCKED wedge enumeration (r14 deep-read — closing the residual the
+    // orientation argument left open): orientation caps outdeg near
+    // √(2m), but a vertex RETAINING that outdegree still lands its
+    // C(√(2m), 2) ≈ m wedge rows on the one task owning its src key. The
+    // linkPredict cure applies verbatim: s = ⌈outdeg/wedgeCap⌉ hash
+    // sub-buckets over each src's out-neighbors, rows replicate across
+    // the other side's bucket, and the join keys on (src, bs=bo, bo=bs) —
+    // wedges BIT-identical (every out-pair meets exactly once, the
+    // property-tested blocked-self-join lemma), hot sources spread over
+    // s² keys, light sources (s = 1, every fixture vertex at the default
+    // cap) degenerate to the plain self-join.
+    val odeg = oriented.groupBy("src").agg(count(lit(1)).as("od"))
+    val blocked = oriented.join(odeg, "src")
+      .withColumn("s", expr(s"(od + ${wedgeCap - 1}L) div ${wedgeCap}L"))
+      .withColumn("bs", pmod(hash(col("dst")).cast("bigint"), col("s")))
+      .withColumn("bo", explode(expr("sequence(0L, s - 1L)")))
+      .select("src", "dst", "bs", "bo")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count() // eager fill before the two-consumer self-join
-    val nTri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+    blocked.count() // eager fill before the two-consumer self-join
+    val nTri = blocked.as("e1")
+      .join(blocked.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          col("e1.bs") === col("e2.bo") && col("e1.bo") === col("e2.bs") &&
+          col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
       .join(e, col("wu") === col("u") && col("wv") === col("v"), "left_semi")
       .count()
@@ -546,6 +567,6 @@ object Graph {
         col("n_wedges").cast("bigint").as("n_wedges"),
         lit(nTri).as("n_triangles"),
         expr(s"(3L * ${nTri}L * 1000L) div n_wedges").as("clustering_permille"))
-    Dedup.materializeAndRelease(Seq(e, oriented), out)
+    Dedup.materializeAndRelease(Seq(e, blocked), out)
   }
 }

@@ -36,6 +36,15 @@ class GraphParamSpec extends AnyFunSuite {
     val cp = Graph.triangles(spark, dir, minOrders = 3L)
       .head().getAs[Long]("clustering_permille")
     assert(cp >= 0 && cp <= 1000)
+    // r14: forced wedge blocking (wedgeCap=2 makes every src multi-bucket)
+    // must count the IDENTICAL triangles — the blocked-pairing lemma on
+    // the orientation join
+    val plain = Graph.triangles(spark, dir, minOrders = 3L).head()
+    val forced = Graph.triangles(spark, dir, minOrders = 3L, wedgeCap = 2).head()
+    assert(forced.getAs[Long]("n_triangles") == plain.getAs[Long]("n_triangles") &&
+      forced.getAs[Long]("n_wedges") == plain.getAs[Long]("n_wedges"),
+      s"blocked wedge count diverged: $forced vs $plain")
+    intercept[IllegalArgumentException](Graph.triangles(spark, dir, wedgeCap = 0))
   }
 
   test("lpa off-default steps cell (steps=1) labels every backbone node exactly once with consistent sizes") {
