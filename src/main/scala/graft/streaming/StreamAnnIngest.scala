@@ -40,7 +40,36 @@ object StreamAnnIngest {
   /** The per-batch fold, exposed so tests can double-deliver a batch and
     * assert the composed store unchanged.
     */
-  def foldBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit =
+  def foldBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    requireOwnership(batch.sparkSession, storeDir, batchId)
     Similarity.encodeWithStoreModels(batch, storeDir)
       .write.mode("overwrite").parquet(s"$storeDir/increments/v$batchId.parquet")
+  }
+
+  /** The [[VersionedStore.requireOwnership]] guard applied to the
+    * increment layout: a query restarted with a FRESH checkpoint restarts
+    * batchIds at 0, and overwrite mode would silently clobber the existing
+    * `increments/v0.parquet` with DIFFERENT data (replay rewrites its own
+    * id byte-for-byte; a new checkpoint does not). Equality is allowed —
+    * that is the replay contract.
+    */
+  private def requireOwnership(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$storeDir/increments")
+    if (!fs.exists(dir)) return
+    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".parquet") &&
+        n.stripPrefix("v").stripSuffix(".parquet").nonEmpty &&
+        n.stripPrefix("v").stripSuffix(".parquet").forall(_.isDigit) =>
+        n.stripPrefix("v").stripSuffix(".parquet").toLong }
+    ids.maxOption.foreach { maxId =>
+      require(maxId <= batchId,
+        s"ANN increment store $storeDir already holds v$maxId > batch $batchId: this " +
+          "checkpoint does not own the store (fresh checkpoint against an existing store?). " +
+          "Overwrite would clobber a committed increment — point the query at a new storeDir " +
+          "or resume from the original checkpoint")
+    }
+  }
 }

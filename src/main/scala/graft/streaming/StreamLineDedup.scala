@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -50,13 +49,14 @@ object StreamLineDedup {
       segWords: Int = 10, keepVersions: Int = 2): Unit = {
     VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
+    VersionedStore.requireOwnership(spark, storeDir, batchId)
     graft.functions.GraftFunctions.register(spark)
     val newCounts = graft.operators.TextAnalysis
       .segmentsOf(batch.select("doc_id", "text"), segWords)
       .withColumn("gh", graft.functions.Portable.polyHash60Native("seg"))
       .groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+    val merged = VersionedStore.latestVersion(spark, storeDir, below = Some(batchId)) match {
       case Some(prev) =>
         spark.read.parquet(prev).select(col("gh"), col("n_docs"))
           .union(newCounts)
@@ -65,7 +65,7 @@ object StreamLineDedup {
       case None => newCounts
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-    prune(spark, storeDir, keepVersions)
+    VersionedStore.prune(spark, storeDir, keepVersions)
   }
 
   /** The current boiler set: fingerprints seen in ≥ `minDocs` distinct
@@ -73,7 +73,7 @@ object StreamLineDedup {
     */
   def boilerplate(spark: SparkSession, storeDir: String,
       minDocs: Long = 2): DataFrame =
-    spark.read.parquet(latest(spark, storeDir))
+    spark.read.parquet(VersionedStore.latestOrFail(spark, storeDir, "line-dedup"))
       .filter(col("n_docs") >= minDocs)
       .select(col("gh"), col("n_docs").cast("bigint").as("n_docs"))
 
@@ -107,32 +107,4 @@ object StreamLineDedup {
         md5(col("clean_text")).as("clean_md5"))
   }
 
-  private def latest(spark: SparkSession, storeDir: String): String =
-    latestVersion(spark, storeDir, below = None).getOrElse(
-      throw new IllegalStateException(s"no line-dedup store versions under $storeDir"))
-
-  private def latestVersion(spark: SparkSession, storeDir: String,
-      below: Option[Long]): Option[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return None
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-      .filter(id => below.forall(id < _))
-    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
-  }
-
-  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-      .sorted
-    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
-  }
 }

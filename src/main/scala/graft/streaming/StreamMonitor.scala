@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -45,10 +44,11 @@ object StreamMonitor {
       keepVersions: Int = 2): Unit = {
     VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
+    VersionedStore.requireOwnership(spark, storeDir, batchId)
     val newCounts = batch
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+    val merged = VersionedStore.latestVersion(spark, storeDir, below = Some(batchId)) match {
       case Some(prev) =>
         spark.read.parquet(prev).select("event_type", "hour", "n")
           .union(newCounts)
@@ -57,7 +57,7 @@ object StreamMonitor {
       case None => newCounts
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-    prune(spark, storeDir, keepVersions)
+    VersionedStore.prune(spark, storeDir, keepVersions)
   }
 
   /** Median/MAD anomaly flags over everything the store has seen —
@@ -89,29 +89,5 @@ object StreamMonitor {
       spark.read.parquet(latest(spark, storeDir)).select("event_type", "hour", "n"))
 
   private def latest(spark: SparkSession, storeDir: String): String =
-    latestVersion(spark, storeDir, below = None).getOrElse(
-      throw new IllegalStateException(s"no monitor store versions under $storeDir"))
-
-  private def latestVersion(spark: SparkSession, storeDir: String,
-      below: Option[Long]): Option[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return None
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-      .filter(id => below.forall(id < _))
-    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
-  }
-
-  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(new Path(storeDir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-      .sorted
-    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
-  }
+    VersionedStore.latestOrFail(spark, storeDir, "monitor")
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -52,9 +51,10 @@ object StreamScd2 {
       keepVersions: Int = 2): Unit = {
     VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
+    VersionedStore.requireOwnership(spark, storeDir, batchId)
     val newRuns = Relational.scd2Runs(Relational.normalizeEventTs(batch)
       .select("user_id", "ts", "event_id", "event_type"))
-    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+    val merged = VersionedStore.latestVersion(spark, storeDir, below = Some(batchId)) match {
       case Some(prev) =>
         Relational.scd2MergeRuns(
           spark.read.parquet(prev)
@@ -63,40 +63,13 @@ object StreamScd2 {
       case None => newRuns
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-    prune(spark, storeDir, keepVersions)
+    VersionedStore.prune(spark, storeDir, keepVersions)
   }
 
   /** The SCD2 dimension over everything the store has seen — the batch
     * operator's interval body, verbatim, over the newest version. */
   def intervals(spark: SparkSession, storeDir: String): DataFrame =
     Relational.scd2RunsToIntervals(
-      spark.read.parquet(latest(spark, storeDir))
+      spark.read.parquet(VersionedStore.latestOrFail(spark, storeDir, "scd2"))
         .select("user_id", "event_type", "first_ts", "first_eid", "n_events"))
-
-  private def latest(spark: SparkSession, storeDir: String): String =
-    latestVersion(spark, storeDir, below = None).getOrElse(
-      throw new IllegalStateException(s"no scd2 store versions under $storeDir"))
-
-  private def latestVersion(spark: SparkSession, storeDir: String,
-      below: Option[Long]): Option[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return None
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-      .filter(id => below.forall(id < _))
-    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
-  }
-
-  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(new Path(storeDir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-      .sorted
-    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
-  }
 }

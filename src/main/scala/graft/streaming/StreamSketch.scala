@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -85,10 +84,11 @@ object StreamSketch {
     VersionedStore.requireReplaySafe(keepVersions)
     val (buildExpr, mergeExpr) = exprsFor(kind, valCol)
     val spark = batch.sparkSession
+    VersionedStore.requireOwnership(spark, storeDir, batchId)
     graft.functions.GraftFunctions.register(spark)
     val newBlobs = batch.groupBy(col(keyCol))
       .agg(expr(buildExpr).as("sk"))
-    val merged = latestVersion(spark, storeDir, below = Some(batchId)) match {
+    val merged = VersionedStore.latestVersion(spark, storeDir, below = Some(batchId)) match {
       case Some(prev) =>
         spark.read.parquet(prev).select(col(keyCol), col("sk"))
           .union(newBlobs)
@@ -97,7 +97,7 @@ object StreamSketch {
       case None => newBlobs
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/v$batchId")
-    prune(spark, storeDir, keepVersions)
+    VersionedStore.prune(spark, storeDir, keepVersions)
   }
 
   /** Per-key distinct-count estimates from the newest store version
@@ -139,35 +139,5 @@ object StreamSketch {
   }
 
   private def latest(spark: SparkSession, storeDir: String): String =
-    latestVersion(spark, storeDir, below = None).getOrElse(
-      throw new IllegalStateException(s"no sketch store versions under $storeDir"))
-
-  /** Newest `v<id>` dir (optionally with id < `below`, for replay safety:
-    * a re-delivered batch must fold the version BEFORE its own, not the
-    * half-written result of its failed attempt).
-    */
-  private def latestVersion(spark: SparkSession, storeDir: String,
-      below: Option[Long]): Option[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return None
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-      .filter(id => below.forall(id < _))
-    if (ids.isEmpty) None else Some(s"$storeDir/v${ids.max}")
-  }
-
-  private def prune(spark: SparkSession, storeDir: String, keep: Int): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(storeDir)
-    if (!fs.exists(dir)) return
-    val ids = fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-      .sorted
-    ids.dropRight(keep).foreach(id => fs.delete(new Path(s"$storeDir/v$id"), true))
-  }
+    VersionedStore.latestOrFail(spark, storeDir, "sketch")
 }
