@@ -45,7 +45,10 @@ object StreamMonitor {
     VersionedStore.requireReplaySafe(keepVersions)
     val spark = batch.sparkSession
     VersionedStore.requireOwnership(spark, storeDir, batchId)
-    val newCounts = batch
+    // schema-dispatched no-op on proper timestamps; the StreamScd2 fold
+    // already normalizes internally — same contract here, so a caller
+    // streaming raw nanos-as-long events cannot silently mis-bucket
+    val newCounts = graft.operators.Relational.normalizeEventTs(batch)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
     val merged = VersionedStore.latestVersion(spark, storeDir, below = Some(batchId)) match {
