@@ -95,24 +95,45 @@ object IncrementalExport {
     prev.foreach(s => require(s.column == column,
       s"stateDir tracks column ${s.column}, not $column — refusing to mix watermarks"))
 
-    val delta = prev match {
+    val unbounded = prev match {
       case Some(s) => base.filter(col(column) > lit(s.maxLiteral).cast(field.dataType))
       case None => base
     }
 
-    val describe = prev match {
-      case Some(s) => s"SELECT * FROM ${schemaCfg.tableName} WHERE $column > '${s.maxLiteral}'"
-      case None => s"SELECT * FROM ${schemaCfg.tableName} WHERE 1=1"
+    // The watermark bound is fixed BEFORE the export and the export is
+    // clipped to it (`prev < col <= newMax`). Computing the new max from a
+    // second scan AFTER the export — the obvious ordering — loses data on
+    // a live table: rows appended between the export's scan and the max
+    // scan raise the watermark past rows the export never saw, and the
+    // next run's strict `>` filter skips them forever. With the bound
+    // fixed first, anything appended later is > newMax by the
+    // append-monotone contract and belongs to the next run. (Ties ON the
+    // bound appended after the export scan remain the standard strict-`>`
+    // watermark caveat; a strictly-increasing column is exactly-once.)
+    val newMax = unbounded.agg(max(col(column))).head().get(0)
+    val (delta, next) = Option(newMax) match {
+      case Some(v) =>
+        val litMax = literalOf(v)
+        (unbounded.filter(col(column) <= lit(litMax).cast(field.dataType)),
+          Some(State(column, litMax)))
+      case None => (unbounded, prev) // empty delta: export 0 rows, keep the old watermark
+    }
+
+    val describe = (prev, next) match {
+      case (Some(s), Some(n)) =>
+        s"SELECT * FROM ${schemaCfg.tableName} WHERE $column > '${s.maxLiteral}' AND $column <= '${n.maxLiteral}'"
+      case (None, Some(n)) =>
+        s"SELECT * FROM ${schemaCfg.tableName} WHERE $column <= '${n.maxLiteral}'"
+      case _ => s"SELECT * FROM ${schemaCfg.tableName} WHERE 1=0"
     }
 
     val result = ExportJob.run(spark, delta, outputDir,
       sinkArgs = sinkArgs, schemaCfg = schemaCfg,
       queries = Seq(describe), minRows = minRows, dataOnly = dataOnly)
 
-    // New watermark from the exported delta itself; an empty delta keeps
-    // the previous state (and a first empty run writes nothing).
-    val newMax = delta.agg(max(col(column))).head().get(0)
-    val next = Option(newMax).map(v => State(column, literalOf(v))).orElse(prev)
+    // State written ONLY after a fully successful export (the planned
+    // bound, not a post-hoc scan); an empty delta keeps the previous
+    // watermark (never regresses, never writes null).
     next.foreach(writeState(conf, stateDir, _))
     result
   }

@@ -57,12 +57,16 @@ object PartitionedExport {
 
     require(df.schema.fieldNames.contains(partitionBy),
       s"partition column $partitionBy not in ${df.schema.fieldNames.mkString(",")}")
-    val values = df.select(partitionBy).distinct().collect()
+    // LIMIT maxPartitions+1 bounds the collect BEFORE the cardinality
+    // check: pointing this mode at a high-cardinality column must fail
+    // with the friendly exit-47 message, not exhaust the driver
+    // collecting millions of distinct values first.
+    val values = df.select(partitionBy).distinct().limit(maxPartitions + 1).collect()
       .map(r => Option(r.get(0)).map(_.toString))
     if (values.length > maxPartitions)
       throw new IllegalArgumentException(
-        s"--partitionOutputBy=$partitionBy has ${values.length} distinct values " +
-          s"(max $maxPartitions) — partitioned export is for low-cardinality columns")
+        s"--partitionOutputBy=$partitionBy has more than $maxPartitions distinct values " +
+          "— partitioned export is for low-cardinality columns")
     val dirs = values.map(v => v -> v.map(sanitize).getOrElse(NullDir))
     val collisions = dirs.groupBy(_._2).filter(_._2.length > 1)
     if (collisions.nonEmpty)

@@ -121,7 +121,13 @@ object AvroSink {
     // Serializable snapshot of the Hadoop conf keys we need executor-side.
     val fsDefault = sc.hadoopConfiguration.get("fs.defaultFS", "file:///")
 
-    val rdd = df.queryExecution.toRdd // InternalRow — avoids Row materialization
+    val rdd0 = df.queryExecution.toRdd // InternalRow — avoids Row materialization
+    // A zero-partition plan (e.g. an empty LocalRelation) would run no
+    // tasks at all: no part files, yet the manifest below names one —
+    // an export AvroSource then rejects. One empty partition makes the
+    // empty export a valid, readable container (header-only part).
+    val rdd = if (rdd0.getNumPartitions == 0)
+      sc.parallelize(Seq.empty[InternalRow], 1) else rdd0
     val numPartitions = math.max(1, rdd.getNumPartitions)
 
     val job = rdd.mapPartitionsWithIndex { (idx, rows) =>

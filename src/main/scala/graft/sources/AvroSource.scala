@@ -80,11 +80,18 @@ object AvroSource {
         val schema = new Schema.Parser().parse(schemaJson)
         val stream = new DataFileStream[GenericRecord](
           p.getFileSystem(c).open(p), new GenericDatumReader[GenericRecord](schema))
+        // Close on task completion too: a consumer that abandons the
+        // iterator early (LIMIT, take) never reaches the drained-close in
+        // hasNext, and a long-lived executor would leak the file handle.
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; stream.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val fieldCount = schema.getFields.size
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = stream.hasNext
-            if (!h) stream.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

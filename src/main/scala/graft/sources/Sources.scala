@@ -141,7 +141,7 @@ final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: In
         // Bounds via one agg query on an un-split frame (reference S4 probe).
         val probe = spark.read.jdbc(conn.url, table, p)
         val row = probe.agg(min(col(sp)), max(col(sp))).head()
-        val preds = predicates(_ => (row.getLong(0), row.getLong(1)))
+        val preds = predicates(_ => (nullToZero(row, 0), nullToZero(row, 1)))
         spark.read.jdbc(conn.url, table, preds, p)
       case _ =>
         spark.read.jdbc(conn.url, table, p)
@@ -162,8 +162,16 @@ final case class JdbcSource(conn: ConnectionArgs, args: QueryArgs, fetchSize: In
     args.buildQueries { sp =>
       val probe = spark.read.jdbc(conn.url, dbtable, props)
       val row = probe.agg(min(col(sp)), max(col(sp))).head()
-      (row.getLong(0), row.getLong(1))
+      (nullToZero(row, 0), nullToZero(row, 1))
     }
+
+  /** NULL min/max bounds (an empty table) read as 0, matching the
+    * reference's `ResultSet.getLong` semantics on SQL NULL
+    * (`QueryBuilderArgs.java` bounds probe): the export degrades to one
+    * empty range instead of crashing with an NPE.
+    */
+  private def nullToZero(row: org.apache.spark.sql.Row, i: Int): Long =
+    if (row.isNullAt(i)) 0L else row.getLong(i)
 }
 
 /** Parquet-backed source applying the same query semantics as Catalyst
@@ -220,6 +228,7 @@ final case class ParquetSource(path: String, tableName: String, args: QueryArgs)
   }
 
   private def toLong(v: Any): Long = v match {
+    case null => 0L // empty table: NULL bounds read as 0, like JDBC getLong
     case l: Long => l
     case i: Int => i.toLong
     case s: Short => s.toLong
@@ -229,7 +238,7 @@ final case class ParquetSource(path: String, tableName: String, args: QueryArgs)
   override def queries(spark: SparkSession): Seq[String] = {
     args.buildQueries { sp =>
       val row = read(spark).agg(min(col(sp)), max(col(sp))).head()
-      (row.getLong(0), row.getLong(1))
+      (toLong(row.get(0)), toLong(row.get(1)))
     }
   }
 }

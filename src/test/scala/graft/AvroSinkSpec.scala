@@ -136,6 +136,22 @@ class AvroSinkSpec extends AnyFunSuite {
     assert(m3.meterFlushes == 0 && m3.recordCount == 2500)
   }
 
+  test("r15: a zero-partition plan still publishes one readable empty part matching the manifest") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // an RDD-backed empty frame keeps ZERO partitions through toRdd —
+    // previously: no task ran, no part file, but the manifest named one
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    assert(df.queryExecution.toRdd.getNumPartitions == 0, "fixture must be zero-partition")
+    val out = tmpDir("avro-empty")
+    val avro = AvroSchemaGen.generate(schema, AvroSchemaGen.Config(tableName = "empty"))
+    val m = AvroSink.write(df, avro, out, "deflate1")
+    assert(m.recordCount == 0)
+    val names = new File(out).listFiles().map(_.getName).toSet
+    assert(names.contains("part-00000-of-00001.avro"), s"missing empty part: $names")
+    // and the sink's own reader accepts the directory (manifest matches)
+    assert(graft.sources.AvroSource.read(spark, out).count() == 0)
+  }
+
   test("codec validation") {
     AvroSink.codecFactory("snappy")
     AvroSink.codecFactory("deflate9")

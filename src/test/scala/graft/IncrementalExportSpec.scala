@@ -54,6 +54,23 @@ class IncrementalExportSpec extends AnyFunSuite {
       IncrementalExport.State("id", "150")))
   }
 
+  test("r15: the watermark bound is fixed BEFORE the export and recorded in the query sidecar") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-bound").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    (1L to 20L).toDF("id").write.mode("overwrite").parquet(in)
+    IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    // the sidecar carries the CLIPPED window — proof the export is bounded
+    // by the pre-computed watermark, not left open to a racing append
+    val q1 = scala.io.Source.fromFile(s"$root/run1/_queries/query_0.sql").mkString
+    assert(q1.contains("id <= '20'"), s"first-run sidecar must carry the bound: $q1")
+    (21L to 30L).toDF("id").write.mode("append").parquet(in)
+    IncrementalExport.run(spark, in, s"$root/run2", state, "id")
+    val q2 = scala.io.Source.fromFile(s"$root/run2/_queries/query_0.sql").mkString
+    assert(q2.contains("id > '20'") && q2.contains("id <= '30'"),
+      s"second-run sidecar must carry both bounds: $q2")
+  }
+
   test("r9: timestamp watermark round-trips through the state literal") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("inc-export-ts").toString
