@@ -7,6 +7,12 @@ package graft.catalog
   */
 private[graft] object AnnOracles {
 
+  // r15 (ADVICE r14): every exact-cosine oracle excludes zero-norm vectors
+  // (`WHERE norm > 0` on the corpus CTE, which the query CTEs inherit) —
+  // the engine's `withNorm` filters them on the Spark side, and the oracle
+  // must PIN that exclusion contract rather than silently depend on the
+  // fixture containing no zero-norm embedding (DuckDB would rank the NaN
+  // cosines first the moment one appeared).
   val sql: Map[String, String] = Map(
     // r10 continuation: ratio-margin mining — candidate pairs are the
     // union of forward/backward k-NN; neighborhood sums fold top-k
@@ -14,9 +20,11 @@ private[graft] object AnnOracles {
     // emission order exactly; ranks resolve on the micro-rounded margin
     "ann_margin_mining" ->
       """WITH n AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS nm
-        | FROM embeddings),
+        | SELECT * FROM (
+        |  SELECT vec_id, embedding,
+        |   sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS nm
+        |  FROM embeddings)
+        | WHERE nm > 0),
         |x AS (SELECT vec_id AS xi, embedding AS xe, nm AS xn FROM n WHERE vec_id % 10 = 0),
         |y AS (SELECT vec_id AS yi, embedding AS ye, nm AS yn FROM n WHERE vec_id % 10 != 0),
         |s AS (
@@ -50,10 +58,12 @@ private[graft] object AnnOracles {
         |FROM best JOIN besty ON besty.yi = best.yi""".stripMargin,
     "ann_topk" ->
       """WITH e AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |    (acc, x) -> acc + x)) AS norm
-        | FROM embeddings),
+        | SELECT * FROM (
+        |  SELECT vec_id, embedding,
+        |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     (acc, x) -> acc + x)) AS norm
+        |  FROM embeddings)
+        | WHERE norm > 0),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,
@@ -70,10 +80,12 @@ private[graft] object AnnOracles {
     // before ranking — the mining contract is exact, not approximate
     "ann_hard_negatives" ->
       """WITH e AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |    (acc, x) -> acc + x)) AS norm
-        | FROM embeddings),
+        | SELECT * FROM (
+        |  SELECT vec_id, embedding,
+        |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     (acc, x) -> acc + x)) AS norm
+        |  FROM embeddings)
+        | WHERE norm > 0),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,
@@ -88,10 +100,12 @@ private[graft] object AnnOracles {
         |WHERE rank <= 10""".stripMargin,
     "ann_recall" ->
       """WITH e AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |    (acc, x) -> acc + x)) AS norm
-        | FROM embeddings),
+        | SELECT * FROM (
+        |  SELECT vec_id, embedding,
+        |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |     (acc, x) -> acc + x)) AS norm
+        |  FROM embeddings)
+        | WHERE norm > 0),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,

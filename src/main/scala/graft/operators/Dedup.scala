@@ -1249,29 +1249,55 @@ object Dedup {
     * smallest); assignment ties break to the smallest centroid index; a
     * cluster left empty keeps its previous centroid.
     *
-    * Scale shape: ASSIGNMENT IS MAP-ONLY — centroids travel as literal
-    * expressions inside a row-local argmin (array_min over
-    * struct(dist, j)), no join, no shuffle, no broadcast, fully inside
-    * whole-stage codegen. The only shuffled stage per iteration is the
-    * centroid update, whose map-side partial aggregation ships k·dim rows
-    * per input partition; driver collects are k seed rows and k·dim sums —
-    * bounded by construction, never corpus-sized. Overflow: unit-norm
-    * inputs give per-dim squared gaps ≤ 4·(1e6)² so dim ≤ 512 distances
-    * stay < 2^41, and per-cluster component sums need n·1e6 < 2^63 —
-    * ~9×10^12 rows, far past any single k-means shard.
+    * Scale shape — TWO assignment forms, identical arithmetic, chosen by k
+    * (ADVICE r14: the literal form alone advertised a k it cannot run):
+    *   - k ≤ [[LiteralAssignMaxK]] — MAP-ONLY literal argmin: centroids
+    *     travel as literal expressions inside a row-local `array_min` over
+    *     `struct(dist, j)`, no join, no shuffle, fully inside whole-stage
+    *     codegen, and each Lloyd update collects the k·dim sums (bounded).
+    *   - k > [[LiteralAssignMaxK]] — BROADCAST-JOIN argmin: centroids live
+    *     in a k-row DataFrame cross-joined (broadcast) against the
+    *     vectors, `min(struct(d, j))` per vec_id; Lloyd updates stay fully
+    *     DISTRIBUTED (sums → per-cluster arrays → next centroid frame,
+    *     localCheckpoint per iteration) so the driver never holds k·dim
+    *     values and the codegen size is O(1) in k. Ties and trunc match
+    *     the literal form exactly — KmeansAssignParitySpec pins the two
+    *     paths bit-identical at the same k.
+    * Overflow: unit-norm inputs give per-dim squared gaps ≤ 4·(1e6)² so
+    * dim ≤ 512 distances stay < 2^41, and per-cluster component sums need
+    * n·1e6 < 2^63 — ~9×10^12 rows, far past any single k-means shard.
     *
     * Output: (vec_id, cluster_id: bigint, dist_sq: bigint) with dist_sq
     * the final squared distance in micro² units.
+    *
+    * `forPlanInspection = true` builds the SAME plan shape with fixed
+    * dummy centroids and runs ZERO jobs (no seed collect, no Lloyd, no
+    * cache fill) — the seam PlanSpec's hint walker reads (ADVICE r14).
     */
   private[graft] def kmeansMicroAssign(vectors: DataFrame, k: Int,
-      lloydIters: Int): DataFrame = {
+      lloydIters: Int, forPlanInspection: Boolean = false,
+      assignVia: String = "auto"): DataFrame = {
     require(k >= 1 && lloydIters >= 0,
       s"kmeansMicroAssign: need k >= 1 and lloydIters >= 0, got k=$k iters=$lloydIters")
-    val q = vectors.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-          .as("q"))
-      .cache()
-    def assign(cents: Array[Array[Long]]): DataFrame = {
+    val spark = vectors.sparkSession
+    val useJoin = assignVia match {
+      case "auto" => k > LiteralAssignMaxK
+      case "join" => true
+      case "literal" =>
+        require(k <= LiteralAssignMaxK,
+          s"kmeansMicroAssign: literal assignment supports k <= $LiteralAssignMaxK " +
+            s"(codegen size grows with k·dim), got k=$k — use the join path")
+        false
+      case other => throw new IllegalArgumentException(
+        s"kmeansMicroAssign: assignVia must be auto|literal|join, got $other")
+    }
+    val q0 = vectors.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("q"))
+    val q = if (forPlanInspection) q0 else q0.cache()
+
+    // the literal map-only argmin (small k)
+    def assignLit(cents: Array[Array[Long]]): DataFrame = {
       val dArr = array(cents.zipWithIndex.map { case (c, j) =>
         val centLit = array(c.map(lit(_)).toIndexedSeq: _*)
         struct(
@@ -1284,26 +1310,84 @@ object Dedup {
         .select(col("vec_id"), col("q"),
           col("best.j").as("cluster_id"), col("best.d").as("dist_sq"))
     }
-    val seeds = q.orderBy("vec_id").limit(k).collect() // bounded: k rows
-    require(seeds.length == k,
-      s"kmeansMicroAssign: corpus has only ${seeds.length} vectors, need >= k=$k")
-    var cents = seeds.map(_.getSeq[Long](1).toArray)
-    for (_ <- 1 to lloydIters) {
-      val sums = assign(cents)
-        .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "v")))
-        .groupBy("cluster_id", "dim")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .collect() // bounded: k·dim rows after map-side partial aggregation
-      val next = cents.map(_.clone()) // an empty cluster keeps its centroid
-      sums.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) =
-          (r.getLong(2).toDouble / r.getLong(3)).toLong // trunc(Σq/n)
-      }
-      cents = next
+    // the broadcast-join argmin (large k): same distance expression, same
+    // (d, j) tie order via min(struct), never a literal per centroid
+    def assignJoin(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .withColumn("d",
+          aggregate(zip_with(col("q"), col("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("j"))).as("best"), first(col("q")).as("q"))
+        .select(col("vec_id"), col("q"),
+          col("best.j").as("cluster_id"), col("best.d").as("dist_sq"))
+
+    if (forPlanInspection) {
+      // fixed dummy centroids, zero jobs — plan shape only
+      return if (useJoin)
+        assignJoin(spark.range(k.toLong)
+          .select(col("id").as("j"), array(lit(0L)).as("cent")))
+          .select("vec_id", "cluster_id", "dist_sq")
+      else assignLit(Array.fill(k)(Array(0L))).select("vec_id", "cluster_id", "dist_sq")
     }
-    materializeAndRelease(Seq(q),
-      assign(cents).select("vec_id", "cluster_id", "dist_sq"))
+
+    if (!useJoin) {
+      val seeds = q.orderBy("vec_id").limit(k).collect() // bounded: k rows
+      require(seeds.length == k,
+        s"kmeansMicroAssign: corpus has only ${seeds.length} vectors, need >= k=$k")
+      var cents = seeds.map(_.getSeq[Long](1).toArray)
+      for (_ <- 1 to lloydIters) {
+        val sums = assignLit(cents)
+          .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy("cluster_id", "dim")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect() // bounded: k·dim rows after map-side partial aggregation
+        val next = cents.map(_.clone()) // an empty cluster keeps its centroid
+        sums.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) =
+            (r.getLong(2).toDouble / r.getLong(3)).toLong // trunc(Σq/n)
+        }
+        cents = next
+      }
+      materializeAndRelease(Seq(q),
+        assignLit(cents).select("vec_id", "cluster_id", "dist_sq"))
+    } else {
+      // seeds: the k smallest vec_ids in rank order — j = rank − 1, same
+      // contract as the literal path, built WITHOUT collecting vectors
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      var cents = q.orderBy("vec_id").limit(k)
+        .select((row_number().over(w) - 1).cast("long").as("j"), col("q").as("cent"))
+        .localCheckpoint(true) // k rows; eager so the seed sort runs once
+      require(cents.count() == k,
+        s"kmeansMicroAssign: corpus has fewer than k=$k vectors")
+      for (_ <- 1 to lloydIters) {
+        // distributed update: per-(cluster, dim) integer sums, reassembled
+        // into per-cluster arrays — trunc(Σq/n) via double division cast to
+        // bigint, the literal path's exact arithmetic
+        val updates = assignJoin(cents)
+          .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy("cluster_id", "dim")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .withColumn("nv", expr("CAST(CAST(s AS DOUBLE) / n AS BIGINT)"))
+          .groupBy("cluster_id")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, nv))), p -> p.nv)")
+            .as("new_cent"))
+        cents = cents.join(updates, cents("j") === updates("cluster_id"), "left")
+          .select(col("j"),
+            coalesce(col("new_cent"), col("cent")).as("cent")) // empty cluster keeps its centroid
+          .localCheckpoint(true) // cut per-iteration lineage; k rows
+      }
+      materializeAndRelease(Seq(q),
+        assignJoin(cents).select("vec_id", "cluster_id", "dist_sq"))
+    }
   }
+
+  /** Upper bound for the literal (codegen) assignment form: each centroid
+    * inlines `dim` literals into the argmin expression, so codegen size
+    * grows with k·dim — past this, [[kmeansMicroAssign]] switches to the
+    * broadcast-join form automatically (bit-identical output).
+    */
+  private[graft] val LiteralAssignMaxK = 64
 
   /** `cluster_kmeans` catalog entry — [[kmeansMicroAssign]] over the
     * embeddings table with the oracle-pinned defaults (k=8, two Lloyd
@@ -1318,12 +1402,17 @@ object Dedup {
     * `targetClusterSize` so the within-cluster pair work Σ n_c² ≈ n·target
     * stays LINEAR in the corpus — [[lshBitsFor]]'s occupancy argument
     * applied to k-means cells (the paper runs 11k clusters on LAION for
-    * the same reason). Clamped to [1, 2^20].
+    * the same reason). Clamped to [1, 2^16] — the bound the broadcast-join
+    * assignment genuinely supports (a 2^16-row centroid frame broadcasts
+    * at ≤ 256 MB even at dim 512; the per-iteration update is fully
+    * distributed, so k is executor-, not driver-, bounded). 2^16 clusters
+    * × the 4096 target = ~268M vectors per k-means shard; a larger corpus
+    * shards first (the standard SemDeDup deployment), it does not raise k.
     */
   def kmeansKFor(n: Long, targetClusterSize: Int = 4096): Int = {
     require(n > 0 && targetClusterSize > 0,
       s"kmeansKFor: need positive corpus size and target, got n=$n target=$targetClusterSize")
-    math.min(1 << 20, math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    math.min(1 << 16, math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a first-class
@@ -1364,7 +1453,8 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         Portable.l2NormNative("embedding").as("norm"))
       .cache()
-    val assigned = kmeansMicroAssign(e.select("vec_id", "embedding"), k, lloydIters)
+    val assigned = kmeansMicroAssign(e.select("vec_id", "embedding"), k, lloydIters,
+        forPlanInspection = forPlanInspection) // inspection runs zero k-means jobs
       .select("vec_id", "cluster_id") // payload-free: blocking replicates ids only
     val cn = assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_c"))
     val blocked = assigned.join(cn, Seq("cluster_id"))

@@ -358,6 +358,76 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r15: text/graph/multimodal families hint-broadcast only reduced, bounded, or local sides") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // VERDICT r14 #4: the TPC-H/dedup/ANN hint audit extended to the
+    // remaining catalog families (TextAnalysis carries 25 broadcast sites,
+    // Graph 4, Relational's stats rows 18). The mechanical contract pinned
+    // here is the one whose violation produced the r13 Dedup findings: a
+    // broadcast hint must NEVER sit on an UN-REDUCED corpus side. A hinted
+    // side is legitimate iff it
+    //   - touches no corpus leaf at all (LocalRelation / driver params), or
+    //   - passes the corpus through an Aggregate (scalar reductions AND
+    //     grouped histograms: the group-key boundedness is each family's
+    //     documented argument — Zipf-capped vocab, <=4096-weight histogram,
+    //     numBuckets-row cost models, |sources| strata), or
+    //   - is a literal-bounded Filter (query/eval sets), or
+    //   - scans only the FIXED tables (nation: 25 rows, region: 5).
+    val fixed = Set("nation", "region")
+    def corpusLeaf(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => !fs.location.rootPaths.forall(rp =>
+          fixed.exists(tbl => rp.getName == s"$tbl.parquet"))
+        case _ => true
+      }
+      case _: InMemoryRelation => true
+      case _ => false
+    }
+    def reduced(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.nonEmpty
+    def literalBoundedFilter(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case f: Filter if f.condition.collectFirst { case l: Literal => l }.nonEmpty => f
+      }.nonEmpty
+    def violations(plan: LogicalPlan): Seq[LogicalPlan] = {
+      val bad = Seq.newBuilder[LogicalPlan]
+      plan.foreach {
+        case j: Join =>
+          for ((side, hinted) <- Seq(
+              (j.left, j.hint.leftHint.nonEmpty), (j.right, j.hint.rightHint.nonEmpty))
+            if hinted)
+            if (corpusLeaf(side) && !reduced(side) && !literalBoundedFilter(side))
+              bad += side
+        case _ => ()
+      }
+      bad.result()
+    }
+    // negative control: a hint on a raw (un-reduced, un-filtered) corpus
+    // projection must be flagged, or every green row below is vacuous
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bad = docs.join(
+      org.apache.spark.sql.functions.broadcast(
+        docs.select(col("doc_id").as("b_id"))),
+      col("doc_id") === col("b_id"))
+    assert(violations(bad.queryExecution.optimizedPlan).nonEmpty,
+      "walker failed to flag a broadcast hint on an un-reduced corpus side")
+    // every catalog row of the families named by the verdict item —
+    // materialized rows (Scan ExistingRDD) pass vacuously here; their
+    // unmaterialized twins are walked by the dedicated tests above
+    val families = Seq("text_", "graph_", "mm_", "multimodal_", "pipeline_",
+      "sample_", "stats_", "corpus_")
+    val rows = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => families.exists(n.startsWith))
+    assert(rows.size >= 60, s"family filter lost the catalog: ${rows.size} rows")
+    for (q <- rows) {
+      val v = violations(SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan)
+      assert(v.isEmpty, s"$q: broadcast hint on an un-reduced corpus side:\n${v.mkString("\n")}")
+    }
+  }
+
   test("r13: hashed line dedup shuffles key on the segment fingerprint, never segment text") {
     val df = graft.operators.TextAnalysis.lineDedupHashed(spark, dir,
       forPlanInspection = true)

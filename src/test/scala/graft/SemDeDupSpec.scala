@@ -98,7 +98,9 @@ class SemDeDupSpec extends AnyFunSuite {
   test("kmeansKFor holds cluster size linear in the corpus") {
     assert(Dedup.kmeansKFor(500, 4096) == 1)
     assert(Dedup.kmeansKFor(1L << 20, 4096) == 256)
-    assert(Dedup.kmeansKFor(Long.MaxValue / 4, 4096) == (1 << 20)) // clamp
+    // r15 clamp: 2^16 — the broadcast-join assignment's supported range
+    // (beyond it the corpus shards first, k does not grow)
+    assert(Dedup.kmeansKFor(Long.MaxValue / 4, 4096) == (1 << 16)) // clamp
     intercept[IllegalArgumentException](Dedup.kmeansKFor(0, 4096))
   }
 }

@@ -31,10 +31,29 @@ def connect(sf_dir: str):
     return con
 
 
+def _canon_col(s: pd.Series) -> pd.Series:
+    """Dtype-stable string form (ADVICE r14): int64 1 and float64 1.0 must
+    render identically, so a dtype drift between engines sorts both frames
+    into the SAME row order and surfaces as the dtype WARN — not as a
+    spurious value FAIL at whatever row the divergent orderings first
+    misalign. Integers stay exact (no float round-trip); integral floats
+    below 2**53 drop the ".0"."""
+    if pd.api.types.is_integer_dtype(s):
+        return s.map(lambda v: "nan" if pd.isna(v) else str(int(v)))
+    if pd.api.types.is_float_dtype(s):
+        def fmt(v):
+            if pd.isna(v):
+                return "nan"
+            f = float(v)
+            return str(int(f)) if f.is_integer() and abs(f) < 2**53 else repr(f)
+        return s.map(fmt)
+    return s.astype(str)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for stable total ordering across dtypes
-    key = df.astype(str)
+    # canonical per-column strings for a dtype-stable total ordering
+    key = pd.DataFrame({c: _canon_col(df[c]) for c in df.columns})
     order = key.sort_values(by=list(df.columns)).index
     return df.loc[order].reset_index(drop=True)
 
@@ -57,7 +76,7 @@ def check_one(con, out_dir: str, name: str, sql: str):
         if str(wa.dtype) != str(ga.dtype):
             # dtype mismatch may still hash-differ driver-side; flag it
             mismatch = f"dtype {c}: spark={ga.dtype} duck={wa.dtype}"
-        eq = (wa.astype(str) == ga.astype(str))
+        eq = (_canon_col(wa) == _canon_col(ga))
         if not eq.all():
             i = eq.idxmin()
             mismatch = f"value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"
