@@ -39,7 +39,18 @@ object DedupScaleProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // shuffle-byte meter for the semdedup co-growth cell: the LINEARITY
+    // claim is about work, and wall clock on a shared host lies — shuffle
+    // write bytes do not
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
     var k = 1
+    val semCells = Seq.newBuilder[(Long, Double, Long)]
     while (k <= maxFactor) {
       val vecs = replicated(k)
       val n = vecs.count() // fill cache
@@ -51,9 +62,33 @@ object DedupScaleProbe {
       val lsh = time {
         graft.operators.Dedup.embeddingNearDupsLsh(vecs, 0.9).count()
       }
-      println(f"[probe] n=$n%7d (x$k) blocks=$blocks exact_grid=${exact}%7.2fs lsh=${lsh}%6.2fs")
+      // r15 (VERDICT r14 #5): the SemDeDup CO-GROWTH cell — k-means k grown
+      // with n via kmeansKFor at a FIXED small target cluster size (so the
+      // ×8 sweep actually exercises k ∝ n at probe scale), Σ n_c² ≈
+      // n·target and the whole operator should scale ~linear in n: wall
+      // AND shuffle-byte exponents ≈ 1 across doublings.
+      val semTarget = 256
+      val semK = graft.operators.Dedup.kmeansKFor(n, semTarget)
+      shuffleBytes.set(0L)
+      val sem = time {
+        graft.operators.Dedup.semDeDupFrom(vecs, semK, lloydIters = 2, threshold = 0.4).count()
+      }
+      Thread.sleep(500) // listener bus is async; stage events post within ms
+      val semSh = shuffleBytes.get()
+      semCells += ((n, sem, semSh))
+      println(f"[probe] n=$n%7d (x$k) blocks=$blocks exact_grid=${exact}%7.2fs " +
+        f"lsh=${lsh}%6.2fs semdedup(k=$semK)=${sem}%6.2fs shuffle=${semSh / 1048576.0}%7.1fMiB")
       vecs.unpersist()
       k *= 2
+    }
+    val cells = semCells.result()
+    if (cells.size >= 2) {
+      val (n1, w1, s1) = cells.head
+      val (n2, w2, s2) = cells.last
+      val span = math.log(n2.toDouble / n1)
+      println(f"[probe] semdedup co-growth exponents over x${n2 / n1}: " +
+        f"wall=${math.log(w2 / w1) / span}%5.2f shuffle=${math.log(s2.toDouble / s1) / span}%5.2f " +
+        "(≈1.0 = linear; k grew with n at fixed cluster size)")
     }
     spark.stop()
   }
