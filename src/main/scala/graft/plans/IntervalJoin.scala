@@ -141,9 +141,15 @@ final case class IntervalJoinExec(
           val time = t.asInstanceOf[Long]
           // key advanced past the buffered key: the whole buffer is stale
           if (bufKey != key && !bufRows.isEmpty) { bufRows.clear(); bufTimes.clear() }
+          // Window tests as DIFFERENCES (`rTime - time <= hi`), never as
+          // shifted bounds (`rTime <= time + hi`): epoch-micro differences
+          // cannot overflow (~2^52 apart at most), while `time + hi`
+          // overflows for unbounded-style deltas (hi near Long.MaxValue
+          // silently matched NOTHING) — the r15 plans deep-read finding,
+          // and the same form AsOfJoinExec already uses for tolerance.
           // consume rights up to the window's upper end for this left row
-          while (rHas && (rKey < key || (rKey == key && rTime <= time + hi))) {
-            if (rKey == key && rTime >= time + lo) { // can still match
+          while (rHas && (rKey < key || (rKey == key && rTime - time <= hi))) {
+            if (rKey == key && rTime - time >= lo) { // can still match
               bufRows.addLast(rRow.copy())
               bufTimes.addLast(rTime)
               bufKey = key
@@ -151,7 +157,7 @@ final case class IntervalJoinExec(
             advanceRight()
           }
           // evict buffered rights that fell below the lower end
-          while (!bufTimes.isEmpty && bufTimes.peekFirst() < time + lo) {
+          while (!bufTimes.isEmpty && bufTimes.peekFirst() - time < lo) {
             bufTimes.removeFirst(); bufRows.removeFirst()
           }
           if (bufRows.isEmpty) Iterator.empty
