@@ -225,7 +225,14 @@ object ArgParsers {
   ): Unit = {
     partition.foreach { p =>
       if (partitionColumn.isEmpty && !skipCheck) {
-        val marker = minPartitionPeriod.getOrElse(now.minus(partitionPeriod).minus(partitionPeriod))
+        // via OffsetDateTime, NOT Instant.minus: a month/year Period throws
+        // UnsupportedTemporalTypeException on a bare Instant — the exact
+        // trap the reference comments on (`JdbcExportArgsFactory.java:102`,
+        // "Instant does not support operations with ChronoUnit.MONTHS");
+        // the r15 args deep-read found this port had lost that routing, so
+        // --partitionPeriod=P1M crashed the gate instead of running it.
+        val marker = minPartitionPeriod.getOrElse(
+          now.atOffset(ZoneOffset.UTC).minus(partitionPeriod).minus(partitionPeriod).toInstant)
         require(
           p.isAfter(marker),
           s"Too old partition date $p. Use a more recent partition date or use --skip-partition-check")

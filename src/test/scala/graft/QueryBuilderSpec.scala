@@ -212,4 +212,21 @@ class ArgParsersSpec extends AnyFunSuite {
     ArgParsers.validatePartitionFreshness(
       Some(Instant.parse("2020-01-01T00:00:00Z")), Some("col"), Period.ofDays(1), skipCheck = false, None, now)
   }
+
+  test("r15: monthly/yearly partition periods run the freshness gate instead of throwing") {
+    val now = Instant.parse("2027-08-10T00:00:00Z")
+    // Instant.minus(Period.ofMonths) throws UnsupportedTemporalTypeException;
+    // the gate must route through OffsetDateTime like the reference
+    // (JdbcExportArgsFactory.java:102-108) — a recent monthly partition passes...
+    ArgParsers.validatePartitionFreshness(
+      Some(Instant.parse("2027-07-01T00:00:00Z")), None, Period.ofMonths(1), skipCheck = false, None, now)
+    // ...an old one fails the GATE (IllegalArgumentException, exit 47),
+    // never an UnsupportedTemporalTypeException (exit 49)
+    assertThrows[IllegalArgumentException](
+      ArgParsers.validatePartitionFreshness(
+        Some(Instant.parse("2027-05-01T00:00:00Z")), None, Period.ofMonths(1), skipCheck = false, None, now))
+    // yearly periods take the same path
+    ArgParsers.validatePartitionFreshness(
+      Some(Instant.parse("2026-01-01T00:00:00Z")), None, Period.ofYears(1), skipCheck = false, None, now)
+  }
 }
