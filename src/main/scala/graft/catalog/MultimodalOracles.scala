@@ -19,17 +19,28 @@ private[graft] object MultimodalOracles {
         | SELECT doc_id, text, CAST((len(text) + 63) // 64 AS BIGINT) AS n_frames,
         |  unnest(range(0, CAST((len(text) + 63) // 64 AS BIGINT), 10)) AS frame_idx
         | FROM documents)""".stripMargin,
+    // BYTE-true (r15 sweep): the engine decodes the UTF-8 PAYLOAD — its
+    // byte_len and checksum are over bytes, not codepoints. The old
+    // codepoint formulation matched only because the fixture was ASCII
+    // (the latent-divergence class the r14 advice flagged on the ANN
+    // oracles). Bytes reach SQL via hex(): two nibbles per byte, decoded
+    // with strpos arithmetic.
     "multimodal_decode" ->
       """SELECT doc_id, 'text/fake' AS media_type,
-        | CAST(length(text) AS BIGINT) AS byte_len,
+        | len AS byte_len,
         | CAST(16 + cs % 624 AS INTEGER) AS width,
         | CAST(16 + cs % 464 AS INTEGER) AS height,
         | cs AS checksum
         |FROM (
-        | SELECT doc_id, text,
-        |  CAST(COALESCE(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
+        | SELECT doc_id, len,
+        |  CAST(COALESCE(list_sum(list_transform(range(len),
+        |   i -> (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INTEGER), 1)) - 1))), 0) AS BIGINT)
         |    % 1000000007 AS cs
-        | FROM documents)""".stripMargin,
+        | FROM (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents))""".stripMargin,
     // width/height are pure doc_id arithmetic; every 7th row is corrupt by
     // construction and must come back quarantined (-1 dims, parsed=false)
     "multimodal_headers" ->
@@ -148,10 +159,19 @@ private[graft] object MultimodalOracles {
         | CAST(count(*) AS BIGINT) AS n_in_frame,
         | CAST(sum(v * v) AS BIGINT) AS frame_energy
         |FROM v GROUP BY doc_id, i // 32""".stripMargin,
+    // BYTE-true (r15 sweep): the engine stride-samples PAYLOAD BYTES
+    // (out(i) = payload[i*len/256]) — on non-ASCII text that differs from
+    // sampling characters (a sample can land inside a multi-byte
+    // sequence, yielding bytes that are not valid UTF-8). Both sides
+    // digest the HEX of the sampled bytes (md5(hex(payload)) engine-side):
+    // the oracle assembles the same hex pairs at the same byte positions.
     "multimodal_resize" ->
       """SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         | md5(array_to_string(list_transform(range(0, 256),
-        |   i -> substr(text, CAST(i * length(text) // 256 AS INTEGER) + 1, 1)), '')) AS thumb_md5
-        |FROM documents WHERE length(text) > 0""".stripMargin,
+        |   i -> substr(h, CAST(2 * (i * len // 256) + 1 AS INTEGER), 2)), '')) AS thumb_md5
+        |FROM (
+        | SELECT doc_id, hex(encode(text)) AS h,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS len
+        | FROM documents WHERE length(text) > 0)""".stripMargin,
   )
 }

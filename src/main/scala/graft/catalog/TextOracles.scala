@@ -179,8 +179,11 @@ private[graft] object TextOracles {
     "text_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        | CAST(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
-        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
+        | -- COALESCE: list_sum of an EMPTY list is NULL in DuckDB, while the
+        | -- engine's aggregate(..., 0L, ...) fold is 0 — a whitespace-only
+        | -- document must count 0 subword tokens on both sides (r15 sweep)
+        | CAST(COALESCE(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
+        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_est,
         | CAST(len(text) AS BIGINT) AS n_chars_measured
         |FROM documents""".stripMargin,
     "text_token_budget" ->

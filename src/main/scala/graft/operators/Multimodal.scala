@@ -1087,6 +1087,11 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
     resize(media, 16, 16).toDF()
-      .select(col("doc_id"), col("width"), col("height"), md5(col("payload")).as("thumb_md5"))
+      // digest the HEX of the thumbnail bytes: the sampled bytes need not
+      // form valid UTF-8 on a non-ASCII corpus, and DuckDB's md5 only
+      // hashes VARCHAR — hex() is the engine-neutral byte transport
+      // (uppercase in both engines), so the oracle stays byte-true
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(hex(col("payload"))).as("thumb_md5"))
   }
 }

@@ -46,8 +46,16 @@ object TextAnalysis {
         expr(s"size(filter(toks, t -> lower(t) IN ($sw)))").cast("bigint").as("n_stopwords"),
         expr("regexp_count(text, '[.,;:!?]')").cast("bigint").as("n_punct"),
         expr("regexp_count(text, '[a-zA-Z]')").cast("bigint").as("n_alpha"))
+      // n_tokens >= 1 always (split(trim(x)) of ANY string yields at least
+      // [""], both engines), so the token-ratio divisors are safe; n_chars
+      // is 0 for an EMPTY document, and Spark 4's ANSI mode throws
+      // DIVIDE_BY_ZERO even for double division — one empty doc in 100 TB
+      // killed the whole job (r15 adversarial-fixture sweep). Guard to NaN,
+      // which is exactly what the DuckDB oracle's 0.0/0 evaluates to.
       .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
-      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") === 0, lit(Double.NaN))
+          .otherwise(col("n_alpha").cast("double") / col("n_chars")))
       .withColumn("mean_word_len",
         (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
   }

@@ -684,6 +684,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegOrientation(mm).contains(6))
   }
 
+  test("r15: quality scoring survives empty and whitespace-only documents (ANSI divide guard)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tq-empty").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "   ", "en", "s", 3L), (3L, "plain words here", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // Spark 4 ANSI throws DIVIDE_BY_ZERO even for double division — before
+    // the r15 guard, ONE empty document killed the whole quality job
+    val rows = graft.operators.TextAnalysis.qualityScore(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("alpha_ratio").isNaN, "empty doc: 0/0 must be NaN (the oracle's value)")
+    assert(rows(1).getAs[Double]("alpha_ratio") == 0.0, "whitespace doc: 0/3 = 0.0")
+    assert(rows(2).getAs[Double]("alpha_ratio") > 0.8)
+  }
+
   test("resizeQuery: empty documents are excluded (resize-of-nothing has no canonical answer)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm-resize-empty").toString
