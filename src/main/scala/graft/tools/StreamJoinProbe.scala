@@ -65,7 +65,8 @@ object StreamJoinProbe {
       new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
     }
 
-    runOnce("cold (32 shuffle partitions, bench config)", 32)
+    runOnce("cold (8 shuffle partitions, the bench streaming section's r9 sizing)", 8)
+    runOnce("warm (8 shuffle partitions)", 8)
     runOnce("warm (32 shuffle partitions)", 32)
     runOnce("warm (200 shuffle partitions — state-store-count sensitivity)", 200)
     spark.stop()
