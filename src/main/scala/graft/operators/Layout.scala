@@ -170,6 +170,9 @@ object Layout {
     */
   def skippingGain(spark: SparkSession, dir: String,
       nChunks: Long = 32L, nProbes: Long = 16L): DataFrame = {
+    // the probe lattice divides by nProbes-1; ANSI would crash on div 0
+    require(nChunks >= 1 && nProbes >= 2,
+      s"skippingGain: need nChunks >= 1 and nProbes >= 2, got $nChunks/$nProbes")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .withColumn("zval", zValue(col("l_partkey"), col("l_suppkey")))
