@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+import org.apache.spark.sql.catalyst.expressions.codegen.{GenerateMutableProjection, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,10 +44,16 @@ class CodegenParitySpec extends AnyFunSuite {
     case _ => v
   }
 
-  /** Drives `expr` both ways over `rows`; fails on the first divergence. */
+  /** Drives `expr` THREE ways over `rows` — interpreted eval, generated
+    * MutableProjection, and generated UnsafeProjection (a different
+    * generated write path: UnsafeRow/UnsafeArrayWriter serialization, the
+    * one the exchange actually ships) — and fails on the first divergence.
+    */
   private def assertParity(name: String, expr: Expression, rows: Seq[InternalRow]): Unit = {
     val proj = GenerateMutableProjection.generate(Seq(expr))
     proj.initialize(0)
+    val unsafe = GenerateUnsafeProjection.generate(Seq(expr))
+    unsafe.initialize(0)
     rows.zipWithIndex.foreach { case (row, i) =>
       val interpreted = canon(expr.eval(row), expr.dataType)
       val out = proj(row)
@@ -55,6 +61,12 @@ class CodegenParitySpec extends AnyFunSuite {
         if (out.isNullAt(0)) null else out.get(0, expr.dataType), expr.dataType)
       assert(generated == interpreted,
         s"$name diverged on row $i: interpreted=$interpreted codegen=$generated input=$row")
+      val u = unsafe(row)
+      val viaUnsafe = canon(
+        if (u.isNullAt(0)) null else u.get(0, expr.dataType), expr.dataType)
+      assert(viaUnsafe == interpreted,
+        s"$name diverged through UnsafeProjection on row $i: " +
+          s"interpreted=$interpreted unsafe=$viaUnsafe input=$row")
     }
   }
 
