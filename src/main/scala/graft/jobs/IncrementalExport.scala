@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, count, lit, max}
 import org.apache.spark.sql.types._
 
 import graft.args.AvroSinkArgs
@@ -110,13 +110,33 @@ object IncrementalExport {
     // append-monotone contract and belongs to the next run. (Ties ON the
     // bound appended after the export scan remain the standard strict-`>`
     // watermark caveat; a strictly-increasing column is exactly-once.)
-    val newMax = unbounded.agg(max(col(column))).head().get(0)
+    // One 1-row agg fixes the bound AND audits for NULL watermark values.
+    // NULLs are unorderable: `col > prev` and `col <= max` are both
+    // NULL-false, so a NULL-watermark row would be silently excluded from
+    // every run forever — refuse loudly instead of losing data (the same
+    // contract a JDBC splitColumn carries in the reference: split
+    // predicates assume a non-null orderable column).
+    val aggRow = unbounded.agg(
+      max(col(column)), count(lit(1)), count(col(column))).head()
+    val (newMax, totalRows, nonNullRows) =
+      (aggRow.get(0), aggRow.getLong(1), aggRow.getLong(2))
+    require(totalRows == nonNullRows,
+      s"watermark column $column has ${totalRows - nonNullRows} NULL value(s) in the delta — " +
+        "NULLs are unorderable and would be silently skipped by every run; " +
+        "clean them or pick a non-null watermark column")
     val (delta, next) = Option(newMax) match {
       case Some(v) =>
         val litMax = literalOf(v)
         (unbounded.filter(col(column) <= lit(litMax).cast(field.dataType)),
           Some(State(column, litMax)))
-      case None => (unbounded, prev) // empty delta: export 0 rows, keep the old watermark
+      case None =>
+        // No rows in the delta (null max + zero-NULL audit above ⇒ the
+        // frame is empty). Export an EXPLICITLY empty frame so the data
+        // matches the `WHERE 1=0` sidecar — `unbounded` itself is only
+        // provably empty when prev exists; on a first run over an empty
+        // table it is the whole (empty) base, and filtering keeps the two
+        // cases uniform. Watermark unchanged (never regresses, never null).
+        (unbounded.filter(lit(false)), prev)
     }
 
     val describe = (prev, next) match {

@@ -35,8 +35,14 @@ object StreamJoinProbe {
     def runOnce(label: String, shufflePartitions: Int): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // Read the table path itself with a `*.parquet` leaf filter: this
+      // handles both a single `events.parquet` FILE and a Spark-written
+      // DIRECTORY of part files. (The previous
+      // `pathGlobFilter=events.parquet` over `dir` only matched a leaf
+      // file literally so named — against a directory layout it listed
+      // zero files and the probe printed vacuous numbers. ADVICE r15.)
       def side(tpe: String) = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$dir/events.parquet")
         .transform(graft.operators.Relational.normalizeEventTs)
         .filter(col("event_type") === tpe)
         .select("user_id", "event_id", "ts")
@@ -50,6 +56,10 @@ object StreamJoinProbe {
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       val progs = q.recentProgress.toSeq
+      // A silent empty read (bad glob, moved fixture) must fail loudly,
+      // not print vacuous zeros that read like a fast run.
+      require(progs.map(_.numInputRows).sum > 0,
+        s"probe read ZERO input rows from $dir/events.parquet — fixture layout or glob is wrong")
       println(f"[probe] $label: wall=${wall}%5.2fs batches=${progs.size}")
       progs.foreach { p =>
         val d = p.durationMs

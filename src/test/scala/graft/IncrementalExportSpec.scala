@@ -92,6 +92,43 @@ class IncrementalExportSpec extends AnyFunSuite {
     assert(r2.metrics.recordCount == 5, s"state literal $s1 must parse back exactly")
   }
 
+  test("r16: NULL watermark values refuse loudly instead of silently losing rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-null").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    Seq(Some(1L), Some(2L), None, Some(3L)).toDF("id")
+      .write.mode("overwrite").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // refusal happens BEFORE any state is written
+    assert(IncrementalExport.readState(
+      spark.sparkContext.hadoopConfiguration, state).isEmpty)
+  }
+
+  test("r16: first run over an empty table exports 0 rows, writes no state, and the next run catches up") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-empty").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1L to 5L).toDF("id").filter(lit(false)).write.mode("overwrite").parquet(in)
+
+    val r1 = IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    assert(r1.metrics.recordCount == 0)
+    assert(IncrementalExport.readState(conf, state).isEmpty)
+    // the data (0 rows) must AGREE with the WHERE 1=0 sidecar
+    val q1 = scala.io.Source.fromFile(s"$root/run1/_queries/query_0.sql").mkString
+    assert(q1.contains("1=0"), q1)
+
+    (1L to 5L).toDF("id").write.mode("append").parquet(in)
+    val r2 = IncrementalExport.run(spark, in, s"$root/run2", state, "id")
+    assert(r2.metrics.recordCount == 5)
+    assert(readIds(s"$root/run2") == (1L to 5L))
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "5")))
+  }
+
   test("r9: mixed-column state refuses, unsupported type refuses") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("inc-export-bad").toString
