@@ -151,7 +151,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-row failure isolation (r16 harness deep-read): without it, ONE
+    // throwing row (whose warm-pass failure was swallowed above) crashes
+    // the run after the finally-cleanup and the driver gets NO artifact at
+    // all — 130 rows lost to one. `update` takes the timing body BY NAME,
+    // so the plain `results("x") = <timed body>` call sites keep their
+    // shape and every row is isolated. A failed row records the -1.0
+    // sentinel, is excluded from `total`, and is listed in the JSON's
+    // "failed" field so it cannot pass as a fast run.
+    val failedRows = scala.collection.mutable.ArrayBuffer[String]()
+    object results {
+      val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+      def update(name: String, body: => Double): Unit =
+        try m(name) = body
+        catch { case e: Throwable =>
+          failedRows += name
+          m(name) = -1.0
+          System.err.println(s"[bench] ROW FAILED $name: ${e.getMessage}")
+        }
+      def contains(k: String): Boolean = m.contains(k)
+      def apply(k: String): Double = m(k)
+      def size: Int = m.size
+    }
 
     // 1. Avro export of the full bench table (dbeam's actual job) —
     // best-of-2 like the catalog rows (round-7 fix): the single-shot export
@@ -227,15 +248,25 @@ object Bench {
     // every time; restored to the engine default after the section.
     val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Layout-aware file-source streams (ADVICE r15): a fixed
+    // `pathGlobFilter=<name>.parquet` over the parent dir lists ZERO files
+    // against a directory-of-parts fixture (vacuous fast numbers), while a
+    // direct table path crashes on a single-file fixture (FileStreamSource
+    // pins basePath). FileStreams.streamTable picks per layout; 3a
+    // additionally asserts non-vacuous input for the section.
     val eventsSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def eventsStream() = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    def eventsStream() =
+      graft.streaming.FileStreams.streamTable(spark, sfDir, "events", eventsSchema)
 
     // 3a. Streaming Avro export: file-stream -> foreachBatch AvroSink.
+    // The first streaming row also guards the whole section: a silent
+    // zero-file listing must fail loudly, not bench an empty stream.
     results("stream_export_avro") = time2 {
       val out = tempDir("graft-bench-stream-export")
       val q = graft.streaming.StreamExport.start(eventsStream(), out)
       q.awaitTermination()
+      require(q.recentProgress.map(_.numInputRows).sum > 0,
+        s"events stream read ZERO rows from $sfDir/events.parquet — fixture layout or glob is wrong")
     }
 
     // 3b. Stateful streaming: flatMapGroupsWithState sessionization with
@@ -288,8 +319,8 @@ object Bench {
         .filter(col("doc_id") < splitId)
       val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
       time2 {
-        val newDocs = spark.readStream.schema(docsSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        val newDocs = graft.streaming.FileStreams
+          .streamTable(spark, sfDir, "documents", docsSchema)
           .filter(col("doc_id") >= splitId)
           .select("doc_id", "text")
         val ckpt = tempDir("graft-bench-stream-inc")
@@ -313,8 +344,8 @@ object Bench {
         spark, sfDir, store, col("vec_id") < splitId)
       val embSchema = emb.schema
       time2 {
-        val newVecs = spark.readStream.schema(embSchema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+        val newVecs = graft.streaming.FileStreams
+          .streamTable(spark, sfDir, "embeddings", embSchema)
           .filter(col("vec_id") >= splitId)
           .select("vec_id", "embedding")
         val ckpt = tempDir("graft-bench-ann-ingest")
@@ -331,8 +362,8 @@ object Bench {
       val store = tempDir("graft-bench-stream-sld")
       val ckpt = tempDir("graft-bench-stream-sld-ckpt")
       val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-      val newDocs = spark.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val newDocs = graft.streaming.FileStreams
+        .streamTable(spark, sfDir, "documents", docsSchema)
         .select("doc_id", "text")
       val q = graft.streaming.StreamLineDedup.start(newDocs, store, ckpt)
       q.processAllAvailable()
@@ -434,13 +465,24 @@ object Bench {
 
     spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
 
+    // Locale-pinned number rendering (r16 harness deep-read): the `f`
+    // interpolator uses the JVM default locale — a comma-decimal locale
+    // (e.g. de_DE) would print `1,234` and the driver's json.load would
+    // fail, zeroing the round's bench.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonLine(rows: collection.Map[String, Double], extra: String = ""): String = {
-      val qs = rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      val em = exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val total = f"${results.values.sum}%.3f" // total is ALWAYS the full-catalog sum
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
+      val em = if (exportMetrics == null) "{}"
+        else exportMetrics.toMap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // total is ALWAYS the full-catalog sum; failed rows (-1 sentinel)
+      // are excluded so they can't deflate it either.
+      val total = fmt3(results.m.values.filter(_ >= 0).sum)
+      val failed = if (failedRows.isEmpty) ""
+        else s""","failed":${failedRows.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
         s""""estimator":"best_of_2 (catalog, export, streaming; fresh dirs per run)",""" +
-        s""""loadavg_start":"$loadAtStart","loadavg_end":"${readLoadAvg()}","sf":"$sfDir"$extra}"""
+        s""""loadavg_start":"$loadAtStart","loadavg_end":"${readLoadAvg()}","sf":"$sfDir"$failed$extra}"""
     }
     // Full line first (the complete per-query map — the snapshot of record),
     // then a COMPACT line (headline + export + streaming rows only) printed
@@ -448,7 +490,7 @@ object Bench {
     // catalog rows the full line's head — `"metric":"total"` included — falls
     // off that tail. The compact line always fits, so whichever line the
     // driver's tail retains intact parses to the same totals.
-    println(jsonLine(results))
+    println(jsonLine(results.m))
     val compactKeys = Vector("export_avro", "export_avro_32p", "export_avro_zstd",
       "export_avro_zstd_32p") ++ headline ++
       // r12: both margin-mining forms in the compact (driver-visible) set,

@@ -19,12 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query writes NO parquet dir, which the driver's compare
+    // treats as a FAILURE for that row (never a skip) — absence is the
+    // signal. The failure map below additionally records WHY in the run
+    // artifacts (`_failures.json`), so a broken query is diagnosable from
+    // the dump alone instead of from scrollback stderr (r16 deep-read).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,6 +50,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/_failures.json"),
+        failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -253,7 +253,7 @@ object ExportCli {
 object PsqlExportCli {
 
   /** Reference `PsqlReplicationCheck.validateOptions` semantics; throws
-    * `IllegalArgumentException` (exit 47 via [[ExitCodes]]) on violation.
+    * `IllegalArgumentException` (exit 43 via [[ExitCodes]]) on violation.
     */
   private[graft] def validate(opts: Map[String, String]): Unit = {
     require(opts.get("connectionUrl").exists(_.startsWith("jdbc:postgresql")),

@@ -21,14 +21,29 @@ class FailedValidationException(msg: String) extends RuntimeException(msg)
   */
 class NotReadyException(msg: String) extends RuntimeException(msg)
 
-/** Process exit codes — reference `jobs/ExceptionHandling.java:37-59`. */
+/** Process exit codes — reference `jobs/ExceptionHandling.java:36-46`,
+  * matched VALUE-FOR-VALUE (r16 fault-injection audit: the numbers had
+  * drifted — SQL/IllegalArgument were swapped against the reference, which
+  * breaks any operator script that branches on dbeam's documented codes):
+  * NotReady 20, IOException 41, IllegalArgumentException 43,
+  * SQLException 45, execution-phase failure 47, FailedValidation 50,
+  * anything else 49. The reference's 47 is Beam's
+  * `Pipeline.PipelineExecutionException` — the wrapper Beam puts around
+  * any DoFn-thrown exception; the Spark analogue is `SparkException`, the
+  * wrapper Spark puts around any task-thrown exception, and like the
+  * reference we map the WRAPPER (not its cause): a mid-ResultSet
+  * SQLException exits 45 when thrown driver-side (pre-flight, schema
+  * probe) and 47 when a task throws it, exactly as in dbeam.
+  * `ClassNotFoundException` (driver class missing) has no entry in the
+  * reference either → 49.
+  */
 object ExitCodes {
   val Success = 0
   val NotReady = 20
   val IoError = 41
-  val SqlError = 43
-  val DriverClassError = 45
-  val IllegalArgument = 47
+  val IllegalArgument = 43
+  val SqlError = 45
+  val ExecutionError = 47
   val Unknown = 49
   val FailedValidation = 50
 
@@ -36,9 +51,9 @@ object ExitCodes {
     case _: NotReadyException => NotReady
     case _: FailedValidationException => FailedValidation
     case _: java.io.IOException => IoError
-    case _: java.sql.SQLException => SqlError
-    case _: ClassNotFoundException => DriverClassError
     case _: IllegalArgumentException => IllegalArgument
+    case _: java.sql.SQLException => SqlError
+    case _: org.apache.spark.SparkException => ExecutionError
     case _ => Unknown
   }
 }

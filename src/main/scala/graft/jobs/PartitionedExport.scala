@@ -17,7 +17,7 @@ import graft.sink.AvroSink
   * shape, not a general repartitioner):
   *   - the column's distinct values are collected and bounded by
   *     `maxPartitions` (default 64; exceeding it is an
-  *     IllegalArgumentException → exit 47). Values are sanitized into
+  *     IllegalArgumentException → exit 43). Values are sanitized into
   *     directory names with the Avro-name rule (non-alphanumerics → `_`);
   *     a COLLISION after sanitization is refused rather than silently
   *     merged. Null values export under `<column>=__HIVE_DEFAULT_PARTITION__`.
@@ -59,7 +59,7 @@ object PartitionedExport {
       s"partition column $partitionBy not in ${df.schema.fieldNames.mkString(",")}")
     // LIMIT maxPartitions+1 bounds the collect BEFORE the cardinality
     // check: pointing this mode at a high-cardinality column must fail
-    // with the friendly exit-47 message, not exhaust the driver
+    // with the friendly exit-43 message, not exhaust the driver
     // collecting millions of distinct values first.
     val values = df.select(partitionBy).distinct().limit(maxPartitions + 1).collect()
       .map(r => Option(r.get(0)).map(_.toString))

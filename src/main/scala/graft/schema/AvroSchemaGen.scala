@@ -77,7 +77,7 @@ object AvroSchemaGen {
     * `union[null, T]` per field), so the user header must decode exactly
     * that — same field count and, per field, a 2-branch `[null, T]` union
     * whose value branch matches the encoder's wire type. The reference
-    * trusts the user here; failing fast (exit 47) beats writing files whose
+    * trusts the user here; failing fast (exit 43) beats writing files whose
     * bytes don't match their own header.
     */
   def validateUserSchema(user: Schema, struct: StructType, nullableArrayItems: Boolean = false): Unit = {

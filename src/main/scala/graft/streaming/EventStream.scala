@@ -29,10 +29,9 @@ object EventStream {
   def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
+    // layout-aware: handles both a single `events.parquet` FILE and a
+    // Spark-written directory of part files (ADVICE r15; see FileStreams)
+    FileStreams.streamTable(spark, dir, "events", schema)
       .transform(graft.operators.Relational.normalizeEventTs)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -35,14 +35,12 @@ object StreamJoinProbe {
     def runOnce(label: String, shufflePartitions: Int): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      // Read the table path itself with a `*.parquet` leaf filter: this
-      // handles both a single `events.parquet` FILE and a Spark-written
-      // DIRECTORY of part files. (The previous
-      // `pathGlobFilter=events.parquet` over `dir` only matched a leaf
-      // file literally so named — against a directory layout it listed
-      // zero files and the probe printed vacuous numbers. ADVICE r15.)
-      def side(tpe: String) = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(s"$dir/events.parquet")
+      // Layout-aware read (ADVICE r15): handles both a single
+      // `events.parquet` FILE and a Spark-written DIRECTORY of part files
+      // — the fixed parent-dir glob listed zero files against a directory
+      // layout and the probe printed vacuous numbers.
+      def side(tpe: String) = graft.streaming.FileStreams
+        .streamTable(spark, dir, "events", schema)
         .transform(graft.operators.Relational.normalizeEventTs)
         .filter(col("event_type") === tpe)
         .select("user_id", "event_id", "ts")

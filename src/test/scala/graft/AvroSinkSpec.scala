@@ -239,7 +239,7 @@ class AvroSinkSpec extends AnyFunSuite {
     assert(recs.head.getSchema.getNamespace == "v2")
   }
 
-  test("wire-incompatible user schema fails fast (exit 47), not corrupt files") {
+  test("wire-incompatible user schema fails fast (exit 43), not corrupt files") {
     val badJson =
       """{
         |  "name": "Bad", "type": "record",

@@ -1,0 +1,171 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.{Timestamp, Types}
+import java.time.{Instant, Period}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.args.{ConnectionArgs, QueryArgs}
+import graft.jdbc.StubDb
+import graft.jobs.{ExitCodes, ExportJob, ReplicationCheck}
+import graft.sources.JdbcSource
+import graft.sql.QueryBuilder
+
+/** FAILURE-path runtime tests for the JDBC export writer (VERDICT r15 #6):
+  * JdbcRuntimeSpec proves the happy path executes; this spec injects wire
+  * failures into the same stub driver ([[StubDb.Fault]]) and asserts the
+  * reference's failure contract (`jobs/ExceptionHandling.java:36-46`):
+  *   - exit codes value-for-value (the r16 audit found SQL/IllegalArgument
+  *     had drifted to 43/47 against the reference's 45/43);
+  *   - a task-thrown failure surfaces as Spark's execution wrapper → 47,
+  *     exactly as Beam's `PipelineExecutionException` does in dbeam;
+  *   - a driver-side (pre-flight) SQL failure stays a naked SQLException
+  *     → 45;
+  *   - the sink's tmp+rename discipline: a failed export leaves NO
+  *     `.tmp-*` orphans, NO `_MANIFEST`, NO `_METRICS.json`, and anything
+  *     named `part-*.avro` is a COMPLETE readable container (partial
+  *     containers are impossible by construction — parts only appear via
+  *     atomic rename).
+  */
+class JdbcFaultSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def fixture(db: String): Unit = {
+    StubDb.reset(db)
+    val rows = (0 until 100).map { i =>
+      Vector[Any](
+        i.toLong,
+        s"coffee_$i",
+        Timestamp.from(Instant.parse("2026-02-01T00:00:00Z").plusSeconds(i * 3600L)))
+    }.toVector
+    StubDb.register(db, "COFFEES", StubDb.Table(
+      Vector(
+        StubDb.Col("ID", Types.BIGINT),
+        StubDb.Col("COF_NAME", Types.VARCHAR),
+        StubDb.Col("CREATED", Types.TIMESTAMP)),
+      rows))
+  }
+
+  private def conn(db: String) = ConnectionArgs(s"jdbc:h2:mem:$db", username = "tester")
+
+  private def splitSource(db: String) = JdbcSource(conn(db),
+    QueryArgs(base = QueryBuilder.fromTable("COFFEES"),
+      queryParallelism = Some(4), splitColumn = Some("ID")))
+
+  /** Zombie tasks of a cancelled stage clean their tmp files asynchronously
+    * after the job has already failed on the driver — poll briefly instead
+    * of asserting the instant the exception lands.
+    */
+  private def eventually(timeoutMs: Long = 15000)(body: => Unit): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (true) {
+      try { body; return }
+      catch {
+        case e: Throwable if System.nanoTime() < deadline => Thread.sleep(100)
+      }
+    }
+  }
+
+  private def fileNames(out: String): Set[String] =
+    Option(new File(out).listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+
+  test("exit codes match the reference value-for-value (ExceptionHandling.java:36-46)") {
+    assert(ExitCodes.forThrowable(new graft.jobs.NotReadyException("x")) == 20)
+    assert(ExitCodes.forThrowable(new java.io.IOException("x")) == 41)
+    assert(ExitCodes.forThrowable(new IllegalArgumentException("x")) == 43)
+    assert(ExitCodes.forThrowable(new java.sql.SQLException("x")) == 45)
+    assert(ExitCodes.forThrowable(new org.apache.spark.SparkException("x")) == 47)
+    assert(ExitCodes.forThrowable(new graft.jobs.FailedValidationException("x")) == 50)
+    // no entry in the reference map either -> the 49 fallthrough
+    assert(ExitCodes.forThrowable(new ClassNotFoundException("org.h2.Driver")) == 49)
+    assert(ExitCodes.forThrowable(new RuntimeException("x")) == 49)
+    // subclass routing like the reference's isInstance lookup
+    assert(ExitCodes.forThrowable(new NumberFormatException("x")) == 43)
+    assert(ExitCodes.forThrowable(new java.io.FileNotFoundException("x")) == 41)
+  }
+
+  test("mid-ResultSet failure -> execution exit code 47, no tmp orphans, no commit artifacts") {
+    val db = "graftjdbc_fault_all"
+    fixture(db)
+    val source = splitSource(db)
+    // the bounds probe and schema probe carry no split predicate — only
+    // the four split scans ("ID >= ...") hit the fault, 10 rows in
+    StubDb.injectFault(db, StubDb.Fault(failAfterRows = 10, sqlContains = "ID >= "))
+    try {
+      val df = source.read(spark)
+      assert(df.rdd.getNumPartitions == 4)
+      val out = Files.createTempDirectory("jdbc-fault-all").toString
+      val e = intercept[Throwable] {
+        ExportJob.run(spark, df, out,
+          schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "COFFEES"),
+          queries = source.queries(spark))
+      }
+      // the task-thrown SQLException surfaces wrapped in Spark's execution
+      // exception — the Beam PipelineExecutionException analogue -> 47
+      assert(ExitCodes.forThrowable(e) == ExitCodes.ExecutionError, s"got $e")
+      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.isInstanceOf[java.sql.SQLException]),
+        s"cause chain should carry the SQLException: $e")
+      eventually() {
+        val names = fileNames(out)
+        assert(!names.exists(_.startsWith(".tmp-")), s"tmp orphans: $names")
+        assert(!names.contains("_MANIFEST"), "manifest must not commit on failure")
+        assert(!names.contains("_METRICS.json"), "metrics must not be written on failure")
+        assert(!names.exists(_.endsWith(".avro")), s"no split succeeded, no parts expected: $names")
+      }
+    } finally StubDb.clearFault(db)
+  }
+
+  test("single-split failure: committed parts are complete containers, no tmp, no manifest") {
+    val db = "graftjdbc_fault_one"
+    fixture(db)
+    val source = splitSource(db)
+    // only the LAST split range fails (5 rows in); the other three may
+    // commit their parts before the stage is cancelled
+    StubDb.injectFault(db, StubDb.Fault(failAfterRows = 5, sqlContains = "ID >= 75"))
+    try {
+      val df = source.read(spark)
+      val out = Files.createTempDirectory("jdbc-fault-one").toString
+      val e = intercept[Throwable] {
+        ExportJob.run(spark, df, out,
+          schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "COFFEES"),
+          queries = source.queries(spark))
+      }
+      assert(ExitCodes.forThrowable(e) == ExitCodes.ExecutionError, s"got $e")
+      eventually() {
+        val names = fileNames(out)
+        assert(!names.exists(_.startsWith(".tmp-")), s"tmp orphans: $names")
+        assert(!names.contains("_MANIFEST"), "manifest must not commit on partial failure")
+        assert(!names.contains("part-00003-of-00004.avro"), "the failed split must not commit")
+        // tmp+rename contract: anything that DID commit is a complete,
+        // readable container holding its split's exact row count
+        names.filter(_.endsWith(".avro")).foreach { part =>
+          val r = new DataFileReader[GenericRecord](new File(s"$out/$part"),
+            new GenericDatumReader[GenericRecord]())
+          val n = try r.iterator().asScala.size finally r.close()
+          assert(n == 25, s"$part should hold its full 25-row split, got $n")
+        }
+      }
+    } finally StubDb.clearFault(db)
+  }
+
+  test("driver-side pre-flight SQL failure stays a naked SQLException -> 45") {
+    val db = "graftjdbc_fault_repl"
+    StubDb.reset(db)
+    StubDb.injectFault(db, StubDb.Fault(failOnExecute = true, sqlContains = "pg_last_xact"))
+    try {
+      val connection = StubDb.connect(s"jdbc:h2:mem:$db")
+      val e = intercept[java.sql.SQLException] {
+        ReplicationCheck.checkLive(connection,
+          Instant.parse("2026-03-01T00:00:00Z"), Period.ofDays(1))
+      }
+      assert(ExitCodes.forThrowable(e) == ExitCodes.SqlError)
+    } finally StubDb.clearFault(db)
+  }
+}

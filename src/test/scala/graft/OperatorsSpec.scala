@@ -783,6 +783,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("r16: streaming file source handles a directory-of-parts events.parquet layout") {
+    // ADVICE r15: `pathGlobFilter=events.parquet` over the parent dir only
+    // matched a leaf FILE literally so named — a Spark-written DIRECTORY of
+    // part files listed zero files and the stream was silently empty. Pin
+    // the fixed form (table path + `*.parquet`) against a directory layout.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("dir-layout").toString
+    spark.read.parquet(s"$dir/events.parquet").repartition(3)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    val q = EventStream.hourlyAggStream(spark, root)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_dir_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_dir_out")
+      .select("hour", "event_type", "n", "value_cents").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventStream.hourlyAggBatch(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermark drops late events in append mode (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -220,7 +220,7 @@ class ArgParsersSpec extends AnyFunSuite {
     // (JdbcExportArgsFactory.java:102-108) — a recent monthly partition passes...
     ArgParsers.validatePartitionFreshness(
       Some(Instant.parse("2027-07-01T00:00:00Z")), None, Period.ofMonths(1), skipCheck = false, None, now)
-    // ...an old one fails the GATE (IllegalArgumentException, exit 47),
+    // ...an old one fails the GATE (IllegalArgumentException, exit 43),
     // never an UnsupportedTemporalTypeException (exit 49)
     assertThrows[IllegalArgumentException](
       ArgParsers.validatePartitionFreshness(

@@ -93,7 +93,31 @@ object StubDb {
   private def append(db: String, line: String): Unit =
     logs.getOrElseUpdate(db, new ConcurrentLinkedQueue[String]()).add(line)
 
-  def reset(db: String): Unit = { dbs.remove(db); logs.remove(db) }
+  def reset(db: String): Unit = { dbs.remove(db); logs.remove(db); faults.remove(db) }
+
+  /** Fault injection (r16, VERDICT #6): per-db injected failures so specs
+    * runtime-test the export writer's FAILURE path the way JdbcRuntimeSpec
+    * tests the happy path — mid-ResultSet wire failures, statement-level
+    * failures, and single-split failures (via [[Fault.sqlContains]]) that
+    * leave other splits' parts committed.
+    *
+    * @param failAfterRows ResultSets from this db throw `SQLException`
+    *   after serving this many rows (`-1` = never)
+    * @param failOnExecute `executeQuery` itself throws (statement-level)
+    * @param sqlContains when non-null, the fault applies only to
+    *   statements whose SQL contains this substring — e.g. one split
+    *   range's predicate, so exactly that task fails
+    */
+  final case class Fault(failAfterRows: Long = -1L, failOnExecute: Boolean = false,
+      sqlContains: String = null, message: String = "stub: injected wire failure")
+
+  private val faults = TrieMap[String, Fault]()
+
+  def injectFault(db: String, fault: Fault): Unit = faults.put(db, fault)
+  def clearFault(db: String): Unit = faults.remove(db)
+
+  private def faultFor(db: String, sql: String): Option[Fault] =
+    faults.get(db).filter(f => f.sqlContains == null || sql.contains(f.sqlContains))
 
   def acceptsUrl(url: String): Boolean = url != null && url.startsWith("jdbc:h2:")
 
@@ -349,7 +373,9 @@ object StubDb {
     proxy(classOf[PreparedStatement]) {
       case ("executeQuery", _) =>
         append(db, "main.executeQuery")
-        resultSetProxy(runQuery(db, sql))
+        faultFor(db, sql).filter(_.failOnExecute)
+          .foreach(f => throw new java.sql.SQLException(f.message))
+        resultSetProxy(runQuery(db, sql), faultFor(db, sql))
       case ("execute", _) =>
         // sessionInitStatement path: Spark prepares the init SQL and
         // calls execute() — record it as a pre-command
@@ -365,7 +391,9 @@ object StubDb {
     case ("executeQuery", args) =>
       val sql = args(0).asInstanceOf[String]
       append(db, s"stmt.executeQuery($sql)")
-      resultSetProxy(runQuery(db, sql))
+      faultFor(db, sql).filter(_.failOnExecute)
+        .foreach(f => throw new java.sql.SQLException(f.message))
+      resultSetProxy(runQuery(db, sql), faultFor(db, sql))
     case ("execute", args) =>
       val sql = args(0).asInstanceOf[String]
       append(db, s"pre.execute($sql)")
@@ -460,7 +488,7 @@ object StubDb {
     items.map(v => if (v == null) "NULL" else v.toString)
       .mkString("{", ",", "}").getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  private def resultSetProxy(t: Table): ResultSet = {
+  private def resultSetProxy(t: Table, fault: Option[Fault] = None): ResultSet = {
     var cursor = -1
     var nullSeen = false
     def value(args: Array[AnyRef]): Any = {
@@ -478,6 +506,10 @@ object StubDb {
     proxy(classOf[ResultSet]) {
       case ("next", _) =>
         cursor += 1
+        // mid-ResultSet wire failure: throw after `failAfterRows` rows have
+        // been served (the (n+1)-th next() call), like a dropped connection
+        for (f <- fault if f.failAfterRows >= 0 && cursor >= f.failAfterRows)
+          throw new java.sql.SQLException(f.message)
         java.lang.Boolean.valueOf(cursor < t.rows.size)
       case ("getMetaData", _) => metaDataProxy(t.cols)
       case ("wasNull", _) => java.lang.Boolean.valueOf(nullSeen)

@@ -8,7 +8,31 @@ cosines). This builds a COPY of a fixture with the degenerate rows planted:
 
   documents  +4: empty text, whitespace-only, single word, non-ASCII
                  (combining accent) near-dup
+  documents  +3 (r16): NULL text (NULL n_chars too — the malformed-row
+                 class; the pinned contract is SQL NULL-transparency,
+                 see DESIGN.md r16), astral-plane unicode (surrogate
+                 pairs in UTF-16 engines: emoji + Deseret + a combining
+                 ZWJ sequence), and a >1 MB single document (row-size
+                 stress: one doc larger than a parquet page)
   embeddings +2: zero-norm vector, denormal-norm vector
+  embeddings +3 (r16): NaN component, +Inf component, -Inf/mixed
+                 component (IEEE-754 propagation parity between engines)
+  events    +10 (r16): the pristine events table has NO duplicate
+                 (user_id, ts) pairs, no negative/half-cent values, and
+                 props is always well-formed {"k": n} — so every window
+                 tie-break, round-half, and JSON-miss path in the event
+                 oracles is dead code against it. Planted: a triple
+                 same-instant (user_id, ts) collision (one with a
+                 missing JSON key), a lone single-event user (empty
+                 windows, twap span=0), an exact-30-min session-gap
+                 boundary chain (merge-vs-split rule), a negative value,
+                 a half-cent value, NULL props, and a pre-1970 event
+                 (DuckDB `//` floors, integer div truncates — negative
+                 epochs adjudicate which semantics the engine pinned).
+                 Malformed (non-JSON) props is NOT planted: DuckDB's
+                 json_extract_string throws on it while Spark's
+                 get_json_object returns NULL, so no oracle can run —
+                 that contract is pinned engine-side in a spec instead.
 
 and the sweep is then the normal Verify + selfcheck over the copy:
 
@@ -30,7 +54,7 @@ import sys
 import duckdb
 
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
-               "orders", "lineitem", "events"]
+               "orders", "lineitem"]
 
 
 def build(src: str, dst: str) -> None:
@@ -40,14 +64,45 @@ def build(src: str, dst: str) -> None:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     con = duckdb.connect()
     base = con.sql(f"SELECT max(doc_id) FROM '{src}/documents.parquet'").fetchone()[0] + 1
-    con.sql(f"""
+    # >1 MB single document: realistic prose-shaped filler (words + line
+    # breaks) so line/shingle operators do real work on it, not one token
+    big_doc = " ".join(
+        f"chunk{i % 977} weights {i % 53} gradient" + ("\n" if i % 17 == 0 else "")
+        for i in range(40000))
+    assert len(big_doc) > 1_000_000
+    con.execute(f"""
 COPY (
   SELECT * FROM '{src}/documents.parquet'
   UNION ALL SELECT {base + 0}, '', 'en', 'srcadv', 0
   UNION ALL SELECT {base + 1}, '   ', 'en', 'srcadv', 3
   UNION ALL SELECT {base + 2}, 'solitary', 'en', 'srcadv', 8
   UNION ALL SELECT {base + 3}, 'the fast key ordé sort', 'es', 'srcadv', 22
-) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+  UNION ALL SELECT {base + 4}, NULL, 'en', 'srcadv', NULL
+  UNION ALL SELECT {base + 5}, 'emoji 😀😀 pair 𐐷 mixed family 👩‍👩‍👧 end', 'en', 'srcadv', 33
+  UNION ALL SELECT {base + 6}, ?, 'en', 'srcadv', ?
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)""", [big_doc, len(big_doc)])
+    ebase = con.sql(f"SELECT max(event_id) FROM '{src}/events.parquet'").fetchone()[0] + 1
+    con.sql(f"""
+COPY (
+  SELECT * FROM '{src}/events.parquet'
+  -- triple same-instant (user_id, ts) collision: every (ts, event_id)
+  -- lexicographic tie-break in the asof/window oracles goes live
+  UNION ALL SELECT {ebase + 0}, TIMESTAMP '2024-01-15 12:00:00', 3, 'click', 5.0, '{{"k": 1}}'
+  UNION ALL SELECT {ebase + 1}, TIMESTAMP '2024-01-15 12:00:00', 3, 'purchase', 7.5, '{{"k": 2}}'
+  UNION ALL SELECT {ebase + 2}, TIMESTAMP '2024-01-15 12:00:00', 3, 'click', 2.25, '{{}}'
+  -- lone single-event user: 1-row windows, twap span_us = 0 exclusion
+  UNION ALL SELECT {ebase + 3}, TIMESTAMP '2024-01-20 08:00:00', 9999, 'view', 0.005, NULL
+  -- exact session-gap boundary chain: +30:00 merges (strict > rule),
+  -- +30:00.000001 splits
+  UNION ALL SELECT {ebase + 4}, TIMESTAMP '2024-01-21 00:00:00', 9998, 'click', 1.0, '{{"k": 3}}'
+  UNION ALL SELECT {ebase + 5}, TIMESTAMP '2024-01-21 00:30:00', 9998, 'view', 2.0, '{{"k": 4}}'
+  UNION ALL SELECT {ebase + 6}, TIMESTAMP '2024-01-21 01:00:00.000001', 9998, 'purchase', 3.0, '{{"k": 5}}'
+  -- negative + half-cent values: round-half-away parity
+  UNION ALL SELECT {ebase + 7}, TIMESTAMP '2024-01-22 10:00:00', 5, 'error', -12.345, '{{"k": -6}}'
+  UNION ALL SELECT {ebase + 8}, TIMESTAMP '2024-01-22 11:00:00', 5, 'error', 0.125, '{{"k": 7}}'
+  -- pre-1970: negative epoch adjudicates floor-vs-truncate bucketing
+  UNION ALL SELECT {ebase + 9}, TIMESTAMP '1969-12-31 23:45:00', 9997, 'view', 1.0, '{{"k": 8}}'
+) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
     vbase = con.sql(f"SELECT max(vec_id) FROM '{src}/embeddings.parquet'").fetchone()[0] + 1
     con.sql(f"""
 COPY (
@@ -56,10 +111,17 @@ COPY (
     list_transform(range(64), x -> CAST(0.0 AS FLOAT)), 0
   UNION ALL SELECT {vbase + 1},
     list_transform(range(64), x -> CAST(CASE WHEN x = 0 THEN 1e-30 ELSE 0.0 END AS FLOAT)), 1
+  UNION ALL SELECT {vbase + 2},
+    list_transform(range(64), x -> CAST(CASE WHEN x = 0 THEN 'NaN'::FLOAT ELSE 0.25 END AS FLOAT)), 2
+  UNION ALL SELECT {vbase + 3},
+    list_transform(range(64), x -> CAST(CASE WHEN x = 1 THEN 'Infinity'::FLOAT ELSE 0.25 END AS FLOAT)), 3
+  UNION ALL SELECT {vbase + 4},
+    list_transform(range(64), x -> CAST(CASE WHEN x = 2 THEN '-Infinity'::FLOAT WHEN x = 3 THEN 'Infinity'::FLOAT ELSE 0.25 END AS FLOAT)), 4
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
     n_docs = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
     n_vecs = con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
-    print(f"built {dst}: documents={n_docs} embeddings={n_vecs}")
+    n_ev = con.sql(f"SELECT count(*) FROM '{dst}/events.parquet'").fetchone()[0]
+    print(f"built {dst}: documents={n_docs} embeddings={n_vecs} events={n_ev}")
 
 
 if __name__ == "__main__":

@@ -70,22 +70,19 @@ def check_one(con, out_dir: str, name: str, sql: str):
         return False, [f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}"]
     if len(w) != len(g):
         return False, [f"FAIL {name}: rows {len(g)} != {len(w)}"]
-    mismatch = None
+    dtype_warns = []  # collect ALL dtype drifts, not just the last column's
     for c in w.columns:
         wa, ga = w[c], g[c]
         if str(wa.dtype) != str(ga.dtype):
             # dtype mismatch may still hash-differ driver-side; flag it
-            mismatch = f"dtype {c}: spark={ga.dtype} duck={wa.dtype}"
+            dtype_warns.append(f"dtype {c}: spark={ga.dtype} duck={wa.dtype}")
         eq = (_canon_col(wa) == _canon_col(ga))
         if not eq.all():
             i = eq.idxmin()
-            mismatch = f"value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"
-            break
-    if mismatch and mismatch.startswith("value"):
-        return False, [f"FAIL {name}: {mismatch}"]
-    if mismatch:
-        return True, [f"WARN {name}: rows match but {mismatch}",
-                      f"PASS {name} ({len(g)} rows, dtype warning)"]
+            return False, [f"FAIL {name}: value {c}[{i}]: spark={ga[i]!r} duck={wa[i]!r}"]
+    if dtype_warns:
+        return True, [f"WARN {name}: rows match but {d}" for d in dtype_warns] + [
+            f"PASS {name} ({len(g)} rows, dtype warning)"]
     return True, [f"PASS {name} ({len(g)} rows)"]
 
 
