@@ -24,7 +24,7 @@ private[graft] object AnnOracles {
         |  SELECT vec_id, embedding,
         |   sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS nm
         |  FROM embeddings)
-        | WHERE nm > 0),
+        | WHERE nm > 0 AND nm < 'Infinity'::DOUBLE),
         |x AS (SELECT vec_id AS xi, embedding AS xe, nm AS xn FROM n WHERE vec_id % 10 = 0),
         |y AS (SELECT vec_id AS yi, embedding AS ye, nm AS yn FROM n WHERE vec_id % 10 != 0),
         |s AS (
@@ -63,7 +63,7 @@ private[graft] object AnnOracles {
         |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |     (acc, x) -> acc + x)) AS norm
         |  FROM embeddings)
-        | WHERE norm > 0),
+        | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,
@@ -85,7 +85,7 @@ private[graft] object AnnOracles {
         |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |     (acc, x) -> acc + x)) AS norm
         |  FROM embeddings)
-        | WHERE norm > 0),
+        | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,
@@ -105,7 +105,7 @@ private[graft] object AnnOracles {
         |   sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |     (acc, x) -> acc + x)) AS norm
         |  FROM embeddings)
-        | WHERE norm > 0),
+        | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM e WHERE vec_id < 5),
         |s AS (
         | SELECT q.q_id, e.vec_id,
@@ -166,7 +166,9 @@ private[graft] object AnnOracles {
       """WITH e AS (
         | SELECT list_transform(embedding,
         |   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-        | FROM embeddings),
+        | FROM embeddings
+        | WHERE sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)))) < 'Infinity'::DOUBLE),
         |p AS (
         | SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
         | FROM range(0, 64) t(i), range(0, 64) u(j) WHERE i <= j)
@@ -181,7 +183,9 @@ private[graft] object AnnOracles {
         | SELECT label,
         |  unnest(range(0, len(embedding))) AS dim,
         |  unnest(list_transform(range(0, len(embedding)), i -> embedding[CAST(i + 1 AS INTEGER)])) AS x
-        | FROM embeddings)
+        | FROM embeddings
+        | WHERE sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)))) < 'Infinity'::DOUBLE)
         |GROUP BY label, dim""".stripMargin,
   )
 }

@@ -56,7 +56,7 @@ private[graft] object DedupOracles {
       |    i -> CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE)),
       |    (acc, x) -> acc + x) / (n.norm * c.norm) AS cosine
       | FROM n CROSS JOIN c
-      | WHERE n.norm > 0 AND c.norm > 0)
+      | WHERE n.norm > 0 AND n.norm < 'Infinity'::DOUBLE AND c.norm > 0 AND c.norm < 'Infinity'::DOUBLE)
       |WHERE cosine >= 0.7""".stripMargin
 
 
@@ -162,7 +162,9 @@ private[graft] object DedupOracles {
     s"""kq AS (
        | SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       | FROM embeddings),
+       | FROM embeddings
+       | WHERE sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)))) < 'Infinity'::DOUBLE),
        |c0 AS (
        | SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, q AS c
        | FROM (SELECT vec_id, q FROM kq ORDER BY vec_id LIMIT 8)),
@@ -177,7 +179,8 @@ private[graft] object DedupOracles {
       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
       |  sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
-      | FROM embeddings),
+      | FROM embeddings
+      | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE),
       |pairs AS (
       | SELECT * FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -378,7 +381,8 @@ private[graft] object DedupOracles {
         | SELECT vec_id, embedding,
         |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |    (acc, x) -> acc + x)) AS norm
-        | FROM aug),
+        | FROM aug
+        | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE),
         |pairs AS (
         | SELECT id_a, id_b FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -412,7 +416,7 @@ private[graft] object DedupOracles {
         | FROM a3 aa JOIN a3 ab ON aa.cluster_id = ab.cluster_id AND aa.vec_id < ab.vec_id
         |  JOIN e ea ON ea.vec_id = aa.vec_id
         |  JOIN e eb ON eb.vec_id = ab.vec_id
-        | WHERE ea.norm > 0 AND eb.norm > 0
+        | WHERE ea.norm > 0 AND ea.norm < 'Infinity'::DOUBLE AND eb.norm > 0 AND eb.norm < 'Infinity'::DOUBLE
         |  AND list_inner_product(ea.emb, eb.emb) / (ea.norm * eb.norm) >= 0.4)
         |SELECT a3.vec_id, a3.cluster_id, (dropped.vec_id IS NULL) AS kept
         |FROM a3 LEFT JOIN dropped ON a3.vec_id = dropped.vec_id""".stripMargin),
@@ -429,7 +433,8 @@ private[graft] object DedupOracles {
         | SELECT vec_id, embedding,
         |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         |    (acc, x) -> acc + x)) AS norm
-        | FROM aug)
+        | FROM aug
+        | WHERE norm > 0 AND norm < 'Infinity'::DOUBLE)
         |SELECT id_a, id_b, TRUE AS lsh_found FROM (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_reduce(list_transform(range(1, len(a.embedding) + 1),

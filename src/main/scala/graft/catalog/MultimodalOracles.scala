@@ -38,8 +38,8 @@ private[graft] object MultimodalOracles {
         |      + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INTEGER), 1)) - 1))), 0) AS BIGINT)
         |    % 1000000007 AS cs
         | FROM (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |   CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS len
         |  FROM documents))""".stripMargin,
     // width/height are pure doc_id arithmetic; every 7th row is corrupt by
     // construction and must come back quarantined (-1 dims, parsed=false)

@@ -15,7 +15,7 @@ private[graft] object TextOracles {
   private val DomainMixOracle: String =
     """WITH d AS (
       | SELECT doc_id, lang,
-      |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
       |    (acc, x) -> (acc * 43 + x) % 1000000007) AS h
       | FROM documents),
       |cap AS (SELECT min(n) AS cap FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
@@ -182,8 +182,11 @@ private[graft] object TextOracles {
         | -- COALESCE: list_sum of an EMPTY list is NULL in DuckDB, while the
         | -- engine's aggregate(..., 0L, ...) fold is 0 — a whitespace-only
         | -- document must count 0 subword tokens on both sides (r15 sweep)
-        | CAST(COALESCE(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
-        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_est,
+        | -- NULL text stays NULL (SQL transparency, r16) — the COALESCE is
+        | -- only for the EMPTY-list fold, so guard it with the input
+        | CASE WHEN text IS NULL THEN NULL ELSE
+        |  CAST(COALESCE(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), p -> p != ''),
+        |   p -> CAST(ceil(len(p) / 4.0) AS BIGINT))), 0) AS BIGINT) END AS n_subword_est,
         | CAST(len(text) AS BIGINT) AS n_chars_measured
         |FROM documents""".stripMargin,
     "text_token_budget" ->
@@ -287,7 +290,7 @@ private[graft] object TextOracles {
         | bucket % 5 = 0 AS in_stratified_20pct
         |FROM (
         | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 41 + x) % 999999937) % 100 AS bucket
         | FROM documents)""".stripMargin,
     "text_pii" ->
@@ -574,7 +577,7 @@ private[graft] object TextOracles {
     "pipeline_shard_manifest" ->
       """WITH keyed AS (
         | SELECT doc_id, text,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) % 8 AS shard
         | FROM documents)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -586,7 +589,7 @@ private[graft] object TextOracles {
     "sample_shuffle_shards" ->
       """WITH keyed AS (
         | SELECT doc_id,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS skey
         | FROM documents)
         |SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
@@ -714,7 +717,7 @@ private[graft] object TextOracles {
         |dup AS (SELECT DISTINCT doc_id FROM g JOIN df USING (gram) WHERE nd >= 2),
         |surv AS (
         | SELECT w.doc_id, w.lang,
-        |  list_reduce(list_transform(string_split(w.text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(w.text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash,
         |  CAST(len(w.toks) AS BIGINT) AS n_tokens
         | FROM w ANTI JOIN dup USING (doc_id)),
@@ -734,7 +737,7 @@ private[graft] object TextOracles {
     "pipeline_chunks" ->
       """WITH filtered AS (
         | SELECT doc_id, lang, text,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
         | FROM documents
         | WHERE CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) * 2 >= len(text)),
@@ -756,7 +759,7 @@ private[graft] object TextOracles {
     "sample_stratified" ->
       """WITH h AS (
         | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
         | FROM documents)
         |SELECT doc_id, lang, rank_hash,
@@ -767,7 +770,7 @@ private[graft] object TextOracles {
     "sample_stratified_topk" ->
       """WITH h AS (
         | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
         | FROM documents)
         |SELECT doc_id, lang, rank_hash,
@@ -778,7 +781,7 @@ private[graft] object TextOracles {
     "sample_mixture" ->
       """WITH h AS (
         | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
         | FROM documents)
         |SELECT doc_id, lang, mix_rank FROM (
@@ -791,7 +794,7 @@ private[graft] object TextOracles {
     "sample_temperature" ->
       """WITH h AS (
         | SELECT doc_id, lang,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  list_reduce(list_transform(string_split(coalesce(text, ''), ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (acc, x) -> (acc * 43 + x) % 999999893) AS rank_hash
         | FROM documents),
         |w AS (

@@ -38,19 +38,36 @@ object Portable {
   /** Whitespace tokens of trimmed text. */
   def tokens(col: String): Column = expr(s"split(trim($col), '\\\\s+')")
 
+  /** SQL let-binding: evaluates `valueSql` ONCE per row and exposes it to
+    * `bodySql` as the lambda variable `varName`. Catalyst substitutes
+    * projection aliases into every reference site when it collapses
+    * projections or pushes filters — harmless for scalar refs, FATAL when
+    * the alias is an array referenced per-element inside a transform
+    * lambda: `toks = split(text)` inlined into `element_at(toks, i + k)`
+    * re-splits the ENTIRE document at every element access, turning an
+    * O(windows·n) shingle builder into O(windows·n·len) — a single 1 MB
+    * document then burns ~10^12 regex steps and the task never finishes
+    * (r16 adversarial-fixture find; the >1 MB planted doc hung the sweep).
+    * A lambda variable is a bound reference the optimizer cannot inline
+    * through, so the binding survives every rewrite.
+    */
+  def let(varName: String, valueSql: String, bodySql: String): String =
+    s"transform(array($valueSql), $varName -> $bodySql)[0]"
+
   /** Word n-gram shingles (space-joined), distinct.
     *
     * Docs with fewer than `n` tokens yield an EMPTY array. The guard is
     * load-bearing: Spark's `sequence(1, 0)` is the descending array
     * `[1, 0]`, not empty, so the unguarded transform would call
-    * `element_at` out of range and crash on any short doc.
+    * `element_at` out of range and crash on any short doc. The [[let]]
+    * binding is equally load-bearing — see its scaladoc.
     */
   def wordShingles(tokensCol: String, n: Int = 3): Column =
-    expr(
-      s"CASE WHEN size($tokensCol) >= $n THEN " +
-        s"array_distinct(transform(sequence(1, size($tokensCol) - ${n - 1}), " +
-        s"i -> ${(0 until n).map(k => s"element_at($tokensCol, i + $k)").mkString(" || ' ' || ")})) " +
-        s"ELSE array() END")
+    expr(let("tk_", tokensCol,
+      s"CASE WHEN size(tk_) >= $n THEN " +
+        s"array_distinct(transform(sequence(1, size(tk_) - ${n - 1}), " +
+        s"i -> ${(0 until n).map(k => s"element_at(tk_, i + $k)").mkString(" || ' ' || ")})) " +
+        s"ELSE array() END"))
 
   /** Minimum poly-hash over all character k-grams — a winnowing-style
     * content fingerprint robust to small edits at the ends.
@@ -62,6 +79,26 @@ object Portable {
   // --- Native (codegen) variants — same values as the HOF forms above,
   // computed by the custom Catalyst expressions in Expressions.scala.
   // Call GraftFunctions.register(spark) (or use GraftExtensions) first.
+
+  /** Embedding-ingestion contract (r15's zero-norm rule extended r16 to
+    * non-finite vectors): a vector is usable by a COSINE operator iff its
+    * L2 norm is strictly positive AND finite. A NaN component makes the
+    * norm NaN, an overflowing/±Inf component makes it +Inf — either way
+    * cosines poison downstream (and integer-micros quantization throws
+    * under ANSI). Both Spark and DuckDB order NaN ABOVE +Infinity, so
+    * `norm > 0 AND norm < Infinity` excludes zero, NaN and Inf norms
+    * IDENTICALLY on the two engines — the property the oracle mirror
+    * (`AND norm < 'Infinity'::DOUBLE`) relies on.
+    */
+  def usableNorm(norm: Column): Column =
+    norm > 0 && norm < org.apache.spark.sql.functions.lit(Double.PositiveInfinity)
+
+  /** The L2-metric form of [[usableNorm]] — k-means and other L2 operators
+    * accept the zero vector (it clusters fine), only NON-FINITE vectors
+    * are malformed.
+    */
+  def finiteNorm(norm: Column): Column =
+    norm < org.apache.spark.sql.functions.lit(Double.PositiveInfinity)
 
   def polyHashNative(col: String, base: Int = 31, mod: Long = P1): Column =
     expr(s"graft_poly_hash($col, $base, ${mod}L)")

@@ -1173,7 +1173,7 @@ object Dedup {
       // is TRUE under Spark's NaN-greatest ordering — one failed/padding
       // embedding would otherwise pair with every grid partner (the
       // embeddingIncrementalFrom rationale, applied to this path)
-      .filter(col("norm") > 0)
+      .filter(Portable.usableNorm(col("norm")))
     // replicate each vector to every grid cell its block participates in:
     // (blk, j) normalized to (c1, c2) with c1 <= c2 — `blocks` cells per row
     val gridded = e
@@ -1291,9 +1291,19 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"kmeansMicroAssign: assignVia must be auto|literal|join, got $other")
     }
-    val q0 = vectors.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-        .as("q"))
+    // r16 finite-vector contract: a NaN/Inf component makes the integer-
+    // micros quantization throw under ANSI (on BOTH engines — DuckDB's
+    // CAST refuses nan/inf the same way), so non-finite vectors are
+    // malformed input and excluded BEFORE quantization. Zero vectors stay:
+    // k-means is L2, the zero vector clusters fine (unlike cosine ops,
+    // which also exclude norm == 0 — Portable.usableNorm). The oracle's kq
+    // CTE mirrors this with the identical `norm < Infinity` predicate.
+    val q0 = vectors
+      .filter(graft.functions.Portable.finiteNorm(
+        graft.functions.Portable.l2NormNative("embedding")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("q"))
     val q = if (forPlanInspection) q0 else q0.cache()
 
     // the literal map-only argmin (small k)
@@ -1472,9 +1482,9 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("norm").as("norm_a")).filter(col("norm_a") > 0), "id_a")
+        col("norm").as("norm_a")).filter(Portable.usableNorm(col("norm_a"))), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-        col("norm").as("norm_b")).filter(col("norm_b") > 0), "id_b")
+        col("norm").as("norm_b")).filter(Portable.usableNorm(col("norm_b"))), "id_b")
       .filter(Portable.dotProductNative("emb_a", "emb_b") /
         (col("norm_a") * col("norm_b")) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
@@ -1506,8 +1516,9 @@ object Dedup {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val e = vectors
       .select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
-      // zero-norm exclusion (r14 review) — same rationale as the grid path
-      .filter(col("norm") > 0)
+      // zero/non-finite-norm exclusion (r14 review; r16 finite rule) —
+      // same rationale as the grid path
+      .filter(Portable.usableNorm(col("norm")))
       .cache()
     if (!forPlanInspection) e.count() // fill before AQE fans out the bucket + two payload consumers
     // buckets carry only (vec_id, t, key) — candidate generation never
@@ -1671,7 +1682,7 @@ object Dedup {
     // this family).
     def withNorm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
       graft.functions.Portable.l2NormNative("embedding").as("norm"))
-      .filter(col("norm") > 0)
+      .filter(graft.functions.Portable.usableNorm(col("norm")))
     def buckets(df: DataFrame) = df.select(col("vec_id"),
       posexplode(expr(s"graft_lsh_buckets(embedding, $tables, $bits)")).as(Seq("t", "key")))
     // the corpus is cached only when ITS buckets must be computed here (two

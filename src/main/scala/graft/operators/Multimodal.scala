@@ -520,7 +520,11 @@ object Multimodal {
       .select(
         col("doc_id"),
         lit("text/fake").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+        // NULL-text contract (r16): the typed MediaRow cannot carry a NULL
+        // payload (NPE in the decoder kills the job on one malformed row)
+        // — NULL decodes like the empty payload; the oracle coalesces the
+        // same way
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRow]
     decodeMeta(media)
   }

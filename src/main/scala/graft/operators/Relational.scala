@@ -1284,14 +1284,26 @@ object Relational {
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
     val w = Window.partitionBy("event_type").orderBy("hour")
     val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward-looking frame is expressed as a REVERSED running frame:
+    // `last ignoreNulls over (DESC, unbounded preceding..current)` ==
+    // `first ignoreNulls over (ASC, current..unbounded following)`, but
+    // Spark executes running frames in O(n) while UNBOUNDED FOLLOWING
+    // frames recompute the aggregate per row — O(n²) per partition, and
+    // ONE outlier timestamp (the adversarial pre-1970 event) stretches the
+    // grid to ~500k hours per type, turning the fill into 10^11 steps
+    // (r16 find). Same partition key, so both orders share one exchange.
+    // Grid-width contract: the grid spans observed min..max hour, so an
+    // outlier timestamp inflates it LINEARLY — at 100 TB, pre-filter the
+    // calendar domain upstream if the source can carry garbage epochs.
+    val wDesc = Window.partitionBy("event_type").orderBy(col("hour").desc)
+    val beforeDesc = wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(counts, Seq("event_type", "hour"), "left")
       .withColumn("prev_n", last(col("n"), ignoreNulls = true).over(before))
       .withColumn("prev_h",
         last(when(col("n").isNotNull, col("hour")), ignoreNulls = true).over(before))
-      .withColumn("next_n", first(col("n"), ignoreNulls = true).over(after))
+      .withColumn("next_n", last(col("n"), ignoreNulls = true).over(beforeDesc))
       .withColumn("next_h",
-        first(when(col("n").isNotNull, col("hour")), ignoreNulls = true).over(after))
+        last(when(col("n").isNotNull, col("hour")), ignoreNulls = true).over(beforeDesc))
       .withColumn("j", expr("(unix_micros(hour) - unix_micros(prev_h)) div 3600000000"))
       .withColumn("gap", expr("(unix_micros(next_h) - unix_micros(prev_h)) div 3600000000"))
       .withColumn("n_filled", expr(

@@ -33,7 +33,7 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"), col("embedding"), Portable.l2NormNative("embedding").as("norm"))
-      .filter(col("norm") > 0)
+      .filter(Portable.usableNorm(col("norm")))
   }
 
   private def cosine: Column =
@@ -410,6 +410,12 @@ object Similarity {
       .withColumn("min_dist", lit(Double.PositiveInfinity))
 
     def distTo(center: Seq[Double]): Column = {
+      // withNorm's usableNorm seam guarantees finite components; guard
+      // anyway — a non-finite value would render as the unparseable SQL
+      // literal "NaND"/"InfinityD" and surface as a confusing parse error
+      // three rounds later (r16 adversarial-fixture find).
+      require(center.forall(d => java.lang.Double.isFinite(d)),
+        s"k-center: non-finite center component — upstream norm seam breached: $center")
       val litArr = center.mkString("array(", "D, ", "D)")
       lit(1.0) - expr(s"graft_dot(nemb, $litArr)")
     }
@@ -802,6 +808,10 @@ object Similarity {
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
+      // r16 finite-vector contract (L2 family): NaN/Inf components throw
+      // in the micros quantization under ANSI and would poison the
+      // label's mean; oracle mirrors with the same norm < Infinity test
+      .filter(Portable.finiteNorm(Portable.l2NormNative("embedding")))
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
       .agg(
@@ -1156,7 +1166,7 @@ object Similarity {
     // graft_array_div == the transform() HOF bit-for-bit (same per-element
     // IEEE division) but codegen'd — this materializes a normalized copy
     // of the WHOLE corpus, so the per-element interpreted lambda matters
-    e.filter(col("norm") > 0).withColumn("nemb",
+    e.filter(Portable.usableNorm(col("norm"))).withColumn("nemb",
       expr("graft_array_div(embedding, norm)"))
 
   /** The PQ query stage over a coded corpus — ADC tables, bounded-heap
@@ -1834,6 +1844,9 @@ object Similarity {
   def embeddingGram(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     embeddings(spark, dir)
+      // r16 finite-vector contract — one poisoned vector must not NaN an
+      // entire Gram cell; oracle mirrors the exclusion
+      .filter(Portable.finiteNorm(Portable.l2NormNative("embedding")))
       .agg(expr("graft_gram(embedding, 64)").as("g"))
       .select(explode(col("g")).as("t"))
       .select(col("t.i").cast("bigint").as("i"), col("t.j").cast("bigint").as("j"),

@@ -167,7 +167,7 @@ object TextAnalysis {
     docs(spark, dir)
       .select(
         col("doc_id"), col("lang"),
-        (graft.functions.Portable.polyHashNative("text", 41, 999999937L) % 100).as("bucket"))
+        (graft.functions.Portable.polyHashNative("coalesce(text, '')", 41, 999999937L) % 100).as("bucket"))
       .withColumn("split",
         expr("CASE WHEN bucket < 10 THEN 'test' WHEN bucket < 20 THEN 'valid' ELSE 'train' END"))
       .withColumn("in_stratified_20pct", col("bucket") % 5 === 0)
@@ -192,7 +192,7 @@ object TextAnalysis {
     val keyed = docs(spark, dir).select(
       col("doc_id"),
       // base 43: decorrelated from dedup (31/37) and split (41) hash uses
-      (graft.functions.Portable.polyHashNative("text", 43, 999999893L)).as("skey"))
+      (graft.functions.Portable.polyHashNative("coalesce(text, '')", 43, 999999893L)).as("skey"))
       .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)).cast("bigint"))
     keyed
       .withColumn("pos", row_number()
@@ -329,7 +329,7 @@ object TextAnalysis {
       .orderBy(col("rank_hash"), col("doc_id"))
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
-        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+        graft.functions.Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash"))
       .withColumn("stratum_rank", row_number().over(w).cast("bigint"))
       .filter(col("stratum_rank") <= perStratum)
   }
@@ -349,7 +349,7 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
-        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+        graft.functions.Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash"))
       .groupBy("lang")
       .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $perStratum)").as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -399,7 +399,7 @@ object TextAnalysis {
       // only for the rank filter to drop them all — prune them at the scan
       .filter(col("lang").isin(caps.filter(_._2 > 0).map(_._1): _*))
       .select(col("doc_id"), col("lang"),
-        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+        Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash"))
       .groupBy("lang")
       .agg(expr(s"graft_topk(doc_id, -CAST(rank_hash AS DOUBLE), $maxCap)").as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -433,7 +433,7 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(spark)
     temperatureMix(
       docs(spark, dir).select(col("doc_id"), col(keyCol),
-        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash")),
+        Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash")),
       keyCol, totalDocs, maxKeys)
   }
 
@@ -558,9 +558,15 @@ object TextAnalysis {
       col("doc_id"),
       Portable.polyHashNative("text", 31, Portable.P1).as("fp31"),
       Portable.polyHashNative("text", 37, Portable.P2).as("fp37"),
-      // min over 5-gram poly-hashes; the native hash runs inside the HOF
-      expr(s"array_min(transform(sequence(1, greatest(length(text) - 4, 1)), " +
-        s"i -> graft_poly_hash(substring(text, i, 5), 31, ${Portable.P1}L)))").as("fp_min5gram"))
+      // min over 5-gram poly-hashes via the ONE-PASS native shingle hasher
+      // (bit-identical to the transform(substring) form, ExpressionsSpec).
+      // The substring form was O(len²): substring(text, i, 5) seeks to
+      // code point i from the start on every call, so a 1 MB doc burned
+      // ~10^12 char steps (r16 adversarial-fixture find). Docs shorter
+      // than 5 chars keep the old semantics exactly: substring(text, 1, 5)
+      // of a short doc is the whole doc, so the min was hash(text).
+      expr(s"CASE WHEN length(text) >= 5 THEN array_min(graft_shingle_poly(text, 5, 31, ${Portable.P1}L)) " +
+        s"ELSE graft_poly_hash(text, 31, ${Portable.P1}L) END").as("fp_min5gram"))
   }
 
   /** Corpus term statistics — the inverted-index / TF-IDF building block:
@@ -817,7 +823,11 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
-        size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
+        // NULL-text contract (r16): the typed encoder's Long field cannot
+        // carry SQL NULL (NOT_NULL_ASSERT_VIOLATION kills the job on one
+        // malformed row) — NULL packs like the empty doc, mirroring the
+        // check oracle's count semantics
+        size(Portable.tokens("coalesce(text, '')")).cast("bigint").as("n_tokens"))
       .withColumn("chunk",
         expr(s"CAST(doc_id div ${shards.toLong * chunkDocs}L AS INT)"))
       .as[(Long, Int, Long, Int)]
@@ -885,10 +895,12 @@ object TextAnalysis {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("toks", Portable.tokens("text"))
-      .withColumn("g", expr(
-        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
-          "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1) || ' ' || element_at(toks, i + 2)) " +
-          "ELSE CAST(array() AS array<string>) END"))
+      // let-bound (Portable.let): a pushed-down/inlined `toks = split(...)`
+      // would otherwise re-split the whole doc per element access
+      .withColumn("g", expr(Portable.let("tk_", "toks",
+        "CASE WHEN size(tk_) >= 3 THEN transform(sequence(1, size(tk_) - 2), " +
+          "i -> element_at(tk_, i) || ' ' || element_at(tk_, i + 1) || ' ' || element_at(tk_, i + 2)) " +
+          "ELSE CAST(array() AS array<string>) END")))
       .select(
         col("doc_id"),
         size(col("g")).cast("bigint").as("n_grams"),
@@ -914,8 +926,12 @@ object TextAnalysis {
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
+    // NULL-text contract (r16): the mix hash is a RANKING key, so it must
+    // be total — NULL ranks as the empty string on both engines (the
+    // oracle hashes coalesce(text, '')); plain SQL-NULL would sort NULLS
+    // FIRST in Spark and NULLS LAST in DuckDB and shift every rank after it
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      Portable.polyHashNative("text", 43, Portable.P1).as("h"))
+      Portable.polyHashNative("coalesce(text, '')", 43, Portable.P1).as("h"))
     val cap = d.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("cap"))
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     d.withColumn("mix_rank", row_number().over(w).cast("bigint"))
@@ -963,7 +979,7 @@ object TextAnalysis {
     // both output branches — without the cache each consumer re-hashes
     // the whole corpus
     val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      Portable.polyHashNative("text", 43, Portable.P1).as("h"))
+      Portable.polyHashNative("coalesce(text, '')", 43, Portable.P1).as("h"))
       .withColumn("bucket", expr(s"h div $MixBucketWidth"))
       .cache()
     // ONE aggregate reaches the driver: the (lang, bucket) histogram —
@@ -1152,9 +1168,9 @@ object TextAnalysis {
     docsDf
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, CAST(ceil(size(w) / $segWords.0) AS INT) - 1), " +
-            s"k -> array_join(slice(w, k * $segWords + 1, $segWords), ' '))")).as(Seq("pos", "seg")))
+        posexplode(expr(Portable.let("w_", "w",
+          s"transform(sequence(0, CAST(ceil(size(w_) / $segWords.0) AS INT) - 1), " +
+            s"k -> array_join(slice(w_, k * $segWords + 1, $segWords), ' '))"))).as(Seq("pos", "seg")))
 
   /** EXACT substring-duplication scoring — the sliding-window dedup mode
     * of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1222,7 +1238,7 @@ object TextAnalysis {
       .filter(col("n_dup_windows") > 0).select("doc_id")
     val survivors = docs(spark, dir).join(dup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"),
-        Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"),
+        Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash"),
         size(Portable.tokens("text")).cast("bigint").as("n_tokens"))
       .cache()
     // the mixture stage IS sampleTemperature's contract, via the shared
@@ -1388,7 +1404,7 @@ object TextAnalysis {
     val sampled = docs(spark, dir)
       .filter(expr("CAST(regexp_count(text, '[a-zA-Z]') AS BIGINT) * 2 >= length(text)"))
       .select(col("doc_id"), col("lang"), col("text"),
-        graft.functions.Portable.polyHashNative("text", 43, 999999893L).as("rank_hash"))
+        graft.functions.Portable.polyHashNative("coalesce(text, '')", 43, 999999893L).as("rank_hash"))
       .withColumn("stratum_rank", row_number().over(w))
       .filter(col("stratum_rank") <= perStratum)
     sampled
@@ -1550,10 +1566,10 @@ object TextAnalysis {
     val vocab = d0.select(explode(col("toks")).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
     val bg = d0.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS prev, " +
-          "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram))")).as("bg"))
+      .select(col("doc_id"), explode(expr(Portable.let("tk_", "toks",
+        "transform(sequence(1, size(tk_) - 1), " +
+          "i -> struct(element_at(tk_, i) AS prev, " +
+          "element_at(tk_, i) || ' ' || element_at(tk_, i + 1) AS bigram))"))).as("bg"))
       .select(col("doc_id"),
         Portable.polyHash60Native("bg.prev").as("fp_prev"),
         Portable.polyHash60Native("bg.bigram").as("fp_pair"))
@@ -1675,9 +1691,9 @@ object TextAnalysis {
     val d = d0.withColumn("toks", Portable.tokens("text"))
     val uni = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("f"))
     val bi = d.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))")).as("f"))
+      .select(col("doc_id"), col("lang"), explode(expr(Portable.let("tk_", "toks",
+        "transform(sequence(1, size(tk_) - 1), " +
+          "i -> element_at(tk_, i) || ' ' || element_at(tk_, i + 1))"))).as("f"))
     // empty-text docs tokenize to [""] — no feature, like the oracle
     uni.union(bi).filter(col("f") =!= "")
       .select(col("doc_id"), col("lang"),
@@ -1985,7 +2001,10 @@ object TextAnalysis {
       .mapPartitions { it =>
         val r = bc.value
         it.map { case (id, text) =>
-          val words = text.trim.split("\\s+")
+          // NULL-text contract (r16, pinned): imperative seams normalize
+          // NULL to the empty string -- identical to the empty-doc path --
+          // so one malformed row can never kill a 100 TB encode job.
+          val words = (if (text == null) "" else text).trim.split("\\s+")
           var bad = 0L
           for (w <- words) {
             val toks = encodeWord(w, r)
@@ -2035,7 +2054,10 @@ object TextAnalysis {
       .mapPartitions { it =>
         val r = bc.value
         it.map { case (id, text) =>
-          val words = text.trim.split("\\s+")
+          // NULL-text contract (r16, pinned): imperative seams normalize
+          // NULL to the empty string -- identical to the empty-doc path --
+          // so one malformed row can never kill a 100 TB encode job.
+          val words = (if (text == null) "" else text).trim.split("\\s+")
           var nTokens = 0L
           var nChars = 0L
           for (w <- words) {
@@ -2509,12 +2531,25 @@ object TextAnalysis {
         // transform(sequence, i -> graft_poly_hash(substring(text, i, k)))
         expr(s"graft_shingle_poly(text, $k, 31, ${graft.functions.Portable.P1}L)").as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"),
-        expr(s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+        // Dedup is CONSECUTIVE-RUN removal, not array_distinct: selections
+        // of a position p are contiguous in the window index j (once any
+        // later position with h <= h_p enters the window it out-displaces
+        // p — the fold's `<=` rightmost rule — and stays in-window as
+        // long as p does, so p never wins again), hence distinct ==
+        // drop-if-equal-to-previous. array_distinct over STRUCT elements
+        // takes Spark's O(n²) interpreted pairwise path — 10^12 compares
+        // on a 1 MB doc's window array, the task never finishes (r16
+        // adversarial find); the indexed filter is O(n).
+        expr(Portable.let("hs_", "hs", Portable.let("raw_",
+          s"""transform(sequence(1, size(hs_) - ${w - 1}),
            j -> aggregate(sequence(0, ${w - 1}),
              named_struct('h', 9223372036854775807L, 'pos', -1L),
-             (acc, o) -> IF(element_at(hs, CAST(j + o AS INT)) <= acc.h,
-               named_struct('h', element_at(hs, CAST(j + o AS INT)), 'pos', CAST(j + o AS BIGINT)),
-               acc))))""").as("sel"))
+             (acc, o) -> IF(element_at(hs_, CAST(j + o AS INT)) <= acc.h,
+               named_struct('h', element_at(hs_, CAST(j + o AS INT)), 'pos', CAST(j + o AS BIGINT)),
+               acc)))""",
+          s"""filter(raw_, (x, i) ->
+             CASE WHEN i = 0 THEN true
+                  ELSE NOT (x = element_at(raw_, i)) END)"""))).as("sel"))
 
   /** WINNOWING OVERLAP pairs — the detector the fingerprints exist FOR:
     * join documents on shared selected hash values (positions dropped —
@@ -2683,8 +2718,9 @@ object TextAnalysis {
       .select(col("source"),
         // Guarded: sequence(1, 0) is the DESCENDING [1, 0] in Spark (not
         // empty), so a doc with < n tokens would index out of range.
-        expr(s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
-          s"i -> graft_poly_hash(${(0 until n).map(j => s"element_at(tk, CAST(i + $j AS INT))").mkString(" || ' ' || ")}, 31, ${graft.functions.Portable.P1}L)) ELSE array() END")
+        expr(Portable.let("tk_", "tk",
+          s"CASE WHEN size(tk_) >= $n THEN transform(sequence(1, size(tk_) - ${n - 1}), " +
+          s"i -> graft_poly_hash(${(0 until n).map(j => s"element_at(tk_, CAST(i + $j AS INT))").mkString(" || ' ' || ")}, 31, ${graft.functions.Portable.P1}L)) ELSE array() END"))
           .as("gh"))
       .select(col("source"), explode_outer(col("gh")).as("h"))
       .groupBy("source")

@@ -34,11 +34,22 @@ cosines). This builds a COPY of a fixture with the degenerate rows planted:
                  get_json_object returns NULL, so no oracle can run —
                  that contract is pinned engine-side in a spec instead.
 
-and the sweep is then the normal Verify + selfcheck over the copy:
+The sweep is TWO-TIER (r16): the >1 MB doc makes the O(n²) all-pairs
+ORACLES (exact Jaccard ground truth etc.) computationally infeasible in
+DuckDB — 125k pair rows each carrying ~160k-element shingle lists OOMs
+the oracle process, which is precisely why the engine fences those exact
+forms behind scale twins. So:
 
+  # tier 1 — ENGINE ROBUSTNESS: full fixture incl. the 1 MB doc;
+  # every query must COMPLETE (no hang, no crash) — selfcheck not run
   python3 tools/advfixture.py /root/testdata/sf0.001 /tmp/testdata-adv
   sbt -batch "runMain graft.Verify /tmp/testdata-adv /tmp/verify-adv"
-  python3 tools/selfcheck.py /tmp/verify-adv /tmp/testdata-adv
+  # PASS = zero lines in /tmp/verify-adv/_failures.json
+
+  # tier 2 — ORACLE AGREEMENT: same fixture minus the big doc
+  python3 tools/advfixture.py /root/testdata/sf0.001 /tmp/testdata-adv-nobig --no-big-doc
+  sbt -batch "runMain graft.Verify /tmp/testdata-adv-nobig /tmp/verify-adv-nobig"
+  python3 tools/selfcheck.py /tmp/verify-adv-nobig /tmp/testdata-adv-nobig
 
 Any FAIL is a latent contract divergence the pristine fixture hides. The
 r15 run found four: a DIVIDE_BY_ZERO job kill in text_quality (Spark 4
@@ -57,7 +68,7 @@ COPY_TABLES = ["region", "nation", "customer", "supplier", "part",
                "orders", "lineitem"]
 
 
-def build(src: str, dst: str) -> None:
+def build(src: str, dst: str, big_doc: bool = True) -> None:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for t in COPY_TABLES:
@@ -66,10 +77,11 @@ def build(src: str, dst: str) -> None:
     base = con.sql(f"SELECT max(doc_id) FROM '{src}/documents.parquet'").fetchone()[0] + 1
     # >1 MB single document: realistic prose-shaped filler (words + line
     # breaks) so line/shingle operators do real work on it, not one token
-    big_doc = " ".join(
+    big_text = " ".join(
         f"chunk{i % 977} weights {i % 53} gradient" + ("\n" if i % 17 == 0 else "")
         for i in range(40000))
-    assert len(big_doc) > 1_000_000
+    assert len(big_text) > 1_000_000
+    big_row = f"UNION ALL SELECT {base + 6}, ?, 'en', 'srcadv', ?" if big_doc else ""
     con.execute(f"""
 COPY (
   SELECT * FROM '{src}/documents.parquet'
@@ -79,8 +91,8 @@ COPY (
   UNION ALL SELECT {base + 3}, 'the fast key ordé sort', 'es', 'srcadv', 22
   UNION ALL SELECT {base + 4}, NULL, 'en', 'srcadv', NULL
   UNION ALL SELECT {base + 5}, 'emoji 😀😀 pair 𐐷 mixed family 👩‍👩‍👧 end', 'en', 'srcadv', 33
-  UNION ALL SELECT {base + 6}, ?, 'en', 'srcadv', ?
-) TO '{dst}/documents.parquet' (FORMAT PARQUET)""", [big_doc, len(big_doc)])
+  {big_row}
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)""", ([big_text, len(big_text)] if big_doc else []))
     ebase = con.sql(f"SELECT max(event_id) FROM '{src}/events.parquet'").fetchone()[0] + 1
     con.sql(f"""
 COPY (
@@ -125,4 +137,4 @@ COPY (
 
 
 if __name__ == "__main__":
-    build(sys.argv[1], sys.argv[2])
+    build(sys.argv[1], sys.argv[2], big_doc="--no-big-doc" not in sys.argv[3:])

@@ -47,7 +47,21 @@ def _canon_col(s: pd.Series) -> pd.Series:
             f = float(v)
             return str(int(f)) if f.is_integer() and abs(f) < 2**53 else repr(f)
         return s.map(fmt)
-    return s.astype(str)
+    # object/bool columns: a MISSING value reads back as None from Spark
+    # parquet and as NaN from duckdb.df() — same logical NULL, different
+    # str() ("None" vs "nan"), which not only fails the value compare but
+    # silently DERAILS the canonical row ordering and misreports mismatches
+    # on unrelated rows (r16 sweep). One spelling for every null-ish value.
+    def fmt_obj(v):
+        if v is None:
+            return "nan"
+        try:
+            if pd.isna(v):
+                return "nan"
+        except (TypeError, ValueError):
+            pass  # pd.isna on arrays/lists raises or vectorizes — not null
+        return str(v)
+    return s.map(fmt_obj)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
