@@ -1280,6 +1280,9 @@ object Dedup {
     require(k >= 1 && lloydIters >= 0,
       s"kmeansMicroAssign: need k >= 1 and lloydIters >= 0, got k=$k iters=$lloydIters")
     val spark = vectors.sparkSession
+    // the finite-vector seam below uses the native norm expression —
+    // register here (idempotent) so direct callers need no session setup
+    graft.functions.GraftFunctions.register(spark)
     val useJoin = assignVia match {
       case "auto" => k > LiteralAssignMaxK
       case "join" => true
