@@ -44,7 +44,15 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "text_decontaminate", "text_pack_sequences",
     "dedup_minhash", "dedup_simhash", "dedup_exact",
     "dedup_incremental", "dedup_clusters", "dedup_embedding",
-    "ann_topk", "ann_lsh", "multimodal_meta")
+    "ann_topk", "ann_lsh", "multimodal_meta",
+    // the most expensive algorithmic rows (bench r15/r16 top-10): a plan
+    // regression here — a lost prefix filter, a blocked join collapsing
+    // to nested-loop, a broadcast that became a shuffle — costs the most
+    // and hides longest inside bench noise
+    "graph_link_predict", "graph_pagerank", "graph_lpa",
+    "text_containment", "ann_margin_mining_ivf", "dedup_ngram",
+    "dedup_semdedup", "text_lm_xent", "text_substring_dup",
+    "pipeline_ppl_buckets", "text_winnowing", "events_gapfill")
 
   private def canonical(plan: SparkPlan): String = {
     val nodes = plan.collect { case n => n.nodeName }
