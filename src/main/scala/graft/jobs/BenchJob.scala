@@ -60,7 +60,9 @@ object BenchJob {
       val row = Columns.map { c =>
         val s = stats(runs.map(_(c).toDouble))
         val v = idx match { case 0 => s._1; case 1 => s._2; case 2 => s._3; case _ => s._4 }
-        f"$v%.1f"
+        // locale-pinned like Bench's JSON line (the `f` interpolator uses
+        // the JVM default locale; a comma-decimal locale breaks the TSV)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       }
       println(row.mkString(s"$label\t", "\t", ""))
     }
