@@ -566,7 +566,13 @@ object Graph {
         col("n_edges").cast("bigint").as("n_edges"),
         col("n_wedges").cast("bigint").as("n_wedges"),
         lit(nTri).as("n_triangles"),
-        expr(s"(3L * ${nTri}L * 1000L) div n_wedges").as("clustering_permille"))
+        // NULL when the graph has no wedges (every node degree ≤ 1 — a
+        // valid outcome of a harsh minOrders threshold): Spark's ANSI
+        // `div 0` would kill the job, DuckDB's `// 0` is NULL — the CASE
+        // pins the oracle's semantics (r16 review find, the r15
+        // text_quality DIVIDE_BY_ZERO class)
+        expr(s"CASE WHEN n_wedges > 0 THEN (3L * ${nTri}L * 1000L) div n_wedges END")
+          .as("clustering_permille"))
     Dedup.materializeAndRelease(Seq(e, blocked), out)
   }
 }

@@ -645,7 +645,12 @@ object TextAnalysis {
       .select(
         col("source"), col("n_docs"), col("n_tokens"), col("n_kept"),
         expr("n_tokens * 1000 div corpus_tokens").as("token_share_permille"),
-        expr("sum_alpha * 1000 div sum_chars").as("alpha_permille"))
+        // NULL when a source's docs are ALL empty strings (sum_chars = 0 —
+        // in-contract degenerate since the r15 empty-doc decision): ANSI
+        // `div 0` would kill the job, DuckDB's division is NULL — the CASE
+        // pins the oracle's semantics (r16 review, the triangles class)
+        expr("CASE WHEN sum_chars > 0 THEN sum_alpha * 1000 div sum_chars END")
+          .as("alpha_permille"))
   }
 
   /** Unicode NFC normalization over the corpus — the canonical-composition
@@ -2365,7 +2370,11 @@ object TextAnalysis {
     val bySource = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
     val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = bySource.groupBy("source").agg(sum(col("cs")).as("ts"))
-    val grand = corpus.agg(sum(col("c")).as("t")).head().getLong(0)
+    // sum over an EMPTY token relation (every doc empty/NULL) is SQL NULL —
+    // getLong would throw; 0 is fine because every downstream frame is
+    // empty in that case and the literal is never consulted (r16 review)
+    val grandRow = corpus.agg(sum(col("c")).as("t")).head()
+    val grand = if (grandRow.isNullAt(0)) 0L else grandRow.getLong(0)
     bySource
       .join(corpus, "tok")
       .join(broadcast(totals), "source")
