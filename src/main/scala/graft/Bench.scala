@@ -76,10 +76,92 @@ object Bench {
     }
   }
 
+  /** Host-speed calibration canary (VERDICT r16 #2): a pinned pure-JVM
+    * xxhash-style loop over a constant 4 MiB buffer, timed at snapshot
+    * start and end. Unlike loadavg (which reports queue length, not how
+    * much the queue actually slows THIS process), calib_ms measures how
+    * fast the host runs a fixed deterministic workload — so a suspect
+    * bench row can be adjudicated as a measured ratio (row_time / calib)
+    * instead of the r14→r16 "the day is slow" canary-inference chain.
+    * `single` pins per-core speed (frequency scaling, steal); `multi`
+    * runs the same loop on every core, pinning contention under foreign
+    * load — the regime the Spark rows actually execute in.
+    */
+  private object Calib {
+    private val N = 1 << 19 // 512k longs = 4 MiB, L2/L3-resident
+    private val buf: Array[Long] = {
+      val a = new Array[Long](N)
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < N) { // splitmix64 fill from a fixed seed: constant content
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        a(i) = z ^ (z >>> 31)
+        i += 1
+      }
+      a
+    }
+    @volatile private var sink: Long = 0L // defeat dead-code elimination
+
+    private def run(passes: Int): Long = {
+      var h = 0x27D4EB2F165667C5L
+      var p = 0
+      while (p < passes) {
+        var i = 0
+        while (i < N) {
+          h ^= buf(i) * 0xC2B2AE3D27D4EB4FL
+          h = java.lang.Long.rotateLeft(h, 31) * 0x9E3779B185EBCA87L
+          i += 1
+        }
+        p += 1
+      }
+      h
+    }
+
+    /** Single-thread wall ms for a fixed pass count, best-of-3 after a
+      * JIT warm run — the per-core speed stamp.
+      */
+    def singleMs(): Double = {
+      sink ^= run(20) // warm: compile the loop before timing it
+      var best = Double.MaxValue
+      var r = 0
+      while (r < 3) {
+        val t0 = System.nanoTime()
+        sink ^= run(150)
+        best = math.min(best, (System.nanoTime() - t0) / 1e6)
+        r += 1
+      }
+      best
+    }
+
+    /** All-cores wall ms: one thread per processor running the identical
+      * loop; under foreign load this inflates where `singleMs` may not.
+      */
+    def multiMs(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until n).map { _ =>
+          val t = new Thread(() => { sink ^= run(60) })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // warm
+      math.min(once(), once())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    awaitIdle(sys.env.get("SPARK_GRAFT_MAX_LOAD").flatMap(_.toDoubleOption)
-      .getOrElse(0.8))
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").flatMap(_.toDoubleOption)
+      .getOrElse(0.8)
+    awaitIdle(maxLoad)
     val loadAtStart = readLoadAvg()
+    val calibStart = Calib.singleMs()
+    val calibMtStart = Calib.multiMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -148,7 +230,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) catalog.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // Per-row failure isolation (r16 harness deep-read): without it, ONE
@@ -164,7 +246,9 @@ object Bench {
       val m = scala.collection.mutable.LinkedHashMap[String, Double]()
       def update(name: String, body: => Double): Unit =
         try m(name) = body
-        catch { case e: Throwable =>
+        // NonFatal only: an OOM or linkage error means the JVM is wounded —
+        // continuing to bench would record garbage for every later row
+        catch { case scala.util.control.NonFatal(e) =>
           failedRows += name
           m(name) = -1.0
           System.err.println(s"[bench] ROW FAILED $name: ${e.getMessage}")
@@ -173,6 +257,15 @@ object Bench {
       def apply(k: String): Double = m(k)
       def size: Int = m.size
     }
+
+    // Re-armed idle gate (VERDICT r16 #8): the start-of-run gate only
+    // guards the FIRST timed section; the warm passes above take minutes,
+    // during which foreign load can arrive — exactly how the driver's
+    // BENCH_r16 export row got poisoned while the run start looked idle.
+    // A short (60 s) re-arm before each timed section, with the post-gate
+    // loadavg stamped into the JSON, makes a gate timeout artifact-visible.
+    awaitIdle(maxLoad, 60)
+    val loadAtExport = readLoadAvg()
 
     // 1. Avro export of the full bench table (dbeam's actual job) —
     // best-of-2 like the catalog rows (round-7 fix): the single-shot export
@@ -229,6 +322,8 @@ object Bench {
     results("export_avro_zstd_32p") = timedExport("zstandard1", keepMetrics = false)
 
     // 2. Catalog queries, count() as the action, best of 2 runs.
+    awaitIdle(maxLoad, 60) // re-armed gate (r16 #8)
+    val loadAtCatalog = readLoadAvg()
     catalog.foreach { name =>
       val fn = SparkEntry.queries(name)
       results(name) = time2(fn(spark, sfDir).count())
@@ -246,6 +341,8 @@ object Bench {
     // sizes 8 instances amortize fine — exactly how production sizes a
     // streaming job. Fresh checkpoints per run mean the conf takes effect
     // every time; restored to the engine default after the section.
+    awaitIdle(maxLoad, 60) // re-armed gate (r16 #8)
+    val loadAtStreaming = readLoadAvg()
     val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // Layout-aware file-source streams (ADVICE r15): a fixed
@@ -465,6 +562,13 @@ object Bench {
 
     spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
 
+    // End-of-run calibration stamp: a start/end pair brackets the whole
+    // capture, so load arriving MID-run (the r16 driver-export failure
+    // mode) shows up as calib_ms_end >> calib_ms even when the start
+    // looked clean.
+    val calibEnd = Calib.singleMs()
+    val calibMtEnd = Calib.multiMs()
+
     // Locale-pinned number rendering (r16 harness deep-read): the `f`
     // interpolator uses the JVM default locale — a comma-decimal locale
     // (e.g. de_DE) would print `1,234` and the driver's json.load would
@@ -482,7 +586,12 @@ object Bench {
         else s""","failed":${failedRows.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"export":$em,""" +
         s""""estimator":"best_of_2 (catalog, export, streaming; fresh dirs per run)",""" +
-        s""""loadavg_start":"$loadAtStart","loadavg_end":"${readLoadAvg()}","sf":"$sfDir"$failed$extra}"""
+        s""""loadavg_start":"$loadAtStart","loadavg_end":"${readLoadAvg()}",""" +
+        s""""loadavg_export":"$loadAtExport","loadavg_catalog":"$loadAtCatalog",""" +
+        s""""loadavg_streaming":"$loadAtStreaming",""" +
+        s""""calib_ms":${fmt3(calibStart)},"calib_mt_ms":${fmt3(calibMtStart)},""" +
+        s""""calib_ms_end":${fmt3(calibEnd)},"calib_mt_ms_end":${fmt3(calibMtEnd)},""" +
+        s""""sf":"$sfDir"$failed$extra}"""
     }
     // Full line first (the complete per-query map — the snapshot of record),
     // then a COMPACT line (headline + export + streaming rows only) printed

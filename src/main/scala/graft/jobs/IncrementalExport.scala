@@ -110,20 +110,22 @@ object IncrementalExport {
     // append-monotone contract and belongs to the next run. (Ties ON the
     // bound appended after the export scan remain the standard strict-`>`
     // watermark caveat; a strictly-increasing column is exactly-once.)
-    // One 1-row agg fixes the bound AND audits for NULL watermark values.
     // NULLs are unorderable: `col > prev` and `col <= max` are both
     // NULL-false, so a NULL-watermark row would be silently excluded from
     // every run forever — refuse loudly instead of losing data (the same
     // contract a JDBC splitColumn carries in the reference: split
-    // predicates assume a non-null orderable column).
-    val aggRow = unbounded.agg(
-      max(col(column)), count(lit(1)), count(col(column))).head()
-    val (newMax, totalRows, nonNullRows) =
-      (aggRow.get(0), aggRow.getLong(1), aggRow.getLong(2))
-    require(totalRows == nonNullRows,
-      s"watermark column $column has ${totalRows - nonNullRows} NULL value(s) in the delta — " +
+    // predicates assume a non-null orderable column). The audit MUST run
+    // on `base`, not the delta: once prev state exists the delta is
+    // already `col > prev`-filtered, which drops NULL rows before any
+    // count could see them (NULL-false), making a delta-side audit
+    // vacuous on every run after the first. The IsNull predicate pushes
+    // to the parquet scan, so on a clean table this probe is row-group
+    // stats only (null_count == 0 skips the group) — near-free at scale.
+    require(base.filter(col(column).isNull).isEmpty,
+      s"watermark column $column has NULL value(s) — " +
         "NULLs are unorderable and would be silently skipped by every run; " +
         "clean them or pick a non-null watermark column")
+    val newMax = unbounded.agg(max(col(column))).head().get(0)
     val (delta, next) = Option(newMax) match {
       case Some(v) =>
         val litMax = literalOf(v)

@@ -107,6 +107,29 @@ class IncrementalExportSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration, state).isEmpty)
   }
 
+  test("r17: NULL watermark appended AFTER the first run still refuses (audit is not delta-filtered)") {
+    // The delta predicate `col > prev` is NULL-false, so a delta-side
+    // NULL audit would be blind once state exists — the audit must see
+    // the unfiltered base on EVERY run.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inc-export-null2").toString
+    val in = s"$root/in"; val state = s"$root/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1L to 10L).toDF("id").write.mode("overwrite").parquet(in)
+    IncrementalExport.run(spark, in, s"$root/run1", state, "id")
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "10")))
+
+    Seq(Some(11L), None).toDF("id").write.mode("append").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalExport.run(spark, in, s"$root/run2", state, "id")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // watermark untouched by the refused run
+    assert(IncrementalExport.readState(conf, state).contains(
+      IncrementalExport.State("id", "10")))
+  }
+
   test("r16: first run over an empty table exports 0 rows, writes no state, and the next run catches up") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("inc-export-empty").toString

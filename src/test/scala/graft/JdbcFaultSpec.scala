@@ -67,7 +67,10 @@ class JdbcFaultSpec extends AnyFunSuite {
     while (true) {
       try { body; return }
       catch {
-        case e: Throwable if System.nanoTime() < deadline => Thread.sleep(100)
+        // NonFatal only: retrying past an OOM/LinkageError/interrupt just
+        // burns the 15 s window hiding a dead JVM behind a soft failure
+        case scala.util.control.NonFatal(_) if System.nanoTime() < deadline =>
+          Thread.sleep(100)
       }
     }
   }
@@ -145,6 +148,60 @@ class JdbcFaultSpec extends AnyFunSuite {
         assert(!names.contains("part-00003-of-00004.avro"), "the failed split must not commit")
         // tmp+rename contract: anything that DID commit is a complete,
         // readable container holding its split's exact row count
+        names.filter(_.endsWith(".avro")).foreach { part =>
+          val r = new DataFileReader[GenericRecord](new File(s"$out/$part"),
+            new GenericDatumReader[GenericRecord]())
+          val n = try r.iterator().asScala.size finally r.close()
+          assert(n == 25, s"$part should hold its full 25-row split, got $n")
+        }
+      }
+    } finally StubDb.clearFault(db)
+  }
+
+  test("r17: multi-split CONCURRENT failure — split k fails while siblings provably stream (VERDICT r16 #5)") {
+    // Reference contract (`jobs/JdbcAvroJobTest.java` failure cases): a
+    // failing task must not poison siblings' committed output, and the
+    // job-level artifacts (_MANIFEST, _METRICS.json) must not commit.
+    // The r16 single-split test relied on scheduling luck for overlap;
+    // here the stub ENFORCES it: split 1 throws only after all 4 splits
+    // have started streaming AND split 0 has completed, while splits 2/3
+    // are held mid-stream by per-row latency.
+    val db = "graftjdbc_fault_multi"
+    fixture(db)
+    val source = splitSource(db)
+    StubDb.injectDelay(db, StubDb.Delay(8, sqlContains = "ID >= 50"))
+    StubDb.injectDelay(db, StubDb.Delay(8, sqlContains = "ID >= 75"))
+    StubDb.injectFault(db, StubDb.Fault(failAfterRows = 5, sqlContains = "ID >= 25",
+      awaitStartedScans = 4, awaitCompletedScans = 1, failDelayMs = 500))
+    try {
+      val df = source.read(spark)
+      assert(df.rdd.getNumPartitions == 4)
+      val out = Files.createTempDirectory("jdbc-fault-multi").toString
+      val e = intercept[Throwable] {
+        ExportJob.run(spark, df, out,
+          schemaCfg = graft.schema.AvroSchemaGen.Config(tableName = "COFFEES"),
+          queries = source.queries(spark))
+      }
+      assert(ExitCodes.forThrowable(e) == ExitCodes.ExecutionError, s"got $e")
+      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.isInstanceOf[java.sql.SQLException]),
+        s"cause chain should carry the SQLException: $e")
+      // the barrier held: the failure landed with all 4 splits started and
+      // at least 2 streaming concurrently (enforced, not scheduling luck)
+      val st = StubDb.stats(db)
+      assert(st.started.get() >= 4, s"all splits must have started: ${st.started.get()}")
+      assert(st.completed.get() >= 1, s"a sibling must have completed first: ${st.completed.get()}")
+      assert(st.maxOpen.get() >= 2, s"splits must have overlapped: maxOpen=${st.maxOpen.get()}")
+      eventually() {
+        val names = fileNames(out)
+        assert(!names.exists(_.startsWith(".tmp-")), s"tmp orphans: $names")
+        assert(!names.contains("_MANIFEST"), "manifest must not commit on partial failure")
+        assert(!names.contains("_METRICS.json"), "metrics must not be written on failure")
+        assert(!names.contains("part-00001-of-00004.avro"), "the failed split must not commit")
+        // the completed sibling's part committed BEFORE the failure and
+        // must remain present and fully readable after the job dies
+        assert(names.contains("part-00000-of-00004.avro"),
+          s"the completed sibling's part must survive the failure: $names")
         names.filter(_.endsWith(".avro")).foreach { part =>
           val r = new DataFileReader[GenericRecord](new File(s"$out/$part"),
             new GenericDatumReader[GenericRecord]())

@@ -78,9 +78,18 @@ class PlanSnapshotSpec extends AnyFunSuite {
     val current = currentSnapshots()
     val regen = sys.env.get("SPARK_GRAFT_REGEN_PLANS").contains("1")
     val p = Paths.get(snapshotPath)
-    if (regen || !Files.exists(p)) {
+    // A missing snapshot is a lost baseline, not a license to mint one:
+    // silently recreating it would turn the plan-regression guard into a
+    // self-approving no-op exactly when the baseline disappears (deleted
+    // file, wrong cwd, sparse checkout). Only regen deliberately.
+    if (!regen && !Files.exists(p)) {
+      fail(s"plan snapshot $snapshotPath is missing — the committed baseline is gone. " +
+        "Restore it from git, or regenerate DELIBERATELY with " +
+        "SPARK_GRAFT_REGEN_PLANS=1 and review the new file like a code change.")
+    }
+    if (regen) {
       Files.writeString(p, current.map { case (n, c) => s"$n|$c" }.mkString("", "\n", "\n"))
-      info(s"snapshot ${if (regen) "regenerated" else "created"} at $snapshotPath — commit and review it")
+      info(s"snapshot regenerated at $snapshotPath — commit and review it")
     } else {
       val committed = scala.io.Source.fromFile(snapshotPath).getLines()
         .filter(_.nonEmpty).map { l =>

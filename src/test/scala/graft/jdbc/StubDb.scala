@@ -93,7 +93,10 @@ object StubDb {
   private def append(db: String, line: String): Unit =
     logs.getOrElseUpdate(db, new ConcurrentLinkedQueue[String]()).add(line)
 
-  def reset(db: String): Unit = { dbs.remove(db); logs.remove(db); faults.remove(db) }
+  def reset(db: String): Unit = {
+    dbs.remove(db); logs.remove(db); faults.remove(db)
+    delays.remove(db); scanStats.remove(db)
+  }
 
   /** Fault injection (r16, VERDICT #6): per-db injected failures so specs
     * runtime-test the export writer's FAILURE path the way JdbcRuntimeSpec
@@ -107,14 +110,66 @@ object StubDb {
     * @param sqlContains when non-null, the fault applies only to
     *   statements whose SQL contains this substring — e.g. one split
     *   range's predicate, so exactly that task fails
+    * @param awaitStartedScans (r17, VERDICT #5) before throwing, block
+    *   (≤10 s) until this many data scans (ResultSets serving >1 row —
+    *   probes serve ≤1) have STARTED streaming — guarantees the failure
+    *   lands while sibling splits are concurrently executing, not in a
+    *   serialized schedule that happens to look concurrent
+    * @param awaitCompletedScans before throwing, also block until this
+    *   many data scans have streamed to completion — lets a spec pin
+    *   "a sibling's part committed BEFORE the failure" deterministically
     */
   final case class Fault(failAfterRows: Long = -1L, failOnExecute: Boolean = false,
-      sqlContains: String = null, message: String = "stub: injected wire failure")
+      sqlContains: String = null, message: String = "stub: injected wire failure",
+      awaitStartedScans: Int = 0, awaitCompletedScans: Int = 0,
+      // grace sleep AFTER the barrier, before throwing: a "completed" scan
+      // means the sibling exhausted its ResultSet; its writer still has to
+      // flush + rename the part — give that a moment so "committed before
+      // the failure" is deterministic, not a rename/cancel race
+      failDelayMs: Long = 0L)
+
+  /** Per-row latency injection (r17, VERDICT #5): every `next()` on a data
+    * scan whose SQL contains [[sqlContains]] sleeps [[rowDelayMs]] — keeps
+    * chosen sibling splits verifiably mid-stream while another split fails.
+    */
+  final case class Delay(rowDelayMs: Long, sqlContains: String = null)
+
+  /** Scan-concurrency observability for the multi-split fault specs:
+    * `started`/`completed` count data scans (>1 row) over the db's
+    * lifetime; `open`/`maxOpen` track how many stream concurrently.
+    */
+  final class ScanStats {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val open = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxOpen = new java.util.concurrent.atomic.AtomicInteger(0)
+    private[StubDb] def onStart(): Unit = {
+      started.incrementAndGet()
+      val o = open.incrementAndGet()
+      maxOpen.updateAndGet(m => math.max(m, o))
+    }
+    private[StubDb] def onEnd(completedOk: Boolean): Unit = {
+      if (completedOk) completed.incrementAndGet()
+      open.decrementAndGet()
+    }
+  }
 
   private val faults = TrieMap[String, Fault]()
+  private val delays = TrieMap[String, Vector[Delay]]()
+  private val scanStats = TrieMap[String, ScanStats]()
 
   def injectFault(db: String, fault: Fault): Unit = faults.put(db, fault)
-  def clearFault(db: String): Unit = faults.remove(db)
+  def injectDelay(db: String, delay: Delay): Unit =
+    delays.updateWith(db)(v => Some(v.getOrElse(Vector.empty) :+ delay))
+  def clearFault(db: String): Unit = {
+    faults.remove(db); delays.remove(db); scanStats.remove(db)
+  }
+  def stats(db: String): ScanStats = scanStats.getOrElseUpdate(db, new ScanStats)
+
+  private def delayFor(db: String, sql: String): Long =
+    delays.get(db).map(_.collect {
+      case d if d.sqlContains == null || sql.contains(d.sqlContains) => d.rowDelayMs
+    }.sum).getOrElse(0L)
 
   private def faultFor(db: String, sql: String): Option[Fault] =
     faults.get(db).filter(f => f.sqlContains == null || sql.contains(f.sqlContains))
@@ -375,7 +430,7 @@ object StubDb {
         append(db, "main.executeQuery")
         faultFor(db, sql).filter(_.failOnExecute)
           .foreach(f => throw new java.sql.SQLException(f.message))
-        resultSetProxy(runQuery(db, sql), faultFor(db, sql))
+        resultSetProxy(runQuery(db, sql), faultFor(db, sql), db, sql)
       case ("execute", _) =>
         // sessionInitStatement path: Spark prepares the init SQL and
         // calls execute() — record it as a pre-command
@@ -393,7 +448,7 @@ object StubDb {
       append(db, s"stmt.executeQuery($sql)")
       faultFor(db, sql).filter(_.failOnExecute)
         .foreach(f => throw new java.sql.SQLException(f.message))
-      resultSetProxy(runQuery(db, sql), faultFor(db, sql))
+      resultSetProxy(runQuery(db, sql), faultFor(db, sql), db, sql)
     case ("execute", args) =>
       val sql = args(0).asInstanceOf[String]
       append(db, s"pre.execute($sql)")
@@ -488,9 +543,29 @@ object StubDb {
     items.map(v => if (v == null) "NULL" else v.toString)
       .mkString("{", ",", "}").getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  private def resultSetProxy(t: Table, fault: Option[Fault] = None): ResultSet = {
+  private def resultSetProxy(t: Table, fault: Option[Fault] = None,
+      db: String = null, sql: String = ""): ResultSet = {
     var cursor = -1
     var nullSeen = false
+    // Data scans (>1 row) participate in the concurrency stats/barrier;
+    // the schema/bounds/LIMIT-1 probes (≤1 row) never do.
+    val isDataScan = db != null && t.rows.size > 1
+    val rowDelayMs = if (db == null) 0L else delayFor(db, sql)
+    var ended = false
+    def endScan(completedOk: Boolean): Unit =
+      if (isDataScan && cursor >= 0 && !ended) { ended = true; stats(db).onEnd(completedOk) }
+    /** Bounded wait for the fault's concurrency barrier: the failure must
+      * land while sibling scans are provably live; a 10 s timeout fails
+      * open (throws anyway) so a mis-sized barrier can't hang the suite.
+      */
+    def awaitBarrier(f: Fault): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (System.nanoTime() < deadline &&
+          (stats(db).started.get() < f.awaitStartedScans ||
+           stats(db).completed.get() < f.awaitCompletedScans)) {
+        Thread.sleep(5)
+      }
+    }
     def value(args: Array[AnyRef]): Any = {
       val v = args(0) match {
         case i: Integer => t.rows(cursor)(i - 1)
@@ -506,11 +581,36 @@ object StubDb {
     proxy(classOf[ResultSet]) {
       case ("next", _) =>
         cursor += 1
-        // mid-ResultSet wire failure: throw after `failAfterRows` rows have
-        // been served (the (n+1)-th next() call), like a dropped connection
-        for (f <- fault if f.failAfterRows >= 0 && cursor >= f.failAfterRows)
-          throw new java.sql.SQLException(f.message)
-        java.lang.Boolean.valueOf(cursor < t.rows.size)
+        if (isDataScan && cursor == 0) stats(db).onStart()
+        // per-row latency injection: keeps this split verifiably mid-stream
+        // while another split fails. Task cancellation interrupts the
+        // sleep — treat it as end-of-stream, preserving the interrupt flag.
+        var interrupted = false
+        if (rowDelayMs > 0 && cursor < t.rows.size) {
+          try Thread.sleep(rowDelayMs)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            endScan(completedOk = false)
+            interrupted = true
+          }
+        }
+        if (interrupted) java.lang.Boolean.FALSE
+        else {
+          // mid-ResultSet wire failure: throw after `failAfterRows` rows
+          // have been served (the (n+1)-th next() call), like a dropped
+          // connection
+          for (f <- fault if f.failAfterRows >= 0 && cursor >= f.failAfterRows) {
+            if (isDataScan && (f.awaitStartedScans > 0 || f.awaitCompletedScans > 0))
+              awaitBarrier(f)
+            if (f.failDelayMs > 0) Thread.sleep(f.failDelayMs)
+            endScan(completedOk = false)
+            throw new java.sql.SQLException(f.message)
+          }
+          if (cursor >= t.rows.size) endScan(completedOk = true)
+          java.lang.Boolean.valueOf(cursor < t.rows.size)
+        }
+      case ("close", _) =>
+        endScan(completedOk = false); null
       case ("getMetaData", _) => metaDataProxy(t.cols)
       case ("wasNull", _) => java.lang.Boolean.valueOf(nullSeen)
       case ("getObject", args) => value(args).asInstanceOf[AnyRef]

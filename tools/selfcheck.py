@@ -97,6 +97,11 @@ def check_one(con, out_dir: str, name: str, sql: str):
     if dtype_warns:
         return True, [f"WARN {name}: rows match but {d}" for d in dtype_warns] + [
             f"PASS {name} ({len(g)} rows, dtype warning)"]
+    if len(g) == 0:
+        # 0 == 0 is a real match, but a query whose engine AND oracle both
+        # return nothing proves nothing about either — make the vacuity
+        # impossible to miss in the sweep transcript (r17 checker audit)
+        return True, [f"PASS {name} (0 rows — VACUOUS: both sides empty)"]
     return True, [f"PASS {name} ({len(g)} rows)"]
 
 
