@@ -496,6 +496,35 @@ object Dedup {
   private[graft] def jaccardPrefixFromArrays(
       shingleArrays: DataFrame, tauNum: Int, tauDen: Int,
       forPlanInspection: Boolean = false): DataFrame = {
+    val (caches, sorted, cand) =
+      jaccardPrefixCandidates(shingleArrays, tauNum, tauDen, forPlanInspection)
+    // exact verification — same contract and double comparison as the
+    // minhash twin, so both answer the identical oracle
+    val threshold = tauNum.toDouble / tauDen
+    val verified = cand
+      .join(sorted.select(col("doc_id").as("id_a"), col("ghs").as("gh_a"),
+        col("m").as("m_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("ghs").as("gh_b"),
+        col("m").as("m_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("m_a") + col("m_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+    if (forPlanInspection) { caches.foreach(_.unpersist(false)); verified }
+    else materializeAndRelease(caches, verified)
+  }
+
+  /** The candidate stage of [[jaccardPrefixFromArrays]], exposed so the
+    * scale probes can pin CANDIDATE-count growth (the prefix filter's
+    * whole point) directly. Returns (caches to release, the sorted
+    * per-doc arrays, the candidate pairs); the caller owns the caches.
+    */
+  private[graft] def jaccardPrefixCandidates(
+      shingleArrays: DataFrame, tauNum: Int, tauDen: Int,
+      forPlanInspection: Boolean = false): (Seq[DataFrame], DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0, 1]: $tauNum/$tauDen")
     graft.functions.GraftFunctions.register(shingleArrays.sparkSession)
@@ -561,23 +590,7 @@ object Dedup {
             (col("a.m") + col("b.m")) * tNum)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verification — same contract and double comparison as the
-    // minhash twin, so both answer the identical oracle
-    val threshold = tauNum.toDouble / tauDen
-    val verified = cand
-      .join(sorted.select(col("doc_id").as("id_a"), col("ghs").as("gh_a"),
-        col("m").as("m_a")), "id_a")
-      .join(sorted.select(col("doc_id").as("id_b"), col("ghs").as("gh_b"),
-        col("m").as("m_b")), "id_b")
-      .withColumn("n_inter",
-        size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (col("m_a") + col("m_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_inter", "jaccard")
-    if (forPlanInspection) { ghArrays.unpersist(false); sorted.unpersist(false); verified }
-    else materializeAndRelease(Seq(ghArrays, sorted), verified)
+    (Seq(ghArrays, sorted), sorted, cand)
   }
 
   /** INCREMENTAL near-dup detection — the daily-increment shape of a

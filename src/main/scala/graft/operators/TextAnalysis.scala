@@ -2448,6 +2448,27 @@ object TextAnalysis {
     */
   def containmentJoin(spark: SparkSession, dir: String, k: Int = 12,
       tMilli: Int = 800): DataFrame = {
+    val (shC, cand) = containmentCandidates(spark, dir, k, tMilli)
+    val arrs = shC.groupBy("doc_id").agg(sort_array(collect_list("s")).as("arr"))
+    val out = cand
+      .join(arrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(arrs.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .select(col("a_id"), col("b_id"), col("size_a").cast("bigint").as("size_a"),
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("bigint").as("n_common"))
+      .filter(expr(s"1000 * n_common div size_a >= $tMilli"))
+      .withColumn("containment_milli", expr("1000 * n_common div size_a"))
+    Dedup.materializeAndRelease(Seq(shC), out)
+  }
+
+  /** The candidate stage of [[containmentJoin]], exposed so the scale
+    * probes can pin CANDIDATE-count growth (the filter's whole point)
+    * directly rather than inferring it from wall/shuffle exponents.
+    * Returns (cached shingle postings, candidate pairs); the caller owns
+    * releasing the cache (containmentJoin does so via
+    * materializeAndRelease).
+    */
+  private[graft] def containmentCandidates(spark: SparkSession, dir: String,
+      k: Int = 12, tMilli: Int = 800): (DataFrame, DataFrame) = {
     require(tMilli >= 1 && tMilli <= 1000, s"tMilli must be in [1, 1000], got $tMilli")
     graft.functions.GraftFunctions.register(spark)
     // shingles as 60-bit portable hashes, not strings: the candidate
@@ -2486,15 +2507,7 @@ object TextAnalysis {
       .join(sizes.select(col("doc_id").as("b_id"), col("size_b")), "b_id")
       .filter(col("size_b") >= expr(s"($tMilli * size_a + 999) div 1000"))
       .select("a_id", "b_id", "size_a")
-    val arrs = shC.groupBy("doc_id").agg(sort_array(collect_list("s")).as("arr"))
-    val out = cand
-      .join(arrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
-      .join(arrs.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
-      .select(col("a_id"), col("b_id"), col("size_a").cast("bigint").as("size_a"),
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("bigint").as("n_common"))
-      .filter(expr(s"1000 * n_common div size_a >= $tMilli"))
-      .withColumn("containment_milli", expr("1000 * n_common div size_a"))
-    Dedup.materializeAndRelease(Seq(shC), out)
+    (shC, cand)
   }
 
   /** WINNOWING fingerprint selection per document (round-10 continuation)

@@ -140,6 +140,24 @@ object CorpusScaleProbe {
       "semantic_canonical_lsh" -> ((d: String) =>
         Dedup.semanticCanonical(spark, d, 0.7, EmbeddingStrategy.SignLsh).count()),
       "text_containment" -> ((d: String) => TextAnalysis.containmentJoin(spark, d).count()),
+      // exact prefix-filter twin (VERDICT r16 #7): no committed growth
+      // curve existed for it or for containment's CANDIDATE stage — the
+      // `_cands` rows count the candidate frames directly (the filters'
+      // whole point), not just the verified output
+      "jaccard_prefix" -> ((d: String) => Dedup.jaccardPrefixNearDups(spark, d).count()),
+      "containment_cands" -> ((d: String) => {
+        val (shC, cand) = TextAnalysis.containmentCandidates(spark, d)
+        val n = cand.count()
+        shC.unpersist(false)
+        n
+      }),
+      "jaccard_prefix_cands" -> ((d: String) => {
+        val (caches, _, cand) = Dedup.jaccardPrefixCandidates(
+          Dedup.docShingleArrays(spark, d), 3, 5)
+        val n = cand.count()
+        caches.foreach(_.unpersist(false))
+        n
+      }),
       // the scale-path discipline applied: bits grows log2(k) so bucket
       // occupancy (and with it the candidate stream) stays constant per
       // vector — the fixed-bits twin above shows the quadratic candidate
@@ -151,18 +169,22 @@ object CorpusScaleProbe {
     val probes = rowFilter.map(fs => allProbes.filter(p => fs.exists(p._1.contains)))
       .getOrElse(allProbes)
 
-    println(f"${"probe"}%-24s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s")
+    println(f"${"probe"}%-24s ${"wall1"}%8s ${"wallK"}%8s ${"expW"}%6s ${"shuf1MB"}%8s ${"shufKMB"}%8s ${"expS"}%6s ${"n1"}%9s ${"nK"}%10s ${"expN"}%6s")
     probes.foreach { case (name, run) =>
       // warm BOTH corpora before measuring: a cold ×k run pays parquet
       // page-cache misses + codegen the warmed ×1 cell doesn't, biasing
       // expW upward (r14 review; SemanticLshDiag measured 47 s cold vs
       // 4 s warm on the identical DAG)
       run(d1); run(dk)
-      val (w1, s1) = measured(run(d1))
-      val (wk, sk) = measured(run(dk))
+      var n1 = 0L; var nk = 0L
+      val (w1, s1) = measured { n1 = run(d1) }
+      val (wk, sk) = measured { nk = run(dk) }
       val expW = math.log(wk / w1) / math.log(bigK.toDouble)
       val expS = math.log(sk.toDouble / s1.toDouble) / math.log(bigK.toDouble)
-      println(f"$name%-24s $w1%8.2f $wk%8.2f $expW%6.2f ${s1 / 1e6}%8.1f ${sk / 1e6}%8.1f $expS%6.2f")
+      // output/candidate-COUNT growth exponent: ≈1 = the replicas stayed
+      // mutually invisible (per-copy work only); >1 = cross-copy leakage
+      val expN = math.log(nk.toDouble / n1.toDouble) / math.log(bigK.toDouble)
+      println(f"$name%-24s $w1%8.2f $wk%8.2f $expW%6.2f ${s1 / 1e6}%8.1f ${sk / 1e6}%8.1f $expS%6.2f $n1%9d $nk%10d $expN%6.2f")
     }
 
     // same match direction as the probe-row filter: run the cell iff some
