@@ -961,8 +961,18 @@ object Similarity {
     * per corpus; the recall gate is spec-verified off-default too).
     */
   val PqCentroids = 16
-  /** ADC shortlist size before exact re-rank (quantization noise budget). */
-  val PqShortlist = 200
+  /** ADC shortlist size before exact re-rank (quantization noise budget).
+    * 400 = 40·k at the gate's k=10 — recalibrated r17: the old 200 put
+    * the recall gate's worst query at EXACTLY the minHits floor (5/10 on
+    * pristine sf0.1), so a one-vector corpus perturbation (the
+    * adversarial fixture's in-contract denormal-norm vector) flipped it
+    * to 4/10. Measured sweep (PqDiag, both fixtures): shortlist 200 →
+    * min-hits 5/4 (knife edge), 400 → 7/7 (identical hit vectors on both
+    * corpora), 800 → 9/9. The shortlist is a bounded per-task heap, so
+    * the cost of 400 vs 200 is only the re-rank join width — negligible
+    * against the ADC scan at any scale.
+    */
+  val PqShortlist = 400
 
   /** Trains the per-subspace codebooks on a deterministic [[trainSample]]
     * (hash-ordered seeds, the [[ivfTopK]] recipe) refined by
