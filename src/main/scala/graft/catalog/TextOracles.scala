@@ -113,7 +113,7 @@ private[graft] object TextOracles {
       |  SELECT cp.bigram,
       |   row_number() OVER (PARTITION BY cp.prev ORDER BY cp.c_pair DESC, fp.fp_pair ASC) AS rn
       |  FROM cp JOIN fp USING (bigram))
-      | WHERE rn <= 16),
+      | WHERE rn <= 24),
       |cost AS (
       | SELECT bb.doc_id,
       |  CASE WHEN kept.bigram IS NOT NULL

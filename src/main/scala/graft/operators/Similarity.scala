@@ -53,12 +53,16 @@ object Similarity {
       .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
-  /** Boolean recall-floor gate over [[recallHitCounts]] — the shared body
-    * of every `*RecallFloor` driver gate.
+  /** Boolean floor over an `(q_id, n_hits)` frame — the final select of
+    * every `*RecallFloor` driver gate. Split out of the gates (r17) so
+    * GateMarginProbe can read the RAW hit counts each gate computes
+    * through its paired `*RecallHits` seam: the PQ knife-edge (a gate
+    * sitting at exactly its floor until one in-contract corpus vector
+    * flipped it) was invisible precisely because the boolean discards the
+    * margin.
     */
-  private def recallFloor(exact: DataFrame, approx: DataFrame, minHits: Int): DataFrame =
-    recallHitCounts(exact, approx)
-      .select(col("q_id"), (col("n_hits") >= minHits).as("recall_floor_met"))
+  private[graft] def floorOverHits(hits: DataFrame, minHits: Int): DataFrame =
+    hits.select(col("q_id"), (col("n_hits") >= minHits).as("recall_floor_met"))
 
   /** Per-query top-k selection via the bounded-heap `graft_topk` aggregate
     * — the scale path for every ranked output in this family. The previous
@@ -342,6 +346,23 @@ object Similarity {
   def marginMiningIvfAgreement(spark: SparkSession, dir: String, k: Int = 4,
       minAgreeMilli: Long = 700, numCentroids: Int = NumCentroids,
       numProbes: Int = NumProbes): DataFrame = {
+    val (n, covered, agree, flips) =
+      marginMiningIvfStats(spark, dir, k, numCentroids, numProbes)
+    import spark.implicits._
+    Seq(
+      ("anchor_coverage_full", covered == n && n > 0),
+      ("partner_agreement_floor", agree * 1000 >= n * minAgreeMilli),
+      ("mutual_flag_consistent", flips == 0L))
+      .toDF("check_name", "passed")
+  }
+
+  /** Raw (n, covered, partner_agree, mutual_flips) counts behind
+    * [[marginMiningIvfAgreement]] (GateMarginProbe seam — the agreement
+    * permille `agree*1000/n` is the margin the boolean gate discards).
+    */
+  private[graft] def marginMiningIvfStats(spark: SparkSession, dir: String, k: Int = 4,
+      numCentroids: Int = NumCentroids,
+      numProbes: Int = NumProbes): (Long, Long, Long, Long) = {
     require(k >= 1, s"marginMiningIvfAgreement: k must be >= 1, got $k")
     graft.functions.GraftFunctions.register(spark)
     // r13 (VERDICT r12 #7): ONE embeddings/norm pass, ONE exact cosine
@@ -370,14 +391,7 @@ object Similarity {
       sum(when(col("y_ivf") === col("y_exact"), 1L).otherwise(0L)).as("partner_agree"),
       sum(when(col("y_ivf") === col("y_exact") && col("m_ivf") =!= col("m_exact"), 1L)
         .otherwise(0L)).as("mutual_flips")).head()
-    val (n, covered, agree, flips) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    import spark.implicits._
-    Seq(
-      ("anchor_coverage_full", covered == n && n > 0),
-      ("partner_agreement_floor", agree * 1000 >= n * minAgreeMilli),
-      ("mutual_flag_consistent", flips == 0L))
-      .toDF("check_name", "passed")
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** K-CENTER CORESET selection (round 10) — greedy farthest-point
@@ -783,15 +797,21 @@ object Similarity {
     * lossless end to end.
     */
   def ivfStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 3): DataFrame =
+    floorOverHits(ivfStoreRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[ivfStoreRecallFloor]], materialized
+    * within the temp-store lifetime (GateMarginProbe seam).
+    */
+  private[graft] def ivfStoreRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     val store = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
     try {
       writeIvfIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = ivfTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq.empty, out)
+      Dedup.materializeAndRelease(Seq.empty, recallHitCounts(exact, approx))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -876,11 +896,19 @@ object Similarity {
     */
   def ivfRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       minHits: Int = 3, numCentroids: Int = NumCentroids,
+      numProbes: Int = NumProbes): DataFrame =
+    floorOverHits(ivfRecallHits(spark, dir, k, nQueries, numCentroids, numProbes), minHits)
+
+  /** Raw per-query hit counts behind [[ivfRecallFloor]] (GateMarginProbe
+    * seam — see [[floorOverHits]]).
+    */
+  private[graft] def ivfRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, numCentroids: Int = NumCentroids,
       numProbes: Int = NumProbes): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = ivfTopK(spark, dir, k, nQueries,
       numCentroids = numCentroids, numProbes = numProbes).select("q_id", "neighbor_id")
-    recallFloor(exact, approx, minHits)
+    recallHitCounts(exact, approx)
   }
 
   /** Deterministic HOT-CELL twin corpus: `clusterPermille`/1000 of the
@@ -937,15 +965,21 @@ object Similarity {
     */
   def ivfRecallFloorClustered(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 5, minHits: Int = 2,
-      clusterPermille: Int = 900): DataFrame = {
+      clusterPermille: Int = 900): DataFrame =
+    floorOverHits(ivfClusteredRecallHits(spark, dir, k, nQueries, clusterPermille), minHits)
+
+  /** Raw per-query hit counts behind [[ivfRecallFloorClustered]]
+    * (GateMarginProbe seam).
+    */
+  private[graft] def ivfClusteredRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, clusterPermille: Int = 900): DataFrame = {
     val clustered = clusteredEmbeddings(spark, dir, clusterPermille).cache()
     clustered.count() // eager fill: brute-force and IVF paths both read it
     val exact = bruteForceTopKFrom(clustered, k, nQueries)
       .select("q_id", "neighbor_id")
     val approx = ivfTopKFrom(spark, clustered, k, nQueries)
       .select("q_id", "neighbor_id")
-    val out = recallFloor(exact, approx, minHits)
-    Dedup.materializeAndRelease(Seq(clustered), out)
+    Dedup.materializeAndRelease(Seq(clustered), recallHitCounts(exact, approx))
   }
 
   /** PQ layout: 64 dims → [[PqSubspaces]] blocks of [[PqSubDims]] dims,
@@ -1287,15 +1321,21 @@ object Similarity {
     * lossless end to end.
     */
   def pqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 5): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 5): DataFrame =
+    floorOverHits(pqStoreRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[pqStoreRecallFloor]], materialized
+    * within the temp-store lifetime (GateMarginProbe seam).
+    */
+  private[graft] def pqStoreRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     val store = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
     try {
       writePqIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = pqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq.empty, out)
+      Dedup.materializeAndRelease(Seq.empty, recallHitCounts(exact, approx))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1310,11 +1350,19 @@ object Similarity {
     */
   def pqRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       minHits: Int = 5, pqCentroids: Int = PqCentroids,
+      pqShortlist: Int = PqShortlist): DataFrame =
+    floorOverHits(pqRecallHits(spark, dir, k, nQueries, pqCentroids, pqShortlist), minHits)
+
+  /** Raw per-query hit counts behind [[pqRecallFloor]] (GateMarginProbe
+    * seam).
+    */
+  private[graft] def pqRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5, pqCentroids: Int = PqCentroids,
       pqShortlist: Int = PqShortlist): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = pqTopK(spark, dir, k, nQueries,
       pqCentroids = pqCentroids, pqShortlist = pqShortlist).select("q_id", "neighbor_id")
-    recallFloor(exact, approx, minHits)
+    recallHitCounts(exact, approx)
   }
 
   /** IVF-PQ composed ANN — the billion-vector deployment shape (the
@@ -1437,10 +1485,17 @@ object Similarity {
     * means), oracle asserts TRUE per query.
     */
   def ivfPqRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 3): DataFrame =
+    floorOverHits(ivfPqRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[ivfPqRecallFloor]] (GateMarginProbe
+    * seam).
+    */
+  private[graft] def ivfPqRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = ivfPqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    recallFloor(exact, approx, minHits)
+    recallHitCounts(exact, approx)
   }
 
   /** Persists the trained IVF-PQ index — at 100 TB this is THE deployment
@@ -1587,7 +1642,14 @@ object Similarity {
     * [[ivfPqStoreRecallFloor]] contract applied across the append seam.
     */
   def ivfPqAppendRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 3): DataFrame =
+    floorOverHits(ivfPqAppendRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[ivfPqAppendRecallFloor]],
+    * materialized within the temp-store lifetime (GateMarginProbe seam).
+    */
+  private[graft] def ivfPqAppendRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // r13 (VERDICT r12 #7): one cached embeddings frame feeds the split
     // count AND both query paths (exact + store-backed), and the store
@@ -1607,9 +1669,8 @@ object Similarity {
       // ivfPqStoreRecallFloor), sharing the cached frame via embFrame
       val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
-      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq(emb), out)
+      Dedup.materializeAndRelease(Seq(emb), recallHitCounts(exact, approx))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1654,7 +1715,14 @@ object Similarity {
     * green row proves the full compressed-index round trip is lossless.
     */
   def ivfPqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 3): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 3): DataFrame =
+    floorOverHits(ivfPqStoreRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[ivfPqStoreRecallFloor]],
+    * materialized within the temp-store lifetime (GateMarginProbe seam).
+    */
+  private[graft] def ivfPqStoreRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-index").toString
     // r14 (VERDICT r13 #4, the append gate's r13 treatment applied here):
@@ -1671,9 +1739,8 @@ object Similarity {
       // stayed green), sharing the cached frame via its embFrame seam
       val approx = ivfPqTopKViaStore(spark, dir, store, k, nQueries, embFrame = Some(emb))
         .select("q_id", "neighbor_id")
-      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq(emb), out)
+      Dedup.materializeAndRelease(Seq(emb), recallHitCounts(exact, approx))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
@@ -1819,25 +1886,38 @@ object Similarity {
     * shortlist + re-rank. Oracle asserts TRUE per query.
     */
   def sqRecallFloor(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
-      minHits: Int = 5): DataFrame = {
+      minHits: Int = 5): DataFrame =
+    floorOverHits(sqRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[sqRecallFloor]] (GateMarginProbe
+    * seam).
+    */
+  private[graft] def sqRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
     val approx = sqTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
-    recallFloor(exact, approx, minHits)
+    recallHitCounts(exact, approx)
   }
 
   /** Recall floor through the persisted round trip: build → parquet →
     * read back → query ([[pqStoreRecallFloor]] contract).
     */
   def sqStoreRecallFloor(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 5, minHits: Int = 5): DataFrame = {
+      nQueries: Int = 5, minHits: Int = 5): DataFrame =
+    floorOverHits(sqStoreRecallHits(spark, dir, k, nQueries), minHits)
+
+  /** Raw per-query hit counts behind [[sqStoreRecallFloor]], materialized
+    * within the temp-store lifetime (GateMarginProbe seam).
+    */
+  private[graft] def sqStoreRecallHits(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     val store = java.nio.file.Files.createTempDirectory("graft-sq-index").toString
     try {
       writeSqIndex(spark, dir, store)
       val exact = bruteForceTopK(spark, dir, k, nQueries).select("q_id", "neighbor_id")
       val approx = sqTopKViaStore(spark, dir, store, k, nQueries).select("q_id", "neighbor_id")
-      val out = recallFloor(exact, approx, minHits)
       // materialize before the temp index is deleted
-      Dedup.materializeAndRelease(Seq.empty, out)
+      Dedup.materializeAndRelease(Seq.empty, recallHitCounts(exact, approx))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(store)).deleteRecursively()
