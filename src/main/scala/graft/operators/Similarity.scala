@@ -1008,6 +1008,21 @@ object Similarity {
     */
   val PqShortlist = 400
 
+  /** Probe-ring width of the COMPOSED IVF-PQ path (its flat-IVF coarse
+    * stage keeps [[NumProbes]] = 8). The composition pays BOTH coarse-cell
+    * pruning AND 8-byte quantization, so at 8/16 probes its recall gate
+    * held only a one-hit margin (min-hits 4 vs floor 3, identical on
+    * pristine and adversarial sf0.1 — GateMarginProbe r17). The measured
+    * sweep (IvfPqMarginSweep, both fixtures × probes {8,10,12} × shortlist
+    * {400,800}): 10/16 probes lifts min-hits to 6 on BOTH corpora at the
+    * default shortlist — double the margin for a 2-cell-wider probe scan
+    * (scan cost ∝ probes/centroids: 0.500 → 0.625 of the coded corpus,
+    * which is 8-byte codes, not raw vectors). 12 probes is NOT monotone
+    * per query (adv min dips back to 5 at shortlist 400 — cell-ordering
+    * shifts), so 10 is the evidence-picked point.
+    */
+  val IvfPqProbes = 10
+
   /** Trains the per-subspace codebooks on a deterministic [[trainSample]]
     * (hash-ordered seeds, the [[ivfTopK]] recipe) refined by
     * `refineIters` Lloyd steps with EXACT integer-micros means, so the
@@ -1389,7 +1404,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5,
       refineIters: Int = 2, pqRefineIters: Int = 3, forPlanInspection: Boolean = false,
       trainFraction: Double = TrainFraction,
-      numCentroids: Int = NumCentroids, numProbes: Int = NumProbes,
+      numCentroids: Int = NumCentroids, numProbes: Int = IvfPqProbes,
       pqCentroids: Int = PqCentroids, pqShortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = withNorm(embeddings(spark, dir)).cache()
@@ -1611,7 +1626,7 @@ object Similarity {
     * [[graft.streaming.StreamAnnIngest]] job is feeding.
     */
   def ivfPqTopKViaStoreWithIncrements(spark: SparkSession, dir: String, storeDir: String,
-      k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
+      k: Int = 10, nQueries: Int = 5, numProbes: Int = IvfPqProbes,
       pqShortlist: Int = PqShortlist): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (centroids, books) = loadIvfPqModels(spark, storeDir)
@@ -1696,7 +1711,7 @@ object Similarity {
     * direct path — bit-equal by spec (IvfSpec).
     */
   def ivfPqTopKViaStore(spark: SparkSession, dir: String, storeDir: String,
-      k: Int = 10, nQueries: Int = 5, numProbes: Int = NumProbes,
+      k: Int = 10, nQueries: Int = 5, numProbes: Int = IvfPqProbes,
       pqShortlist: Int = PqShortlist, embFrame: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (centroids, books) = loadIvfPqModels(spark, storeDir)
