@@ -48,14 +48,25 @@ object Graph {
     * (src, dst, outdeg). Distinct pairs only — edge weight is ignored by
     * design (the oracle does the same).
     */
-  def tradeEdges(spark: SparkSession, dir: String): DataFrame =
-    tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, edges) = tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+    Dedup.materializeAndRelease(Seq(pairs), edges)
+  }
 
   /** [[tradeEdges]] generalized over the supplier-node expression — the
     * seam the hub-skew twin uses to collapse suppliers into super-nodes.
+    *
+    * Returns (the CACHED distinct pair table, the edge frame built on it);
+    * the caller unpersists the pair cache once edges are materialized.
+    * Caching matters (r17 opt, measured in the pageRank SQL tab): `pairs`
+    * is referenced four times in the edge plan (both union branches, then
+    * both again under the degree aggregate), and Spark does not dedupe
+    * common subtrees — uncached, the orders ⋈ lineitem → distinct build
+    * (the most expensive stage of every graph query) executed TWICE per
+    * edge materialization even with exchange reuse.
     */
   private def tradeEdgesFrom(spark: SparkSession, dir: String,
-      snode: org.apache.spark.sql.Column): DataFrame = {
+      snode: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     // dedupe (order, supplier) BEFORE the join: the distinct shuffles on
     // l_orderkey — the join key the rows need anyway — and shrinks the
     // join output ~4x (multi-lineitem orders) ahead of the wide pair
@@ -66,10 +77,12 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cnode"), snode.as("snode"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager fill — four consumers below (cache-before-AQE rule)
     val directed = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    directed.join(deg, "src")
+    (pairs, directed.join(deg, "src"))
   }
 
   /** All graph nodes (isolated customers/suppliers included — they keep
@@ -84,9 +97,11 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
       dampPct: Long = 85, scale: Long = Scale,
-      checkpointEvery: Int = 4): DataFrame =
-    pageRankCore(spark, tradeEdges(spark, dir), tradeNodes(spark, dir),
-      iters, dampPct, scale, checkpointEvery)
+      checkpointEvery: Int = 4): DataFrame = {
+    val (pairs, edges) = tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+    pageRankCore(spark, edges, tradeNodes(spark, dir),
+      iters, dampPct, scale, checkpointEvery, extraCaches = Seq(pairs))
+  }
 
   /** Hub-heavy degree-skew twin of [[pageRank]]: the identical integer
     * recurrence over the trade graph with the supplier side COLLAPSED to
@@ -103,15 +118,17 @@ object Graph {
       hubMod: Long = 8, dampPct: Long = 85, scale: Long = Scale,
       checkpointEvery: Int = 4): DataFrame = {
     require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
-    val edges = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
+    val (pairs, edges) = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
     val nodes = t(spark, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .unionAll(t(spark, dir, "supplier")
         .select(((col("s_suppkey") % hubMod) * 2 + 1).as("node")).distinct())
-    pageRankCore(spark, edges, nodes, iters, dampPct, scale, checkpointEvery)
+    pageRankCore(spark, edges, nodes, iters, dampPct, scale, checkpointEvery,
+      extraCaches = Seq(pairs))
   }
 
   private def pageRankCore(spark: SparkSession, edges0: DataFrame, nodes0: DataFrame,
-      iters: Int, dampPct: Long, scale: Long, checkpointEvery: Int): DataFrame = {
+      iters: Int, dampPct: Long, scale: Long, checkpointEvery: Int,
+      extraCaches: Seq[DataFrame] = Nil): DataFrame = {
     require(dampPct >= 1 && dampPct <= 100, s"dampPct must be in [1, 100], got $dampPct")
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = edges0
@@ -144,7 +161,7 @@ object Graph {
     }
     val out = ranks.select(col("node").cast("bigint").as("node"),
       col("pr").cast("bigint").as("pr"))
-    Dedup.materializeAndRelease(Seq(edges, nodes), out)
+    Dedup.materializeAndRelease(Seq(edges, nodes) ++ extraCaches, out)
   }
 
   /** Min-label propagation — connected components once converged (k ≥
@@ -162,9 +179,11 @@ object Graph {
   def components(spark: SparkSession, dir: String, iters: Int = 4,
       // probe-measured (CompProbe): materializing every 2 supersteps beats
       // one deep 4-superstep lineage by ~30% — AQE re-plans shallower trees
-      checkpointEvery: Int = 2): DataFrame =
-    componentsCore(spark, tradeEdges(spark, dir).select("src", "dst"),
-      tradeNodes(spark, dir), iters, checkpointEvery)
+      checkpointEvery: Int = 2): DataFrame = {
+    val (pairs, edges) = tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+    componentsCore(spark, edges.select("src", "dst"),
+      tradeNodes(spark, dir), iters, checkpointEvery, extraCaches = Seq(pairs))
+  }
 
   /** Hub-heavy degree-skew twin of [[components]] (the
     * [[pageRankHubSkew]] pattern): suppliers collapse to `l_suppkey %
@@ -178,16 +197,17 @@ object Graph {
   def componentsHubSkew(spark: SparkSession, dir: String, iters: Int = 4,
       hubMod: Long = 8, checkpointEvery: Int = 2): DataFrame = {
     require(hubMod >= 1, s"hubMod must be >= 1, got $hubMod")
-    val edges = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
-      .select("src", "dst")
+    val (pairs, edges0) = tradeEdgesFrom(spark, dir, (col("l_suppkey") % hubMod) * 2 + 1)
+    val edges = edges0.select("src", "dst")
     val nodes = t(spark, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .unionAll(t(spark, dir, "supplier")
         .select(((col("s_suppkey") % hubMod) * 2 + 1).as("node")).distinct())
-    componentsCore(spark, edges, nodes, iters, checkpointEvery)
+    componentsCore(spark, edges, nodes, iters, checkpointEvery, extraCaches = Seq(pairs))
   }
 
   private def componentsCore(spark: SparkSession, edges0: DataFrame,
-      nodes0: DataFrame, iters: Int, checkpointEvery: Int): DataFrame = {
+      nodes0: DataFrame, iters: Int, checkpointEvery: Int,
+      extraCaches: Seq[DataFrame] = Nil): DataFrame = {
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = edges0
       .repartition(shuffleN, col("src"))
@@ -206,7 +226,7 @@ object Graph {
     }
     val out = labels.select(col("node").cast("bigint").as("node"),
       col("label").cast("bigint").as("label"))
-    Dedup.materializeAndRelease(Seq(edges, nodes), out)
+    Dedup.materializeAndRelease(Seq(edges, nodes) ++ extraCaches, out)
   }
 
   /** Bounded-hop BFS reachability: minimum hop count (≤ maxHops) from the
@@ -217,13 +237,14 @@ object Graph {
     */
   def reachability(spark: SparkSession, dir: String, maxHops: Int = 3,
       nation: String = "NATION_1"): DataFrame = {
-    val edges = tradeEdges(spark, dir).select("src", "dst")
+    val (pairs, edges0) = tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)
+    val edges = edges0.select("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = t(spark, dir, "customer")
       .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === nation)
       .select((col("c_custkey") * 2).as("node"))
-    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](pairs, edges)
     var visited = seeds.withColumn("hop", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     caches += visited

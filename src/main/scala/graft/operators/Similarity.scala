@@ -297,12 +297,18 @@ object Similarity {
       expr("graft_struct_sum(top, 'score')").as("dx"))
     val denY = topY.select(col("yi"),
       expr("graft_struct_sum(top, 'score')").as("dy"))
+    // The heap entries already carry the cosine (graft_topk stores (id,
+    // score)), so the forward/backward candidate lists can keep `c` and the
+    // distinct union IS the scored candidate relation — no join back to the
+    // corpus-scale `scored` frame (r17 opt: that join broadcast all 262k
+    // scored rows at sf0.1 and re-read the cache a fourth time; c is
+    // functionally determined by (xi, yi), so distinct cardinality and
+    // every margin are bit-identical).
     val fwd = topX.select(col("xi"), explode(col("top")).as("t"))
-      .select(col("xi"), col("t.id").as("yi"))
+      .select(col("xi"), col("t.id").as("yi"), col("t.score").as("c"))
     val bwd = topY.select(col("yi"), explode(col("top")).as("t"))
-      .select(col("t.id").as("xi"), col("yi"))
-    val cand = fwd.union(bwd).distinct()
-    val m = cand.join(scored, Seq("xi", "yi"))
+      .select(col("t.id").as("xi"), col("yi"), col("t.score").as("c"))
+    val m = fwd.union(bwd).distinct()
       .join(denX, "xi") // side-A sums scale with the query set: AQE decides
       .join(denY, "yi") // side-B sums are corpus-sized: equi-join, AQE decides
       .withColumn("margin_micro",

@@ -1489,7 +1489,13 @@ object TextAnalysis {
     // one row per distinct bigram; min(fp_prev) is exact (all equal)
     val pairStats = bg.groupBy("fp_pair")
       .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
-    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
+    // context occurrence counts DERIVED from the distinct-pair table:
+    // c_prev = Σ c_pair over the context's pairs — algebraically identical
+    // to counting fp_prev over the occurrence relation, but it aggregates
+    // the vocabulary-sized pairStats instead of re-tokenizing and
+    // re-exploding the whole corpus a second time (r17 opt: one of the
+    // exact scorer's four corpus passes, measured in the SQL tab).
+    val ctxStats = pairStats.groupBy("fp_prev").agg(sum("c_pair").as("c_prev"))
     val model = pairStats.join(ctxStats, Seq("fp_prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("p",
@@ -1533,13 +1539,22 @@ object TextAnalysis {
     val hist0 = xent.groupBy(col("xent_micronats").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val span = hist0.agg(min("v").as("mn"), max("v").as("mx"))
+    // hist and totals are read by 2 and 3 downstream branches respectively
+    // (local; totals under bounds AND prefix) — uncached, the whole
+    // histogram chain executed FOUR times per run (r17 opt, read in the
+    // SQL tab: four identical InMemoryTableScan→agg→span-join chains).
+    // Both frames are value-histogram-sized (≤ distinct xent values /
+    // ≤ maxChunks rows), so the cache is bounded by construction.
     val hist = hist0.join(broadcast(span))
       .withColumn("cb", expr(s"(v - mn) div ((mx - mn) div $maxChunks + 1)"))
       .select("v", "cnt", "cb")
+      .cache()
+    if (!forPlanInspection) hist.count()
     val wLocal = Window.partitionBy("cb").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
-    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot"))
+    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot")).cache()
+    if (!forPlanInspection) totals.count()
     val bounds = totals.agg(max("cb").as("cb_max"), sum("tot").as("n"))
     val prefix = totals.join(broadcast(bounds))
       .filter(col("cb") < col("cb_max"))
@@ -1557,8 +1572,8 @@ object TextAnalysis {
         when(col("xent_micronats") <= col("b1"), "head")
           .when(col("xent_micronats") <= col("b2"), "middle")
           .otherwise("tail").as("ppl_bucket"))
-    if (forPlanInspection) { xent.unpersist(false); out }
-    else graft.operators.Dedup.materializeAndRelease(Seq(xent), out)
+    if (forPlanInspection) { Seq(xent, hist, totals).foreach(_.unpersist(false)); out }
+    else graft.operators.Dedup.materializeAndRelease(Seq(xent, hist, totals), out)
   }
 
   /** The fingerprinted bigram-occurrence relation + 1-row vocabulary —
@@ -1614,7 +1629,8 @@ object TextAnalysis {
     val (bg, vocab) = lmBigramRelation(spark, dir)
     val pairStats = bg.groupBy("fp_pair")
       .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
-    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
+    // derived from pairStats, not a second corpus pass — see lmCrossEntropy
+    val ctxStats = pairStats.groupBy("fp_prev").agg(sum("c_pair").as("c_prev"))
     val kept = pairStats.groupBy("fp_prev")
       .agg(expr(s"graft_topk(fp_pair, CAST(c_pair AS DOUBLE), $topK)").as("top"))
       .select(explode(col("top.id")).as("fp_pair"))
@@ -1864,19 +1880,31 @@ object TextAnalysis {
     * table with an independent in-memory reference implementation.
     */
   def bpeMerges(spark: SparkSession, dir: String, numMerges: Int = 16,
-      driverMergeThreshold: Int = 64, maxVocab: Int = 1 << 20): DataFrame = {
+      driverMergeThreshold: Int = 0, maxVocab: Int = 1 << 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     if (numMerges > driverMergeThreshold) {
-      // Above the threshold the per-merge Spark-job barrier dominates (one
-      // distributed pair-count + driver argmax PER RANK — 32k serial
-      // barriers at a production vocabulary). The word-type histogram is
-      // vocab-bounded after the single corpus scan, so collect it behind
-      // the maxVocab guard and train driver-side with the incremental
-      // trainer — identical merge table (BpeSpec pins both paths equal and
-      // bpeCheck pins the distributed path to the classic algorithm).
+      // The per-merge Spark-job barrier dominates the distributed trainer
+      // at EVERY vocabulary that fits maxVocab (one distributed pair-count
+      // + driver argmax PER RANK — 16 serial job barriers even at the
+      // catalog's numMerges=16, 32k at a production vocabulary; r17 opt
+      // measured the barriers at ~90% of text_bpe's wall). The word-type
+      // histogram is vocab-bounded after the single corpus scan — the same
+      // bound every production tokenizer trainer (and [[bpeCheck]]'s
+      // reference) relies on — so the default threshold is now 0: collect
+      // the histogram behind the maxVocab guard and train driver-side with
+      // the incremental trainer — identical merge table (BpeSpec pins both
+      // paths equal, and bpeCheck forces the distributed path via
+      // driverMergeThreshold=Int.MaxValue to keep gating it against the
+      // reference). A vocabulary past maxVocab no longer throws: it falls
+      // THROUGH to the distributed trainer below (r17 opt — the guarded
+      // collect must not turn a big-vocab corpus into a hard failure now
+      // that the driver path is the default).
       import spark.implicits._
-      return bpeTrainOnTypes(collectWordTypes(docs(spark, dir), maxVocab), numMerges)
-        .toDF("rank", "left", "right", "merged", "freq")
+      val types = wordTypes(docs(spark, dir)).limit(maxVocab + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (types.length <= maxVocab)
+        return bpeTrainOnTypes(types, numMerges)
+          .toDF("rank", "left", "right", "merged", "freq")
     }
     var syms = wordTypes(docs(spark, dir))
       // CODE-POINT split (a supplementary char is one symbol, never a
@@ -2461,24 +2489,37 @@ object TextAnalysis {
     */
   def containmentJoin(spark: SparkSession, dir: String, k: Int = 12,
       tMilli: Int = 800): DataFrame = {
-    val (shC, cand) = containmentCandidates(spark, dir, k, tMilli)
-    val arrs = shC.groupBy("doc_id").agg(sort_array(collect_list("s")).as("arr"))
+    val (docsArr, cand) = containmentCandidates(spark, dir, k, tMilli)
+    // Verify arrays come STRAIGHT from the cached per-doc array frame —
+    // r17 opt: the previous form rebuilt them from the exploded postings
+    // with sort_array(collect_list(...)), a full-postings aggregate the
+    // plan then executed TWICE (once per join side, ~0.4 s each at sf0.1)
+    // — when the array is what the shingler produced in the first place
+    // (array_intersect is set-semantics, so the sort was never needed).
     val out = cand
-      .join(arrs.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
-      .join(arrs.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .join(docsArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
       .select(col("a_id"), col("b_id"), col("size_a").cast("bigint").as("size_a"),
         size(array_intersect(col("a_arr"), col("b_arr"))).cast("bigint").as("n_common"))
       .filter(expr(s"1000 * n_common div size_a >= $tMilli"))
       .withColumn("containment_milli", expr("1000 * n_common div size_a"))
-    Dedup.materializeAndRelease(Seq(shC), out)
+    Dedup.materializeAndRelease(Seq(docsArr), out)
   }
 
   /** The candidate stage of [[containmentJoin]], exposed so the scale
     * probes can pin CANDIDATE-count growth (the filter's whole point)
     * directly rather than inferring it from wall/shuffle exponents.
-    * Returns (cached shingle postings, candidate pairs); the caller owns
-    * releasing the cache (containmentJoin does so via
-    * materializeAndRelease).
+    * Returns (the cached per-doc array frame (doc_id, arr, m), candidate
+    * pairs); the caller owns releasing the cache (containmentJoin does so
+    * via materializeAndRelease).
+    *
+    * r17 opt (plan read in the SQL tab): the cache now holds ONE array row
+    * per doc instead of the exploded postings — the exploded relation is
+    * derived on demand (explode from a columnar cache is cheap; the
+    * previous exploded cache was re-scanned five times per run), the
+    * per-doc set size is `size(arr)` instead of a count-over-partition
+    * window, and the b-side size table is a projection instead of a
+    * full-postings re-aggregation.
     */
   private[graft] def containmentCandidates(spark: SparkSession, dir: String,
       k: Int = 12, tMilli: Int = 800): (DataFrame, DataFrame) = {
@@ -2492,35 +2533,35 @@ object TextAnalysis {
     // the two poly hashes over the text's code points in ONE codegen pass
     // — no substring allocations, no interpreted HOF lambda; bit-identical
     // to the transform(substring)->h60 form (ExpressionsSpec).
-    val sh = docs(spark, dir)
+    val docsArr = docs(spark, dir)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(expr(s"graft_shingle_hash60(text, $k)"))).as("s"))
-    val shC = sh.cache()
-    shC.count() // eager fill before AQE fans out the four consumers
+        array_distinct(expr(s"graft_shingle_hash60(text, $k)")).as("arr"))
+      .withColumn("m", size(col("arr")).cast("bigint"))
+      .cache()
+    docsArr.count() // eager fill before AQE fans out the consumers
+    val shC = docsArr.select(col("doc_id"), col("m"), explode(col("arr")).as("s"))
     val df = shC.groupBy("s").agg(count(lit(1)).as("dfreq"))
     // rank each doc's shingles in the (df, shingle) total order; keep the
-    // lossless prefix per doc
+    // lossless prefix per doc (m is the exact per-doc set size — the array
+    // is distinct by construction)
     val ranked = shC.join(df, "s")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("dfreq").asc, col("s").asc)))
-      .withColumn("size_a", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val prefix = ranked
-      .filter(col("rk") <= col("size_a") - expr(s"($tMilli * size_a + 999) div 1000") + 1)
-      .select(col("doc_id").as("a_id"), col("s"), col("size_a"))
-    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("size_b"))
+      .filter(col("rk") <= col("m") - expr(s"($tMilli * m + 999) div 1000") + 1)
+      .select(col("doc_id").as("a_id"), col("s"), col("m").as("size_a"))
     // pigeonhole size prune BEFORE the array verify: |A∩B| ≥ ⌈t·|A|⌉ is
     // impossible when |B| < ⌈t·|A|⌉ — candidates that cannot pass never
     // ship their arrays
     val cand = prefix.join(shC.select(col("doc_id").as("b_id"), col("s")), "s")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id", "size_a").distinct()
-      .join(sizes.select(col("doc_id").as("b_id"), col("size_b")), "b_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("m").as("size_b")), "b_id")
       .filter(col("size_b") >= expr(s"($tMilli * size_a + 999) div 1000"))
       .select("a_id", "b_id", "size_a")
-    (shC, cand)
+    (docsArr, cand)
   }
 
   /** WINNOWING fingerprint selection per document (round-10 continuation)
