@@ -65,7 +65,7 @@ object Graph {
     * (the most expensive stage of every graph query) executed TWICE per
     * edge materialization even with exchange reuse.
     */
-  private def tradeEdgesFrom(spark: SparkSession, dir: String,
+  private[graft] def tradeEdgesFrom(spark: SparkSession, dir: String,
       snode: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     // dedupe (order, supplier) BEFORE the join: the distinct shuffles on
     // l_orderkey — the join key the rows need anyway — and shrinks the

@@ -1489,13 +1489,15 @@ object TextAnalysis {
     // one row per distinct bigram; min(fp_prev) is exact (all equal)
     val pairStats = bg.groupBy("fp_pair")
       .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
-    // context occurrence counts DERIVED from the distinct-pair table:
-    // c_prev = Σ c_pair over the context's pairs — algebraically identical
-    // to counting fp_prev over the occurrence relation, but it aggregates
-    // the vocabulary-sized pairStats instead of re-tokenizing and
-    // re-exploding the whole corpus a second time (r17 opt: one of the
-    // exact scorer's four corpus passes, measured in the SQL tab).
-    val ctxStats = pairStats.groupBy("fp_prev").agg(sum("c_pair").as("c_prev"))
+    // NOTE (r17 opt, tried and reverted): deriving ctxStats from pairStats
+    // (c_prev = Σ c_pair) is algebraically identical but does NOT save the
+    // corpus pass — Spark has no common-subtree elimination, so the model
+    // join's second pairStats reference re-runs the whole scan+explode+agg
+    // chain anyway (plan went 8 → 9 exchanges, scans unchanged at 4).
+    // Caching pairStats/bg would fix it but either leaks the cache (the
+    // catalog row returns a lazy frame) or checkpoint-materializes a
+    // corpus-sized output, both against this file's lifecycle discipline.
+    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
     val model = pairStats.join(ctxStats, Seq("fp_prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("p",
@@ -1629,8 +1631,7 @@ object TextAnalysis {
     val (bg, vocab) = lmBigramRelation(spark, dir)
     val pairStats = bg.groupBy("fp_pair")
       .agg(count(lit(1)).as("c_pair"), min(col("fp_prev")).as("fp_prev"))
-    // derived from pairStats, not a second corpus pass — see lmCrossEntropy
-    val ctxStats = pairStats.groupBy("fp_prev").agg(sum("c_pair").as("c_prev"))
+    val ctxStats = bg.groupBy("fp_prev").agg(count(lit(1)).as("c_prev"))
     val kept = pairStats.groupBy("fp_prev")
       .agg(expr(s"graft_topk(fp_pair, CAST(c_pair AS DOUBLE), $topK)").as("top"))
       .select(explode(col("top.id")).as("fp_pair"))
