@@ -171,6 +171,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r17 opt: let AQE re-partition reads of CACHED plans (default false
+      // upstream for legacy output-partitioning expectations). The engine
+      // caches multi-consumer intermediates throughout (the eager-fill
+      // discipline); without this flag every cache read is pinned to the
+      // shuffle-partition count even when the frame is KBs, and the probe
+      // measured 10-20× of pure per-task overhead on the histogram rows
+      // (stats_histogram_eqdepth 48 → 3 CPU-s, pipeline_ppl_buckets 61 →
+      // 3 CPU-s, tasks 400+ → ~30). Scale-adaptive by construction: AQE
+      // coalesces by BYTES, so corpus-sized caches keep their width on a
+      // real cluster — this is not a local[32] constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,8 @@ object UiProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // match graft.Bench (r17): AQE may re-partition cached-plan reads
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
