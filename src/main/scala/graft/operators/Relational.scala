@@ -1528,25 +1528,15 @@ object Relational {
     val x = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
-    // hist is read by the local-cum window AND the chunk-totals branch (and
-    // through totals by bounds AND prefix): uncached, each branch re-ran
-    // the full lineitem scan + (flag, cents) aggregate (r17 opt — the
-    // pipeline_ppl_buckets duplication, same chunked-histogram recipe).
-    // Both caches are value-histogram-bounded; the output is a |flags|-row
-    // aggregate, so the eager materialize-and-release is cheap at any SF.
-    val hist0 = x.groupBy("flag", "cents").agg(count(lit(1)).as("cnt")).cache()
-    hist0.count() // eager fill: span + the cb join both read it
+    val hist0 = x.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
     val span = hist0.groupBy("flag")
       .agg(min("cents").as("mn"), max("cents").as("mx"), sum("cnt").as("n"))
     val hist = hist0.join(broadcast(span), "flag")
       .withColumn("cb", expr(s"(cents - mn) div ((mx - mn) div $maxChunks + 1)"))
-      .cache()
-    hist.count()
     val wLocal = Window.partitionBy("flag", "cb").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
-    val totals = hist.groupBy("flag", "cb").agg(sum("cnt").as("tot")).cache()
-    totals.count()
+    val totals = hist.groupBy("flag", "cb").agg(sum("cnt").as("tot"))
     val bounds = totals.groupBy("flag").agg(max("cb").as("cb_max"))
     val prefix = totals.join(broadcast(bounds), "flag")
       .filter(col("cb") < col("cb_max"))
@@ -1558,7 +1548,7 @@ object Relational {
       .agg(
         min(when(col("cum") * 100 >= col("n"), col("cents"))).as("p01_cents"),
         min(when(col("cum") * 100 >= col("n") * 99, col("cents"))).as("p99_cents"))
-    val out = x.join(broadcast(boundaries), "flag")
+    x.join(broadcast(boundaries), "flag")
       .withColumn("clipped", greatest(col("p01_cents"), least(col("p99_cents"), col("cents"))))
       .groupBy("flag")
       .agg(
@@ -1568,7 +1558,6 @@ object Relational {
         sum(col("clipped")).as("sum_clipped_cents"),
         min(col("p01_cents")).as("p01_cents"),
         min(col("p99_cents")).as("p99_cents"))
-    graft.operators.Dedup.materializeAndRelease(Seq(hist0, hist, totals), out)
   }
 
   /** MARKOV TRANSITION MINING over per-user event sequences — the
@@ -1820,34 +1809,22 @@ object Relational {
     * corpus-sized is ever sorted.
     */
   def statsHistogramEquiDepth(spark: SparkSession, dir: String, buckets: Int = 8,
-      maxChunks: Int = 1024, forPlanInspection: Boolean = false): DataFrame = {
-    // hist0/hist/totals each feed ≥ 2 downstream branches; uncached, every
-    // branch re-ran the full lineitem scan + value aggregate (r17 opt —
-    // the pipeline_ppl_buckets duplication, same chunked-histogram
-    // recipe). All three caches are value-histogram-bounded; the output is
-    // `buckets` rows, so the eager materialize-and-release is cheap.
-    // forPlanInspection returns the lazy frame (caches released) for
-    // PlanSpec's window-shape assertions.
+      maxChunks: Int = 1024): DataFrame = {
     val hist0 = t(spark, dir, "lineitem")
       .select(round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
       .groupBy("cents")
       .agg(count(lit(1)).as("cnt"))
-      .cache()
-    if (!forPlanInspection) hist0.count()
     val span = hist0.agg(min("cents").as("mn"), max("cents").as("mx"))
     val hist = hist0.join(broadcast(span))
       .withColumn("cb", expr(s"(cents - mn) div ((mx - mn) div $maxChunks + 1)"))
       .select("cents", "cnt", "cb")
-      .cache()
-    if (!forPlanInspection) hist.count()
     // level 1: cumulative within each value chunk — bounded partitions
     val wLocal = Window.partitionBy("cb").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = hist.withColumn("local_cum", sum("cnt").over(wLocal))
     // level 2: each chunk's total contributes to every LATER chunk's
     // prefix — a distributed prefix-sum via explode + equi-groupBy
-    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot")).cache()
-    if (!forPlanInspection) totals.count()
+    val totals = hist.groupBy("cb").agg(sum("cnt").as("tot"))
     val bounds = totals.agg(max("cb").as("cb_max"), sum("tot").as("n"))
     val prefix = totals.join(broadcast(bounds))
       // strict guard: sequence(a, b) is DESCENDING for a > b, so the last
@@ -1855,7 +1832,7 @@ object Relational {
       .filter(col("cb") < col("cb_max"))
       .select(explode(expr("sequence(cb + 1, cb_max)")).as("cb"), col("tot"))
       .groupBy("cb").agg(sum("tot").as("prev_cum"))
-    val out = local.join(prefix, Seq("cb"), "left")
+    local.join(prefix, Seq("cb"), "left")
       .join(broadcast(bounds.select("n")))
       .withColumn("cum", col("local_cum") + coalesce(col("prev_cum"), lit(0L)))
       .withColumn("bucket", expr(s"(cum * $buckets + n - 1) div n"))
@@ -1864,8 +1841,6 @@ object Relational {
         min("cents").as("lo_cents"),
         max("cents").as("hi_cents"),
         sum("cnt").as("n_rows"))
-    if (forPlanInspection) { Seq(hist0, hist, totals).foreach(_.unpersist(false)); out }
-    else graft.operators.Dedup.materializeAndRelease(Seq(hist0, hist, totals), out)
   }
 
   /** Bloom-pruned semi-join — the explicit runtime-filter pattern. The

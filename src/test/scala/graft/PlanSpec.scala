@@ -527,10 +527,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("equi-depth histogram: every window is partitioned — no SinglePartition window") {
-    // r17: the catalog row materializes (histogram caches released after
-    // the tiny output) — assert on the un-materialized inspection form
-    val df = graft.operators.Relational.statsHistogramEquiDepth(spark, dir,
-      forPlanInspection = true)
+    val df = SparkEntry.queries("stats_histogram_eqdepth")(spark, dir)
     // AQE wraps the plan in AdaptiveSparkPlanExec, a leaf wrapper that
     // collect() does not recurse into — unwrap to the inner physical plan
     val root = df.queryExecution.executedPlan match {
@@ -724,12 +721,7 @@ class PlanSpec extends AnyFunSuite {
     // over a VALUE histogram — each Window node must have an aggregate
     // BELOW it (never the raw scan)
     for (qn <- Seq("q_percentile_disc_skew", "stats_histogram_eqdepth")) {
-      // r17: eqdepth materializes in catalog form — use the lazy seam
-      val pct =
-        if (qn == "stats_histogram_eqdepth")
-          graft.operators.Relational.statsHistogramEquiDepth(spark, dir,
-            forPlanInspection = true).queryExecution.executedPlan.toString
-        else executedPlan(qn)
+      val pct = executedPlan(qn)
       val pctLines = pct.linesIterator.toVector
       pctLines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
         assert(pctLines.drop(i + 1).exists(_.contains("HashAggregate")),
