@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -164,25 +163,10 @@ object Bench {
     val calibMtStart = Calib.multiMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // r17 opt: let AQE re-partition reads of CACHED plans (default false
-      // upstream for legacy output-partitioning expectations). The engine
-      // caches multi-consumer intermediates throughout (the eager-fill
-      // discipline); without this flag every cache read is pinned to the
-      // shuffle-partition count even when the frame is KBs, and the probe
-      // measured 10-20× of pure per-task overhead on the histogram rows
-      // (stats_histogram_eqdepth 48 → 3 CPU-s, pipeline_ppl_buckets 61 →
-      // 3 CPU-s, tasks 400+ → ~30). Scale-adaptive by construction: AQE
-      // coalesces by BYTES, so corpus-sized caches keep their width on a
-      // real cluster — this is not a local[32] constant.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
+    // r18: session config centralized in SessionFactory (VERDICT r17 #3) —
+    // the r17 cached-plan AQE flag and its rationale live there now, shared
+    // with the production CLI entries instead of being harness-private.
+    val spark = SessionFactory.builder(s"local[$cpus]", "graft-bench", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -618,6 +602,18 @@ object Bench {
       // exact oracle-gate path's number; r13 adds the new skew/hashed twins
       Vector("ann_margin_mining", "ann_margin_mining_ivf",
         "graph_link_predict_skew", "text_line_dedup_hashed") ++
+      // r18 (VERDICT r17 #2, additions-only): the rows the optimization
+      // rounds actually touched — plus every multi-second row — were
+      // invisible to the driver's compact line, so the rounds' headline
+      // claims were only verifiable from the repo's own snapshots. All the
+      // heavy hitters are driver-visible series now.
+      Vector("text_containment", "text_bpe", "text_bpe_encode",
+        "pipeline_ppl_buckets", "stats_histogram_eqdepth", "stats_winsorize",
+        "graph_pagerank", "graph_components", "graph_triangles",
+        "graph_link_predict", "graph_lpa", "graph_reach",
+        "dedup_semantic", "dedup_semantic_clusters", "dedup_ngram",
+        "pipeline_curate", "ann_ivfpq_append_check", "ann_ivfpq_store_check",
+        "ann_margin_mining_ivf_check") ++
       Vector("stream_export_avro", "stream_sessionize", "stream_interval_join",
         "stream_incremental_dedup", "stream_ann_ingest", "stream_line_dedup",
         "stream_sketch_rollup",

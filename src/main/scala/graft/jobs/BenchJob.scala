@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
 
 import graft.schema.AvroSchemaGen
 import graft.sink.AvroSink
@@ -30,12 +29,10 @@ object BenchJob {
     val executions = opts.getOrElse("executions", "3").toInt
     val codec = opts.getOrElse("avroCodec", "deflate1")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-bench-job")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // shared engine session config (r18, VERDICT r17 #3)
+    val spark = graft.SessionFactory
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[32]"),
+        "graft-bench-job", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

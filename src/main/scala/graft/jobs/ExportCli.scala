@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
 
 import graft.args.{ArgParsers, AvroSinkArgs, QueryArgs}
 import graft.schema.AvroSchemaGen
@@ -62,12 +61,13 @@ object ExportCli {
         preCommands = args.filter(_.startsWith("--preCommand="))
           .map(_.stripPrefix("--preCommand=")).toSeq)
 
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-        .appName(s"dbeamspark-$table")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+      // shared engine session config (r18, VERDICT r17 #3): the CLI now
+      // gets the same optimizer settings the bench measures under —
+      // before this, canChangeCachedPlanOutputPartitioning was
+      // harness-private and a CLI user ran unoptimized cache plans.
+      val spark = graft.SessionFactory
+        .builder(sys.env.getOrElse("SPARK_MASTER", "local[32]"),
+          s"dbeamspark-$table", "32")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 

@@ -66,7 +66,11 @@ object Graph {
     * edge materialization even with exchange reuse.
     */
   private[graft] def tradeEdgesFrom(spark: SparkSession, dir: String,
-      snode: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      snode: org.apache.spark.sql.Column,
+      // plan-inspection seam (ADVICE r17, the marginIvfCandidates pattern):
+      // PlanGrab dumps the edge plan without paying the orders ⋈ lineitem
+      // materialization the eager fill would run
+      fillCache: Boolean = true): (DataFrame, DataFrame) = {
     // dedupe (order, supplier) BEFORE the join: the distinct shuffles on
     // l_orderkey — the join key the rows need anyway — and shrinks the
     // join output ~4x (multi-lineitem orders) ahead of the wide pair
@@ -78,7 +82,7 @@ object Graph {
       .select((col("o_custkey") * 2).as("cnode"), snode.as("snode"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // eager fill — four consumers below (cache-before-AQE rule)
+    if (fillCache) pairs.count() // eager fill — four consumers below (cache-before-AQE rule)
     val directed = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -126,14 +130,47 @@ object Graph {
       extraCaches = Seq(pairs))
   }
 
+  /** Node count under which the per-superstep (node, state) vector is
+    * BROADCAST and the edge cache is partitioned by `dst` so the superstep
+    * aggregate needs NO exchange (r18 opt, guide §2.4/§3.1): a 2^20-node
+    * vector of two longs hashes to ~50 MB — comfortably broadcastable —
+    * while past the gate the cores fall back to the classic shuffle-join
+    * superstep (edges partitioned by `src`, ranks exchanged), which is the
+    * correct regime when the rank vector itself is cluster-sized. The gate
+    * reads the RUNTIME node count (already measured for the overflow
+    * check), so the choice is data-adaptive, not a local[32] constant.
+    */
+  val BroadcastableNodes: Long = 1L << 20
+
+  /** The broadcast-regime loop support shared by [[pageRankCore]] and
+    * [[componentsCore]] (r18): the dst-partitioned edge cache, the
+    * connected (= src) node set, and the isolated remainder. REQUIRES
+    * symmetric edges (src-set == dst-set) — both builders materialize every
+    * undirected pair in both directions, so a node has in-edges iff it has
+    * out-edges; isolated nodes can then leave the superstep loop entirely
+    * (their state is constant) and re-attach once at the end, which is
+    * what lets the loop run without the per-superstep zero-row union that
+    * destroyed the aggregate's partitioning.
+    */
+  private def broadcastRegimeEdges(spark: SparkSession, edges0: DataFrame,
+      nodes: DataFrame, shuffleN: Int): (DataFrame, DataFrame, DataFrame) = {
+    val edges = edges0
+      .repartition(shuffleN, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the distinct's scan fills the edge cache as a side effect
+    val connected = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    connected.count()
+    val isolated = nodes.join(connected, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    (edges, connected, isolated)
+  }
+
   private def pageRankCore(spark: SparkSession, edges0: DataFrame, nodes0: DataFrame,
       iters: Int, dampPct: Long, scale: Long, checkpointEvery: Int,
       extraCaches: Seq[DataFrame] = Nil): DataFrame = {
     require(dampPct >= 1 && dampPct <= 100, s"dampPct must be in [1, 100], got $dampPct")
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edges = edges0
-      .repartition(shuffleN, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
     // Overflow precondition, asserted at RUNTIME on the actual node count
     // (the count also warms the persisted node set): a node's inbound sum
@@ -146,10 +183,44 @@ object Graph {
       s"integer PageRank overflow: $nNodes nodes × scale=$scale × dampPct=$dampPct " +
         "exceeds 2^63 — pass a smaller scale")
     val base = scale * (100L - dampPct) / 100L
+    if (nNodes <= BroadcastableNodes) {
+      // BROADCAST REGIME (r18 opt, measured 1.2-1.4× on the probe and
+      // bit-identical by checksum): the rank vector rides a broadcast into
+      // the dst-partitioned edge cache, so the superstep aggregate's
+      // ENSURE_REQUIREMENTS is already satisfied by the cache layout — the
+      // whole superstep is ONE map stage, zero exchanges (was: one
+      // exchange of ~375k partial-sum rows per superstep at sf0.1 plus the
+      // zero-contribution union). Isolated nodes sit at the base rank from
+      // superstep 1 on (no in-edges ⇒ pr = base + damp·0), so they join
+      // once at the end instead of riding every superstep.
+      val (edges, connected, isolated) =
+        broadcastRegimeEdges(spark, edges0, nodes, shuffleN)
+      var ranks = connected.withColumn("pr", lit(scale))
+      for (i <- 1 to iters) {
+        val contrib = broadcast(ranks)
+          .join(edges, ranks("node") === edges("src"))
+          .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        ranks = contrib.groupBy("node")
+          .agg((lit(base) + expr(s"($dampPct * sum(c)) div 100")).as("pr"))
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
+      val out = ranks
+        .unionAll(isolated.withColumn("pr", lit(if (iters == 0) scale else base)))
+        .select(col("node").cast("bigint").as("node"),
+          col("pr").cast("bigint").as("pr"))
+      return Dedup.materializeAndRelease(
+        Seq(edges, connected, nodes) ++ extraCaches, out)
+    }
+    // SHUFFLE REGIME — the rank vector is too big to broadcast: edges stay
+    // src-partitioned so the per-superstep join exchanges only the ranks,
+    // and nodes ride the aggregate as zero-contribution rows instead of a
+    // post-agg left join — ONE exchange per superstep, not two.
+    val edges = edges0
+      .repartition(shuffleN, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
-      // nodes ride the aggregate as zero-contribution rows instead of a
-      // post-agg left join — ONE exchange per superstep, not two
       val contrib = ranks
         .join(edges, ranks("node") === edges("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
@@ -209,10 +280,42 @@ object Graph {
       nodes0: DataFrame, iters: Int, checkpointEvery: Int,
       extraCaches: Seq[DataFrame] = Nil): DataFrame = {
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+    if (nNodes <= BroadcastableNodes) {
+      // BROADCAST REGIME (r18 opt — the [[pageRankCore]] treatment): label
+      // vector broadcast into the dst-partitioned edge cache, neighbor-min
+      // aggregate exchange-free, and `min(self ∪ nbrs)` recovered as
+      // `least(self, min(nbrs))` via a co-partitioned node-scale join
+      // instead of the per-superstep zero-row union (which destroyed the
+      // aggregate's partitioning). Isolated nodes keep their own label by
+      // definition and re-attach once at the end. The inner join is total:
+      // symmetric edges ⇒ every connected node has in-edges ⇒ nbrMin
+      // covers exactly the connected set.
+      val (edges, connected, isolated) =
+        broadcastRegimeEdges(spark, edges0, nodes, shuffleN)
+      var labels = connected.withColumn("label", col("node"))
+      for (i <- 1 to iters) {
+        val nbrMin = broadcast(labels)
+          .join(edges, labels("node") === edges("src"))
+          .select(col("dst").as("node"), col("label").as("lbl"))
+          .groupBy("node").agg(min(col("lbl")).as("nm"))
+        labels = labels.join(nbrMin, Seq("node"))
+          .select(col("node"), least(col("label"), col("nm")).as("label"))
+        if (i % checkpointEvery == 0 && i < iters)
+          labels = labels.localCheckpoint()
+      }
+      val out = labels
+        .unionAll(isolated.withColumn("label", col("node")))
+        .select(col("node").cast("bigint").as("node"),
+          col("label").cast("bigint").as("label"))
+      return Dedup.materializeAndRelease(
+        Seq(edges, connected, nodes) ++ extraCaches, out)
+    }
+    // SHUFFLE REGIME — label vector too big to broadcast (see pageRankCore)
     val edges = edges0
       .repartition(shuffleN, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
       // min(self ∪ neighbor labels) in ONE aggregate — the self rows ride

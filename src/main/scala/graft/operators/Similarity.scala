@@ -286,6 +286,14 @@ object Similarity {
     * materialized by the caller; `releases` (which the caller includes
     * `scored` in when this call is its last consumer) are unpersisted
     * after the output materializes.
+    *
+    * Type constraint (ADVICE r17): the candidate score `c` is re-read from
+    * the `graft_topk` heap entries, whose score field is DOUBLE — so any
+    * scored column round-trips through a double here regardless of its
+    * input type. Exact for the micro-scaled cosines every current producer
+    * emits (|c| < 2^53); a future producer with wider integral scores
+    * would silently lose low bits and must widen the heap's score field
+    * first.
     */
   private def marginFromScored(scored: DataFrame, k: Int,
       releases: Seq[DataFrame], forPlanInspection: Boolean = false): DataFrame = {

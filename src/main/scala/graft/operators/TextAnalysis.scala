@@ -1901,11 +1901,12 @@ object TextAnalysis {
       // collect must not turn a big-vocab corpus into a hard failure now
       // that the driver path is the default).
       import spark.implicits._
-      val types = wordTypes(docs(spark, dir)).limit(maxVocab + 1).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      if (types.length <= maxVocab)
-        return bpeTrainOnTypes(types, numMerges)
-          .toDF("rank", "left", "right", "merged", "freq")
+      wordTypesWithinVocab(docs(spark, dir), maxVocab) match {
+        case Some(types) =>
+          return bpeTrainOnTypes(types, numMerges)
+            .toDF("rank", "left", "right", "merged", "freq")
+        case None => () // vocabulary past the guard: distributed trainer below
+      }
     }
     var syms = wordTypes(docs(spark, dir))
       // CODE-POINT split (a supplementary char is one symbol, never a
@@ -2122,12 +2123,22 @@ object TextAnalysis {
     * working set (refuses vocabularies past the guard rather than silently
     * collecting a corpus-sized set).
     */
-  private def collectWordTypes(d: DataFrame, maxVocab: Int): Array[(String, Long)] = {
+  private def collectWordTypes(d: DataFrame, maxVocab: Int): Array[(String, Long)] =
+    wordTypesWithinVocab(d, maxVocab).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: BPE driver path: vocabulary exceeds maxVocab=$maxVocab — only bounded corpora"))
+
+  /** The vocab-probing collect both driver-path entries share (ADVICE r17:
+    * [[bpeMerges]] inlined this minus the guard): `Some(histogram)` when
+    * the vocabulary fits `maxVocab`, `None` past the guard — the caller
+    * decides whether that means fall-through ([[bpeMerges]]) or refusal
+    * ([[collectWordTypes]]). The collect is bounded at maxVocab+1 rows
+    * either way.
+    */
+  private def wordTypesWithinVocab(d: DataFrame,
+      maxVocab: Int): Option[Array[(String, Long)]] = {
     val types = wordTypes(d).limit(maxVocab + 1).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    require(types.length <= maxVocab,
-      s"BPE driver path: vocabulary exceeds maxVocab=$maxVocab — only bounded corpora")
-    types
+    if (types.length <= maxVocab) Some(types) else None
   }
 
   /** UTF-8 byte-order string comparison — identical to Spark's

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 
 /** r17 optimization probe — per-query wall time under the BENCH config
@@ -24,16 +23,11 @@ object OptProbe {
     val names0 = args.filterNot(_.startsWith("--")).toSeq
     val names = if (names0.nonEmpty) names0 else graft.SparkEntry.queries.keySet.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-optprobe")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+    // shared engine config; the cache-AQE flag stays env-overridable for
+    // A/B (a later .config overrides the factory's default)
+    val spark = graft.SessionFactory.builder(s"local[$cpus]", "graft-optprobe", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,7 +84,10 @@ object OptProbe {
     }
 
     planDir.foreach(d => new java.io.File(d).mkdirs())
-    println(f"${"query"}%-36s ${"wall_s"}%8s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"taskS"}%8s ${"gcS"}%6s ${"shufMB"}%8s ${"inMB"}%7s ${"spillMB"}%8s")
+    // wall_s = min of the two runs (the bench estimator); w2_s = run 2's
+    // wall, the run ALL listener counters describe (ADVICE r17: min(w1,w2)
+    // next to run-2 counters silently mixed two runs when run 1 was faster)
+    println(f"${"query"}%-36s ${"wall_s"}%8s ${"w2_s"}%8s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"taskS"}%8s ${"gcS"}%6s ${"shufMB"}%8s ${"inMB"}%7s ${"spillMB"}%8s")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       def once(): Double = {
@@ -103,7 +100,7 @@ object OptProbe {
       stageLog.clear()
       val w2 = once() // instrumented run 2 (counters reflect this run)
       val wall = math.min(w1, w2)
-      println(f"$n%-36s $wall%8.3f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskMs.get / 1e3}%8.2f ${gcMs.get / 1e3}%6.2f ${(shufR.get + shufW.get) / 1e6}%8.1f ${input.get / 1e6}%7.1f ${spill.get / 1e6}%8.1f")
+      println(f"$n%-36s $wall%8.3f $w2%8.3f ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${taskMs.get / 1e3}%8.2f ${gcMs.get / 1e3}%6.2f ${(shufR.get + shufW.get) / 1e6}%8.1f ${input.get / 1e6}%7.1f ${spill.get / 1e6}%8.1f")
       if (verbose) { Thread.sleep(300); stageLog.forEach(l => println(l)) }
       planDir.foreach { d =>
         val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)

@@ -70,7 +70,7 @@ object PlanGrab {
     // graph edge stage: the pairs-cache change lives here (the supersteps
     // themselves are checkpoint-opaque in both trees)
     dump("graph_trade_edges",
-      Graph.tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1)._2)
+      Graph.tradeEdgesFrom(spark, dir, col("l_suppkey") * 2 + 1, fillCache = false)._2)
     spark.stop()
   }
 }
